@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Grouped aggregation family.
+  *
+  * Reference executor: `Agg` node (`/root/reference/src/backend/executor/nodeAgg.c:2310`,
+  * PLAIN/SORTED/HASHED/MIXED strategies) with GP's two-/three-stage parallel
+  * plans (`src/backend/cdb/cdbgroupingpaths.c:265`) and multi-DQA TupleSplit
+  * (`src/backend/executor/nodeTupleSplit.c:184`). Spark plans the same shapes
+  * natively: partial+final HashAggregateExec around the shuffle, ExpandExec
+  * for multiple DISTINCT aggregates — we only declare the logical query.
+  */
+object CoreAgg extends QueryModule {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan -> pushed filter -> partial/final hash agg ->
+    // shuffle on the 2 grouping cols -> sort. The flagship slice of §3.
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Multiple DISTINCT-qualified aggregates in one grouped agg (GP 3-stage
+    // DQA / TupleSplit plan; Spark: ExpandExec + two-shuffle plan).
+    "q_agg_multi_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd_line"),
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // GROUP BY GROUPING SETS with grouping_id (nodeAgg rollup chains).
+    "q_grouping_sets" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+             count(lit(1)).as("n"),
+             dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .rollup(col("o_orderstatus"), col("o_year"))
+        .agg(grouping_id().as("gid"),
+             count(lit(1)).as("n"),
+             dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_year").asc_nulls_first)
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .cube(col("o_orderstatus"), col("o_year"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_year").asc_nulls_first)
+    }),
+
+    // Statistical aggregates (pg_aggregate.dat families: stddev/var/corr/
+    // covar/regr_*). Inherently float -> rounded to absorb accumulation
+    // order differences.
+    "q_agg_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 3).as("var_qty"),
+          round(stddev_pop(col("l_discount")), 6).as("sdp_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qd"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 3).as("slope_pq"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 3).as("icpt_pq"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pq"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Ordered-set aggregates (orderedsetaggs.c: percentile_cont/disc, mode)
+    // + GP's median alias (pg_proc.dat:11586). Exact interpolated
+    // percentile via Spark's `percentile`, deterministic mode via max_by
+    // over (count, value) pairs.
+    "q_ordered_set_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val mode = li.groupBy(col("l_returnflag"), col("l_quantity")).count()
+        .groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_quantity"), struct(col("count"), col("l_quantity"))).as("mode_qty"))
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("median_price"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .join(mode, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // string_agg / array_agg family (array_userfuncs.c, gp_legacy_string_agg)
+    // rendered order-deterministic: sort the collected list.
+    "q_agg_strings" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"),
+          min(col("n_name")).as("first_nation"),
+          max(col("n_name")).as("last_nation"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // bool_and/bool_or + min_by/max_by (arg_min/arg_max in the oracle).
+    "q_agg_minmax_by" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("richest"),
+          min_by(col("c_name"), struct(col("c_acctbal"), lit(-1) * col("c_custkey"))).as("poorest"),
+          bool_and(col("c_acctbal") > -1000).as("all_above"),
+          bool_or(col("c_acctbal") > 9000).as("any_rich"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // HAVING = post-aggregation filter (reference plans it as a qual on Agg).
+    "q_agg_having" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("n") >= 3)
+        .orderBy(col("l_partkey"))
+    }),
+
+    // approx distinct sketch (gp_hyperloglog.c analogue). No oracle: DuckDB's
+    // approx_count_distinct uses a different sketch; driver records
+    // rows-only. Exactness checked separately by q_agg_multi_distinct.
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+         |  ${sqlDsum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_multi_distinct" ->
+      s"""SELECT l_returnflag,
+         |  COUNT(DISTINCT l_partkey) AS nd_part,
+         |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+         |  COUNT(DISTINCT (l_orderkey, l_linenumber)) AS nd_line,
+         |  COUNT(*) AS n,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  GROUPING(l_returnflag, l_linestatus) AS gid,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  GROUPING(o_orderstatus, year(o_orderdate)) AS gid,
+         |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))
+         |ORDER BY gid, o_orderstatus NULLS FIRST, o_year NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  GROUPING(o_orderstatus, year(o_orderdate)) AS gid, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_year NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 3) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 3) AS var_qty,
+        |  ROUND(stddev_pop(l_discount), 6) AS sdp_disc,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qd,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 3) AS slope_pq,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 3) AS icpt_pq,
+        |  regr_count(l_extendedprice, l_quantity) AS n_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_ordered_set_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS median_price,
+        |  ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25_price,
+        |  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95_price,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  (SELECT m.l_quantity FROM (
+        |     SELECT l2.l_quantity, COUNT(*) c FROM lineitem l2
+        |     WHERE l2.l_returnflag = l1.l_returnflag GROUP BY l2.l_quantity
+        |     ORDER BY c DESC, l2.l_quantity DESC LIMIT 1) m) AS mode_qty
+        |FROM lineitem l1 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_strings" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n, MIN(n_name) AS first_nation, MAX(n_name) AS last_nation
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """WITH r AS (SELECT c_mktsegment, c_name,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey DESC) rmax,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey DESC) rmin
+        |  FROM customer),
+        | a AS (SELECT c_mktsegment, bool_and(c_acctbal > -1000) AS all_above,
+        |    bool_or(c_acctbal > 9000) AS any_rich, COUNT(*) AS n
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT a.c_mktsegment, mx.c_name AS richest, mn.c_name AS poorest,
+        |  a.all_above, a.any_rich, a.n
+        |FROM a
+        |JOIN r mx ON mx.c_mktsegment = a.c_mktsegment AND mx.rmax = 1
+        |JOIN r mn ON mn.c_mktsegment = a.c_mktsegment AND mn.rmin = 1
+        |ORDER BY a.c_mktsegment""".stripMargin,
+
+    "q_agg_having" ->
+      s"""SELECT l_partkey, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 3
+         |ORDER BY l_partkey""".stripMargin
+  )
+}
