@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    CoreAgg
+    CoreAgg, Joins, Windows, SetOpsMisc, ScalarFns, Events
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

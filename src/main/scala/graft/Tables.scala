@@ -14,9 +14,19 @@ import org.apache.spark.sql.types._
   */
 object Tables {
   /** Load one test table. Column pruning + predicate pushdown reach the
-    * Parquet scan automatically because we never materialize. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    * Parquet scan automatically because we never materialize.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    * outright; read it as nanos-since-epoch and rebuild a microsecond
+    * timestamp (matches DuckDB's behavior on any µs-granularity operation).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   // ---- oracle-stable numeric conventions -------------------------------
   // The driver hash-compares our parquet output against DuckDB. Double

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Time-series / event-stream queries over the `events` table.
+  *
+  * The reference has no streaming subsystem (SURVEY §2.10): its continuous
+  * ingest is external tables + micro-batch loads
+  * (`/root/reference/src/backend/access/external/url_execute.c`). These
+  * queries give the equivalent batch semantics; `graft.streaming` runs the
+  * same tumbling aggregation through Structured Streaming and the spec
+  * asserts stream/batch parity.
+  */
+object Events extends QueryModule {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling window via Spark's window() (struct start/end).
+    "q_events_tumbling" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // Sliding window: each event counted in every overlapping 2h window
+    // sliding by 1h.
+    "q_events_sliding" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"))
+    }),
+
+    // Sessionization: per-user sessions split at >30min inactivity gaps
+    // (lag + cumulative session counter), then per-session stats.
+    "q_events_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+               unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             (unix_timestamp(max(col("ts"))) -
+              unix_timestamp(min(col("ts")))).as("duration_s"),
+             dsum(col("value")).as("session_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             max(col("n_events")).as("max_session_events"),
+             max(col("duration_s")).as("max_duration_s"))
+        .orderBy(col("user_id"))
+    }),
+
+    // As-of style: value of the most recent prior purchase, carried
+    // forward onto every later event of the same user.
+    "q_events_asof_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .filter(col("user_id") <= 30)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          last(when(col("event_type") === "purchase", col("value")),
+               ignoreNulls = true).over(w).as("prior_purchase"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Event funnel: users who did signup -> purchase in order.
+    "q_events_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstSignup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      firstSignup.join(purchases,
+          col("user_id") === col("p_user") && col("p_ts") > col("signup_ts"),
+          "left")
+        .groupBy(col("user_id"))
+        .agg(count(col("p_ts")).as("purchases_after_signup"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Daily activity with zero-filled gaps: calendar spine cross user set,
+    // left join actuals (reference interpolate.c gap-fill shape, step 1).
+    "q_events_gapfill_zero" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") <= 10)
+      val days = s.sql(
+        """SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30',
+          |  interval 1 day)) AS day""".stripMargin)
+      val users = ev.select(col("user_id")).distinct()
+      val actual = ev.groupBy(col("user_id").as("u"),
+          col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      users.crossJoin(days)
+        .join(actual, col("user_id") === col("u") && col("day") === col("d"), "left")
+        .select(col("user_id"), col("day"),
+                coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("day"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sliding" ->
+      s"""WITH offs AS (SELECT unnest([0, 1]) AS o)
+         |SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS win_start,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events, offs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_sessionize" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR CAST(floor(epoch(ts)) AS BIGINT)
+         |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM marked),
+         |per_session AS (
+         |  SELECT user_id, session_id, COUNT(*) AS n_events,
+         |    CAST(floor(epoch(MAX(ts))) AS BIGINT)
+         |      - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+         |  FROM sess GROUP BY user_id, session_id)
+         |SELECT user_id, COUNT(*) AS n_sessions,
+         |  MAX(n_events) AS max_session_events,
+         |  MAX(duration_s) AS max_duration_s
+         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_asof_value" ->
+      """SELECT user_id, event_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase
+        |FROM events WHERE user_id <= 30
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH fs AS (
+        |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT fs.user_id, COUNT(p.ts) AS purchases_after_signup
+        |FROM fs LEFT JOIN (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ON fs.user_id = p.user_id AND p.ts > fs.signup_ts
+        |GROUP BY fs.user_id ORDER BY fs.user_id""".stripMargin,
+
+    "q_events_gapfill_zero" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+        |users AS (SELECT DISTINCT user_id FROM events WHERE user_id <= 10),
+        |actual AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events WHERE user_id <= 10 GROUP BY 1, 2)
+        |SELECT user_id, day, COALESCE(n, 0) AS n_events
+        |FROM users CROSS JOIN days
+        |LEFT JOIN actual ON user_id = u AND day = d
+        |ORDER BY user_id, day""".stripMargin
+  )
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scalar function surface — SURVEY §2.8 (~3,204 pg_proc functions; the
+  * high-traffic families).
+  *
+  * Reference: string `varlena.c`/`regexp.c`/`levenshtein.c`, formatting
+  * `formatting.c`, date/time `timestamp.c`/`date.c`, math `float.c`,
+  * JSON `jsonfuncs.c`, arrays `arrayfuncs.c`, crypto `cryptohashes.c`,
+  * Oracle-compat `decode`/`nvl` (`gpcontrib/orafce`,
+  * `src/test/regress/sql/decode_expr.sql`) — all under
+  * `/root/reference/src/backend/utils/adt/`.
+  *
+  * Everything here is a codegen'd Spark built-in (`functions._`) — no UDFs,
+  * keeping whole-stage codegen intact.
+  */
+object ScalarFns extends QueryModule {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_name")).as("lo"),
+          length(col("c_name")).as("len"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("joined"),
+          element_at(split(col("c_name"), "#"), -1).as("name_num"),
+          instr(col("c_name"), "#").as("hash_pos"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr_seg"),
+          trim(lit("  x  ")).as("trimmed"),
+          col("c_name").like("Customer#%").as("is_cust"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("devoweled"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow1"), // 1=Sunday
+          dayofyear(col("o_orderdate")).as("doy"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(lit("2002-01-01").cast("date"),
+                   col("o_orderdate").cast("date")).as("days_to_2002"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_math_funcs" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          round(sqrt(col("p_retailprice")), 6).as("sqrt_p"),
+          round(ln(col("p_retailprice")), 6).as("ln_p"),
+          round(log(10.0, col("p_retailprice")), 6).as("log10_p"),
+          round(exp(col("p_size").cast("double") / 10), 6).as("exp_s"),
+          round(pow(col("p_size"), 2), 1).as("size_sq"),
+          abs(col("p_size") - 25).as("abs_ds"),
+          ceil(col("p_retailprice")).cast("double").as("ceil_p"),
+          floor(col("p_retailprice")).cast("double").as("floor_p"),
+          round(col("p_retailprice"), 1).as("round_p"),
+          signum(col("p_size") - 25).cast("int").as("sign_ds"),
+          pmod(col("p_partkey"), lit(7)).as("mod7"),
+          greatest(col("p_size"), lit(10)).as("ge10"),
+          least(col("p_size"), lit(40)).as("le40"),
+          width_bucket(col("p_retailprice"), lit(0.0), lit(110000.0), lit(11))
+            .as("bucket"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_json_funcs" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("event_id") <= 500)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+          (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"),
+          get_json_object(col("props"), "$.missing").as("missing"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_struct"),
+          to_json(struct(col("event_type").as("t"))).as("rejson"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_array_funcs" -> ((s, dir) => {
+      val emb = col("embedding")
+      t(s, dir, "embeddings").filter(col("vec_id") <= 100)
+        .select(col("vec_id"),
+          size(emb).as("dim"),
+          round(element_at(emb, 1).cast("double"), 6).as("first_el"),
+          round(aggregate(emb, lit(0.0),
+            (acc, x) => acc + x.cast("double")), 6).as("el_sum"),
+          round(array_max(emb).cast("double"), 6).as("el_max"),
+          round(array_min(emb).cast("double"), 6).as("el_min"),
+          size(filter(emb, x => x > 0.0f)).as("n_pos"),
+          round(aggregate(slice(emb, 1, 8), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 6).as("head8_sum"),
+          exists(emb, x => x > lit(0.2f)).as("any_big"),
+          forall(emb, x => x > lit(-1.0f)).as("all_gt_m1"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_case_decode" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          // decode(o_orderstatus, 'F','finished', 'O','open', 'P','pending')
+          when(col("o_orderstatus") === "F", "finished")
+            .when(col("o_orderstatus") === "O", "open")
+            .when(col("o_orderstatus") === "P", "pending")
+            .otherwise("unknown").as("status_label"),
+          // nvl / coalesce
+          coalesce(nullif(col("o_orderpriority"), lit("5-LOW")),
+                   lit("(low)")).as("prio_or_default"),
+          // nested CASE on a numeric band
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "medium")
+            .otherwise("large").as("size_band"),
+          nanvl(lit(Double.NaN), lit(0.0)).as("nan_fixed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_hash_funcs" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          md5(col("n_name").cast("binary")).as("md5_name"),
+          sha2(col("n_name").cast("binary"), 256).as("sha256_name"),
+          length(md5(col("n_name").cast("binary"))).as("md5_len"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "q_format_funcs" -> ((s, dir) => {
+      t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+        .select(col("s_suppkey"),
+          format_string("S%05d", col("s_suppkey")).as("padded_id"),
+          format_string("%.2f", col("s_acctbal")).as("bal_2dp"),
+          concat(lit("$"), format_string("%.2f", col("s_acctbal"))).as("money"),
+          to_date(concat(lit("1997-"),
+            lpad((col("s_suppkey") % 12 + 1).cast("string"), 2, "0"),
+            lit("-01"))).as("parsed_date"))
+        .orderBy(col("s_suppkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up, lower(c_name) AS lo,
+        |  CAST(length(c_name) AS INT) AS len,
+        |  substring(c_name, 1, 8) AS sub,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS joined,
+        |  string_split(c_name, '#')[-1] AS name_num,
+        |  CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+        |  reverse(c_mktsegment) AS rev_seg,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr_seg,
+        |  trim('  x  ') AS trimmed,
+        |  (c_name LIKE 'Customer#%') AS is_cust,
+        |  COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devoweled,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow1,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        |  ROUND(sqrt(p_retailprice), 6) AS sqrt_p,
+        |  ROUND(ln(p_retailprice), 6) AS ln_p,
+        |  ROUND(log10(p_retailprice), 6) AS log10_p,
+        |  ROUND(exp(p_size / 10.0), 6) AS exp_s,
+        |  ROUND(pow(p_size, 2), 1) AS size_sq,
+        |  CAST(abs(p_size - 25) AS INT) AS abs_ds,
+        |  CAST(ceil(p_retailprice) AS DOUBLE) AS ceil_p,
+        |  CAST(floor(p_retailprice) AS DOUBLE) AS floor_p,
+        |  ROUND(p_retailprice, 1) AS round_p,
+        |  CAST(sign(p_size - 25) AS INT) AS sign_ds,
+        |  CAST(p_partkey % 7 AS BIGINT) AS mod7,
+        |  CAST(greatest(p_size, 10) AS INT) AS ge10,
+        |  CAST(least(p_size, 40) AS INT) AS le40,
+        |  CAST(least(greatest(floor(p_retailprice / 10000.0), -1), 11) + 1 AS BIGINT) AS bucket
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  json_extract_string(props, '$.missing') AS missing,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+        |  '{"t":"' || event_type || '"}' AS rejson
+        |FROM events WHERE event_id <= 500 ORDER BY event_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+        |  ROUND(list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])), (a, x) -> a + x), 6) AS el_sum,
+        |  ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS el_max,
+        |  ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS el_min,
+        |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
+        |  ROUND(list_reduce(list_prepend(0.0, CAST(embedding[1:8] AS DOUBLE[])), (a, x) -> a + x), 6) AS head8_sum,
+        |  len(list_filter(embedding, x -> x > CAST(0.2 AS FLOAT))) > 0 AS any_big,
+        |  len(list_filter(embedding, x -> NOT (x > CAST(-1.0 AS FLOAT)))) = 0 AS all_gt_m1
+        |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin,
+
+    "q_case_decode" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+        |    WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_label,
+        |  COALESCE(nullif(o_orderpriority, '5-LOW'), '(low)') AS prio_or_default,
+        |  CASE WHEN o_totalprice < 50000 THEN 'small'
+        |    WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS size_band,
+        |  0.0 AS nan_fixed
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_hash_funcs" ->
+      """SELECT n_nationkey,
+        |  md5(n_name) AS md5_name,
+        |  sha256(n_name) AS sha256_name,
+        |  CAST(length(md5(n_name)) AS INT) AS md5_len
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_format_funcs" ->
+      """SELECT s_suppkey,
+        |  printf('S%05d', s_suppkey) AS padded_id,
+        |  printf('%.2f', s_acctbal) AS bal_2dp,
+        |  '$' || printf('%.2f', s_acctbal) AS money,
+        |  make_date(1997, CAST(s_suppkey % 12 + 1 AS INT), 1) AS parsed_date
+        |FROM supplier WHERE s_suppkey <= 100 ORDER BY s_suppkey""".stripMargin
+  )
+}

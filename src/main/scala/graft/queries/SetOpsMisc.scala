@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Set operations, sort/limit/top-k/distinct, VALUES, series generation,
+  * CTEs (incl. recursive fixpoint) — SURVEY §2.6/§2.7.
+  *
+  * Reference: Append (`/root/reference/src/backend/executor/nodeAppend.c:260`),
+  * MergeAppend (`nodeMergeAppend.c:239`), SetOp (`nodeSetOp.c:190`),
+  * RecursiveUnion (`nodeRecursiveunion.c:75`), Limit incl. WITH TIES
+  * (`nodeLimit.c:44`), Unique (`nodeUnique.c:48`), top-k bounded-heap sort
+  * (`utils/sort/tuplesort.c`), ValuesScan (`nodeValuesscan.c:201`),
+  * FunctionScan/generate_series (`nodeFunctionscan.c:347`).
+  *
+  * Spark: unionAll/intersect(All)/except(All) are native; WITH RECURSIVE has
+  * no Spark operator so the fixpoint runs as a driver-side loop over
+  * DataFrames (each iteration a new plan; localCheckpoint would bound plan
+  * growth at depth — depths here are small).
+  */
+object SetOpsMisc extends QueryModule {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("k"), lit("cust").as("side"))
+      val su = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("k"), lit("supp").as("side"))
+      c.unionAll(su).groupBy(col("k"), col("side"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k"), col("side"))
+    }),
+
+    "q_union_distinct" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+        .select(col("c_nationkey").as("k"))
+      val b = t(s, dir, "supplier").filter(col("s_acctbal") > 9900)
+        .select(col("s_nationkey").as("k"))
+      a.union(b).distinct().orderBy(col("k"))
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("k"))
+      val b = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("k"))
+      a.intersect(b).orderBy(col("k"))
+    }),
+
+    "q_intersect_all" -> ((s, dir) => {
+      // INTERSECT ALL keeps min(multiplicity) copies — aggregate to check.
+      val a = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_suppkey").as("k"))
+      val b = t(s, dir, "lineitem").filter(col("l_discount") >= 0.08)
+        .select(col("l_suppkey").as("k"))
+      a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val b = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("k"))
+      a.except(b).orderBy(col("k"))
+    }),
+
+    "q_except_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_suppkey").as("k"))
+      val b = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_suppkey").as("k"))
+      a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    // MergeAppend: ordered UNION ALL of two pre-sorted branches.
+    "q_merge_append" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_nationkey") <= 2)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      val b = t(s, dir, "supplier").filter(col("s_nationkey") <= 2)
+        .select((col("s_suppkey") + 1000000).as("key"), col("s_acctbal").as("bal"))
+      a.unionAll(b).orderBy(col("bal").desc, col("key")).limit(50)
+    }),
+
+    // Global top-k: orderBy + limit -> TakeOrderedAndProjectExec (the
+    // reference's bounded-heap tuplesort).
+    "q_topk_global" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+                col("o_orderdate").cast("date").as("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    // LIMIT WITH TIES via rank() (nodeLimit.c LIMIT_OPTION_TIES).
+    "q_limit_with_ties" -> ((s, dir) => {
+      val w = Window.orderBy(col("l_quantity").desc)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 20)
+        .drop("rnk")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_distinct_pairs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // OFFSET + LIMIT pagination (deterministic order).
+    "q_offset_limit" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+        .offset(100).limit(10)
+    }),
+
+    // VALUES scan joined against a table.
+    "q_values_scan" -> ((s, dir) => {
+      val vals = s.createDataFrame(Seq((0, "zero"), (1, "one"), (2, "two"), (3, "three")))
+        .toDF("rk", "label")
+      t(s, dir, "region").join(vals, col("r_regionkey") === col("rk"))
+        .select(col("r_regionkey"), col("r_name"), col("label"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // generate_series equivalents: numeric range + date series explode.
+    "q_generate_series" -> ((s, dir) => {
+      s.range(1, 13)
+        .select(col("id").cast("int").as("m"))
+        .withColumn("month_start",
+          make_date(lit(1997), col("m"), lit(1)))
+        .withColumn("days_in_month",
+          datediff(last_day(col("month_start")), col("month_start")) + 1)
+        .orderBy(col("m"))
+    }),
+
+    "q_date_series_explode" -> ((s, dir) => {
+      // FunctionScan: per-row set-returning function (ProjectSet).
+      t(s, dir, "region")
+        .select(col("r_regionkey"),
+          explode(sequence(
+            to_date(lit("1997-01-01")),
+            to_date(lit("1997-03-01")),
+            expr("interval 1 month"))).as("d"))
+        .orderBy(col("r_regionkey"), col("d"))
+    }),
+
+    // Shared CTE (ShareInputScan/planshare.c): one subtree consumed twice.
+    "q_cte_shared" -> ((s, dir) => {
+      val perNation = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(davg(col("c_acctbal")).as("avg_bal"), count(lit(1)).as("n"))
+      val total = perNation.agg(
+        round(sum(col("avg_bal").cast(Dec)).cast("double") /
+          count(lit(1)), 4).as("grand_avg"))
+      perNation.crossJoin(broadcast(total))
+        .filter(col("avg_bal") > col("grand_avg"))
+        .select(col("c_nationkey"), col("avg_bal"), col("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // WITH RECURSIVE (nodeRecursiveunion.c): reachability over a synthetic
+    // graph derived from nation — driver-side fixpoint loop; each level
+    // anti-joins the visited set, unions, repeats until empty.
+    "q_recursive_cte" -> ((s, dir) => {
+      val edges = t(s, dir, "nation")
+        .select(col("n_nationkey").as("src"),
+                ((col("n_nationkey") * 7 + 3) % 25).as("dst"))
+      var frontier = s.range(1).select(lit(0).cast("int").as("node"), lit(0).as("lvl"))
+      var visited = frontier
+      var iter = 0
+      while (iter < 30 && !frontier.isEmpty) {
+        val next = frontier.join(edges, col("node") === col("src"))
+          .select(col("dst").cast("int").as("node"), (col("lvl") + 1).as("lvl"))
+          .join(visited.select(col("node").as("seen")),
+                col("node") === col("seen"), "left_anti")
+          .groupBy(col("node")).agg(min(col("lvl")).as("lvl"))
+        frontier = next.localCheckpoint()
+        visited = visited.unionAll(frontier).localCheckpoint()
+        iter += 1
+      }
+      visited.groupBy(col("node")).agg(min(col("lvl")).as("lvl"))
+        .orderBy(col("node"))
+    }),
+
+    // TABLESAMPLE (nodeSamplescan.c) — engine-specific RNG, so rows-only:
+    // assert the sampled aggregate is present, no oracle.
+    "q_sample_bernoulli" -> ((s, dir) => {
+      t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // PIVOT (reference pivot.c / groupBy().pivot()).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Unpivot / stack (reference: unnest of row values).
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("p_retailprice")).as("sum_price"),
+             count(lit(1)).cast("double").as("n_parts"))
+        .unpivot(Array(col("p_brand")),
+                 Array(col("sum_price"), col("n_parts")),
+                 "metric", "val")
+        .orderBy(col("p_brand"), col("metric"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_union_all" ->
+      """SELECT k, side, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS k, 'cust' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS k, 'supp' AS side FROM supplier)
+        |GROUP BY k, side ORDER BY k, side""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9900
+        |UNION
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 9900
+        |ORDER BY k""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+        |ORDER BY k""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 45
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.08)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS k FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        |ORDER BY k""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 45
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 48)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_merge_append" ->
+      """SELECT key, bal FROM (
+        |  SELECT c_custkey AS key, c_acctbal AS bal FROM customer WHERE c_nationkey <= 2
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, s_acctbal FROM supplier WHERE s_nationkey <= 2)
+        |ORDER BY bal DESC, key LIMIT 50""".stripMargin,
+
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q_limit_with_ties" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    rank() OVER (ORDER BY l_quantity DESC) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 20 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_distinct_pairs" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_offset_limit" ->
+      """SELECT c_custkey, c_name FROM customer
+        |ORDER BY c_custkey OFFSET 100 LIMIT 10""".stripMargin,
+
+    "q_values_scan" ->
+      """SELECT r_regionkey, r_name, label
+        |FROM region JOIN (VALUES (0,'zero'),(1,'one'),(2,'two'),(3,'three')) v(rk, label)
+        |ON r_regionkey = rk ORDER BY r_regionkey""".stripMargin,
+
+    "q_generate_series" ->
+      """SELECT CAST(m AS INT) AS m,
+        |  CAST(make_date(1997, m, 1) AS DATE) AS month_start,
+        |  CAST(date_diff('day', make_date(1997, m, 1),
+        |       last_day(make_date(1997, m, 1))) + 1 AS INT) AS days_in_month
+        |FROM (SELECT unnest(range(1, 13)) AS m) ORDER BY m""".stripMargin,
+
+    "q_date_series_explode" ->
+      """SELECT r_regionkey, CAST(d AS DATE) AS d
+        |FROM region, (SELECT unnest(generate_series(
+        |  DATE '1997-01-01', DATE '1997-03-01', INTERVAL 1 MONTH)) AS d)
+        |ORDER BY r_regionkey, d""".stripMargin,
+
+    "q_cte_shared" ->
+      """WITH per_nation AS (
+        |  SELECT c_nationkey,
+        |    ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), 4) AS avg_bal,
+        |    COUNT(*) AS n
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, avg_bal, n FROM per_nation
+        |WHERE avg_bal > (
+        |  SELECT ROUND(CAST(SUM(CAST(avg_bal AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), 4)
+        |  FROM per_nation)
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE reach(node, lvl) AS (
+        |  SELECT 0, 0
+        |  UNION ALL
+        |  SELECT e.dst, r.lvl + 1
+        |  FROM reach r JOIN (
+        |    SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst
+        |    FROM nation) e
+        |  ON r.node = e.src
+        |  WHERE r.lvl < 30)
+        |SELECT CAST(node AS INT) AS node, CAST(MIN(lvl) AS INT) AS lvl
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_parts
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_brand, metric, val FROM (
+        |  SELECT p_brand, 'sum_price' AS metric, sum_price AS val FROM agg
+        |  UNION ALL
+        |  SELECT p_brand, 'n_parts', n_parts FROM agg)
+        |ORDER BY p_brand, metric""".stripMargin
+  )
+}
