@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    CoreAgg, Joins, Windows, SetOpsMisc, ScalarFns, Events
+    CoreAgg, Joins, Windows, SetOpsMisc, ScalarFns, Events,
+    Dedup, Similarity, TextOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Approximate-nearest-neighbor search over the embedding column —
+  * additive large-pipeline capability (no reference analogue; the
+  * reference's vector support is `gp_sparse_vector`,
+  * `/root/reference/gpcontrib/gp_sparse_vector/`).
+  *
+  * Baseline: brute-force cosine top-k (exact; one broadcast of the query
+  * set, full scan of the corpus — at 100 TB this is the per-batch scoring
+  * path). Scale path: random-hyperplane LSH bucketing — candidates come
+  * from an equi-join on the bucket id, turning O(n*q) into
+  * O(sum of bucket sizes), the standard sign-LSH trade.
+  *
+  * The hyperplanes are generated in Scala (`round(sin(j*64+k+1), 6)`) and
+  * the very same literal values are embedded into the DuckDB oracle SQL, so
+  * both engines see bit-identical planes.
+  */
+object Similarity extends QueryModule {
+
+  private val nPlanes = 8
+  private val dim = 64
+  /** plane(j)(k), rounded so literals survive text round-trip exactly. */
+  private val planes: Seq[Seq[Double]] = Seq.tabulate(nPlanes, dim) { (j, k) =>
+    math.rint(math.sin(j * dim + k + 1) * 1e6) / 1e6
+  }
+  private def planeCol(j: Int): Column =
+    array(planes(j).map(lit(_)): _*)
+  private def planeSql(j: Int): String =
+    planes(j).mkString("[", ", ", "]")
+
+  /** (vec_id, v double[], bucket) with bucket = sign-LSH over the planes. */
+  private def bucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+    val bucketExpr = (0 until nPlanes).map { j =>
+      when(expr(s"aggregate(zip_with(v, p$j, (x, y) -> x * y), 0d, (a, p) -> a + p)") > 0,
+           lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    (0 until nPlanes).foldLeft(e)((df, j) => df.withColumn(s"p$j", planeCol(j)))
+      .withColumn("bucket", bucketExpr)
+      .select(col("vec_id"), col("label"), col("v"), col("bucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-5 cosine neighbors for query vectors vec_id < 10.
+    "s_ann_bruteforce_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr("aggregate(v, 0d, (a, x) -> a + x * x)"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (acc, p) -> acc + p)") /
+                sqrt(col("qn") * col("nrm")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"), col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Sign-LSH bucket histogram (the partition-shape diagnostic you run
+    // before trusting the bucketed path at scale).
+    "s_ann_lsh_buckets" -> ((s, dir) => {
+      bucketed(s, dir)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"),
+             countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Bucketed ANN: top-3 same-bucket neighbors per query (vec_id < 10).
+    // Candidates come from the bucket equi-join only.
+    "s_ann_lsh_topk" -> ((s, dir) => {
+      val b = bucketed(s, dir)
+        .withColumn("nrm", expr("aggregate(v, 0d, (a, x) -> a + x * x)"))
+      val q = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"), col("bucket").as("qb"))
+      val scored = b.join(broadcast(q),
+          col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (acc, p) -> acc + p)") /
+                sqrt(col("qn") * col("nrm")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Per-label centroid + mean distance-to-centroid (cluster cohesion).
+    // Element-wise mean is decimal-stabilized per (label, pos) so both
+    // engines build the identical centroid.
+    "s_label_centroid_dist" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+                posexplode(col("embedding").cast("array<double>"))
+                  .as(Seq("pos", "x")))
+      val centroid = e.groupBy(col("label"), col("pos"))
+        .agg((sum(col("x").cast(Dec)).cast("double") /
+              count(lit(1))).as("c"))
+      val d2 = e.join(centroid, Seq("label", "pos"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
+          .cast(Dec)).cast("double").as("d2"))
+      d2.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(sqrt(col("d2")).cast(Dec)).cast("double") /
+                   count(lit(1)), 4).as("avg_dist"))
+        .orderBy(col("label"))
+    })
+  )
+
+  private def bucketSqlExpr: String =
+    (0 until nPlanes).map { j =>
+      s"""(CASE WHEN list_dot_product(v, ${planeSql(j)}) > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "s_ann_bruteforce_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+        |                (a, x) -> a + x * x) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |    ROUND(list_dot_product(q.v, e.v) / sqrt(q.nrm * e.nrm), 6) AS cos
+        |  FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |  FROM scored)
+        |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "s_ann_lsh_buckets" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, CAST($bucketSqlExpr AS BIGINT) AS bucket
+         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings))
+         |SELECT bucket, COUNT(*) AS n_vectors,
+         |  COUNT(DISTINCT label) AS n_labels
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "s_ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |    CAST($bucketSqlExpr AS BIGINT) AS bucket,
+         |    list_reduce(list_prepend(0.0, v), (a, x) -> a + x * x) AS nrm
+         |  FROM e),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    ROUND(list_dot_product(q.v, c.v) / sqrt(q.nrm * c.nrm), 6) AS cos
+         |  FROM b q JOIN b c ON q.vec_id < 10 AND c.bucket = q.bucket
+         |    AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "s_label_centroid_dist" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, i.i AS pos,
+        |    CAST(embedding[i.i + 1] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i),
+        |centroid AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM e GROUP BY label, pos),
+        |d2 AS (
+        |  SELECT e.label, e.vec_id,
+        |    CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,6))) AS DOUBLE) AS d2
+        |  FROM e JOIN centroid c ON e.label = c.label AND e.pos = c.pos
+        |  GROUP BY e.label, e.vec_id)
+        |SELECT label, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(sqrt(d2) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_dist
+        |FROM d2 GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for training-data pipelines — language ID
+  * (stopword-hit heuristic), quality scoring, token counting, document
+  * fingerprinting (rolling polynomial hash). Additive over the reference
+  * (its text stack is full-text search, `tsvector_op.c` — out of scope per
+  * SURVEY §2.8); everything here is codegen'd higher-order functions, no
+  * UDFs, so the 100 TB path stays in whole-stage codegen.
+  */
+object TextOps extends QueryModule {
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "zh" -> Seq("de0", "shi4", "le0", "zai4")) // romanized placeholders
+
+  private def hitCount(words: Column, set: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(set)))
+
+  private def hitCountSql(set: Seq[String]): String =
+    s"len(list_filter(w, x -> x IN (${set.map("'" + _ + "'").mkString(",")})))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens, BPE-ish regex tokens, distinct
+    // words, character count.
+    "t_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct_words"),
+          length(col("text")).as("n_chars_computed"),
+          (length(col("text")) === col("n_chars")).as("chars_match"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/stopword/word-shape heuristics -> [0,1].
+    "t_quality_score" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      t(s, dir, "documents")
+        .withColumn("n_words", size(words))
+        .withColumn("avg_word_len",
+          (length(col("text")) - size(words) + 1).cast("double") / size(words))
+        .withColumn("stop_ratio",
+          hitCount(words, stop("en")).cast("double") / size(words))
+        .withColumn("dup_word_ratio",
+          lit(1.0) - size(array_distinct(words)).cast("double") / size(words))
+        .select(col("doc_id"),
+          col("n_words"),
+          round(col("avg_word_len"), 6).as("avg_word_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("dup_word_ratio"), 6).as("dup_word_ratio"),
+          round(
+            least(col("n_words").cast("double") / 100, lit(1.0)) * 0.4 +
+            (lit(1.0) - col("dup_word_ratio")) * 0.4 +
+            least(col("avg_word_len") / 8, lit(1.0)) * 0.2, 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID: stopword-hit scores per language, deterministic argmax
+    // (score desc, language asc). Compared against the labeled column.
+    "t_langid" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val scored = t(s, dir, "documents")
+        .withColumn("s_en", hitCount(words, stop("en")))
+        .withColumn("s_de", hitCount(words, stop("de")))
+        .withColumn("s_es", hitCount(words, stop("es")))
+        .withColumn("s_fr", hitCount(words, stop("fr")))
+        .withColumn("s_zh", hitCount(words, stop("zh")))
+      scored.select(col("doc_id"), col("lang").as("labeled"),
+          expr("""array_max(array(
+              struct(s_en as s, 'en' as l), struct(s_de as s, 'de' as l),
+              struct(s_es as s, 'es' as l), struct(s_fr as s, 'fr' as l),
+              struct(s_zh as s, 'zh' as l))).l""").as("predicted"),
+          col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: rolling polynomial hash (Rabin-Karp family)
+    // over per-word char hashes — pure integer arithmetic, reproducible in
+    // any engine (mod 1e9+7 keeps every intermediate below 2^63).
+    "t_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("""aggregate(split(text, ' '), 0L,
+              (acc, word) -> (acc * 131 +
+                aggregate(split(word, ''), 0L,
+                  (a, c) -> (a * 31 + ascii(c)) % 1000000007)
+              ) % 1000000007)""").as("fingerprint"))
+        .withColumn("fp_bucket", pmod(col("fingerprint"), lit(997)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fingerprint-based dup grouping: docs sharing a fingerprint.
+    "t_fingerprint_groups" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("""aggregate(split(text, ' '), 0L,
+              (acc, word) -> (acc * 131 +
+                aggregate(split(word, ''), 0L,
+                  (a, c) -> (a * 31 + ascii(c)) % 1000000007)
+              ) % 1000000007)""").as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_groups"),
+             sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"),
+             sum(col("n") - 1).as("n_removable"))
+    })
+  )
+
+  private val fpSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(string_split(text, ' '), word ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(word, ''), c -> CAST(ord(c) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) % 1000000007))),
+      |  (acc, wh) -> (acc * 131 + wh) % 1000000007)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+        |  CAST(length(text) AS INT) AS n_chars_computed,
+        |  length(text) = n_chars AS chars_match
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_quality_score" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |    len(w) AS n_words,
+         |    CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) AS avg_word_len,
+         |    CAST(${hitCountSql(stop("en"))} AS DOUBLE) / len(w) AS stop_ratio,
+         |    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_ratio
+         |  FROM d)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         |  ROUND(avg_word_len, 6) AS avg_word_len,
+         |  ROUND(stop_ratio, 6) AS stop_ratio,
+         |  ROUND(dup_word_ratio, 6) AS dup_word_ratio,
+         |  ROUND(least(CAST(n_words AS DOUBLE) / 100, 1.0) * 0.4 +
+         |        (1.0 - dup_word_ratio) * 0.4 +
+         |        least(avg_word_len / 8, 1.0) * 0.2, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t_langid" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |scored AS (SELECT doc_id, lang AS labeled,
+         |    CAST(${hitCountSql(stop("en"))} AS INT) AS s_en,
+         |    CAST(${hitCountSql(stop("de"))} AS INT) AS s_de,
+         |    CAST(${hitCountSql(stop("es"))} AS INT) AS s_es,
+         |    CAST(${hitCountSql(stop("fr"))} AS INT) AS s_fr,
+         |    CAST(${hitCountSql(stop("zh"))} AS INT) AS s_zh
+         |  FROM d)
+         |SELECT doc_id, labeled,
+         |  list_max([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
+         |            {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'},
+         |            {'s': s_zh, 'l': 'zh'}]).l AS predicted,
+         |  s_en, s_de, s_es, s_fr, s_zh
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""SELECT doc_id, $fpSql AS fingerprint,
+         |  $fpSql % 997 AS fp_bucket
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_fingerprint_groups" ->
+      s"""WITH fp AS (SELECT doc_id, $fpSql AS fingerprint FROM documents),
+         |g AS (SELECT fingerprint, COUNT(*) AS n, MIN(doc_id) AS keeper
+         |  FROM fp GROUP BY fingerprint)
+         |SELECT COUNT(*) AS n_groups,
+         |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+         |  CAST(SUM(n - 1) AS BIGINT) AS n_removable
+         |FROM g""".stripMargin
+  )
+}
