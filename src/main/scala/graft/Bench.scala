@@ -30,6 +30,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm-up: JIT/codegen compilation + parquet footer reads, so the
+    // timings below reflect steady-state execution, not JVM startup.
+    spark.range(1 << 20).selectExpr("sum(id) as s", "count(distinct id % 100) as d")
+      .collect()
+    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+      .foreach(n => Tables.t(spark, sfDir, n).limit(1).collect())
+
     val qs = headline.filter(SparkEntry.queries.contains)
     val results = qs.map { name =>
       val t0 = System.nanoTime()

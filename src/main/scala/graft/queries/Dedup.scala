@@ -23,15 +23,6 @@ import graft.Tables._
   */
 object Dedup extends QueryModule {
 
-  /** distinct word-3-shingles per doc: (doc_id, sh) */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("sh"))
-      .distinct()
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: digest-groupBy; reports per-source doc vs distinct-text
     // counts (the "how many would dedup remove" report).
@@ -47,26 +38,35 @@ object Dedup extends QueryModule {
 
     // MinHash + LSH near-dup pairs, exact-verified at jaccard >= 0.8.
     "d_dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = shingles(s, dir).cache()
-      val seeds = s.range(0, 16).select(col("id").cast("int").as("seed"))
-      // min_{shingle} xxhash64(seed, shingle) per (doc, seed)
-      val minhash = sh.crossJoin(broadcast(seeds))
-        .select(col("doc_id"), col("seed"),
-                xxhash64(col("seed"), col("sh")).as("h"))
-        .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
+      // raw shingles, NOT deduplicated: min() is insensitive to duplicate
+      // shingles, so minhashing skips the distinct-shuffle entirely
+      val raw = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as("sh"))
+      // all 16 minhashes in ONE aggregation pass (single shuffle on
+      // doc_id; no seed explode — 16x less shuffled data)
+      val mhCols = (0 until 16).map(i =>
+        min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+      val minhash = raw.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
       // 8 bands x 2 rows: signature = the band's minhashes joined
+      val bandStructs = (0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig")))
       val bands = minhash
-        .withColumn("band", expr("seed div 2"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(sort_array(collect_list(struct(col("seed"), col("mh")))).as("arr"))
-        .select(col("doc_id"), col("band"),
-          expr("concat_ws(':', transform(arr, x -> cast(x.mh as string)))").as("sig"))
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // exact verification on candidates only
+      // exact verification on candidate docs only: distinct-shingle sets
+      // are built for the (tiny) candidate doc set, never the full corpus
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = raw.join(broadcast(candDocs), "doc_id").distinct()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -142,16 +142,42 @@ object Dedup extends QueryModule {
     // Embedding-cosine near-dup pairs (brute force; LSH path in
     // Similarity). Threshold on the ROUNDED value so both engines make
     // identical keep/drop decisions.
+    // All-pairs cosine as a broadcast block-nested-loop: the corpus block
+    // (id, vector, norm) is broadcast once (5k x 64 doubles = 2.5 MB; at
+    // 100 TB you'd broadcast per-LSH-bucket blocks instead, see
+    // Similarity), and each partition streams its rows against it in a
+    // primitive-array kernel. No 25M-row join materialization — output is
+    // only the above-threshold pairs. Rounding replicates Spark/DuckDB
+    // ROUND (HALF_UP) so the keep/drop decision matches the oracle.
     "d_dedup_embedding" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val withNorm = e.select(col("vec_id"), col("v"),
-        expr("aggregate(v, 0d, (a, x) -> a + x * x)").as("nrm"))
-      withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0d, (acc, p) -> acc + p)") /
-                sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
-        .filter(col("cos") >= 0.45)
+        .as[(Long, Array[Double])]
+      val block = e.collect().sortBy(_._1)
+        .map { case (id, v) =>
+          var n = 0.0; var i = 0
+          while (i < v.length) { n += v(i) * v(i); i += 1 }
+          (id, v, n)
+        }
+      val bc = s.sparkContext.broadcast(block)
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      e.mapPartitions { it =>
+        val blk = bc.value
+        it.flatMap { case (ida, va) =>
+          var na = 0.0; var i = 0
+          while (i < va.length) { na += va(i) * va(i); i += 1 }
+          blk.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+            var d = 0.0; var j = 0
+            val n = math.min(va.length, vb.length)
+            while (j < n) { d += va(j) * vb(j); j += 1 }
+            val cos = round6(d / math.sqrt(na * nb))
+            if (cos >= 0.45) Iterator.single((ida, idb, cos)) else Iterator.empty
+          }
+        }
+      }.toDF("id_a", "id_b", "cos")
         .orderBy(col("id_a"), col("id_b"))
     })
   )

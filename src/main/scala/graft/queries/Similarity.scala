@@ -34,11 +34,12 @@ object Similarity extends QueryModule {
 
   /** (vec_id, v double[], bucket) with bucket = sign-LSH over the planes. */
   private def bucketed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
     val bucketExpr = (0 until nPlanes).map { j =>
-      when(expr(s"aggregate(zip_with(v, p$j, (x, y) -> x * y), 0d, (a, p) -> a + p)") > 0,
+      when(expr(s"vec_dot(v, p$j)") > 0,
            lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     (0 until nPlanes).foldLeft(e)((df, j) => df.withColumn(s"p$j", planeCol(j)))
@@ -49,14 +50,15 @@ object Similarity extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 cosine neighbors for query vectors vec_id < 10.
     "s_ann_bruteforce_topk" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", expr("aggregate(v, 0d, (a, x) -> a + x * x)"))
+        .withColumn("nrm", expr("vec_norm_sq(v)"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
-          round(expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (acc, p) -> acc + p)") /
+          round(expr("vec_dot(qv, v)") /
                 sqrt(col("qn") * col("nrm")), 6).as("cos"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
@@ -80,14 +82,14 @@ object Similarity extends QueryModule {
     // Candidates come from the bucket equi-join only.
     "s_ann_lsh_topk" -> ((s, dir) => {
       val b = bucketed(s, dir)
-        .withColumn("nrm", expr("aggregate(v, 0d, (a, x) -> a + x * x)"))
+        .withColumn("nrm", expr("vec_norm_sq(v)"))
       val q = b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
                 col("nrm").as("qn"), col("bucket").as("qb"))
       val scored = b.join(broadcast(q),
           col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
-          round(expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (acc, p) -> acc + p)") /
+          round(expr("vec_dot(qv, v)") /
                 sqrt(col("qn") * col("nrm")), 6).as("cos"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
