@@ -42,9 +42,9 @@ object SetOpsMisc extends QueryModule {
     }),
 
     "q_intersect" -> ((s, dir) => {
-      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 2000)
         .select(col("c_nationkey").as("k"))
-      val b = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      val b = t(s, dir, "supplier").filter(col("s_acctbal") > 2000)
         .select(col("s_nationkey").as("k"))
       a.intersect(b).orderBy(col("k"))
     }),
@@ -234,9 +234,9 @@ object SetOpsMisc extends QueryModule {
         |ORDER BY k""".stripMargin,
 
     "q_intersect" ->
-      """SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+      """SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 2000
         |INTERSECT
-        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 2000
         |ORDER BY k""".stripMargin,
 
     "q_intersect_all" ->

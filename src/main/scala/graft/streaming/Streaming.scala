@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Structured Streaming ingest — the additive streaming capability
+  * (SURVEY §2.10): the reference's continuous-ingest role is played by
+  * external tables / gpfdist micro-batch loads
+  * (`/root/reference/src/backend/access/external/url_execute.c`,
+  * `src/bin/gpfdist/`); here the same `events` feed runs through
+  * `readStream` with watermarked tumbling windows and arbitrary stateful
+  * processing, giving exactly-once micro-batch semantics the reference
+  * approximates transactionally.
+  *
+  * Each helper runs the streaming query to completion against the static
+  * test parquet (file-source + memory sink, `processAllAvailable`) and
+  * returns the result — which the specs compare 1:1 against the equivalent
+  * batch query (stream/batch parity is the correctness contract).
+  */
+object Streaming {
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // file source needs an explicit schema; reuse the batch reader's
+    // (post nanos->micros conversion happens below, mirroring Tables.t)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-source needs a directory; glob-filter down to the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked tumbling-window counts; complete-mode memory sink. */
+  def tumblingAgg(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+              col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Arbitrary stateful streaming: running per-user event counter via
+    * mapGroupsWithState (reference analogue: none — additive). */
+  def statefulUserCounts(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val counts: Dataset[(Long, Long)] = eventsStream(spark, dir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          (user, total)
+      }
+    val q = counts.toDF("user_id", "n_events").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

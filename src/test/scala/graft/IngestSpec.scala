@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  private def tmp(suffix: String): String =
+    Files.createTempDirectory(s"graft_$suffix").toString
+
+  test("PERMISSIVE csv ingest separates good rows from rejects") {
+    val dir = tmp("csv")
+    Files.writeString(java.nio.file.Path.of(dir, "in.csv"),
+      """1,alpha,10.5
+        |2,beta,20.25
+        |not_an_int,gamma,1.0
+        |4,delta,not_a_double
+        |5,epsilon,50.0
+        |""".stripMargin)
+    val (good, bad) = graft.sources.Ingest.readCsvPermissive(
+      spark, s"$dir/in.csv", "id INT, name STRING, v DOUBLE", rejectLimit = 3)
+    assert(good.count() == 3)
+    assert(bad.count() == 2)
+    assertThrows[IllegalStateException] {
+      graft.sources.Ingest.readCsvPermissive(
+        spark, s"$dir/in.csv", "id INT, name STRING, v DOUBLE", rejectLimit = 1)
+    }
+  }
+
+  test("partitioned CTAS prunes partitions on read") {
+    val dir = tmp("ctas")
+    val orders = Tables.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val back = graft.sources.Ingest.ctasPartitioned(
+      spark, orders, dir, "o_year")
+    assert(back.count() == orders.count())
+    val pruned = back.filter(col("o_year") === 1996)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(pruned.count() ==
+      orders.filter(col("o_year") === 1996).count())
+  }
+
+  test("UPDATE as rewrite changes exactly the matched rows") {
+    val dir = tmp("upd")
+    val cust = Tables.t(spark, sf, "customer")
+    val updated = graft.sources.Ingest.updateWhere(
+      spark, cust, dir,
+      col("c_mktsegment") === "BUILDING",
+      Map("c_acctbal" -> (col("c_acctbal") + 1000)))
+    val before = cust.agg(sum(when(col("c_mktsegment") === "BUILDING", 1)
+      .otherwise(0))).head.getLong(0)
+    val moved = updated.join(cust.select(col("c_custkey"),
+        col("c_acctbal").as("old_bal")), "c_custkey")
+      .filter(col("c_acctbal") =!= col("old_bal")).count()
+    assert(moved == before)
+  }
+
+  test("DELETE as rewrite removes exactly the matched rows") {
+    val dir = tmp("del")
+    val cust = Tables.t(spark, sf, "customer")
+    val kept = graft.sources.Ingest.deleteWhere(
+      spark, cust, dir, col("c_acctbal") < 0)
+    val expected = cust.filter(col("c_acctbal") >= 0).count()
+    assert(kept.count() == expected)
+  }
+
+  test("COPY out/in round-trips") {
+    val dir = tmp("copy")
+    val nation = Tables.t(spark, sf, "nation")
+    val back = graft.sources.Ingest.copyOutIn(spark, nation, dir)
+    assert(back.collect().map(_.toSeq).toSet ==
+           nation.collect().map(_.toSeq).toSet)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the scale properties SURVEY §4 promises —
+  * predicate pushdown to the parquet scan, broadcast of small dims,
+  * partial aggregation, no accidental cartesian products. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1 plans partial+final hash aggregation") {
+    val p = planOf("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q3 broadcasts the filtered customer dim") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q5 snowflake joins broadcast nation and region") {
+    val p = planOf("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("column pruning reaches the scan (q_agg_having reads 2 cols)") {
+    val p = planOf("q_agg_having")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("join algorithm hints are honored") {
+    assert(planOf("q_join_merge_algo").contains("SortMergeJoin"))
+    assert(planOf("q_join_hash_algo").contains("ShuffledHashJoin"))
+  }
+
+  test("minhash LSH candidate generation contains no cartesian product") {
+    val p = planOf("d_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("top-k uses bounded TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every SparkEntry query executes at sf0.001; known-cardinality and
+  * known-value checks pin semantics (values cross-checked against the
+  * DuckDB oracle offline — see tools/compare.py for the full gate). */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  // queries whose result may legitimately be empty/tiny at sf0.001
+  private val mayBeEmpty = Set("d_dedup_simhash", "q_join_anti")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle entries without queries: $extra")
+  }
+
+  test("q1 matches hand-checked oracle values") {
+    val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length == 6)
+    val af = rows.find(r => r.getString(0) == "A" && r.getString(1) == "F").get
+    assert(af.getAs[Double]("sum_qty") == 13096.0)
+    assert(af.getAs[Long]("count_order") == 510L)
+    val ao = rows.find(r => r.getString(0) == "A" && r.getString(1) == "O").get
+    assert(ao.getAs[Double]("sum_qty") == 13173.0)
+    assert(ao.getAs[Long]("count_order") == 534L)
+  }
+
+  test("recursive CTE reaches the exact fixpoint") {
+    // edges k -> (7k+3) % 25 from 0: 0->3->24->21->0 (cycle closes)
+    val got = SparkEntry.queries("q_recursive_cte")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((0, 0), (3, 1), (24, 2), (21, 3)))
+  }
+
+  test("minhash LSH finds the sf0.001 near-duplicate pairs") {
+    val n = SparkEntry.queries("d_dedup_minhash_lsh")(spark, sf).count()
+    assert(n == 28, s"expected 28 near-dup pairs (brute-force truth), got $n")
+  }
+
+  test("entry() smoke contract") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
