@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Aggregators
+
+/** Advanced surface: user-defined aggregates (CREATE AGGREGATE parity),
+  * typed UDTFs (GP TableFunction / SCATTER BY), linear interpolation
+  * gap-fill (`/root/reference/src/backend/utils/adt/interpolate.c:36`),
+  * interval arithmetic incl. the GP interval-division idiom
+  * (`src/test/regress/sql/timeseries.sql`), the GP `complex` type
+  * (`src/backend/utils/adt/complex_type.c`), HLL sketches as first-class
+  * mergeable values (`src/backend/utils/hyperloglog/gp_hyperloglog.c`),
+  * hypothetical-set aggregates (`orderedsetaggs.c:557`), and AssertOp
+  * runtime checks (`src/backend/executor/nodeAssertOp.c:70`).
+  */
+object Advanced extends QueryModule {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Custom Aggregator: exact interpolated median (matches DuckDB's
+    // median / percentile_cont 0.5 bit-for-bit after rounding).
+    "q_udaf_median" -> ((s, dir) => {
+      val med = udaf(Aggregators.ExactMedian)
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(round(med(col("c_acctbal")), 4).as("median_bal"),
+             count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Custom Aggregator: decimal-exact weighted average.
+    "q_udaf_weighted_avg" -> ((s, dir) => {
+      val wavg = udaf(Aggregators.WeightedAvg)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Typed UDTF over grouped input (GP TableFunction with SCATTER BY,
+    // `nodeTableFunction.c:235` + `gram.y:16492`): groupByKey = the
+    // scatter, flatMapGroups = the table function emitting 0..n rows.
+    "q_udtf_scatter" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+        .as[(Int, String, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (nation: Int, rows: Iterator[(Int, String, Double)]) =>
+          // emit one row per segment seen in the nation, with stats
+          rows.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map {
+            case (seg, xs) =>
+              val sum = xs.map(x =>
+                BigDecimal(x._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+              (nation, seg, xs.length,
+               sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+        .toDF("c_nationkey", "c_mktsegment", "n", "sum_bal")
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // Linear interpolation gap-fill (interpolate.c): daily purchase value
+    // per user on a calendar spine; missing days linearly interpolated
+    // between the nearest known neighbors.
+    "q_interpolate_linear" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id") <= 5 && col("event_type") === "purchase")
+      val daily = ev.groupBy(col("user_id").as("u"),
+          col("ts").cast("date").as("d"))
+        .agg(dsum(col("value")).as("v"))
+      val days = s.sql(
+        """SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30',
+          |  interval 1 day)) AS day""".stripMargin)
+      val users = ev.select(col("user_id")).distinct()
+      val spine = users.crossJoin(days)
+        .join(daily, col("user_id") === col("u") && col("day") === col("d"), "left")
+        .select(col("user_id"), col("day"), col("v"))
+      val past = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val future = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(past))
+        .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(past))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(future))
+        .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+          ignoreNulls = true).over(future))
+        .select(col("user_id"), col("day"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") +
+              (col("nv") - col("pv")) *
+              datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double")), 6)
+            .as("value_filled"),
+          col("v").isNotNull.as("observed"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Interval arithmetic: date +/- intervals, scaled intervals, and the
+    // GP timeseries interval-division idiom (delay / week).
+    "q_interval_math" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          (col("o_orderdate").cast("date") + expr("INTERVAL 45 DAY"))
+            .cast("date").as("plus45d"),
+          (col("o_orderdate").cast("date") - expr("INTERVAL 2 MONTH"))
+            .cast("date").as("minus2m"),
+          add_months(col("o_orderdate").cast("date"),
+            (col("o_orderkey") % 4).cast("int")).as("scaled_months"),
+          round(datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("double") / 7.0, 6)
+            .as("weeks_to_2002"),
+          (datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")) % 7).as("rem_days"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // GP complex type (complex_type.c): struct(re, im) + arithmetic ops,
+    // flattened to scalar outputs for comparison.
+    "q_complex_ops" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          col("n_nationkey").cast("double").as("re1"),
+          (col("n_regionkey") + 1).cast("double").as("im1"))
+        .withColumn("re2", lit(3.0)).withColumn("im2", lit(-4.0))
+        .select(col("n_nationkey"),
+          (col("re1") + col("re2")).as("add_re"),
+          (col("im1") + col("im2")).as("add_im"),
+          (col("re1") * col("re2") - col("im1") * col("im2")).as("mul_re"),
+          (col("re1") * col("im2") + col("im1") * col("re2")).as("mul_im"),
+          round(sqrt(col("re1") * col("re1") + col("im1") * col("im1")), 6)
+            .as("abs1"),
+          col("im1").unary_-.as("conj_im"),
+          round(atan2(col("im1"), col("re1")), 6).as("arg1"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // Hypothetical-set aggregate rank(v) WITHIN GROUP (orderedsetaggs.c):
+    // the rank the value WOULD take = 1 + count of smaller values.
+    "q_hypothetical_rank" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      cust.groupBy(col("c_mktsegment"))
+        .agg((sum(when(col("c_acctbal") < 5000.0, 1).otherwise(0)) + 1)
+               .as("hyp_rank_5000"),
+             (sum(when(col("c_acctbal") <= 5000.0, 1).otherwise(0)) + 1)
+               .as("hyp_dense_ub"),
+             count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // HLL sketch as a first-class mergeable value (gp_hyperloglog):
+    // per-nation sketches merged up to a region estimate. Sketch bits are
+    // engine-specific -> rows-only check; the test suite asserts the
+    // estimate lands within the sketch's error bound of the exact count.
+    "q_hll_sketch_merge" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val perNation = cust.join(broadcast(nation),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      perNation.groupBy(col("n_regionkey"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"),
+             count(lit(1)).as("n_nations"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // AssertOp (nodeAssertOp.c): runtime row-level invariant; violations
+    // raise, valid rows pass through. Asserts the orders/customer FK here.
+    "q_assert_op" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val joined = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_custkey").isNull.as("missing"))
+      val checked = joined.as[(Long, Boolean)].map { case (ok, missing) =>
+        if (missing)
+          throw new IllegalStateException(s"assert violated: order $ok has no customer")
+        ok
+      }
+      checked.toDF("o_orderkey")
+        .agg(count(lit(1)).as("n_orders_with_customer"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_udaf_median" ->
+      """SELECT c_mktsegment,
+        |  ROUND(median(c_acctbal), 4) AS median_bal, COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  ROUND(
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 4) AS wavg_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_udtf_scatter" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS INT) AS n,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_interpolate_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id <= 5 AND event_type = 'purchase'
+        |  GROUP BY user_id, CAST(ts AS DATE)),
+        |days AS (SELECT CAST(unnest(generate_series(
+        |  DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+        |users AS (SELECT DISTINCT user_id FROM events
+        |  WHERE user_id <= 5 AND event_type = 'purchase'),
+        |spine AS (
+        |  SELECT u.user_id, days.day, ev.v
+        |  FROM users u CROSS JOIN days
+        |  LEFT JOIN ev ON ev.user_id = u.user_id AND ev.d = days.day),
+        |filled AS (
+        |  SELECT user_id, day, v,
+        |    last_value(v IGNORE NULLS) OVER past AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER past AS pd,
+        |    first_value(v IGNORE NULLS) OVER future AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER future AS nd
+        |  FROM spine
+        |  WINDOW past AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  future AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  ROUND(CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv)
+        |      * CAST(date_diff('day', pd, day) AS DOUBLE)
+        |      / CAST(date_diff('day', pd, nd) AS DOUBLE) END, 6) AS value_filled,
+        |  v IS NOT NULL AS observed
+        |FROM filled ORDER BY user_id, day""".stripMargin,
+
+    "q_interval_math" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus45d,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 2 MONTH AS DATE) AS minus2m,
+        |  CAST(CAST(o_orderdate AS DATE)
+        |    + to_months(CAST(o_orderkey % 4 AS INT)) AS DATE) AS scaled_months,
+        |  ROUND(CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS DOUBLE) / 7.0, 6) AS weeks_to_2002,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') % 7 AS INT) AS rem_days
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+
+    "q_complex_ops" ->
+      """SELECT n_nationkey,
+        |  CAST(n_nationkey AS DOUBLE) + 3.0 AS add_re,
+        |  CAST(n_regionkey + 1 AS DOUBLE) + (-4.0) AS add_im,
+        |  CAST(n_nationkey AS DOUBLE) * 3.0 - CAST(n_regionkey + 1 AS DOUBLE) * (-4.0) AS mul_re,
+        |  CAST(n_nationkey AS DOUBLE) * (-4.0) + CAST(n_regionkey + 1 AS DOUBLE) * 3.0 AS mul_im,
+        |  ROUND(sqrt(CAST(n_nationkey AS DOUBLE) * n_nationkey
+        |    + CAST(n_regionkey + 1 AS DOUBLE) * (n_regionkey + 1)), 6) AS abs1,
+        |  -CAST(n_regionkey + 1 AS DOUBLE) AS conj_im,
+        |  ROUND(atan2(CAST(n_regionkey + 1 AS DOUBLE), CAST(n_nationkey AS DOUBLE)), 6) AS arg1
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_hypothetical_rank" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN c_acctbal < 5000.0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS hyp_rank_5000,
+        |  CAST(SUM(CASE WHEN c_acctbal <= 5000.0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS hyp_dense_ub,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_assert_op" ->
+      """SELECT COUNT(*) AS n_orders_with_customer
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+  )
+}

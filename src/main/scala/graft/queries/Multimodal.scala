@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages. Additive over the reference (its closest analogue
+  * is `bytea`, `/root/reference/src/backend/utils/adt/varlena.c`).
+  *
+  * No media libraries ship in this environment, so the DECODE step is a
+  * deterministic stand-in (byte-level statistics standing in for pixel
+  * decoding — clearly marked below); everything around it — the binary
+  * column plumbing, metadata struct schema, per-partition batch shape,
+  * partition-parallel feature extraction — is the real production path: at
+  * 100 TB the payloads stay columnar in Parquet, the kernels run
+  * per-partition, and only fixed-size features ever shuffle.
+  *
+  * The payloads are derived deterministically from the documents table
+  * (UTF-8 bytes), so the DuckDB oracle can reproduce byte-exact results
+  * with blob functions.
+  */
+object Multimodal extends QueryModule {
+
+  /** (doc_id, payload binary, meta struct) — the multimodal table shape. */
+  private def assets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(3)) * 120 + 240).cast("int").as("height"),
+        element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"))
+        .as("meta"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata projection + payload sizing: the "catalog scan" over a
+    // multimodal table. Binary length is a pushdown-friendly scalar.
+    "m_asset_catalog" -> ((s, dir) => {
+      assets(s, dir).select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.format").as("format"),
+          (col("meta.width") * col("meta.height")).as("n_pixels"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DECODE (STUB) + feature extraction, batched per partition: a real
+    // decoder would map payload -> pixel tensor here; the deterministic
+    // stand-in computes byte statistics with the same partition-parallel
+    // batch shape (Iterator[Row] -> Iterator[feature Row], zero driver
+    // involvement).
+    "m_decode_features" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      assets(s, dir)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, bytes) =>
+            // --- DECODE STUB: stands in for image/audio decoding ------
+            var sum = 0L
+            var mx = 0
+            var i = 0
+            while (i < bytes.length) {
+              val b = bytes(i) & 0xff
+              sum += b
+              if (b > mx) mx = b
+              i += 1
+            }
+            val mean = if (bytes.length == 0) 0.0
+                       else sum.toDouble / bytes.length
+            // ----------------------------------------------------------
+            (id, bytes.length, sum, mx,
+             java.math.BigDecimal.valueOf(mean)
+               .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          }
+        }
+        .toDF("doc_id", "n_bytes", "byte_sum", "byte_max", "byte_mean")
+        .orderBy(col("doc_id"))
+    }),
+
+    // RESIZE analogue: crop payload to a fixed-size prefix (what a
+    // thumbnailer does to pixel buffers), keeping output schema typed.
+    "m_resize_crop" -> ((s, dir) => {
+      assets(s, dir).select(
+          col("doc_id"),
+          length(col("payload")).as("orig_bytes"),
+          length(expr("substring(payload, 1, 64)")).as("crop_bytes"),
+          decode(expr("substring(payload, 1, 16)"), "UTF-8").as("head_utf8"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // FRAME-SAMPLE analogue: stride-sample every k-th unit of the payload
+    // (video frame sampling over an opaque byte stream).
+    "m_frame_sample" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      assets(s, dir)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          val stride = 16
+          batch.map { case (id, bytes) =>
+            val n = (bytes.length + stride - 1) / stride
+            var s = 0L
+            var i = 0
+            while (i * stride < bytes.length) {
+              s += bytes(i * stride) & 0xff
+              i += 1
+            }
+            (id, n, s)
+          }
+        }
+        .toDF("doc_id", "n_frames", "sampled_sum")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Format-level rollup: group multimodal assets by codec + size band.
+    "m_format_stats" -> ((s, dir) => {
+      assets(s, dir)
+        .groupBy(col("meta.format").as("format"))
+        .agg(count(lit(1)).as("n"),
+             sum(length(col("payload"))).as("total_bytes"),
+             max(col("meta.width")).as("max_width"),
+             min(col("meta.height")).as("min_height"))
+        .orderBy(col("format"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m_asset_catalog" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CAST((doc_id % 4) * 160 + 320 AS INT) AS width,
+        |  CAST((doc_id % 3) * 120 + 240 AS INT) AS height,
+        |  ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  CAST(((doc_id % 4) * 160 + 320) * ((doc_id % 3) * 120 + 240) AS INT) AS n_pixels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the documents text is ASCII, so byte value == codepoint of the char
+    "m_decode_features" ->
+      """WITH stats AS (
+        |  SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+        |    CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum,
+        |    CAST(list_max(list_transform(range(1, length(text) + 1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS INT) AS byte_max
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, byte_sum, byte_max,
+        |  ROUND(CAST(byte_sum AS DOUBLE) / n_bytes, 6) AS byte_mean
+        |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "m_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((length(text) + 15) // 16 AS INT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(0, (length(text) + 15) // 16),
+        |    i -> ord(substr(text, CAST(i * 16 + 1 AS INT), 1)))) AS BIGINT) AS sampled_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_resize_crop" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS orig_bytes,
+        |  CAST(least(length(text), 64) AS INT) AS crop_bytes,
+        |  substring(text, 1, 16) AS head_utf8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_format_stats" ->
+      """SELECT ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+        |  CAST(MAX((doc_id % 4) * 160 + 320) AS INT) AS max_width,
+        |  CAST(MIN((doc_id % 3) * 120 + 240) AS INT) AS min_height
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
