@@ -76,6 +76,29 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Two-table AS-OF join via the union trick (scale path: one shuffle
+    // on user_id + one in-partition sort — never a range-join explosion).
+    // For each 'error' event: value of the latest 'purchase' at-or-before
+    // it. At equal ts the purchase sorts first (tag 0 < 1).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                lit(0).as("tag"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                lit(1).as("tag"), lit(null).cast("double").as("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionAll(errors)
+        .withColumn("asof_value",
+          last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("event_id"), col("asof_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Event funnel: users who did signup -> purchase in order.
     "q_events_funnel" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -152,6 +175,20 @@ object Events extends QueryModule {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase
         |FROM events WHERE user_id <= 30
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS tag, value FROM events
+        |  WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS tag, NULL AS value FROM events
+        |  WHERE event_type = 'error')
+        |SELECT user_id, event_id,
+        |  last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, tag, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |FROM u QUALIFY tag = 1
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q_events_funnel" ->
