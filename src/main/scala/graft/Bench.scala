@@ -38,13 +38,18 @@ object Bench {
       .foreach(n => Tables.t(spark, sfDir, n).limit(1).collect())
 
     val qs = headline.filter(SparkEntry.queries.contains)
+    // two runs per query, report the min: steady-state throughput (first
+    // run pays one-time whole-stage-codegen + JIT compilation).
     val results = qs.map { name =>
-      val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(name)(spark, sfDir).collect().length
-              catch { case e: Throwable =>
-                System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1 }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.3f s  rows=$n")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(name)(spark, sfDir).collect().length
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1 }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val sec = times.map(_._1).min
+      System.err.println(f"[bench] $name%-28s $sec%8.3f s  rows=${times.last._2}")
       name -> sec
     }
     val qjson = results.map { case (k, v) => f""""$k":$v%.3f""" }
