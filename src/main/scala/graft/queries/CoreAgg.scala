@@ -151,6 +151,23 @@ object CoreAgg extends QueryModule {
         .orderBy(col("l_partkey"))
     }),
 
+    // Skew-resistant salted aggregation (the reference costs skew in
+    // cdbpath; `qp_skew.sql` tests it): low-cardinality keys (3 flags over
+    // the whole table) first aggregate on (key, salt) — spreading each hot
+    // key over 16 reducers — then combine per key. The micros-long sums
+    // make the two-stage result bit-equal to the oracle's single-stage one.
+    "q_salted_agg" -> ((s, dir) => {
+      val partial = t(s, dir, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(round(col("l_quantity") * 1000000.0, 0).cast("long")).as("qm"),
+             count(lit(1)).as("n"))
+      partial.groupBy(col("l_returnflag"))
+        .agg((sum(col("qm")).cast("double") / 1000000.0).as("sum_qty"),
+             sum(col("n")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // approx distinct sketch (gp_hyperloglog.c analogue). No oracle: DuckDB's
     // approx_count_distinct uses a different sketch; driver records
     // rows-only. Exactness checked separately by q_agg_multi_distinct.
@@ -254,6 +271,11 @@ object CoreAgg extends QueryModule {
         |JOIN r mx ON mx.c_mktsegment = a.c_mktsegment AND mx.rmax = 1
         |JOIN r mn ON mn.c_mktsegment = a.c_mktsegment AND mn.rmin = 1
         |ORDER BY a.c_mktsegment""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_having" ->
       s"""SELECT l_partkey, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty

@@ -76,6 +76,21 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Native session windows (Structured Streaming's session_window works
+    // in batch too): 30-min-gap sessions per user. The oracle derives the
+    // same sessions with the lag+cumsum construction — two independent
+    // definitions, one answer.
+    "q_events_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             max(col("n_events")).as("max_session_events"),
+             dsum(col("session_value")).as("total_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Two-table AS-OF join via the union trick (scale path: one shuffle
     // on user_id + one in-partition sort — never a range-join explosion).
     // For each 'error' event: value of the latest 'purchase' at-or-before
@@ -176,6 +191,31 @@ object Events extends QueryModule {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase
         |FROM events WHERE user_id <= 30
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // session_window sessions break when gap > 30min STRICTLY (next event
+    // at exactly start+30min still merges); the lag construction mirrors
+    // that with a µs-precision comparison.
+    "q_events_session_window" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM marked),
+         |per_session AS (
+         |  SELECT user_id, session_id, COUNT(*) AS n_events,
+         |    ${sqlDsum("value")} AS session_value
+         |  FROM sess GROUP BY user_id, session_id)
+         |SELECT user_id, COUNT(*) AS n_sessions,
+         |  MAX(n_events) AS max_session_events,
+         |  ${sqlDsum("session_value")} AS total_value
+         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH u AS (

@@ -52,4 +52,30 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q_topk_global")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("bucketed tables join co-located: no shuffle exchange") {
+    // DISTRIBUTED BY analogue: both sides bucketed on the join key means
+    // the join runs with zero Exchange nodes (the reference's co-located
+    // motion-free join).
+    val spark2 = spark
+    import org.apache.spark.sql.functions.col
+    Tables.t(spark2, sf, "orders").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_bkt")
+    Tables.t(spark2, sf, "lineitem").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_bkt")
+    val joined = spark2.table("lineitem_bkt")
+      .join(spark2.table("orders_bkt").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    val exchangesBeforeJoin = p.linesIterator
+      .dropWhile(!_.contains("SortMergeJoin"))
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchangesBeforeJoin == 0,
+      s"expected a shuffle-free co-located join, plan:\n$p")
+    assert(joined.count() > 0)
+  }
 }
