@@ -132,6 +132,20 @@ object ScalarFns extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Bitwise operator family (int.c / varbit ops).
+    "q_bitwise_funcs" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          expr("p_size & 21").as("band"),
+          expr("p_size | 8").as("bor"),
+          expr("p_size ^ 13").as("bxor"),
+          expr("~p_size").as("bnot"),
+          expr("shiftleft(p_size, 2)").as("shl"),
+          expr("shiftright(p_size, 1)").as("shr"),
+          bit_count(col("p_size")).as("popcount"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q_hash_funcs" -> ((s, dir) => {
       t(s, dir, "nation")
         .select(col("n_nationkey"),
@@ -239,6 +253,17 @@ object ScalarFns extends QueryModule {
         |    WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS size_band,
         |  0.0 AS nan_fixed
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_bitwise_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(p_size & 21 AS INT) AS band,
+        |  CAST(p_size | 8 AS INT) AS bor,
+        |  CAST(xor(p_size, 13) AS INT) AS bxor,
+        |  CAST(~p_size AS INT) AS bnot,
+        |  CAST(p_size << 2 AS INT) AS shl,
+        |  CAST(p_size >> 1 AS INT) AS shr,
+        |  CAST(bit_count(p_size) AS INT) AS popcount
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
 
     "q_hash_funcs" ->
       """SELECT n_nationkey,

@@ -99,6 +99,97 @@ object Similarity extends QueryModule {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Matrix-style aggregate (MADlib matrix_add analogue,
+    // `/root/reference/src/backend/utils/adt/matrix.c`): element-wise sum
+    // of vectors per label, exact via integer micros per position.
+    "s_matrix_sum_by_label" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .filter(col("pos") < 8)
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(round(col("x") * 1000000.0, 0).cast("long"))
+          .cast("double") / 1000000.0).as("sum_x"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // IVF (inverted-file) ANN: deterministic k-means (seeded with the
+    // first 8 vectors, 3 Lloyd iterations), then probe the 2 nearest
+    // centroid lists per query. Engine-specific float iteration order ->
+    // rows-only check; SimilaritySpec asserts recall against the exact
+    // brute-force top-k.
+    "s_ann_ivf_topk" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val sp = s; import sp.implicits._
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val all = e.as[(Long, Array[Double])].collect().sortBy(_._1)
+      // Lloyd iterations on the driver over the (small) centroid state;
+      // at 100 TB the assignment step is the same broadcast pattern and
+      // centroid updates are a groupBy — state stays K x dim either way.
+      var centroids: Array[Array[Double]] = all.take(8).map(_._2)
+      for (_ <- 1 to 3) {
+        val sums = Array.fill(8)(new Array[Double](64))
+        val counts = new Array[Int](8)
+        all.foreach { case (_, v) =>
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- 0 until 8) {
+            var d = 0.0; var i = 0
+            while (i < 64) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < 64) { sums(best)(i) += v(i); i += 1 }
+        }
+        centroids = Array.tabulate(8)(c =>
+          if (counts(c) == 0) centroids(c)
+          else sums(c).map(_ / counts(c)))
+      }
+      val bcC = s.sparkContext.broadcast(centroids)
+      val assigned = e.as[(Long, Array[Double])].map { case (id, v) =>
+        val cs = bcC.value
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- cs.indices) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        (id, best, v)
+      }.toDF("vec_id", "cell", "v")
+      // probe top-2 cells per query vector
+      val queries = assigned.filter(col("vec_id") < 10)
+        .as[(Long, Int, Array[Double])].collect()
+      val probeRows = queries.flatMap { case (qid, _, qv) =>
+        val cs = bcC.value
+        val dists = cs.indices.map { c =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val t = qv(i) - cs(c)(i); d += t * t; i += 1 }
+          (c, d)
+        }.sortBy(x => (x._2, x._1)).take(2)
+        dists.map { case (c, _) => (qid, c, qv) }
+      }
+      val probes = s.createDataFrame(probeRows.toSeq.map(p => (p._1, p._2)))
+        .toDF("qid", "qcell")
+      val qvecs = s.createDataFrame(queries.toSeq.map(q => (q._1, q._3)))
+        .toDF("qid2", "qv").withColumn("qn", expr("vec_norm_sq(qv)"))
+      val scored = assigned
+        .join(broadcast(probes), col("cell") === col("qcell"))
+        .join(broadcast(qvecs), col("qid") === col("qid2"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(expr("vec_dot(qv, v)") /
+                sqrt(col("qn") * expr("vec_norm_sq(v)")), 6).as("cos"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Per-label centroid + mean distance-to-centroid (cluster cohesion).
     // Element-wise mean is decimal-stabilized per (label, pos) so both
     // engines build the identical centroid.
@@ -171,6 +262,14 @@ object Similarity extends QueryModule {
          |  FROM scored)
          |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "s_matrix_sum_by_label" ->
+      """SELECT label, CAST(i.i AS INT) AS pos,
+        |  CAST(SUM(CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 AS sum_x,
+        |  COUNT(*) AS n
+        |FROM embeddings, (SELECT unnest(range(0, 8)) AS i) i
+        |GROUP BY label, i.i ORDER BY label, pos""".stripMargin,
 
     "s_label_centroid_dist" ->
       """WITH e AS (

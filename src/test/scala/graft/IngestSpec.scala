@@ -43,6 +43,29 @@ class IngestSpec extends AnyFunSuite {
       orders.filter(col("o_year") === 1996).count())
   }
 
+  test("dynamic partition pruning fires on partitioned fact x filtered dim") {
+    val dir = tmp("dpp")
+    val orders = Tables.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.Ingest.ctasPartitioned(spark, orders, dir, "o_year")
+    val fact = spark.read.parquet(dir)
+    // dim filtered on a NON-join column: the matching partition set is
+    // only known at runtime, so static pruning can't fire — DPP must.
+    // (A filter directly on the join key gets constant-propagated into
+    // static PartitionFilters instead, which is even better.)
+    val dim = spark.range(1995, 1999)
+      .select(col("id").cast("int").as("y"),
+              (col("id") % 3).cast("int").as("flag"))
+      .filter(col("flag") === 1)  // happens to select y=1996
+    val joined = fact.join(dim, col("o_year") === col("y"))
+      .groupBy(col("o_orderstatus")).count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected dynamic partition pruning, plan:\n$plan")
+    assert(joined.collect().map(_.getLong(1)).sum ==
+      orders.filter(col("o_year") === 1996).count())
+  }
+
   test("UPDATE as rewrite changes exactly the matched rows") {
     val dir = tmp("upd")
     val cust = Tables.t(spark, sf, "customer")
