@@ -117,6 +117,19 @@ object Windows extends QueryModule {
         .orderBy(col("c_nationkey"), col("rn"))
     }),
 
+    // Same result through the custom TopKPerGroup physical operator
+    // (bounded per-group heaps + map-side partial stage; see
+    // graft.plans.TopKPerGroup) instead of window sort+filter.
+    "q_topk_per_group_native" -> ((s, dir) => {
+      graft.plans.TopKPerGroup(
+          t(s, dir, "customer")
+            .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+          groupCols = Seq("c_nationkey"),
+          order = Seq(("c_acctbal", true), ("c_custkey", false)),
+          k = 3)
+        .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+    }),
+
     // DISTINCT ON (c_nationkey) ... ORDER BY c_acctbal DESC — PostgreSQL's
     // DISTINCT ON via row_number = 1.
     "q_distinct_on" -> ((s, dir) => {
@@ -249,6 +262,14 @@ object Windows extends QueryModule {
         |      ORDER BY c_acctbal DESC, c_custkey) AS rn
         |  FROM customer)
         |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q_topk_per_group_native" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin,
 
     "q_distinct_on" ->
       """SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (
