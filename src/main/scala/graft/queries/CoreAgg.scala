@@ -107,11 +107,16 @@ object CoreAgg extends QueryModule {
         .agg(max_by(col("l_quantity"), struct(col("count"), col("l_quantity"))).as("mode_qty"))
       li.groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("median_price"),
-          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
-          round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
+          // one sort-based pass for all three exact percentiles
+          percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.95))).as("pcts"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 2), 4).as("median_price"),
+          round(element_at(col("pcts"), 1), 4).as("p25_price"),
+          round(element_at(col("pcts"), 3), 4).as("p95_price"),
+          col("min_price"), col("max_price"))
         .join(mode, Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
     }),
