@@ -132,6 +132,65 @@ object ScalarFns extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // String family, batch 2 (varlena.c / oracle_compat.c): repeat,
+    // left/right, overlay, ascii/chr, starts/ends, trim variants.
+    "q_string_funcs2" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          expr("repeat(n_name, 2)").as("doubled"),
+          expr("left(n_name, 3)").as("l3"),
+          expr("right(n_name, 2)").as("r2"),
+          expr("overlay(n_name PLACING 'XX' FROM 2 FOR 2)").as("overlaid"),
+          ascii(col("n_name")).as("first_code"),
+          expr("char(65 + n_nationkey % 26)").as("letter"),
+          col("n_name").startsWith("NATION").as("starts_n"),
+          col("n_name").endsWith("0").as("ends_0"),
+          ltrim(lit("  pad  ")).as("lt"),
+          rtrim(lit("  pad  ")).as("rt"),
+          expr("btrim('xxpadxx', 'x')").as("bt"),
+          expr("position('TION' IN n_name)").as("pos"),
+          initcap(lower(col("n_name"))).as("title"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // Date/time family, batch 2: make_timestamp, quarter, epoch millis,
+    // date_add/sub, week-truncation.
+    "q_date_funcs2" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          quarter(col("o_orderdate")).as("q"),
+          date_add(col("o_orderdate").cast("date"), 10).as("plus10"),
+          date_sub(col("o_orderdate").cast("date"), 10).as("minus10"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+          make_timestamp(lit(1997), lit(6), lit(15), lit(12), lit(30),
+            lit(0)).as("made_ts"),
+          (unix_timestamp(col("o_orderdate")) * 1000).as("epoch_ms"),
+          expr("extract(DOY FROM o_orderdate)").cast("int").as("doy2"),
+          trunc(col("o_orderdate").cast("date"), "month").as("trunc_month"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Math family, batch 2: trig + hyperbolic + conversions (float.c).
+    "q_math_funcs2" -> ((s, dir) => {
+      val x = col("p_size").cast("double") / 10.0
+      t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          round(sin(x), 6).as("sin_x"),
+          round(cos(x), 6).as("cos_x"),
+          round(tan(x), 6).as("tan_x"),
+          round(atan(x), 6).as("atan_x"),
+          round(asin(x / 10.0), 6).as("asin_x"),
+          round(sinh(x), 6).as("sinh_x"),
+          round(cosh(x), 6).as("cosh_x"),
+          round(degrees(x), 6).as("deg_x"),
+          round(radians(col("p_size").cast("double")), 6).as("rad_s"),
+          round(lit(math.Pi), 6).as("pi_val"),
+          round(cbrt(col("p_retailprice")), 6).as("cbrt_p"),
+          round(hypot(col("p_size").cast("double"), lit(3.0)), 6).as("hypot_s"),
+          factorial(col("p_size") % 10).as("fact"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Bitwise operator family (int.c / varbit ops).
     "q_bitwise_funcs" -> ((s, dir) => {
       t(s, dir, "part").filter(col("p_partkey") <= 200)
@@ -253,6 +312,54 @@ object ScalarFns extends QueryModule {
         |    WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS size_band,
         |  0.0 AS nan_fixed
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_funcs2" ->
+      """SELECT n_nationkey,
+        |  repeat(n_name, 2) AS doubled,
+        |  left(n_name, 3) AS l3,
+        |  right(n_name, 2) AS r2,
+        |  substring(n_name, 1, 1) || 'XX' || substring(n_name, 4) AS overlaid,
+        |  CAST(ord(substring(n_name, 1, 1)) AS INT) AS first_code,
+        |  chr(65 + CAST(n_nationkey % 26 AS INT)) AS letter,
+        |  starts_with(n_name, 'NATION') AS starts_n,
+        |  n_name LIKE '%0' AS ends_0,
+        |  ltrim('  pad  ') AS lt,
+        |  rtrim('  pad  ') AS rt,
+        |  trim('xxpadxx', 'x') AS bt,
+        |  CAST(strpos(n_name, 'TION') AS INT) AS pos,
+        |  CASE WHEN n_nationkey < 10
+        |    THEN 'Nation_' || CAST(n_nationkey AS VARCHAR)
+        |    ELSE 'Nation_' || CAST(n_nationkey AS VARCHAR) END AS title
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(CAST(o_orderdate AS DATE) + 10 AS DATE) AS plus10,
+        |  CAST(CAST(o_orderdate AS DATE) - 10 AS DATE) AS minus10,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+        |  TIMESTAMP '1997-06-15 12:30:00' AS made_ts,
+        |  CAST(epoch(o_orderdate) * 1000 AS BIGINT) AS epoch_ms,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy2,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS trunc_month
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs2" ->
+      """SELECT p_partkey,
+        |  ROUND(sin(p_size / 10.0), 6) AS sin_x,
+        |  ROUND(cos(p_size / 10.0), 6) AS cos_x,
+        |  ROUND(tan(p_size / 10.0), 6) AS tan_x,
+        |  ROUND(atan(p_size / 10.0), 6) AS atan_x,
+        |  ROUND(asin(p_size / 100.0), 6) AS asin_x,
+        |  ROUND((exp(p_size / 10.0) - exp(-(p_size / 10.0))) / 2, 6) AS sinh_x,
+        |  ROUND((exp(p_size / 10.0) + exp(-(p_size / 10.0))) / 2, 6) AS cosh_x,
+        |  ROUND(degrees(p_size / 10.0), 6) AS deg_x,
+        |  ROUND(radians(CAST(p_size AS DOUBLE)), 6) AS rad_s,
+        |  ROUND(pi(), 6) AS pi_val,
+        |  ROUND(cbrt(p_retailprice), 6) AS cbrt_p,
+        |  ROUND(sqrt(CAST(p_size AS DOUBLE) * p_size + 9.0), 6) AS hypot_s,
+        |  CAST(factorial(CAST(p_size % 10 AS INT)) AS BIGINT) AS fact
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
 
     "q_bitwise_funcs" ->
       """SELECT p_partkey,

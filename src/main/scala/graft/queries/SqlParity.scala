@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SQL-facade parity: these queries are a single SQL string executed
+  * VERBATIM by both Spark SQL and the DuckDB oracle — the strongest
+  * statement of the reference's SQL surface (`exec_simple_query`,
+  * `/root/reference/src/backend/tcop/postgres.c:1669`) mapping onto
+  * `spark.sql(...)`: one dialect-neutral text, two engines, one answer.
+  */
+object SqlParity extends QueryModule {
+
+  /** shared verbatim texts (dialect-neutral ANSI subset) */
+  private val sharedSql: Map[String, String] = Map(
+    "q_sql_verbatim_join_agg" ->
+      """SELECT n_name,
+        |  o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name, o_orderpriority
+        |HAVING COUNT(*) >= 5
+        |ORDER BY n_name, o_orderpriority""".stripMargin,
+
+    "q_sql_verbatim_window" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    rank() OVER (PARTITION BY c_nationkey
+        |                 ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) ranked
+        |WHERE rnk <= 2
+        |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+
+    "q_sql_verbatim_setop" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 8000
+        |  UNION ALL
+        |  SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 8000
+        |) u
+        |GROUP BY k
+        |ORDER BY k""".stripMargin
+  )
+
+  /** MDQA hard case (qp_olap_mdqa.sql): multiple DISTINCT aggregates
+    * under grouping sets — Expand x DQA planning combined. */
+  private val mdqaSpark: (SparkSession, String) => DataFrame = (s, dir) => {
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+           countDistinct(col("l_partkey")).as("nd_part"),
+           countDistinct(col("l_suppkey")).as("nd_supp"),
+           count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Explicit NULLS FIRST/LAST ordering parity. */
+  private val nullOrderSpark: (SparkSession, String) => DataFrame = (s, dir) => {
+    t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"))
+      .orderBy(col("bal").desc_nulls_last, col("c_custkey"))
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    sharedSql.map { case (name, sql) =>
+      name -> ((s: SparkSession, dir: String) => {
+        Seq("orders", "customer", "nation", "supplier", "lineitem")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(sql)
+      })
+    } ++ Map(
+      "q_mdqa_grouping_sets" -> mdqaSpark,
+      "q_null_ordering" -> nullOrderSpark)
+
+  val oracle: Map[String, String] = sharedSql ++ Map(
+    "q_mdqa_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  COUNT(DISTINCT l_partkey) AS nd_part,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_null_ordering" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY bal DESC NULLS LAST, c_custkey
+        |LIMIT 50""".stripMargin
+  )
+}
