@@ -84,13 +84,17 @@ object Dedup extends QueryModule {
     }),
 
     // SimHash near-dup: 48-bit signature over word hashes, 4-band blocking,
-    // Hamming <= 3 verified with bit_count. No oracle (engine-specific
-    // 64-bit hash function) -> rows-only check; the *pairs themselves* are
-    // cross-checked by d_dedup_minhash_lsh's jaccard gate.
+    // Hamming <= 3 verified with bit_count. Word hashes come from md5 (an
+    // engine-independent digest), so the oracle reproduces the signatures
+    // bit-exactly and brute-forces the same pair set — and 4 bands x 12
+    // bits guarantee full recall at distance <= 3 (pigeonhole), making
+    // LSH output == brute force output exactly.
     "d_dedup_simhash" -> ((s, dir) => {
       val words = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .select(col("doc_id"), xxhash64(col("word")).as("h"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("word").cast("binary")), 1, 12), 16, 10)
+            .cast("long").as("h"))
       val bits = words.select(col("doc_id"),
           posexplode(expr(
             "transform(sequence(0, 47), j -> CASE WHEN shiftright(h, j) & 1 = 1 THEN 1 ELSE -1 END)"))
@@ -188,6 +192,26 @@ object Dedup extends QueryModule {
         |  COUNT(DISTINCT md5(text)) AS n_unique,
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wh AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h FROM words),
+        |bits AS (SELECT doc_id, j.j,
+        |    SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM wh, (SELECT unnest(range(0, 48)) AS j) j
+        |  GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s >= 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |        ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Ground truth for the LSH pipeline: brute-force pairwise exact
     // jaccard over distinct 3-shingles (LSH recall at j>=0.8 with 8 bands

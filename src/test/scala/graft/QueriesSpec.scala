@@ -26,6 +26,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
+  test("every query without an oracle is a known engine-specific case") {
+    // these get the driver's weaker rows-only check — each for a reason:
+    // sketch bits / RNG streams / float-iteration order are engine-specific
+    val allowedWeak = Set(
+      "q_approx_distinct",   // HLL++ sketch internals
+      "q_hll_sketch_merge",  // datasketches binary sketches
+      "q_sample_bernoulli",  // engine RNG stream
+      "s_ann_ivf_topk")      // k-means float accumulation order
+    val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(weak == allowedWeak,
+      s"unexpected oracle-less queries: ${weak -- allowedWeak}; " +
+      s"stale allowlist: ${allowedWeak -- weak}")
+  }
+
+  test("bernoulli sample keeps roughly the requested fraction") {
+    val n = SparkEntry.queries("q_sample_bernoulli")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    val total = Tables.t(spark, sf, "lineitem").count()
+    val frac = n.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"sample fraction $frac far from 0.1")
+  }
+
   test("q1 matches hand-checked oracle values") {
     val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
     assert(rows.length == 6)
