@@ -53,6 +53,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("AQE coalesces shuffle partitions at runtime") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val df = Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_partkey")).agg(sum(col("l_quantity")))
+    df.collect()  // AQE finalizes the plan only after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan)
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"expected runtime-coalesced shuffle read, plan:\n$plan")
+  }
+
   test("bucketed tables join co-located: no shuffle exchange") {
     // DISTRIBUTED BY analogue: both sides bucketed on the join key means
     // the join runs with zero Exchange nodes (the reference's co-located
