@@ -113,6 +113,45 @@ object ScalarFns extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // Array family, batch 2 (arrayfuncs.c / array_userfuncs.c): set ops,
+    // search, removal, flatten, zip — rendered order-stable via sort+join.
+    "q_array_funcs2" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"),
+          array_join(array_sort(array_distinct(col("w"))), ",").as("vocab"),
+          array_join(array_sort(array_intersect(col("w"),
+            array(lit("table"), lit("query"), lit("scan")))), ",").as("tbl_words"),
+          array_join(array_sort(array_except(
+            array(lit("table"), lit("query"), lit("scan")), col("w"))), ",")
+            .as("missing_words"),
+          array_join(array_sort(array_union(
+            array(lit("alpha")), slice(col("w"), 1, 2))), ",").as("unioned"),
+          array_position(col("w"), "table").as("first_table_pos"),
+          size(array_remove(col("w"), "a")).as("sans_a"),
+          array_contains(col("w"), "spark").as("has_spark"),
+          size(flatten(array(slice(col("w"), 1, 2), slice(col("w"), 3, 2))))
+            .as("flat4"),
+          element_at(reverse(col("w")), 1).as("last_word"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Map/kv family (hstore-ish; MapType): str_to_map + typed access.
+    "q_map_funcs" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          map_from_arrays(
+            array(lit("type"), lit("uid")),
+            array(col("event_type"), col("user_id").cast("string"))).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("mtype"),
+          element_at(col("m"), "uid").cast("long").as("muid"),
+          size(col("m")).as("msize"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("mkeys"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_case_decode" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderkey") <= 500)
         .select(col("o_orderkey"),
@@ -302,6 +341,30 @@ object ScalarFns extends QueryModule {
         |  len(list_filter(embedding, x -> x > CAST(0.2 AS FLOAT))) > 0 AS any_big,
         |  len(list_filter(embedding, x -> NOT (x > CAST(-1.0 AS FLOAT)))) = 0 AS all_gt_m1
         |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin,
+
+    "q_array_funcs2" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(w)), ',') AS vocab,
+        |  COALESCE(array_to_string(list_sort(list_intersect(w, ['table','query','scan'])), ','), '') AS tbl_words,
+        |  COALESCE(array_to_string(list_sort(list_filter(['table','query','scan'],
+        |    x -> NOT list_contains(w, x))), ','), '') AS missing_words,
+        |  array_to_string(list_sort(list_distinct(list_concat(['alpha'], w[1:2]))), ',') AS unioned,
+        |  CAST(COALESCE(list_position(w, 'table'), 0) AS BIGINT) AS first_table_pos,
+        |  CAST(len(list_filter(w, x -> x <> 'a')) AS INT) AS sans_a,
+        |  list_contains(w, 'spark') AS has_spark,
+        |  CAST(len(list_concat(w[1:2], w[3:4])) AS INT) AS flat4,
+        |  w[-1] AS last_word
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  event_type AS mtype,
+        |  user_id AS muid,
+        |  2 AS msize,
+        |  'type,uid' AS mkeys
+        |FROM events WHERE event_id <= 300 ORDER BY event_id""".stripMargin,
 
     "q_case_decode" ->
       """SELECT o_orderkey,
