@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("persist() serves rescans from memory (Material/tuplestore analogue)") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.t(spark, sf, "supplier")
+      .groupBy(col("s_nationkey")).count().persist()
+    try {
+      df.count() // materialize
+      val again = df.filter(col("count") > 0)
+      val plan = again.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan)
+      assert(again.count() > 0)
+    } finally df.unpersist()
+  }
+
   test("AQE coalesces shuffle partitions at runtime") {
     import org.apache.spark.sql.functions.{col, sum}
     val df = Tables.t(spark, sf, "lineitem")
