@@ -22,11 +22,22 @@ object Tables {
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Explicit per-read schema for `events` (ts as plain INT64 nanos) — NOT
+    * the session-global legacy nanosAsLong flag, which would silently turn
+    * every later TIMESTAMP(NANOS) read in the session into longs. Shared
+    * with the streaming file source. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),  // TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   // ---- oracle-stable numeric conventions -------------------------------
   // The driver hash-compares our parquet output against DuckDB. Double

@@ -175,18 +175,16 @@ object Advanced extends QueryModule {
 
     // AssertOp (nodeAssertOp.c): runtime row-level invariant; violations
     // raise, valid rows pass through. Asserts the orders/customer FK here.
+    // raise_error inside when() keeps the check fully codegen'd (no typed
+    // Dataset.map deserialization in the hot path).
     "q_assert_op" -> ((s, dir) => {
-      val sp = s; import sp.implicits._
-      val joined = t(s, dir, "orders")
+      t(s, dir, "orders")
         .join(t(s, dir, "customer"),
           col("o_custkey") === col("c_custkey"), "left")
-        .select(col("o_orderkey"), col("c_custkey").isNull.as("missing"))
-      val checked = joined.as[(Long, Boolean)].map { case (ok, missing) =>
-        if (missing)
-          throw new IllegalStateException(s"assert violated: order $ok has no customer")
-        ok
-      }
-      checked.toDF("o_orderkey")
+        .select(when(col("c_custkey").isNull,
+            raise_error(concat(lit("assert violated: order "),
+              col("o_orderkey"), lit(" has no customer"))))
+          .otherwise(col("o_orderkey")).as("o_orderkey"))
         .agg(count(lit(1)).as("n_orders_with_customer"))
     })
   )

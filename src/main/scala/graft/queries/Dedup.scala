@@ -39,9 +39,13 @@ object Dedup extends QueryModule {
     // MinHash + LSH near-dup pairs, exact-verified at jaccard >= 0.8.
     "d_dedup_minhash_lsh" -> ((s, dir) => {
       // raw shingles, NOT deduplicated: min() is insensitive to duplicate
-      // shingles, so minhashing skips the distinct-shuffle entirely
+      // shingles, so minhashing skips the distinct-shuffle entirely.
+      // Docs with < 3 words have NO 3-shingles (oracle range(1, len-1) is
+      // empty): filter first — sequence(0, size-3) on a short doc would
+      // produce a descending [0,-1] index sequence and fail under ANSI.
       val raw = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
           .as("sh"))
@@ -128,8 +132,11 @@ object Dedup extends QueryModule {
 
     // Word-bigram Jaccard inside same-source blocks (blocked pairwise).
     "d_dedup_ngram_jaccard" -> ((s, dir) => {
+      // < 2 words -> no bigrams (matches oracle's empty range); also keeps
+      // sequence() ascending under ANSI mode (see minhash note above).
       val bg = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
         .select(col("doc_id"), col("source"), explode(expr(
           "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
           .as("g"))
@@ -150,45 +157,66 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Embedding-cosine near-dup pairs (brute force; LSH path in
-    // Similarity). Threshold on the ROUNDED value so both engines make
-    // identical keep/drop decisions.
-    // All-pairs cosine as a broadcast block-nested-loop: the corpus block
-    // (id, vector, norm) is broadcast once (5k x 64 doubles = 2.5 MB; at
-    // 100 TB you'd broadcast per-LSH-bucket blocks instead, see
-    // Similarity), and each partition streams its rows against it in a
-    // primitive-array kernel. No 25M-row join materialization — output is
-    // only the above-threshold pairs. Rounding replicates Spark/DuckDB
-    // ROUND (HALF_UP) so the keep/drop decision matches the oracle.
+    // Embedding-cosine near-dup pairs (exact all-pairs; the approximate
+    // LSH-bucketed paths live in Similarity). Threshold on the ROUNDED
+    // value so both engines make identical keep/drop decisions.
+    //
+    // Scale design — blocked all-pairs ("block triangle" join), fully
+    // executor-side (no driver collect, no corpus broadcast):
+    //   * each vector hashes into one of B blocks;
+    //   * a tiny B*(B+1)/2-row block-pair table is broadcast; each row
+    //     replicates to the B block pairs it participates in (shuffle is
+    //     O(n*B) rows — at 100 TB raise B so a block fits one task);
+    //   * each (b1,b2) task compares only its two bounded blocks in a
+    //     primitive-array kernel, emitting only above-threshold pairs.
+    // Exact semantics, O(n^2) dot products distributed over B(B+1)/2
+    // independent tasks, per-task memory bounded by 2*n/B rows by
+    // construction. Rounding replicates Spark/DuckDB ROUND (HALF_UP).
     "d_dedup_embedding" -> ((s, dir) => {
       val sp = s; import sp.implicits._
+      val nBlocks = 8
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .as[(Long, Array[Double])]
-      val block = e.collect().sortBy(_._1)
-        .map { case (id, v) =>
-          var n = 0.0; var i = 0
-          while (i < v.length) { n += v(i) * v(i); i += 1 }
-          (id, v, n)
-        }
-      val bc = s.sparkContext.broadcast(block)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+                pmod(hash(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))
+      val bp = s.createDataFrame(
+          (0 until nBlocks).flatMap(b1 => (b1 until nBlocks).map(b2 => (b1, b2))))
+        .toDF("b1", "b2")
+      val rep = e.join(broadcast(bp),
+          col("blk") === col("b1") || col("blk") === col("b2"))
       def round6(x: Double): Double =
         java.math.BigDecimal.valueOf(x)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      e.mapPartitions { it =>
-        val blk = bc.value
-        it.flatMap { case (ida, va) =>
-          var na = 0.0; var i = 0
-          while (i < va.length) { na += va(i) * va(i); i += 1 }
-          blk.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
-            var d = 0.0; var j = 0
-            val n = math.min(va.length, vb.length)
-            while (j < n) { d += va(j) * vb(j); j += 1 }
-            val cos = round6(d / math.sqrt(na * nb))
-            if (cos >= 0.45) Iterator.single((ida, idb, cos)) else Iterator.empty
+      rep.select(col("b1"), col("b2"), col("blk"), col("vec_id"), col("v"))
+        .as[(Int, Int, Int, Long, Array[Double])]
+        .groupByKey(r => (r._1, r._2))
+        .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Double])]) =>
+          val (b1, b2) = key
+          // bounded materialization: a group holds at most the two blocks
+          // (<= 2*n/B rows) — the B knob is exactly the executor-memory
+          // bound, unlike a whole-corpus broadcast.
+          val rows = it.toArray.map { r =>
+            val v = r._5
+            var n = 0.0; var i = 0
+            while (i < v.length) { n += v(i) * v(i); i += 1 }
+            (r._4, v, n, r._3)
           }
-        }
-      }.toDF("id_a", "id_b", "cos")
+          val left = if (b1 == b2) rows else rows.filter(_._4 == b1)
+          val right = if (b1 == b2) rows else rows.filter(_._4 == b2)
+          val out = Iterator.range(0, left.length).flatMap { i =>
+            val jStart = if (b1 == b2) i + 1 else 0
+            Iterator.range(jStart, right.length).flatMap { j =>
+              val a = left(i); val b = right(j)
+              val (ida, va, na) = if (a._1 < b._1) (a._1, a._2, a._3) else (b._1, b._2, b._3)
+              val (idb, vb, nb) = if (a._1 < b._1) (b._1, b._2, b._3) else (a._1, a._2, a._3)
+              var d = 0.0; var k = 0
+              val n = math.min(va.length, vb.length)
+              while (k < n) { d += va(k) * vb(k); k += 1 }
+              val cos = round6(d / math.sqrt(na * nb))
+              if (cos >= 0.45) Iterator.single((ida, idb, cos)) else Iterator.empty
+            }
+          }
+          out
+        }.toDF("id_a", "id_b", "cos")
         .orderBy(col("id_a"), col("id_b"))
     })
   )

@@ -36,22 +36,35 @@ object Joins extends QueryModule {
         .limit(10)
     }),
 
-    // TPC-H Q5 shape: 6-way snowflake join; dims broadcast, facts shuffle.
+    // TPC-H Q5 shape: 6-way snowflake join. Join ORDER is the scale story
+    // (cdbpath.c motion-for-join picks the restricted side first): the
+    // region filter kills ~40% of nations, so nation⋈region(filtered) is
+    // broadcast onto supplier and customer FIRST — the fact-side joins
+    // then shuffle only region-pruned rows instead of the full tables.
     "q5_region_revenue" -> ((s, dir) => {
       val region = t(s, dir, "region").filter(col("r_regionkey") <= 2)
       val nation = t(s, dir, "nation")
+      val natReg = nation.join(broadcast(region),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      // supplier pruned to surviving nations, carrying n_name forward;
+      // small enough to broadcast into the lineitem scan, which prunes
+      // the fact table before its first shuffle.
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(natReg), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
       val cust = t(s, dir, "customer")
+        .join(broadcast(natReg.select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val li = t(s, dir, "lineitem")
-      val supp = t(s, dir, "supplier")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+      t(s, dir, "lineitem")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
                     col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
              count(lit(1)).as("n"))
@@ -215,13 +228,15 @@ object Joins extends QueryModule {
         ORDER BY n.n_name, top.c_acctbal DESC, top.c_name""")
     }),
 
-    // Scalar subquery in a predicate (stabilized average).
+    // Scalar subquery in a predicate (stabilized average) — expressed as a
+    // genuine one-row aggregate joined in as a broadcast, so Catalyst
+    // plans ONE job (no eager driver .head action splitting the work).
     "q_scalar_subquery" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val avgBal = cust.agg(
-        round(sum(col("c_acctbal").cast(Dec)).cast("double") / count(lit(1)), 4))
-        .head.getDouble(0)
-      cust.filter(col("c_acctbal") > lit(avgBal))
+        round(sum(col("c_acctbal").cast(Dec)).cast("double") / count(lit(1)), 4)
+          .as("avg_bal"))
+      cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
         .orderBy(col("c_nationkey"))

@@ -94,14 +94,20 @@ object SetOpsMisc extends QueryModule {
         .limit(25)
     }),
 
-    // LIMIT WITH TIES via rank() (nodeLimit.c LIMIT_OPTION_TIES).
+    // LIMIT WITH TIES (nodeLimit.c LIMIT_OPTION_TIES). rank() <= k over an
+    // unpartitioned window would funnel the whole table into ONE task; at
+    // scale the equivalent formulation is: k-th value via bounded top-k
+    // (TakeOrderedAndProject — a per-partition heap + driver merge of k
+    // rows), then filter rows >= that threshold. rank <= k  <=>
+    // l_quantity >= 20th-largest quantity. Two scans, zero global sorts,
+    // and the one-row threshold joins in as a broadcast.
     "q_limit_with_ties" -> ((s, dir) => {
-      val w = Window.orderBy(col("l_quantity").desc)
-      t(s, dir, "lineitem")
+      val base = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .withColumn("rnk", rank().over(w))
-        .filter(col("rnk") <= 20)
-        .drop("rnk")
+      val kth = base.orderBy(col("l_quantity").desc).limit(20)
+        .agg(min(col("l_quantity")).as("thr"))
+      base.join(broadcast(kth), col("l_quantity") >= col("thr"))
+        .drop("thr")
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 

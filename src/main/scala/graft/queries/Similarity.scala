@@ -119,65 +119,56 @@ object Similarity extends QueryModule {
     // centroid lists per query. Engine-specific float iteration order ->
     // rows-only check; SimilaritySpec asserts recall against the exact
     // brute-force top-k.
+    //
+    // Scale design: the CORPUS never leaves the executors. Each Lloyd
+    // iteration is (a) assignment — an argmin over K centroid literals
+    // embedded in the plan (dist^2 = |v|^2 - 2 v.c + |c|^2, codegen'd
+    // vec_dot), and (b) update — posexplode + groupBy(cell,pos).avg. Only
+    // the K x dim centroid state (512 doubles) returns to the driver
+    // between iterations, matching the reference's small-state contract.
     "s_ann_ivf_topk" -> ((s, dir) => {
       graft.functions.VectorFns.register(s)
-      val sp = s; import sp.implicits._
+      val K = 8
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val all = e.as[(Long, Array[Double])].collect().sortBy(_._1)
-      // Lloyd iterations on the driver over the (small) centroid state;
-      // at 100 TB the assignment step is the same broadcast pattern and
-      // centroid updates are a groupBy — state stays K x dim either way.
-      var centroids: Array[Array[Double]] = all.take(8).map(_._2)
+      // seed: the K lowest-vec_id vectors (K rows only — bounded state).
+      var centroids: Array[Array[Double]] =
+        e.orderBy(col("vec_id")).limit(K).collect()
+          .map(_.getSeq[Double](1).toArray)
+      // argmin over centroid literals; ties -> lowest cell index, via
+      // lexicographic struct(dist, idx) min.
+      // call_function (not an expr string): array(lit...) is array<double>
+      // directly, where SQL-literal doubles would parse as decimals.
+      def distTo(c: Array[Double]): Column =
+        call_function("vec_norm_sq", col("v")) -
+          lit(2.0) * call_function("vec_dot", col("v"), array(c.map(lit(_)): _*)) +
+          lit(c.map(x => x * x).sum)
+      def cellCol(cs: Array[Array[Double]]): Column =
+        array_min(array(cs.zipWithIndex.map { case (c, i) =>
+          struct(distTo(c).as("d"), lit(i).as("i"))
+        }: _*)).getField("i")
       for (_ <- 1 to 3) {
-        val sums = Array.fill(8)(new Array[Double](64))
-        val counts = new Array[Int](8)
-        all.foreach { case (_, v) =>
-          var best = 0; var bestD = Double.MaxValue
-          for (c <- 0 until 8) {
-            var d = 0.0; var i = 0
-            while (i < 64) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c }
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < 64) { sums(best)(i) += v(i); i += 1 }
-        }
-        centroids = Array.tabulate(8)(c =>
-          if (counts(c) == 0) centroids(c)
-          else sums(c).map(_ / counts(c)))
+        val upd = e.select(cellCol(centroids).as("cell"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+          .collect()  // K x dim rows — centroid state only, never the corpus
+        val next = centroids.map(_.clone())
+        upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        centroids = next  // empty cells keep their previous centroid
       }
-      val bcC = s.sparkContext.broadcast(centroids)
-      val assigned = e.as[(Long, Array[Double])].map { case (id, v) =>
-        val cs = bcC.value
-        var best = 0; var bestD = Double.MaxValue
-        for (c <- cs.indices) {
-          var d = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-        }
-        (id, best, v)
-      }.toDF("vec_id", "cell", "v")
-      // probe top-2 cells per query vector
-      val queries = assigned.filter(col("vec_id") < 10)
-        .as[(Long, Int, Array[Double])].collect()
-      val probeRows = queries.flatMap { case (qid, _, qv) =>
-        val cs = bcC.value
-        val dists = cs.indices.map { c =>
-          var d = 0.0; var i = 0
-          while (i < qv.length) { val t = qv(i) - cs(c)(i); d += t * t; i += 1 }
-          (c, d)
-        }.sortBy(x => (x._2, x._1)).take(2)
-        dists.map { case (c, _) => (qid, c, qv) }
-      }
-      val probes = s.createDataFrame(probeRows.toSeq.map(p => (p._1, p._2)))
-        .toDF("qid", "qcell")
-      val qvecs = s.createDataFrame(queries.toSeq.map(q => (q._1, q._3)))
-        .toDF("qid2", "qv").withColumn("qn", expr("vec_norm_sq(qv)"))
+      val assigned = e.withColumn("cell", cellCol(centroids))
+      // probe list: top-2 nearest cells per query, computed in-plan
+      // (sorted struct(dist, idx) array; no driver round-trip).
+      val probeArr = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(distTo(c).as("d"), lit(i).as("i"))
+      }: _*))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                explode(slice(probeArr.getField("i"), 1, 2)).as("qcell"))
+        .withColumn("qn", expr("vec_norm_sq(qv)"))
       val scored = assigned
-        .join(broadcast(probes), col("cell") === col("qcell"))
-        .join(broadcast(qvecs), col("qid") === col("qid2"))
-        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(q), col("cell") === col("qcell") &&
+                            col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
           round(expr("vec_dot(qv, v)") /
                 sqrt(col("qn") * expr("vec_norm_sq(v)")), 6).as("cos"))

@@ -23,11 +23,9 @@ object Streaming {
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // file source needs an explicit schema; reuse the batch reader's
-    // (post nanos->micros conversion happens below, mirroring Tables.t)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file-source needs a directory; glob-filter down to the events file
-    spark.readStream.schema(schema)
+    // pre-conversion schema (ts as raw INT64 nanos — same per-read schema
+    // trick as Tables.t, no session-global legacy flag)
+    spark.readStream.schema(Tables.eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

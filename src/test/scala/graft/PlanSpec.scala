@@ -53,6 +53,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("LIMIT WITH TIES has no single-partition window: bounded top-k + filter") {
+    val p = planOf("q_limit_with_ties")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q5 prunes supplier/customer through nation⋈region before the fact joins") {
+    val p = planOf("q5_region_revenue")
+    // 4 broadcast joins: region->nation, natReg->supplier, natReg->customer,
+    // supp->lineitem; the fact table never joins an unpruned dim.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("no corpus-sized driver collect in the pipeline operators") {
+    // the scale contract from VERDICT r1: candidate generation and kernels
+    // run executor-side; the only driver round-trips allowed are K-bounded
+    // (IVF centroid state). Dedup must be collect-free; Similarity may keep
+    // exactly its two K-bounded centroid collects.
+    def src(f: String): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"src/main/scala/graft/queries/$f")))
+    assert(!src("Dedup.scala").contains(".collect()"))
+    assert(".collect()".r.unanchored.findAllMatchIn(src("Similarity.scala")).size <= 2)
+  }
+
   test("persist() serves rescans from memory (Material/tuplestore analogue)") {
     import org.apache.spark.sql.functions.col
     val df = Tables.t(spark, sf, "supplier")
