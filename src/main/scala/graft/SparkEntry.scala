@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    CoreAgg, Joins, Windows, SetOpsMisc, ScalarFns, Events,
+    CoreAgg, Joins, Windows, SetOpsMisc, ScalarFns, ScalarParity, Events,
     Dedup, Similarity, TextOps, Multimodal, Advanced, SqlParity
   )
 

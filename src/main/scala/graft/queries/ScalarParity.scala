@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-2 per-function parity batch — the scalar families VERDICT r1
+  * ranked as the biggest remaining surface gap:
+  *
+  *  - `to_char` numeric/datetime template engine
+  *    (`/root/reference/src/backend/utils/adt/formatting.c:5995`) via the
+  *    custom codegen expressions in [[graft.functions.ToChar]];
+  *  - regex family (`src/backend/utils/adt/regexp.c:1503`):
+  *    extract-all, global replace, count, class escapes, word boundaries;
+  *  - string edge semantics (`varlena.c:5978`): split_part negative
+  *    index, overlay, translate, left/right, trim-with-charset;
+  *  - jsonpath / jsonb analogues (`jsonfuncs.c:5323`,
+  *    `jsonpath_exec.c:2347`): nested/array path extraction,
+  *    `jsonb_each` / `json_array_elements` via from_json + explode,
+  *    key listing, containment.
+  *
+  * All plan-side built-ins or plan-time-compiled custom expressions — no
+  * UDFs, whole-stage codegen intact throughout.
+  */
+object ScalarParity extends QueryModule {
+
+  /** The same JSON document built character-identically in both engines
+    * (the test tables carry only flat JSON, so nested/array paths are
+    * exercised on a constructed doc). */
+  private def jCol: Column = concat(
+    lit("{\"id\": "), col("c_custkey"),
+    lit(", \"seg\": \""), col("c_mktsegment"),
+    lit("\", \"tags\": [\"t"), pmod(col("c_custkey"), lit(3)),
+    lit("\", \"t"), pmod(col("c_custkey"), lit(5)),
+    lit("\"], \"meta\": {\"nation\": "), col("c_nationkey"),
+    lit(", \"vip\": "), (col("c_acctbal") > 5000).cast("string"), lit("}}"))
+
+  private val jSql: String =
+    """'{"id": ' || c_custkey || ', "seg": "' || c_mktsegment ||
+      |'", "tags": ["t' || (c_custkey % 3) || '", "t' || (c_custkey % 5) ||
+      |'"], "meta": {"nation": ' || c_nationkey ||
+      |', "vip": ' || CAST(c_acctbal > 5000 AS VARCHAR) || '}}'""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // to_char template engine: numeric 9/0/,/./FM/MI/PR + date tokens.
+    "q_to_char_patterns" -> ((s, dir) => {
+      graft.functions.ToChar.register(s)
+      t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          expr("to_char_num(o_totalprice, '999,999.00')").as("p_grouped"),
+          expr("to_char_num(o_totalprice, 'FM999,999.00')").as("p_fm"),
+          expr("to_char_num(o_totalprice, '0000000.00')").as("p_zero"),
+          expr("to_char_num(-o_totalprice, '999,999.99MI')").as("p_mi"),
+          expr("to_char_num(o_totalprice - 151000.0, '999,999.00PR')").as("p_pr"),
+          expr("to_char_num(o_orderkey, 'FM9,999,999')").as("p_int"),
+          expr("to_char_dt(o_orderdate, 'YYYY-MM-DD')").as("d_iso"),
+          expr("to_char_dt(o_orderdate, 'DD Mon YYYY')").as("d_mon"),
+          expr("to_char_dt(o_orderdate, 'Day')").as("d_day"),
+          expr("to_char_dt(o_orderdate, 'Q-DDD')").as("d_qddd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // to_char time-of-day tokens over real (non-midnight) timestamps.
+    "q_to_char_time" -> ((s, dir) => {
+      graft.functions.ToChar.register(s)
+      t(s, dir, "events").filter(col("event_id") <= 500)
+        .select(col("event_id"),
+          expr("to_char_dt(ts, 'HH24:MI:SS')").as("t_hms"),
+          expr("to_char_dt(ts, 'HH12 AM')").as("t_12"),
+          expr("to_char_dt(ts, 'YYYY-MM-DD HH24:MI')").as("t_full"),
+          expr("to_char_dt(ts, 'Dy DDD')").as("t_dy"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Regex family: extract-all, anchored groups, global replace, count,
+    // alternation, \b word boundaries (Java regex here, RE2 in DuckDB —
+    // the subset used is semantically identical).
+    "q_regex_funcs" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          array_join(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), ",")
+            .as("words"),
+          size(expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("n_words"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_brand"), "[0-9]+", "N").as("brand_norm"),
+          expr("regexp_count(p_brand, '[0-9]')").cast("long").as("n_digits"),
+          col("p_type").rlike("^(ECONOMY|SMALL)").as("is_cheap_small"),
+          regexp_replace(col("p_name"), "\\bring\\b", "RING").as("ring_up"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // String edge semantics: negative split_part, overlay, translate,
+    // left/right, repeat, initcap, charset trim, starts/ends_with.
+    "q_string_funcs3" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          expr("split_part(c_name, '#', -1)").as("sp_last"),
+          expr("split_part(c_name, '#', 1)").as("sp_first"),
+          overlay(col("c_name"), lit("XXX"), lit(10), lit(3)).as("ovl"),
+          translate(col("c_name"), "0123456789", "abcdefghij").as("tr"),
+          concat(expr("left(c_name, 8)"), lit("|"),
+                 expr("right(c_name, 3)")).as("lr"),
+          repeat(col("c_mktsegment"), 2).as("rep"),
+          initcap(lower(col("c_mktsegment"))).as("ini"),
+          instr(col("c_name"), "#").cast("long").as("pos"),
+          ascii(col("c_mktsegment")).cast("long").as("asc"),
+          chr(lit(65) + pmod(col("c_custkey"), lit(26))).as("chr_"),
+          expr("trim(BOTH 'Cuser#01' FROM c_name)").as("btr"),
+          col("c_name").startsWith("Customer").as("sw"),
+          col("c_name").endsWith("1").as("ew"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // jsonpath scalars: nested object path, array-index path, boolean
+    // extraction, struct-typed parse, key listing, containment.
+    "q_json_funcs2" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .withColumn("j", jCol)
+        .select(col("c_custkey"),
+          get_json_object(col("j"), "$.meta.nation").cast("int").as("nat"),
+          get_json_object(col("j"), "$.tags[1]").as("tag1"),
+          (get_json_object(col("j"), "$.meta.vip") === "true").as("vip"),
+          from_json(col("j"), org.apache.spark.sql.types.StructType.fromDDL(
+              "seg STRING, meta STRUCT<nation: INT>"))
+            .getField("seg").as("seg2"),
+          array_join(expr("json_object_keys(get_json_object(j, '$.meta'))"), ",")
+            .as("meta_keys"),
+          array_contains(
+            expr("from_json(get_json_object(j, '$.tags'), 'array<string>')"),
+            "t1").as("has_t1"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // jsonb_each / json_array_elements analogues: one row per array
+    // element (posexplode) and per object entry (map explode).
+    "q_json_each" -> ((s, dir) => {
+      val base = t(s, dir, "customer").filter(col("c_custkey") <= 50)
+        .withColumn("j", jCol)
+      val tags = base.select(col("c_custkey"), lit("tag").as("kind"),
+          posexplode(expr("from_json(get_json_object(j, '$.tags'), 'array<string>')"))
+            .as(Seq("k0", "v")))
+        .select(col("c_custkey"), col("kind"),
+                col("k0").cast("string").as("k"), col("v"))
+      val metas = base.select(col("c_custkey"), lit("meta").as("kind"),
+          explode(expr("from_json(get_json_object(j, '$.meta'), 'map<string,string>')"))
+            .as(Seq("k", "v")))
+      tags.unionByName(metas)
+        .orderBy(col("c_custkey"), col("kind"), col("k"))
+    })
+  )
+
+  /** DuckDB grouped 2-decimal rendering of a non-negative double (fmt
+    * refuses thousand separators on floats, so group the integer part). */
+  private def g2(x: String): String =
+    s"format('{:,}', CAST(split_part(printf('%.2f', $x), '.', 1) AS BIGINT))" +
+      s" || '.' || split_part(printf('%.2f', $x), '.', 2)"
+
+  val oracle: Map[String, String] = Map(
+    "q_to_char_patterns" ->
+      s"""SELECT o_orderkey,
+         |  lpad(${g2("o_totalprice")}, 11, ' ') AS p_grouped,
+         |  ${g2("o_totalprice")} AS p_fm,
+         |  ' ' || printf('%010.2f', o_totalprice) AS p_zero,
+         |  lpad(${g2("o_totalprice")}, 10, ' ') || '-' AS p_mi,
+         |  CASE WHEN o_totalprice - 151000.0 < 0
+         |    THEN '<' || lpad(${g2("151000.0 - o_totalprice")}, 10, ' ') || '>'
+         |    ELSE ' ' || lpad(${g2("o_totalprice - 151000.0")}, 10, ' ') || ' '
+         |  END AS p_pr,
+         |  format('{:,}', o_orderkey) AS p_int,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+         |  strftime(o_orderdate, '%d %b %Y') AS d_mon,
+         |  rpad(strftime(o_orderdate, '%A'), 9, ' ') AS d_day,
+         |  CAST(quarter(o_orderdate) AS VARCHAR) || '-' ||
+         |    strftime(o_orderdate, '%j') AS d_qddd
+         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+
+    "q_to_char_time" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS t_hms,
+        |  strftime(CAST(ts AS TIMESTAMP), '%I %p') AS t_12,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M') AS t_full,
+        |  strftime(CAST(ts AS TIMESTAMP), '%a %j') AS t_dy
+        |FROM events WHERE event_id <= 500 ORDER BY event_id""".stripMargin,
+
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
+        |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_words,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_brand, '[0-9]+', 'N', 'g') AS brand_norm,
+        |  CAST(len(regexp_extract_all(p_brand, '[0-9]')) AS BIGINT) AS n_digits,
+        |  regexp_matches(p_type, '^(ECONOMY|SMALL)') AS is_cheap_small,
+        |  regexp_replace(p_name, '\bring\b', 'RING', 'g') AS ring_up
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin,
+
+    "q_string_funcs3" ->
+      """SELECT c_custkey,
+        |  split_part(c_name, '#', -1) AS sp_last,
+        |  split_part(c_name, '#', 1) AS sp_first,
+        |  substr(c_name, 1, 9) || 'XXX' || substr(c_name, 13) AS ovl,
+        |  translate(c_name, '0123456789', 'abcdefghij') AS tr,
+        |  left(c_name, 8) || '|' || right(c_name, 3) AS lr,
+        |  repeat(c_mktsegment, 2) AS rep,
+        |  upper(substr(lower(c_mktsegment), 1, 1)) ||
+        |    substr(lower(c_mktsegment), 2) AS ini,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS pos,
+        |  CAST(ascii(c_mktsegment) AS BIGINT) AS asc,
+        |  chr(65 + CAST(c_custkey % 26 AS INT)) AS chr_,
+        |  trim(c_name, 'Cuser#01') AS btr,
+        |  starts_with(c_name, 'Customer') AS sw,
+        |  ends_with(c_name, '1') AS ew
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "q_json_funcs2" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey, $jSql AS j
+         |  FROM customer WHERE c_custkey <= 200)
+         |SELECT c_custkey,
+         |  CAST(json_extract(j, '$$.meta.nation') AS INT) AS nat,
+         |  json_extract_string(j, '$$.tags[1]') AS tag1,
+         |  json_extract_string(j, '$$.meta.vip') = 'true' AS vip,
+         |  json_extract_string(j, '$$.seg') AS seg2,
+         |  array_to_string(json_keys(j, '$$.meta'), ',') AS meta_keys,
+         |  json_extract_string(j, '$$.tags[0]') = 't1' OR
+         |    json_extract_string(j, '$$.tags[1]') = 't1' AS has_t1
+         |FROM base ORDER BY c_custkey""".stripMargin,
+
+    "q_json_each" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey, $jSql AS j
+         |  FROM customer WHERE c_custkey <= 50),
+         |tags AS (
+         |  SELECT c_custkey, 'tag' AS kind, CAST(i.i AS VARCHAR) AS k,
+         |    json_extract_string(j, '$$.tags[' || i.i || ']') AS v
+         |  FROM base, (SELECT unnest(range(0, 2)) AS i) i),
+         |metas AS (
+         |  SELECT c_custkey, 'meta' AS kind, k.k AS k,
+         |    json_extract_string(j, '$$.meta.' || k.k) AS v
+         |  FROM base, (SELECT unnest(['nation', 'vip']) AS k) k)
+         |SELECT * FROM tags UNION ALL SELECT * FROM metas
+         |ORDER BY c_custkey, kind, k""".stripMargin
+  )
+}

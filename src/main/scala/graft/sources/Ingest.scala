@@ -51,7 +51,10 @@ object Ingest {
   }
 
   /** UPDATE ... WHERE as read-modify-rewrite: rows matching `where` get
-    * `set` applied; everything lands in a new table version. */
+    * `set` applied; everything lands in a new table version. Whole-table
+    * rewrite — the fallback for UNPARTITIONED tables; partitioned tables
+    * take [[updateWherePartitioned]] (O(touched partitions), the
+    * SplitUpdate parity path). */
   def updateWhere(spark: SparkSession, source: DataFrame, path: String,
                   where: Column, set: Map[String, Column]): DataFrame = {
     val updated = set.foldLeft(source) { case (df, (name, value)) =>
@@ -61,11 +64,87 @@ object Ingest {
     spark.read.parquet(path)
   }
 
-  /** DELETE ... WHERE as filter-rewrite. */
+  /** DELETE ... WHERE as filter-rewrite (unpartitioned fallback; see
+    * [[deleteWherePartitioned]]). */
   def deleteWhere(spark: SparkSession, source: DataFrame, path: String,
                   where: Column): DataFrame = {
     source.filter(!where || where.isNull).write
       .mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Run `body` with a SQL conf set, restoring the previous value after —
+    * never leaves session-global state behind. */
+  private def withConf[T](spark: SparkSession, key: String, value: String)
+                         (body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Partition-scoped UPDATE (SplitUpdate parity,
+    * `/root/reference/src/backend/executor/nodeSplitUpdate.c:169` routes
+    * only affected rows): the table at `path` is partitioned on `partCol`;
+    * only partitions that CONTAIN a matching row are rewritten, via
+    * dynamic partition overwrite. I/O cost is O(touched partitions) —
+    * untouched partition files are never read for the rewrite nor
+    * replaced. The touched-partition set is derived plan-side (semi-join),
+    * never collected to the driver. */
+  def updateWherePartitioned(spark: SparkSession, path: String, partCol: String,
+                             where: Column, set: Map[String, Column]): DataFrame = {
+    val table = spark.read.parquet(path)
+    val touched = table.filter(where).select(col(partCol)).distinct()
+    val affected = table.join(touched, Seq(partCol), "left_semi")
+    val updated = set.foldLeft(affected) { case (df, (name, value)) =>
+      df.withColumn(name, when(where, value).otherwise(col(name)))
+    }
+    // materialize the rewritten partitions before overwriting the path we
+    // read them from (bounded: touched partitions only). A catalog-table
+    // INSERT OVERWRITE has no such read-write cycle; this harness is
+    // path-based.
+    updated.persist()
+    try {
+      updated.count()
+      withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+        updated.write.mode(SaveMode.Overwrite)
+          .partitionBy(partCol).parquet(path)
+      }
+    } finally updated.unpersist()
+    spark.read.parquet(path)
+  }
+
+  /** Partition-scoped DELETE: rewrite only partitions holding matching
+    * rows; untouched partitions keep their files byte-for-byte. */
+  def deleteWherePartitioned(spark: SparkSession, path: String, partCol: String,
+                             where: Column): DataFrame = {
+    val table = spark.read.parquet(path)
+    val touched = table.filter(where).select(col(partCol)).distinct()
+    val kept = table.join(touched, Seq(partCol), "left_semi")
+      .filter(!where || where.isNull)
+    kept.persist()
+    try {
+      kept.count()
+      // dynamic overwrite replaces only partitions PRESENT in the output —
+      // a partition whose every row matched would silently survive. Those
+      // fully-emptied partition values (bounded by the partition count, a
+      // metadata-sized set) get their directories removed explicitly.
+      val emptied = touched
+        .join(kept.select(col(partCol)).distinct(), Seq(partCol), "left_anti")
+        .collect().map(_.get(0))
+      withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+        kept.write.mode(SaveMode.Overwrite)
+          .partitionBy(partCol).parquet(path)
+      }
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"$partCol=$v"), true)
+      }
+    } finally kept.unpersist()
     spark.read.parquet(path)
   }
 

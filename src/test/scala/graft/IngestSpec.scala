@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -88,6 +89,69 @@ class IngestSpec extends AnyFunSuite {
       spark, cust, dir, col("c_acctbal") < 0)
     val expected = cust.filter(col("c_acctbal") >= 0).count()
     assert(kept.count() == expected)
+  }
+
+  private def partFiles(dir: String): Map[String, Set[(String, Long)]] = {
+    // partition-dir -> set of (file, mtime): untouched partitions must
+    // keep EXACTLY these after a partition-scoped rewrite
+    val root = java.nio.file.Path.of(dir)
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p)).map { p =>
+        p.getFileName.toString ->
+          Files.list(p).iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .map(f => (f.getFileName.toString,
+                       Files.getLastModifiedTime(f).toMillis))
+            .toSet
+      }.toMap
+  }
+
+  test("partition-scoped UPDATE rewrites only the touched partitions") {
+    val dir = tmp("updpart")
+    val orders = Tables.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.Ingest.ctasPartitioned(spark, orders, dir, "o_year")
+    val before = partFiles(dir)
+    val updated = graft.sources.Ingest.updateWherePartitioned(
+      spark, dir, "o_year",
+      col("o_year") === 1996 && col("o_orderpriority") === "1-URGENT",
+      Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
+    val after = partFiles(dir)
+    // every partition except o_year=1996 keeps its exact files + mtimes
+    assert(before.keySet == after.keySet)
+    before.keys.filterNot(_ == "o_year=1996").foreach { p =>
+      assert(after(p) == before(p), s"partition $p was rewritten")
+    }
+    assert(after("o_year=1996") != before("o_year=1996"))
+    // row-level semantics: only matched rows changed, count preserved
+    assert(updated.count() == orders.count())
+    val changed = updated.join(orders.select(col("o_orderkey"),
+        col("o_totalprice").as("old_p")), "o_orderkey")
+      .filter(col("o_totalprice") =!= col("old_p")).count()
+    assert(changed == orders.filter(col("o_year") === 1996 &&
+      col("o_orderpriority") === "1-URGENT").count())
+  }
+
+  test("partition-scoped DELETE leaves untouched partitions byte-identical") {
+    val dir = tmp("delpart")
+    val orders = Tables.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.Ingest.ctasPartitioned(spark, orders, dir, "o_year")
+    val before = partFiles(dir)
+    val kept = graft.sources.Ingest.deleteWherePartitioned(
+      spark, dir, "o_year",
+      col("o_year") === 1997 && col("o_orderkey") % 2 === 0)
+    val after = partFiles(dir)
+    before.keys.filterNot(_ == "o_year=1997").foreach { p =>
+      assert(after(p) == before(p), s"partition $p was rewritten")
+    }
+    assert(kept.count() == orders.filter(
+      !(col("o_year") === 1997 && col("o_orderkey") % 2 === 0)).count())
+    // fully-emptied partition: delete everything in 1995 -> dir must go
+    graft.sources.Ingest.deleteWherePartitioned(
+      spark, dir, "o_year", col("o_year") === 1995)
+    assert(!partFiles(dir).keySet.contains("o_year=1995"))
+    assert(spark.read.parquet(dir).filter(col("o_year") === 1995).count() == 0)
   }
 
   test("COPY out/in round-trips") {
