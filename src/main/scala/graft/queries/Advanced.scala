@@ -156,6 +156,38 @@ object Advanced extends QueryModule {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Parameterized hypothetical-set aggregates (orderedsetaggs.c:557):
+    // rank/dense_rank/percent_rank/cume_dist(v1, v2) WITHIN GROUP
+    // (ORDER BY k1, k2) over an arbitrary MULTI-key ordering, via the
+    // count-trick builder: rank = 1 + #rows lexicographically before the
+    // hypothetical row; dense_rank counts DISTINCT key prefixes;
+    // percent_rank = before/N; cume_dist = (beforeOrEqual+1)/(N+1).
+    // One aggregation pass, no window, no sort.
+    "q_hypothetical_set2" -> ((s, dir) => {
+      val keys: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
+        Seq(col("c_acctbal") -> lit(5000.0), col("c_custkey") -> lit(1000L))
+      // lexicographic "strictly before" / "before or equal" predicates
+      def lexBefore(ks: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
+                    orEqual: Boolean): org.apache.spark.sql.Column =
+        ks match {
+          case Seq((a, v)) => if (orEqual) a <= v else a < v
+          case (a, v) +: rest =>
+            (a < v) || (a === v && lexBefore(rest, orEqual))
+        }
+      val strictly = lexBefore(keys, orEqual = false)
+      val upTo = lexBefore(keys, orEqual = true)
+      t(s, dir, "customer").groupBy(col("c_mktsegment"))
+        .agg((sum(when(strictly, 1).otherwise(0)) + 1).as("hyp_rank"),
+             (countDistinct(when(strictly,
+                struct(keys.map(_._1): _*))) + 1).as("hyp_drank"),
+             round(sum(when(strictly, 1).otherwise(0)).cast("double") /
+                   count(lit(1)), 6).as("hyp_prank"),
+             round((sum(when(upTo, 1).otherwise(0)) + 1).cast("double") /
+                   (count(lit(1)) + 1), 6).as("hyp_cume"),
+             count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // HLL sketch as a first-class mergeable value (gp_hyperloglog):
     // per-nation sketches merged up to a region estimate. Sketch bits are
     // engine-specific -> rows-only check; the test suite asserts the
@@ -272,6 +304,26 @@ object Advanced extends QueryModule {
       """SELECT c_mktsegment,
         |  CAST(SUM(CASE WHEN c_acctbal < 5000.0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS hyp_rank_5000,
         |  CAST(SUM(CASE WHEN c_acctbal <= 5000.0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS hyp_dense_ub,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // DuckDB 1.0 has no hypothetical-set aggregates either — the oracle
+    // computes the same specification through its own aggregation engine
+    // (an independent implementation, which is what the gate checks).
+    "q_hypothetical_set2" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN c_acctbal < 5000.0
+        |      OR (c_acctbal = 5000.0 AND c_custkey < 1000)
+        |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS hyp_rank,
+        |  COUNT(DISTINCT CASE WHEN c_acctbal < 5000.0
+        |      OR (c_acctbal = 5000.0 AND c_custkey < 1000)
+        |    THEN (c_acctbal, c_custkey) END) + 1 AS hyp_drank,
+        |  ROUND(CAST(SUM(CASE WHEN c_acctbal < 5000.0
+        |      OR (c_acctbal = 5000.0 AND c_custkey < 1000)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hyp_prank,
+        |  ROUND(CAST(SUM(CASE WHEN c_acctbal < 5000.0
+        |      OR (c_acctbal = 5000.0 AND c_custkey <= 1000)
+        |    THEN 1 ELSE 0 END) + 1 AS DOUBLE) / (COUNT(*) + 1), 6) AS hyp_cume,
         |  COUNT(*) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 

@@ -20,6 +20,30 @@ import graft.Tables._
   */
 object Windows extends QueryModule {
 
+  /** Parameterized GROUPS-frame emulation (Spark has no GROUPS mode;
+    * reference `nodeWindowAgg.c:1406-1646` does): sum of `o_totalprice`
+    * day-groups within `GROUPS nPrec PRECEDING AND nFoll FOLLOWING` of the
+    * current row's peer group. Peer groups aggregate FIRST (one shuffle),
+    * dense_rank indexes them, and a rank-band join assembles frames —
+    * cost is O(groups x band width), independent of rows per group. */
+  private def groupsFrameSum(orders: DataFrame, nPrec: Int, nFoll: Int): DataFrame = {
+    val grp = orders
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+              col("o_totalprice"))
+      .groupBy(col("o_custkey"), col("d"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("day_total"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+    val ranked = grp.withColumn("dr", dense_rank().over(w))
+    val a = ranked.select(col("o_custkey"), col("d"), col("dr"))
+    val b = ranked.select(col("o_custkey").as("ck2"), col("dr").as("dr2"),
+                          col("day_total"))
+    a.join(b, col("o_custkey") === col("ck2") &&
+              col("dr2") >= col("dr") - nPrec && col("dr2") <= col("dr") + nFoll)
+      .groupBy(col("o_custkey"), col("d"))
+      .agg(sum(col("day_total")).cast("double").as("groups_sum"))
+      .orderBy(col("o_custkey"), col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ranking family over a deterministic order (ties broken by custkey).
     "q_window_rank" -> ((s, dir) => {
@@ -165,6 +189,44 @@ object Windows extends QueryModule {
         .orderBy(col("o_custkey"), col("d"))
     }),
 
+    // Generalized GROUPS frame (nodeWindowAgg.c:1406): GROUPS 2 PRECEDING
+    // AND 1 FOLLOWING via the parameterized band-join builder — peer
+    // groups pre-aggregate once, dense_rank keys the band join, so frame
+    // evaluation is an equi-join on the partition key plus a rank-range
+    // predicate (no per-row window re-scan).
+    "q_window_groups_frame_n" -> ((s, dir) =>
+      groupsFrameSum(t(s, dir, "orders").filter(col("o_custkey") <= 30),
+        nPrec = 2, nFoll = 1)),
+
+    // EXCLUDE GROUP emulation over a full-partition frame: total minus the
+    // current row's whole peer group; empty frame (partition == one peer
+    // group) yields NULL. DuckDB runs the REAL `EXCLUDE GROUP` clause — a
+    // true semantics check of the emulation.
+    "q_window_exclude_group" -> ((s, dir) => {
+      val part = Window.partitionBy(col("c_nationkey"))
+      val peers = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_mktsegment"),
+          when(count(lit(1)).over(part) > count(lit(1)).over(peers),
+            (sum(col("c_acctbal").cast(Dec)).over(part) -
+             sum(col("c_acctbal").cast(Dec)).over(peers)).cast("double"))
+            .as("others_sum"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
+    // EXCLUDE TIES: drop the peers but KEEP the current row
+    // (frame - peer_group + current); never an empty frame.
+    "q_window_exclude_ties" -> ((s, dir) => {
+      val part = Window.partitionBy(col("c_nationkey"))
+      val peers = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_mktsegment"),
+          (sum(col("c_acctbal").cast(Dec)).over(part) -
+           sum(col("c_acctbal").cast(Dec)).over(peers) +
+           col("c_acctbal").cast(Dec)).cast("double").as("no_ties_sum"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
     // EXCLUDE CURRENT ROW emulation: full-partition sum minus this row.
     // DuckDB supports EXCLUDE natively, so the oracle uses the real clause
     // — a true semantics check of the emulation.
@@ -291,6 +353,37 @@ object Windows extends QueryModule {
         |FROM ranked a JOIN ranked b
         |  ON a.o_custkey = b.o_custkey AND abs(a.dr - b.dr) <= 1
         |GROUP BY a.o_custkey, a.d ORDER BY a.o_custkey, a.d""".stripMargin,
+
+    "q_window_groups_frame_n" ->
+      """WITH grp AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS day_total
+        |  FROM orders WHERE o_custkey <= 30 GROUP BY o_custkey, o_orderdate),
+        |ranked AS (
+        |  SELECT *, dense_rank() OVER (PARTITION BY o_custkey ORDER BY d) AS dr
+        |  FROM grp)
+        |SELECT a.o_custkey, a.d,
+        |  CAST(SUM(b.day_total) AS DOUBLE) AS groups_sum
+        |FROM ranked a JOIN ranked b
+        |  ON a.o_custkey = b.o_custkey
+        | AND b.dr >= a.dr - 2 AND b.dr <= a.dr + 1
+        |GROUP BY a.o_custkey, a.d ORDER BY a.o_custkey, a.d""".stripMargin,
+
+    "q_window_exclude_group" ->
+      """SELECT c_nationkey, c_custkey, c_mktsegment,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY c_nationkey ORDER BY c_mktsegment
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS DOUBLE) AS others_sum
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_window_exclude_ties" ->
+      """SELECT c_nationkey, c_custkey, c_mktsegment,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY c_nationkey ORDER BY c_mktsegment
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE TIES) AS DOUBLE) AS no_ties_sum
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin,
 
     "q_window_exclude_current" ->
       """SELECT c_nationkey, c_custkey,
