@@ -15,8 +15,9 @@ object Bench {
   private val headline = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q_agg_multi_distinct", "q_window_running", "q_events_sessionize",
-    "d_dedup_minhash_lsh", "d_dedup_embedding",
-    "s_ann_bruteforce_topk", "t_fingerprint")
+    "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_embedding",
+    "s_ann_bruteforce_topk", "s_ann_ivf_topk",
+    "m_decode_features", "q_to_char_patterns", "t_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -106,15 +106,17 @@ object Dedup extends QueryModule {
         .select(col("doc_id"),
           conv(substring(md5(col("word").cast("binary")), 1, 12), 16, 10)
             .cast("long").as("h"))
-      val bits = words.select(col("doc_id"),
-          posexplode(expr(
-            "transform(sequence(0, 47), j -> CASE WHEN shiftright(h, j) & 1 = 1 THEN 1 ELSE -1 END)"))
-          .as(Seq("j", "contrib")))
-      val sig = bits.groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("contrib")).as("w"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("w") >= 0, expr("shiftleft(1L, j)"))
-          .otherwise(0L)).as("sig"))
+      // all 48 bit-sums in ONE groupBy (the minhash trick): no 48x row
+      // explosion — word-hash rows shuffle once with map-side partial
+      // aggregation, 48 narrow long columns per doc.
+      val bitSums = (0 until 48).map(j =>
+        sum(when(expr(s"shiftright(h, $j) & 1 = 1"), 1).otherwise(-1)).as(s"s$j"))
+      val sig = words.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 48).map(j =>
+            when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("sig"))
       val banded = sig.select(col("doc_id"), col("sig"),
           explode(expr(
             "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b*12) & 4095 as key))"))

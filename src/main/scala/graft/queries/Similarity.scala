@@ -139,10 +139,11 @@ object Similarity extends QueryModule {
       // lexicographic struct(dist, idx) min.
       // call_function (not an expr string): array(lit...) is array<double>
       // directly, where SQL-literal doubles would parse as decimals.
+      // |v|^2 is constant per row, so the argmin only needs
+      // |c|^2 - 2 v.c — one codegen'd dot product per centroid.
       def distTo(c: Array[Double]): Column =
-        call_function("vec_norm_sq", col("v")) -
-          lit(2.0) * call_function("vec_dot", col("v"), array(c.map(lit(_)): _*)) +
-          lit(c.map(x => x * x).sum)
+        lit(c.map(x => x * x).sum) -
+          lit(2.0) * call_function("vec_dot", col("v"), array(c.map(lit(_)): _*))
       def cellCol(cs: Array[Array[Double]]): Column =
         array_min(array(cs.zipWithIndex.map { case (c, i) =>
           struct(distTo(c).as("d"), lit(i).as("i"))
