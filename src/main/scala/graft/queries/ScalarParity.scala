@@ -111,6 +111,71 @@ object ScalarParity extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // age() calendar decomposition (timestamp.c:6194) + justify_days /
+    // justify_hours arithmetic, over per-user event time spans. The PG
+    // algorithm borrows days from the EARLIER timestamp's month; a single
+    // borrow always suffices (that month has >= day1 days), and months
+    // borrow at most one year. Oracle = DuckDB's NATIVE age().
+    "q_age_justify" -> ((s, dir) => {
+      val p = t(s, dir, "events").filter(col("user_id") <= 100)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t1"), max(col("ts")).as("t2"))
+      val us = 86400000000L
+      val tod1 = pmod(unix_micros(col("t1")), lit(us))
+      val tod2 = pmod(unix_micros(col("t2")), lit(us))
+      val sRaw = tod2 - tod1
+      val sBor = (sRaw < 0).cast("int")
+      val sFin = sRaw + sBor * us
+      val dRaw = dayofmonth(col("t2")) - dayofmonth(col("t1")) - sBor
+      val dBor = (dRaw < 0).cast("int")
+      val dFin = dRaw + dBor * dayofmonth(last_day(col("t1")))
+      val mRaw = month(col("t2")) - month(col("t1")) - dBor
+      val mBor = (mRaw < 0).cast("int")
+      p.select(col("user_id"),
+          (year(col("t2")) - year(col("t1")) - mBor).as("years"),
+          (mRaw + mBor * 12).as("months"),
+          dFin.as("days"),
+          (sFin / 3600000000L).cast("int").as("hours"),
+          (pmod(sFin, lit(3600000000L)) / 60000000L).cast("int").as("minutes"),
+          // justify_hours / justify_days on the flat hour span
+          // (Column./ is double division — truncate back to whole hours)
+          ((unix_micros(col("t2")) - unix_micros(col("t1"))) / 3600000000L)
+            .cast("long").as("th"))
+        .withColumn("jh_days", (col("th") / 24).cast("long"))
+        .withColumn("jh_hours", pmod(col("th"), lit(24L)))
+        .withColumn("jd_months", (col("th") / 24 / 30).cast("long"))
+        .withColumn("jd_days", pmod((col("th") / 24).cast("long"), lit(30L)))
+        .drop("th")
+        .orderBy(col("user_id"))
+    }),
+
+    // to_number / to_date: the parsing half of formatting.c. Strings are
+    // RENDERED by the to_char engine, then parsed back — the round-trip
+    // must reproduce the source value exactly in both engines.
+    "q_to_number_roundtrip" -> ((s, dir) => {
+      graft.functions.ToChar.register(s)
+      val monFmt = graft.functions.ToCharFormat.toSparkDatetime("DD Mon YYYY")
+      t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .withColumn("s_num", expr("to_char_num(o_totalprice, '999,999.00')"))
+        .withColumn("s_mi", expr("to_char_num(-o_totalprice, '999,999.99MI')"))
+        .withColumn("s_date", expr("to_char_dt(o_orderdate, 'YYYY-MM-DD')"))
+        .withColumn("s_mon", expr("to_char_dt(o_orderdate, 'DD Mon YYYY')"))
+        .select(col("o_orderkey"),
+          regexp_replace(col("s_num"), "[ ,]", "").cast("double").as("n_back"),
+          (regexp_replace(col("s_num"), "[ ,]", "").cast("double")
+            === col("o_totalprice")).as("n_exact"),
+          (when(col("s_mi").endsWith("-"),
+              -regexp_replace(expr("substring(s_mi, 1, length(s_mi)-1)"),
+                "[ ,]", "").cast("double"))
+            .otherwise(regexp_replace(col("s_mi"), "[ ,-]", "").cast("double")))
+            .as("mi_back"),
+          to_date(col("s_date"), "yyyy-MM-dd").as("d_back"),
+          to_date(col("s_mon"), monFmt).as("mon_back"),
+          (to_date(col("s_mon"), monFmt)
+            === col("o_orderdate").cast("date")).as("d_exact"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // jsonpath scalars: nested object path, array-index path, boolean
     // extraction, struct-typed parse, key listing, containment.
     "q_json_funcs2" -> ((s, dir) => {
@@ -210,6 +275,44 @@ object ScalarParity extends QueryModule {
         |  starts_with(c_name, 'Customer') AS sw,
         |  ends_with(c_name, '1') AS ew
         |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "q_age_justify" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS t1,
+        |         CAST(max(ts) AS TIMESTAMP) AS t2
+        |  FROM events WHERE user_id <= 100 GROUP BY user_id),
+        |j AS (SELECT *,
+        |    date_diff('microsecond', t1, t2) // 3600000000 AS th FROM p)
+        |SELECT user_id,
+        |  CAST(date_part('year', age(t2, t1)) AS INT) AS years,
+        |  CAST(date_part('month', age(t2, t1)) AS INT) AS months,
+        |  CAST(date_part('day', age(t2, t1)) AS INT) AS days,
+        |  CAST(date_part('hour', age(t2, t1)) AS INT) AS hours,
+        |  CAST(date_part('minute', age(t2, t1)) AS INT) AS minutes,
+        |  th // 24 AS jh_days, th % 24 AS jh_hours,
+        |  th // 24 // 30 AS jd_months, (th // 24) % 30 AS jd_days
+        |FROM j ORDER BY user_id""".stripMargin,
+
+    "q_to_number_roundtrip" ->
+      s"""WITH r AS (
+         |  SELECT o_orderkey, o_totalprice, o_orderdate,
+         |    lpad(${g2("o_totalprice")}, 11, ' ') AS s_num,
+         |    lpad(${g2("o_totalprice")}, 10, ' ') || '-' AS s_mi,
+         |    strftime(o_orderdate, '%Y-%m-%d') AS s_date,
+         |    strftime(o_orderdate, '%d %b %Y') AS s_mon
+         |  FROM orders WHERE o_orderkey <= 300)
+         |SELECT o_orderkey,
+         |  CAST(replace(trim(s_num), ',', '') AS DOUBLE) AS n_back,
+         |  CAST(replace(trim(s_num), ',', '') AS DOUBLE) = o_totalprice AS n_exact,
+         |  CASE WHEN s_mi LIKE '%-'
+         |    THEN -CAST(replace(trim(substr(s_mi, 1, length(s_mi) - 1)), ',', '') AS DOUBLE)
+         |    ELSE CAST(replace(replace(trim(s_mi), ',', ''), '-', '') AS DOUBLE)
+         |  END AS mi_back,
+         |  CAST(strptime(s_date, '%Y-%m-%d') AS DATE) AS d_back,
+         |  CAST(strptime(s_mon, '%d %b %Y') AS DATE) AS mon_back,
+         |  CAST(strptime(s_mon, '%d %b %Y') AS DATE)
+         |    = CAST(o_orderdate AS DATE) AS d_exact
+         |FROM r ORDER BY o_orderkey""".stripMargin,
 
     "q_json_funcs2" ->
       s"""WITH base AS (

@@ -97,6 +97,42 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Full-text search — the reference's tsvector/tsquery surface
+    // (`/root/reference/src/backend/tsearch/`, `tsvector_op.c:2691`,
+    // `tsrank.c`), shaped for an LLM corpus: AND-match on query terms
+    // (plainto_tsquery analogue) + a ts_rank-style score. The score uses
+    // tf saturation tf/(tf+1) per term and RATIONAL length normalization
+    // 1/(1 + n_words/100) — deliberately no transcendental calls, so both
+    // engines compute bit-identical doubles. Top-20 via bounded top-k.
+    "t_fts_rank" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def tf(term: String) =
+        size(filter(words, w => w === term)).cast("double")
+      val score =
+        round((tf("hash") / (tf("hash") + 1) + tf("join") / (tf("join") + 1)) /
+              (lit(1.0) + size(words) / lit(100.0)), 6)
+      t(s, dir, "documents")
+        .withColumn("tf_hash", tf("hash").cast("int"))
+        .withColumn("tf_join", tf("join").cast("int"))
+        .filter(col("tf_hash") > 0 && col("tf_join") > 0) // AND semantics
+        .withColumn("score", score)
+        .select(col("doc_id"), col("tf_hash"), col("tf_join"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Phrase search: adjacency via word-boundary regex over the
+    // space-joined text (tsquery <-> FOLLOWED BY analogue).
+    "t_fts_phrase" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_phrase",
+          regexp_count(col("text"), lit("\\bhash join\\b")).cast("int"))
+        .filter(col("n_phrase") > 0)
+        .select(col("doc_id"), col("n_phrase"),
+          instr(col("text"), "hash join").as("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprint-based dup grouping: docs sharing a fingerprint.
     "t_fingerprint_groups" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -170,6 +206,27 @@ object TextOps extends QueryModule {
       s"""SELECT doc_id, $fpSql AS fingerprint,
          |  $fpSql % 997 AS fp_bucket
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_fts_rank" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x = 'hash')) AS INT) AS tf_hash,
+        |    CAST(len(list_filter(w, x -> x = 'join')) AS INT) AS tf_join,
+        |    len(w) AS nw FROM d)
+        |SELECT doc_id, tf_hash, tf_join,
+        |  ROUND((CAST(tf_hash AS DOUBLE) / (tf_hash + 1) +
+        |         CAST(tf_join AS DOUBLE) / (tf_join + 1))
+        |        / (1.0 + CAST(nw AS DOUBLE) / 100.0), 6) AS score
+        |FROM s WHERE tf_hash > 0 AND tf_join > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t_fts_phrase" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\bhash join\b')) AS INT) AS n_phrase,
+        |  CAST(strpos(text, 'hash join') AS INT) AS first_pos
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\bhash join\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint_groups" ->
       s"""WITH fp AS (SELECT doc_id, $fpSql AS fingerprint FROM documents),
