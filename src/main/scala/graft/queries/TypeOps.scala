@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** PG type-operator families beyond the scalar-function core —
+  * re-expressed as plan-side arithmetic (every one of these is a plain
+  * codegen'd expression; no UDFs, no custom types on the wire):
+  *
+  *  - `date_bin` / arbitrary-width time bucketing
+  *    (`/root/reference/src/backend/utils/adt/timestamp.c` date_bin;
+  *    oracle = DuckDB's NATIVE time_bucket with origin);
+  *  - range types (`utils/adt/rangetypes.c`): half-open [lo, hi) ranges
+  *    as (lo, hi) pairs — overlap, containment, intersection, adjacency
+  *    in canonical form;
+  *  - inet/cidr (`utils/adt/network.c`): IPv4 as uint32 arithmetic —
+  *    dotted rendering, /24 network, broadcast, same-subnet joins;
+  *  - LIKE variants (`utils/adt/like.c`): ILIKE and ESCAPE.
+  */
+object TypeOps extends QueryModule {
+
+  /** 2024-01-01 00:30:00 UTC in epoch micros (bin origin). */
+  private val originUs = 1704069000000000L
+  private val binUs = 90L * 60 * 1000000 // 90 minutes
+
+  private def ipNum: Column =
+    (lit(10L * (1L << 24)) +
+      pmod(col("c_custkey"), lit(256)) * (1 << 16) +
+      col("c_nationkey") * 256 +
+      pmod(col("c_custkey") * 7, lit(251))).cast("long")
+
+  private val ipNumSql =
+    """(CAST(10 * 16777216 AS BIGINT) + (c_custkey % 256) * 65536
+      | + c_nationkey * 256 + (c_custkey * 7 % 251))""".stripMargin
+
+  private def dotted(ip: Column): Column = concat_ws(".",
+    (shiftright(ip, 24) % 256).cast("int"), (shiftright(ip, 16) % 256).cast("int"),
+    (shiftright(ip, 8) % 256).cast("int"), (ip % 256).cast("int"))
+
+  private def dottedSql(ip: String): String =
+    s"CAST(($ip >> 24) & 255 AS VARCHAR) || '.' || CAST(($ip >> 16) & 255 AS VARCHAR)" +
+      s" || '.' || CAST(($ip >> 8) & 255 AS VARCHAR) || '.' || CAST($ip & 255 AS VARCHAR)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // date_bin: floor events into 90-minute buckets anchored at an
+    // arbitrary origin (NOT a calendar unit — date_trunc can't express
+    // it). pmod keeps the delta floor-correct on either side of the
+    // origin; oracle is DuckDB's native time_bucket(width, ts, origin).
+    "q_date_bin" -> ((s, dir) => {
+      val delta = unix_micros(col("ts")) - originUs
+      val bin = timestamp_micros(lit(originUs) + (delta - pmod(delta, lit(binUs))))
+      t(s, dir, "events")
+        .withColumn("bin_start", bin)
+        .groupBy(col("bin_start"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("bin_start"))
+    }),
+
+    // Half-open [lo, hi) int ranges in canonical form: overlap,
+    // point containment, intersection (empty -> NULL pair), adjacency.
+    "q_range_ops" -> ((s, dir) => {
+      val lo1 = pmod(col("o_orderkey"), lit(100)).cast("int")
+      val hi1 = lo1 + 10
+      val lo2 = pmod(col("o_custkey"), lit(100)).cast("int")
+      val hi2 = lo2 + 15
+      val overlaps = lo1 < hi2 && lo2 < hi1
+      t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          lo1.as("lo1"), hi1.as("hi1"), lo2.as("lo2"), hi2.as("hi2"),
+          overlaps.as("overlaps"),
+          (lo1 <= lit(42) && lit(42) < hi1).as("contains_42"),
+          when(overlaps, greatest(lo1, lo2)).as("ix_lo"),
+          when(overlaps, least(hi1, hi2)).as("ix_hi"),
+          (hi1 === lo2 || hi2 === lo1).as("adjacent"),
+          (least(lo1, lo2)).as("span_lo"), (greatest(hi1, hi2)).as("span_hi"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // IPv4-as-uint32 inet family: dotted text, /24 network + broadcast,
+    // subnet membership, and a same-subnet self-join aggregated per /24.
+    "q_inet_ops" -> ((s, dir) => {
+      val ip = ipNum
+      val net = ip - pmod(ip, lit(256)) // /24 network address
+      t(s, dir, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"),
+          dotted(ip).as("ip"),
+          dotted(net).as("network24"),
+          dotted(net + 255).as("broadcast24"),
+          (net === lit(10L * (1L << 24) + 5L * (1 << 16) + 3L * 256))
+            .as("in_10_5_3_0"),
+          pmod(ip, lit(256)).cast("int").as("host_part"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Same-/24 peer counts: the inet equi-join (network address is the
+    // join key — subnet matching is a hash join, never a range scan).
+    "q_inet_subnet_join" -> ((s, dir) => {
+      val base = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), ipNum.as("ip"))
+        .withColumn("net", col("ip") - pmod(col("ip"), lit(256)))
+      base.groupBy(col("net"))
+        .agg(count(lit(1)).as("n_hosts"),
+             countDistinct(col("ip")).as("n_distinct_ips"))
+        .filter(col("n_hosts") > 1)
+        .select(dotted(col("net")).as("network24"),
+                col("n_hosts"), col("n_distinct_ips"))
+        .orderBy(col("network24"))
+    }),
+
+    // ILIKE + LIKE ... ESCAPE (like.c): case-insensitive match and
+    // escaped literal % / _ wildcards.
+    "q_ilike_escape" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .withColumn("tagged", concat(lit("100%_"), col("c_mktsegment")))
+        .select(col("c_custkey"),
+          expr("c_name ILIKE 'customer#%'").as("ilike_hit"),
+          expr("c_mktsegment ILIKE '%ing%'").as("ilike_mid"),
+          expr("tagged LIKE '100\\\\%\\\\_%' ESCAPE '\\\\'").as("esc_hit"),
+          expr("tagged LIKE '100%' ESCAPE '\\\\'").as("esc_prefix"),
+          (!col("c_name").like("%Z%")).as("not_like"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_date_bin" ->
+      s"""SELECT time_bucket(INTERVAL '90 minutes', CAST(ts AS TIMESTAMP),
+         |    TIMESTAMP '2024-01-01 00:30:00') AS bin_start,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY bin_start ORDER BY bin_start""".stripMargin,
+
+    "q_range_ops" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey % 100 AS INT) AS lo1,
+        |  CAST(o_orderkey % 100 + 10 AS INT) AS hi1,
+        |  CAST(o_custkey % 100 AS INT) AS lo2,
+        |  CAST(o_custkey % 100 + 15 AS INT) AS hi2,
+        |  o_orderkey % 100 < o_custkey % 100 + 15
+        |    AND o_custkey % 100 < o_orderkey % 100 + 10 AS overlaps,
+        |  o_orderkey % 100 <= 42 AND 42 < o_orderkey % 100 + 10 AS contains_42,
+        |  CASE WHEN o_orderkey % 100 < o_custkey % 100 + 15
+        |        AND o_custkey % 100 < o_orderkey % 100 + 10
+        |    THEN CAST(greatest(o_orderkey % 100, o_custkey % 100) AS INT) END AS ix_lo,
+        |  CASE WHEN o_orderkey % 100 < o_custkey % 100 + 15
+        |        AND o_custkey % 100 < o_orderkey % 100 + 10
+        |    THEN CAST(least(o_orderkey % 100 + 10, o_custkey % 100 + 15) AS INT) END AS ix_hi,
+        |  o_orderkey % 100 + 10 = o_custkey % 100
+        |    OR o_custkey % 100 + 15 = o_orderkey % 100 AS adjacent,
+        |  CAST(least(o_orderkey % 100, o_custkey % 100) AS INT) AS span_lo,
+        |  CAST(greatest(o_orderkey % 100 + 10, o_custkey % 100 + 15) AS INT) AS span_hi
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_inet_ops" ->
+      s"""WITH b AS (SELECT c_custkey, $ipNumSql AS ip FROM customer
+         |  WHERE c_custkey <= 300),
+         |n AS (SELECT c_custkey, ip, ip - (ip % 256) AS net FROM b)
+         |SELECT c_custkey,
+         |  ${dottedSql("ip")} AS ip,
+         |  ${dottedSql("net")} AS network24,
+         |  ${dottedSql("(net + 255)")} AS broadcast24,
+         |  net = CAST(10 * 16777216 + 5 * 65536 + 3 * 256 AS BIGINT)
+         |    AS in_10_5_3_0,
+         |  CAST(ip % 256 AS INT) AS host_part
+         |FROM n ORDER BY c_custkey""".stripMargin,
+
+    "q_inet_subnet_join" ->
+      s"""WITH b AS (SELECT c_custkey, $ipNumSql AS ip FROM customer
+         |  WHERE c_custkey <= 500),
+         |n AS (SELECT ip, ip - (ip % 256) AS net FROM b),
+         |g AS (SELECT net, COUNT(*) AS n_hosts,
+         |    COUNT(DISTINCT ip) AS n_distinct_ips
+         |  FROM n GROUP BY net HAVING COUNT(*) > 1)
+         |SELECT ${dottedSql("net")} AS network24, n_hosts, n_distinct_ips
+         |FROM g ORDER BY network24""".stripMargin,
+
+    "q_ilike_escape" ->
+      """SELECT c_custkey,
+        |  c_name ILIKE 'customer#%' AS ilike_hit,
+        |  c_mktsegment ILIKE '%ing%' AS ilike_mid,
+        |  ('100%_' || c_mktsegment) LIKE '100\%\_%' ESCAPE '\' AS esc_hit,
+        |  ('100%_' || c_mktsegment) LIKE '100%' ESCAPE '\' AS esc_prefix,
+        |  NOT (c_name LIKE '%Z%') AS not_like
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
+  )
+}

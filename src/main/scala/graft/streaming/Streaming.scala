@@ -45,6 +45,38 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Streaming exact dedup — the pipeline dedup operator in streaming
+    * form: dropDuplicates on the content key inside the stream. State is
+    * one entry per distinct key (bound it with a watermark on ts in
+    * production; here the finite file source drains completely). */
+  def streamingDedup(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val dedup = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "event_type")
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Stream-static join: the streaming fact joins a static dimension
+    * (broadcast per micro-batch — the reference's replicated-table join
+    * against a continuously-loading external table). */
+  def streamStaticJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val userDim = Tables.t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_total"))
+    val joined = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .join(userDim, "user_id")
+      .groupBy(col("user_id"), col("n_total"))
+      .agg(count(lit(1)).as("n_purchases"))
+    val q = joined.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Arbitrary stateful streaming: running per-user event counter via
     * mapGroupsWithState (reference analogue: none — additive). */
   def statefulUserCounts(spark: SparkSession, dir: String, name: String): DataFrame = {

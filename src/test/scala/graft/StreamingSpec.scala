@@ -18,6 +18,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("streaming dedup keeps exactly one row per (user, event_type)") {
+    val stream = graft.streaming.Streaming
+      .streamingDedup(spark, sf, "stream_dedup_spec")
+    val batchKeys = Tables.t(spark, sf, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(stream.count() == batchKeys)
+    // dedup keys are unique in the streamed output
+    assert(stream.groupBy("user_id", "event_type").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
+  }
+
+  test("stream-static join equals batch join") {
+    val stream = graft.streaming.Streaming
+      .streamStaticJoin(spark, sf, "stream_static_spec")
+      .collect().map(_.toSeq).toSet
+    val events = Tables.t(spark, sf, "events")
+    val dim = events.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_total"))
+    val batch = events
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .join(dim, "user_id")
+      .groupBy("user_id", "n_total")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_purchases"))
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stateful mapGroupsWithState counts equal batch groupBy") {
     val stream = graft.streaming.Streaming
       .statefulUserCounts(spark, sf, "stream_state_spec")
