@@ -38,6 +38,19 @@ object SqlParity extends QueryModule {
         |WHERE rnk <= 2
         |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
 
+    // Correlated scalar subqueries in the SELECT list (ORCA's
+    // Apply-to-join decorrelation, CSubqueryHandler): Catalyst rewrites
+    // both into left-outer aggregated joins; correlated COUNT(*) must
+    // yield 0 (not NULL) for empty groups — the classic COUNT-bug case.
+    "q_sql_verbatim_correlated" ->
+      """SELECT n_name,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000) AS n_rich,
+        |  (SELECT MAX(s_acctbal) FROM supplier s
+        |   WHERE s.s_nationkey = n.n_nationkey) AS max_supp_bal
+        |FROM nation n
+        |ORDER BY n_name""".stripMargin,
+
     "q_sql_verbatim_setop" ->
       """SELECT k, COUNT(*) AS n FROM (
         |  SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 8000

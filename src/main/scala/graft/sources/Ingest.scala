@@ -148,6 +148,40 @@ object Ingest {
     spark.read.parquet(path)
   }
 
+  /** MERGE INTO / upsert (PG15 MERGE, `nodeModifyTable.c` merge actions;
+    * the reference routes matched rows to UPDATE and unmatched source
+    * rows to INSERT). Spark-first: one left join decides matched-ness per
+    * target row (updateCols take the SOURCE value when matched), one
+    * anti join yields the inserts — a single shuffle on the key each,
+    * no driver-side row handling. Source and target must share a schema. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                keys: Seq[String], updateCols: Seq[String]): DataFrame = {
+    val target = spark.read.parquet(path)
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"merge schema mismatch: ${target.columns.toSeq} vs ${source.columns.toSeq}")
+    val src = source.columns.foldLeft(source)(
+      (df, c) => df.withColumnRenamed(c, s"__s_$c"))
+    val cond = keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
+    val matched = col(s"__s_${keys.head}").isNotNull
+    val updated = target.join(src, cond, "left").select(
+      target.columns.map { c =>
+        if (updateCols.contains(c))
+          when(matched, col(s"__s_$c")).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+    val inserts = source.join(
+      target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val out = updated.unionByName(inserts)
+    // materialize before overwriting the path the plan reads from
+    // (path-based harness; a catalog INSERT OVERWRITE has no cycle)
+    out.persist()
+    try {
+      out.count()
+      out.write.mode(SaveMode.Overwrite).parquet(path)
+    } finally out.unpersist()
+    spark.read.parquet(path)
+  }
+
   /** COPY TO (csv unload) and back. */
   def copyOutIn(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     df.write.mode(SaveMode.Overwrite)

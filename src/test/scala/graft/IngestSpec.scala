@@ -154,6 +154,28 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter(col("o_year") === 1995).count() == 0)
   }
 
+  test("MERGE INTO updates matched rows and inserts unmatched ones") {
+    val dir = tmp("merge")
+    val nation = Tables.t(spark, sf, "nation")
+    nation.write.mode("overwrite").parquet(dir)
+    // source: 3 existing keys with changed names + 2 brand-new keys
+    val source = nation.filter(col("n_nationkey") < 3)
+      .withColumn("n_name", concat(lit("UPD_"), col("n_name")))
+      .unionByName(nation.filter(col("n_nationkey") < 2)
+        .withColumn("n_nationkey", col("n_nationkey") + 1000)
+        .withColumn("n_name", lit("NEW_NATION")))
+    val merged = graft.sources.Ingest.mergeInto(
+      spark, dir, source, keys = Seq("n_nationkey"), updateCols = Seq("n_name"))
+    assert(merged.count() == nation.count() + 2)
+    assert(merged.filter(col("n_name").startsWith("UPD_")).count() == 3)
+    assert(merged.filter(col("n_name") === "NEW_NATION").count() == 2)
+    // untouched rows keep their names
+    assert(merged.filter(col("n_nationkey") >= 3 && col("n_nationkey") < 1000)
+      .join(nation.select(col("n_nationkey"), col("n_name").as("orig")),
+        "n_nationkey")
+      .filter(col("n_name") =!= col("orig")).count() == 0)
+  }
+
   test("COPY out/in round-trips") {
     val dir = tmp("copy")
     val nation = Tables.t(spark, sf, "nation")
