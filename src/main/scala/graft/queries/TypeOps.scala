@@ -102,10 +102,11 @@ object TypeOps extends QueryModule {
       base.groupBy(col("net"))
         .agg(count(lit(1)).as("n_hosts"),
              countDistinct(col("ip")).as("n_distinct_ips"))
-        .filter(col("n_hosts") > 1)
         .select(dotted(col("net")).as("network24"),
-                col("n_hosts"), col("n_distinct_ips"))
-        .orderBy(col("network24"))
+                col("n_hosts"), col("n_distinct_ips"),
+                (col("n_hosts") > 1).as("has_peers"))
+        .orderBy(col("n_hosts").desc, col("network24"))
+        .limit(50)
     }),
 
     // ILIKE + LIKE ... ESCAPE (like.c): case-insensitive match and
@@ -170,9 +171,10 @@ object TypeOps extends QueryModule {
          |n AS (SELECT ip, ip - (ip % 256) AS net FROM b),
          |g AS (SELECT net, COUNT(*) AS n_hosts,
          |    COUNT(DISTINCT ip) AS n_distinct_ips
-         |  FROM n GROUP BY net HAVING COUNT(*) > 1)
-         |SELECT ${dottedSql("net")} AS network24, n_hosts, n_distinct_ips
-         |FROM g ORDER BY network24""".stripMargin,
+         |  FROM n GROUP BY net)
+         |SELECT ${dottedSql("net")} AS network24, n_hosts, n_distinct_ips,
+         |  n_hosts > 1 AS has_peers
+         |FROM g ORDER BY n_hosts DESC, network24 LIMIT 50""".stripMargin,
 
     "q_ilike_escape" ->
       """SELECT c_custkey,
