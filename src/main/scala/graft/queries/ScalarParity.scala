@@ -111,6 +111,51 @@ object ScalarParity extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // FILTER (WHERE ...) aggregates (PG aggref->aggfilter), exact
+    // percentile_disc (first value with cume_dist >= p, = the
+    // ceil(p*n)-th sorted element), bit aggregates, and ordered DISTINCT
+    // array/string aggregation.
+    "q_agg_filter_disc" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("count(1) FILTER (WHERE l_quantity > 30)").as("n_big"),
+          expr(s"${graft.Tables.sqlDsum("l_extendedprice")}")
+            .as("sum_all"), // exact micros sum, shared convention
+          expr("""CAST(SUM(CAST(round(l_extendedprice * 1000000.0, 0) AS BIGINT))
+                 |  FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 1000000.0"""
+            .stripMargin).as("sum_discounted"),
+          expr("""element_at(array_sort(collect_list(l_quantity)),
+                 |  cast(ceil(0.5 * count(1)) as int))""".stripMargin)
+            .as("p50_disc"),
+          expr("""element_at(array_sort(collect_list(l_quantity)),
+                 |  cast(ceil(0.9 * count(1)) as int))""".stripMargin)
+            .as("p90_disc"),
+          expr("bit_and(cast(l_linenumber as int))").as("bits_and"),
+          expr("bit_or(cast(l_linenumber as int))").as("bits_or"),
+          expr("bit_xor(cast(l_linenumber as int))").as("bits_xor"),
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // EXTRACT field parity beyond year/month/day: ISO day-of-week,
+    // ISO week + ISO year (the year of the week's Thursday), century,
+    // decade — emulated arithmetically, checked against DuckDB's NATIVE
+    // isodow/week/isoyear/century/decade.
+    "q_extract_parts" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      val isodow = pmod(dayofweek(d) + 5, lit(7)) + 1
+      t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"), d.as("d"),
+          isodow.as("isodow"),
+          weekofyear(d).as("iso_week"),
+          year(date_add(d, lit(4) - isodow)).as("isoyear"),
+          (floor((year(d) - 1) / 100) + 1).cast("int").as("century"),
+          floor(year(d) / 10).cast("int").as("decade"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // age() calendar decomposition (timestamp.c:6194) + justify_days /
     // justify_hours arithmetic, over per-user event time spans. The PG
     // algorithm borrows days from the EARLIER timestamp's month; a single
@@ -275,6 +320,33 @@ object ScalarParity extends QueryModule {
         |  starts_with(c_name, 'Customer') AS sw,
         |  ends_with(c_name, '1') AS ew
         |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_filter_disc" ->
+      s"""SELECT l_returnflag,
+         |  CAST(COUNT(*) FILTER (WHERE l_quantity > 30) AS BIGINT) AS n_big,
+         |  ${sqlDsum("l_extendedprice")} AS sum_all,
+         |  CAST(SUM(CAST(round(l_extendedprice * 1000000.0, 0) AS BIGINT))
+         |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 1000000.0
+         |    AS sum_discounted,
+         |  list_sort(list(l_quantity))[CAST(ceil(0.5 * COUNT(*)) AS INT)]
+         |    AS p50_disc,
+         |  list_sort(list(l_quantity))[CAST(ceil(0.9 * COUNT(*)) AS INT)]
+         |    AS p90_disc,
+         |  CAST(bit_and(CAST(l_linenumber AS INT)) AS INT) AS bits_and,
+         |  CAST(bit_or(CAST(l_linenumber AS INT)) AS INT) AS bits_or,
+         |  CAST(bit_xor(CAST(l_linenumber AS INT)) AS INT) AS bits_xor,
+         |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+         |    AS statuses
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_extract_parts" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(isodow(o_orderdate) AS INT) AS isodow,
+        |  CAST(week(o_orderdate) AS INT) AS iso_week,
+        |  CAST(isoyear(o_orderdate) AS INT) AS isoyear,
+        |  CAST(century(o_orderdate) AS INT) AS century,
+        |  CAST(decade(o_orderdate) AS INT) AS decade
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
 
     "q_age_justify" ->
       """WITH p AS (
