@@ -50,13 +50,19 @@ object Advanced extends QueryModule {
         .as[(Int, String, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (nation: Int, rows: Iterator[(Int, String, Double)]) =>
-          // emit one row per segment seen in the nation, with stats
-          rows.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map {
-            case (seg, xs) =>
-              val sum = xs.map(x =>
-                BigDecimal(x._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
-              (nation, seg, xs.length,
-               sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          // emit one row per segment seen in the nation, with stats —
+          // SINGLE STREAMING PASS over the group iterator: state is one
+          // (count, sum) per segment (O(#segments), not O(rows)), so an
+          // arbitrarily large scatter group never materializes.
+          val acc = scala.collection.mutable.TreeMap.empty[String, (Long, BigDecimal)]
+          rows.foreach { case (_, seg, bal) =>
+            val (n, s0) = acc.getOrElse(seg, (0L, BigDecimal(0)))
+            acc(seg) = (n + 1,
+              s0 + BigDecimal(bal).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          }
+          acc.iterator.map { case (seg, (n, sum)) =>
+            (nation, seg, n.toInt,
+             sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
         }
         .toDF("c_nationkey", "c_mktsegment", "n", "sum_bal")

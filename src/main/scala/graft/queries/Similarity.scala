@@ -182,6 +182,26 @@ object Similarity extends QueryModule {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Int8 scalar quantization (the storage path for ANN at 100 TB: 4x
+    // smaller vectors, distance on int8 with one dequant multiply).
+    // Per-vector symmetric scale = max|x| / 127; reports the scale, the
+    // max reconstruction error, and an integer checksum of the codes —
+    // all per-row map-side expressions, no shuffle at all.
+    "s_quantize_int8" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / 127.0)
+        .withColumn("q",
+          transform(col("v"), x => round(x / col("scale")).cast("int")))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale6"),
+          round(array_max(zip_with(col("q"), col("v"),
+            (qi, x) => abs(qi * col("scale") - x))), 6).as("max_err"),
+          aggregate(col("q"), lit(0), (acc, qi) => acc + qi).as("q_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Per-label centroid + mean distance-to-centroid (cluster cohesion).
     // Element-wise mean is decimal-stabilized per (label, pos) so both
     // engines build the identical centroid.
@@ -262,6 +282,21 @@ object Similarity extends QueryModule {
         |  COUNT(*) AS n
         |FROM embeddings, (SELECT unnest(range(0, 8)) AS i) i
         |GROUP BY label, i.i ORDER BY label, pos""".stripMargin,
+
+    "s_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  ROUND(scale, 6) AS scale6,
+        |  ROUND(list_max([abs(qv[i] * scale - v[i]) FOR i IN range(1, len(v) + 1)]), 6)
+        |    AS max_err,
+        |  CAST(list_reduce(list_prepend(0, qv), (a, x) -> a + x) AS INT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "s_label_centroid_dist" ->
       """WITH e AS (
