@@ -119,6 +119,51 @@ object Multimodal extends QueryModule {
     }),
 
     // Format-level rollup: group multimodal assets by codec + size band.
+    // Perceptual-hash near-dup detection over the BINARY payload — the
+    // image-dedup pipeline stage (a real pHash would DCT the decoded
+    // pixels; the deterministic stand-in fingerprints byte 3-gram
+    // structure, which discriminates like a content hash). 63-bit
+    // signature: bin j = polynomial-3-gram % 63, bit set when the bin
+    // exceeds the uniform mean. 4x16-bit LSH bands guarantee FULL recall
+    // at Hamming <= 3 (pigeonhole), so the banded equi-join output equals
+    // the brute-force oracle exactly — candidate generation stays an
+    // equi-join at any corpus size.
+    "m_phash_dedup" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val sig = assets(s, dir).select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val hist = new Array[Int](63)
+            var i = 0
+            while (i + 3 < bytes.length) { // grams at 0..len-4 (ng = len-3)
+              val g = (((bytes(i) & 0xff) * 31 + (bytes(i + 1) & 0xff)) * 31 +
+                (bytes(i + 2) & 0xff)) % 63
+              hist(g) += 1
+              i += 1
+            }
+            val thr = (bytes.length - 3) / 63.0
+            var sigv = 0L
+            var j = 0
+            while (j < 63) { if (hist(j) > thr) sigv |= (1L << j); j += 1 }
+            (id, sigv)
+          }
+        }.toDF("doc_id", "sig")
+      val banded = sig.select(col("doc_id"), col("sig"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*16) & 65535 AS key))"))
+            .as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(expr("a.sig ^ b.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "m_format_stats" -> ((s, dir) => {
       assets(s, dir)
         .groupBy(col("meta.format").as("format"))
@@ -131,6 +176,28 @@ object Multimodal extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    // brute-force ground truth: banding at Hamming <= 3 has provably full
+    // recall (4 bands, <= 3 differing bits -> one band untouched), so the
+    // all-pairs check IS the LSH output.
+    "m_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS tot FROM documents),
+        |grams AS (SELECT doc_id, tot - 3 AS ng,
+        |    unnest(range(1, tot - 2)) AS i, text FROM d),
+        |bins AS (SELECT doc_id, any_value(ng) AS ng,
+        |    ((ord(text[i]) * 31 + ord(text[i+1])) * 31 + ord(text[i+2])) % 63 AS j,
+        |    COUNT(*) AS n
+        |  FROM grams
+        |  GROUP BY doc_id,
+        |    ((ord(text[i]) * 31 + ord(text[i+1])) * 31 + ord(text[i+2])) % 63),
+        |sig AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN n > ng / 63.0
+        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bins GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "m_asset_catalog" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_bytes,
