@@ -73,11 +73,21 @@ object Dedup extends QueryModule {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // exact verification on candidate docs only: distinct-shingle sets
-      // are built for the (tiny) candidate doc set, never the full corpus
+      // exact verification on candidate docs only: the candidate set
+      // prunes the documents scan BEFORE shingling (broadcast semi-join
+      // on the narrow table), so the explode+distinct for verification
+      // touches candidate docs only — at 100 TB the second pass over the
+      // corpus is candidate-sized, not corpus-sized
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val sh = raw.join(broadcast(candDocs), "doc_id").distinct()
+      val sh = t(s, dir, "documents")
+        .join(broadcast(candDocs), "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as("sh"))
+        .distinct()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
