@@ -114,6 +114,51 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // As-of join WITH TOLERANCE (pandas merge_asof tolerance; QuestDB
+    // ASOF): the matched purchase must lie within 1 hour of the error,
+    // else NULL. Same union trick — one shuffle on user_id, no range
+    // join — checked against DuckDB's NATIVE ASOF LEFT JOIN.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                lit(0).as("tag"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                lit(1).as("tag"), lit(null).cast("double").as("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = unix_micros(col("ts")) - unix_micros(col("asof_ts"))
+      purchases.unionAll(errors)
+        .withColumn("asof_value",
+          last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(w))
+        .withColumn("asof_ts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("event_id"),
+          when(gapUs <= 3600000000L, col("asof_value")).as("asof_value_1h"),
+          when(gapUs <= 3600000000L,
+            (gapUs / 1000000L).cast("long")).as("gap_s"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Aggregate FILTER clause as a WINDOW function (PG allows FILTER on
+    // aggregates over windows; Spark doesn't — emulated with when(),
+    // checked against DuckDB's NATIVE FILTER ... OVER).
+    "q_window_filter_agg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").filter(col("user_id") <= 30)
+        .select(col("user_id"), col("event_id"),
+          count(when(col("event_type") === "click", 1)).over(w)
+            .as("clicks_so_far"),
+          sum(when(col("event_type") === "purchase", col("value")).cast(Dec))
+            .over(w).cast("double").as("purchases_so_far"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Event funnel: users who did signup -> purchase in order.
     "q_events_funnel" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -229,6 +274,34 @@ object Events extends QueryModule {
         |    PARTITION BY user_id ORDER BY ts, tag, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         |FROM u QUALIFY tag = 1
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // NATIVE ASOF LEFT JOIN in the oracle — the union-trick emulation must
+    // reproduce DuckDB's dedicated operator exactly, tolerance applied on
+    // the microsecond gap.
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id,
+        |  CASE WHEN date_diff('microsecond', p.ts, e.ts) <= 3600000000
+        |    THEN p.value END AS asof_value_1h,
+        |  CASE WHEN date_diff('microsecond', p.ts, e.ts) <= 3600000000
+        |    THEN date_diff('microsecond', p.ts, e.ts) // 1000000 END AS gap_s
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "q_window_filter_agg" ->
+      """SELECT user_id, event_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') OVER w AS clicks_so_far,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6)))
+        |    FILTER (WHERE event_type = 'purchase') OVER w AS DOUBLE)
+        |    AS purchases_so_far
+        |FROM events WHERE user_id <= 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q_events_funnel" ->
