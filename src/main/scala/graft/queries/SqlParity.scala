@@ -51,6 +51,37 @@ object SqlParity extends QueryModule {
         |FROM nation n
         |ORDER BY n_name""".stripMargin,
 
+    // EXISTS / NOT EXISTS + IN subqueries in one verbatim text (semi/anti
+    // join planning from the SQL facade).
+    "q_sql_verbatim_exists" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_customers,
+        |  SUM(CASE WHEN EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END) AS n_urgent,
+        |  SUM(CASE WHEN c.c_nationkey IN (
+        |    SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        |    THEN 1 ELSE 0 END) AS n_region0
+        |FROM customer c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // Chained CTEs + window over an aggregate, one verbatim text.
+    "q_sql_verbatim_cte_window" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey, o_orderdate),
+        |ranked AS (
+        |  SELECT o_custkey, d, n_orders,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY n_orders DESC, d) AS rn
+        |  FROM daily)
+        |SELECT o_custkey, d, n_orders FROM ranked
+        |WHERE rn = 1 AND o_custkey <= 200
+        |ORDER BY o_custkey""".stripMargin,
+
     "q_sql_verbatim_setop" ->
       """SELECT k, COUNT(*) AS n FROM (
         |  SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 8000

@@ -66,6 +66,23 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
   }
 
+  test("phash dedup candidate generation is an equi-join, not a cross product") {
+    val p = planOf("m_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("FTS top-20 is a bounded TakeOrderedAndProject") {
+    val p = planOf("t_fts_rank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("date_bin aggregation plans map-side partials") {
+    val p = planOf("q_date_bin")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("no corpus-sized driver collect in the pipeline operators") {
     // the scale contract from VERDICT r1: candidate generation and kernels
     // run executor-side; the only driver round-trips allowed are K-bounded
