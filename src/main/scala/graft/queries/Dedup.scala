@@ -169,6 +169,25 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Entity-resolution dedup (fuzzy matching, the record-linkage family):
+    // block on the first two words (candidate generation = equi-join on
+    // the blocking key — the scale-critical property), then verify
+    // candidates with edit distance over a bounded prefix. levenshtein is
+    // a codegen'd built-in; the 60-char cap bounds the O(len^2) DP cost
+    // per pair regardless of document size.
+    "d_dedup_entity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+          substring(col("text"), 1, 60).as("head"))
+      d.as("a").join(d.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.head"), col("b.head")).as("edit_dist"))
+        .filter(col("edit_dist") <= 12)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Embedding-cosine near-dup pairs (exact all-pairs; the approximate
     // LSH-bucketed paths live in Similarity). Threshold on the ROUNDED
     // value so both engines make identical keep/drop decisions.
@@ -287,6 +306,17 @@ object Dedup extends QueryModule {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.source = b.source
         |WHERE ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.bg, b.bg))), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d_dedup_entity" ->
+      """WITH d AS (SELECT doc_id,
+        |    array_to_string((string_split(text, ' '))[1:2], ' ') AS blk,
+        |    substr(text, 1, 60) AS head
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d_dedup_embedding" ->
