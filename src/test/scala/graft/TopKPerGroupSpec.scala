@@ -34,6 +34,17 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(partialIdx > exchangeIdx, plan)
   }
 
+  test("global top-k (no group columns) plans AllTuples and matches orderBy+limit") {
+    val base = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val native = graft.plans.TopKPerGroup(base, Seq.empty,
+        Seq(("c_acctbal", true), ("c_custkey", false)), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val expected = base.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(5).collect().map(_.getLong(0)).toSet
+    assert(native == expected)
+  }
+
   test("ties and k larger than group size behave") {
     val sp = spark; import sp.implicits._
     val df = Seq((1, 10.0, 1L), (1, 10.0, 2L), (1, 5.0, 3L), (2, 1.0, 4L))
