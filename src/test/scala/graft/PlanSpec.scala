@@ -83,6 +83,34 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the Spark analogue of the reference's motion-level semi-join
+    // reduction: a bloom filter built from the selective dim side is
+    // pushed into the fact scan at runtime. At 100 TB this is the knob
+    // that keeps a 1%-selectivity join from shuffling the full fact table.
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ord = Tables.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.t(spark, sf, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan)
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no corpus-sized driver collect in the pipeline operators") {
     // the scale contract from VERDICT r1: candidate generation and kernels
     // run executor-side; the only driver round-trips allowed are K-bounded
