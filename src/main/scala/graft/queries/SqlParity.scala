@@ -67,6 +67,13 @@ object SqlParity extends QueryModule {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    // Modern GROUP BY ALL / ORDER BY ALL shorthand, one verbatim text.
+    "q_sql_verbatim_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
+
     // Chained CTEs + window over an aggregate, one verbatim text.
     "q_sql_verbatim_cte_window" ->
       """WITH daily AS (

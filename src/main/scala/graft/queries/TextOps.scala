@@ -41,25 +41,27 @@ object TextOps extends QueryModule {
     }),
 
     // Quality scoring: length/stopword/word-shape heuristics -> [0,1].
+    // Quality scoring in EXACT integer micros: every ratio is a rational
+    // k/n_words, and float rounding of such rationals can land exactly on
+    // a round-half boundary at any fixed scale (engines then disagree by
+    // 1 ulp — observed at sf0.1). Half-up integer division
+    // (2*10^6*k + n) div (2n) is bit-identical in any engine.
     "t_quality_score" -> ((s, dir) => {
       val words = split(col("text"), " ")
       t(s, dir, "documents")
-        .withColumn("n_words", size(words))
-        .withColumn("avg_word_len",
-          (length(col("text")) - size(words) + 1).cast("double") / size(words))
-        .withColumn("stop_ratio",
-          hitCount(words, stop("en")).cast("double") / size(words))
-        .withColumn("dup_word_ratio",
-          lit(1.0) - size(array_distinct(words)).cast("double") / size(words))
+        .withColumn("nw", size(words).cast("long"))
+        .withColumn("ch", length(col("text")).cast("long"))
+        .withColumn("k", hitCount(words, stop("en")).cast("long"))
+        .withColumn("dc", size(array_distinct(words)).cast("long"))
         .select(col("doc_id"),
-          col("n_words"),
-          round(col("avg_word_len"), 6).as("avg_word_len"),
-          round(col("stop_ratio"), 6).as("stop_ratio"),
-          round(col("dup_word_ratio"), 6).as("dup_word_ratio"),
-          round(
-            least(col("n_words").cast("double") / 100, lit(1.0)) * 0.4 +
-            (lit(1.0) - col("dup_word_ratio")) * 0.4 +
-            least(col("avg_word_len") / 8, lit(1.0)) * 0.2, 6).as("quality"))
+          col("nw").cast("int").as("n_words"),
+          expr("(2000000 * (ch - nw + 1) + nw) div (2 * nw)").as("awl_u"),
+          expr("(2000000 * k + nw) div (2 * nw)").as("stop_u"),
+          expr("(2000000 * (nw - dc) + nw) div (2 * nw)").as("dup_u"),
+          (least(col("nw"), lit(100L)) * 4000L +
+            expr("(800000 * dc + nw) div (2 * nw)") +
+            least(expr("(50000 * (ch - nw + 1) + nw) div (2 * nw)"),
+              lit(200000L))).as("quality_u"))
         .orderBy(col("doc_id"))
     }),
 
@@ -172,18 +174,18 @@ object TextOps extends QueryModule {
     "t_quality_score" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
          |m AS (SELECT doc_id,
-         |    len(w) AS n_words,
-         |    CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) AS avg_word_len,
-         |    CAST(${hitCountSql(stop("en"))} AS DOUBLE) / len(w) AS stop_ratio,
-         |    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_ratio
+         |    CAST(len(w) AS BIGINT) AS nw,
+         |    CAST(length(text) AS BIGINT) AS ch,
+         |    CAST(${hitCountSql(stop("en"))} AS BIGINT) AS k,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS dc
          |  FROM d)
-         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
-         |  ROUND(avg_word_len, 6) AS avg_word_len,
-         |  ROUND(stop_ratio, 6) AS stop_ratio,
-         |  ROUND(dup_word_ratio, 6) AS dup_word_ratio,
-         |  ROUND(least(CAST(n_words AS DOUBLE) / 100, 1.0) * 0.4 +
-         |        (1.0 - dup_word_ratio) * 0.4 +
-         |        least(avg_word_len / 8, 1.0) * 0.2, 6) AS quality
+         |SELECT doc_id, CAST(nw AS INT) AS n_words,
+         |  (2000000 * (ch - nw + 1) + nw) // (2 * nw) AS awl_u,
+         |  (2000000 * k + nw) // (2 * nw) AS stop_u,
+         |  (2000000 * (nw - dc) + nw) // (2 * nw) AS dup_u,
+         |  least(nw, 100) * 4000 +
+         |    (800000 * dc + nw) // (2 * nw) +
+         |    least((50000 * (ch - nw + 1) + nw) // (2 * nw), 200000) AS quality_u
          |FROM m ORDER BY doc_id""".stripMargin,
 
     "t_langid" ->

@@ -189,6 +189,25 @@ object Windows extends QueryModule {
         .orderBy(col("o_custkey"), col("d"))
     }),
 
+    // RANGE frame with a calendar-interval offset (nodeWindowAgg.c RANGE
+    // with offset on a timestamp ordering): trailing-7-day running totals.
+    // Only the SQL frame syntax can express interval offsets; DuckDB runs
+    // the same RANGE INTERVAL clause natively.
+    "q_window_range_interval" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          expr("""CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+                 |  PARTITION BY o_custkey ORDER BY o_orderdate
+                 |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+                 |AS DOUBLE)""".stripMargin).as("total_7d"),
+          expr("""COUNT(*) OVER (
+                 |  PARTITION BY o_custkey ORDER BY o_orderdate
+                 |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"""
+            .stripMargin).as("n_7d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Generalized GROUPS frame (nodeWindowAgg.c:1406): GROUPS 2 PRECEDING
     // AND 1 FOLLOWING via the parameterized band-join builder — peer
     // groups pre-aggregate once, dense_rank keys the band join, so frame
@@ -353,6 +372,18 @@ object Windows extends QueryModule {
         |FROM ranked a JOIN ranked b
         |  ON a.o_custkey = b.o_custkey AND abs(a.dr - b.dr) <= 1
         |GROUP BY a.o_custkey, a.d ORDER BY a.o_custkey, a.d""".stripMargin,
+
+    "q_window_range_interval" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS total_7d,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS n_7d
+        |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_groups_frame_n" ->
       """WITH grp AS (
