@@ -94,13 +94,16 @@ object Dedup extends QueryModule {
         .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
                            col("sa.sh") === col("sb.sh"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      // jaccard as half-up integer micros: i/u is an exact rational, and
+      // float ROUND can land exactly on a round-half boundary (engines
+      // then disagree by 1 ulp); integer division is bit-identical.
       inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .withColumn("u", col("sza") + col("szb") - col("inter"))
         .select(col("doc_a"), col("doc_b"),
-          round(col("inter").cast("double") /
-                (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+          expr("(2000000 * inter + u) div (2 * u)").as("jaccard_u"))
+        .filter(col("jaccard_u") >= 800000)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -159,13 +162,14 @@ object Dedup extends QueryModule {
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
+      // integer-micros jaccard, same rationale as the minhash variant
       inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .withColumn("u", col("sza") + col("szb") - col("inter"))
         .select(col("doc_a"), col("doc_b"),
-          round(col("inter").cast("double") /
-                (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+          expr("(2000000 * inter + u) div (2 * u)").as("jaccard_u"))
+        .filter(col("jaccard_u") >= 500000)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -286,26 +290,26 @@ object Dedup extends QueryModule {
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, list_distinct(
         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS sh
-        |  FROM d)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.8
+        |  FROM d),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+        |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS u
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, (2000000 * i + u) // (2 * u) AS jaccard_u
+        |FROM p WHERE (2000000 * i + u) // (2 * u) >= 800000
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d_dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, source, list_distinct(
         |    [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
-        |  FROM d)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.bg, b.bg))), 6) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.source = b.source
-        |WHERE ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.bg, b.bg))), 6) >= 0.5
+        |  FROM d),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS i,
+        |    CAST(len(list_distinct(list_concat(a.bg, b.bg))) AS BIGINT) AS u
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.source = b.source)
+        |SELECT doc_a, doc_b, (2000000 * i + u) // (2 * u) AS jaccard_u
+        |FROM p WHERE (2000000 * i + u) // (2 * u) >= 500000
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d_dedup_entity" ->
