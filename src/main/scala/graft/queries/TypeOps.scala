@@ -109,6 +109,25 @@ object TypeOps extends QueryModule {
         .limit(50)
     }),
 
+    // Null-safe comparison (IS [NOT] DISTINCT FROM — PG's null-aware
+    // equality, pervasive in upsert/dedup predicates). Spark's <=> is the
+    // same operator; NULLs injected from a CASE so every combination
+    // (val=val, val=NULL, NULL=NULL) occurs.
+    "q_null_safe_cmp" -> ((s, dir) => {
+      val a = when(col("c_acctbal") < 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal"))
+      val b = when(pmod(col("c_custkey"), lit(3)) === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal"))
+      t(s, dir, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"),
+          a.as("a"), b.as("b"),
+          (a <=> b).as("nsafe_eq"),
+          (!(a <=> b)).as("is_distinct"),
+          (a <=> lit(null)).as("a_is_null"),
+          (coalesce(a, lit(-1.0)) === coalesce(b, lit(-1.0))).as("coalesce_eq"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ILIKE + LIKE ... ESCAPE (like.c): case-insensitive match and
     // escaped literal % / _ wildcards.
     "q_ilike_escape" -> ((s, dir) => {
@@ -175,6 +194,18 @@ object TypeOps extends QueryModule {
          |SELECT ${dottedSql("net")} AS network24, n_hosts, n_distinct_ips,
          |  n_hosts > 1 AS has_peers
          |FROM g ORDER BY n_hosts DESC, network24 LIMIT 50""".stripMargin,
+
+    "q_null_safe_cmp" ->
+      """WITH v AS (SELECT c_custkey,
+        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS a,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS b
+        |  FROM customer WHERE c_custkey <= 300)
+        |SELECT c_custkey, a, b,
+        |  a IS NOT DISTINCT FROM b AS nsafe_eq,
+        |  a IS DISTINCT FROM b AS is_distinct,
+        |  a IS NOT DISTINCT FROM NULL AS a_is_null,
+        |  coalesce(a, -1.0) = coalesce(b, -1.0) AS coalesce_eq
+        |FROM v ORDER BY c_custkey""".stripMargin,
 
     "q_ilike_escape" ->
       """SELECT c_custkey,
