@@ -214,7 +214,10 @@ object Advanced extends QueryModule {
     // AssertOp (nodeAssertOp.c): runtime row-level invariant; violations
     // raise, valid rows pass through. Asserts the orders/customer FK here.
     // raise_error inside when() keeps the check fully codegen'd (no typed
-    // Dataset.map deserialization in the hot path).
+    // Dataset.map deserialization in the hot path). The aggregate counts
+    // the GUARDED column itself so column pruning cannot drop the check
+    // (count(lit(1)) would let Catalyst delete the whole CASE); on valid
+    // data the guarded value is never null, so the count is identical.
     "q_assert_op" -> ((s, dir) => {
       t(s, dir, "orders")
         .join(t(s, dir, "customer"),
@@ -223,7 +226,7 @@ object Advanced extends QueryModule {
             raise_error(concat(lit("assert violated: order "),
               col("o_orderkey"), lit(" has no customer"))))
           .otherwise(col("o_orderkey")).as("o_orderkey"))
-        .agg(count(lit(1)).as("n_orders_with_customer"))
+        .agg(count(col("o_orderkey")).as("n_orders_with_customer"))
     })
   )
 

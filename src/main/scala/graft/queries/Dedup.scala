@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -18,10 +18,126 @@ import graft.Tables._
   *  - SimHash: 48-bit signature, 4-band blocking (pigeonhole: any pair at
   *    Hamming distance <= 3 shares a band), verify with bit_count;
   *  - n-gram Jaccard: blocked pairwise compare inside small blocks;
-  *  - embedding cosine near-dup: brute-force within-threshold pairs (the
+  *  - embedding cosine near-dup: blocked all-pairs within threshold (the
   *    LSH-bucketed scale path lives in Similarity.scala).
+  *
+  * Hot-bucket discipline (the duplicate-heavy corpora these operators
+  * exist for): every banded pipeline FIRST collapses byte-identical
+  * payloads to one representative per digest group ([[digestGroups]]) —
+  * the dominant source of giant buckets — runs candidate generation over
+  * representatives only, and expands qualifying rep-pairs back to member
+  * pairs at the very end ([[expandPairs]]; similarity metrics depend only
+  * on the payload, so every member inherits its representative's value
+  * bit-exactly). Residual buckets of near-identical-but-distinct payloads
+  * are bounded by [[cappedBucketPairs]]: above `maxBucket` members a
+  * bucket degrades from all-pairs to a star around its minimum doc_id —
+  * O(c) candidates instead of O(c^2), still connecting every member to
+  * the duplicate cluster (union-find connectivity preserved).
   */
 object Dedup extends QueryModule {
+
+  /** Bucket-size bound for banded self-joins. Generous enough that honest
+    * buckets (distinct payloads sharing one LSH band) never hit it at any
+    * tested SF; an adversarial corpus degrades gracefully instead of
+    * producing an O(c^2) task. */
+  private[graft] val MaxBucket = 4096
+
+  /** Exact-payload pre-dedup: (doc_id, rep_id) membership, where rep_id is
+    * the minimum doc_id sharing this digest. One shuffle on the digest. */
+  private[graft] def digestGroups(docs: DataFrame, digest: Column): DataFrame = {
+    val members = docs.select(col("doc_id"), digest.as("dg"))
+    val reps = members.groupBy("dg").agg(min("doc_id").as("rep_id"))
+    members.join(reps, "dg").select(col("doc_id"), col("rep_id"))
+  }
+
+  /** Candidate pairs from a bucket table (columns: keys..., doc_id).
+    * Buckets holding <= maxBucket members emit all intra-bucket pairs
+    * (doc_a < doc_b); oversized buckets emit a star around the bucket's
+    * minimum doc_id — O(c) candidates, cluster connectivity preserved.
+    * The size/min aggregation shuffles on the same keys as the self-join,
+    * so the bucket scan's exchange is reused, not repeated. */
+  private[graft] def cappedBucketPairs(buckets: DataFrame, keys: Seq[String],
+                                       maxBucket: Int): DataFrame = {
+    val kc = keys.map(col)
+    val stats = buckets.groupBy(kc: _*)
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__bmin"))
+    val joined = buckets.join(stats, keys)
+    val small = joined.filter(col("__n") <= maxBucket)
+      .select((keys :+ "doc_id").map(col): _*)
+    val allPairs = small.as("a").join(small.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val star = joined
+      .filter(col("__n") > maxBucket && col("doc_id") =!= col("__bmin"))
+      .select(col("__bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.unionAll(star)
+  }
+
+  /** Expand rep-level qualifying pairs to member pairs. `memRep` maps every
+    * doc to its digest-group representative; `withinMembers` is the subset
+    * eligible for within-group pairs (identical payloads, so the metric is
+    * the identity value `selfValue`); cross-group members inherit their
+    * representatives' metric (payload-identical => metric-identical). */
+  private[graft] def expandPairs(memRep: DataFrame, withinMembers: DataFrame,
+                                 repPairs: DataFrame, valueName: String,
+                                 selfValue: Column): DataFrame = {
+    val cross = repPairs
+      .join(memRep.select(col("rep_id").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+      .join(memRep.select(col("rep_id").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+              greatest(col("ma"), col("mb")).as("doc_b"), col(valueName))
+    val within = withinMembers.as("x").join(withinMembers.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              selfValue.as(valueName))
+    cross.unionAll(within)
+  }
+
+  /** Representative-only view of a table: docs whose doc_id IS their
+    * group's rep_id (no extra shuffle — a filter on the membership map). */
+  private[graft] def repsOnly(docs: DataFrame, memRep: DataFrame): DataFrame =
+    docs.join(memRep.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id"), "doc_id")
+
+  /** MinHash-LSH candidate generation over representative docs: shingle ->
+    * 16 minhashes in one groupBy -> 8 bands -> capped bucket join.
+    * Factored out so the adversarial spec can assert the candidate count
+    * directly. */
+  private[graft] def minhashCandidates(repDocs: DataFrame,
+                                       maxBucket: Int): DataFrame = {
+    // raw shingles, NOT deduplicated: min() is insensitive to duplicate
+    // shingles, so minhashing skips the distinct-shuffle entirely.
+    // Docs with < 3 words have NO 3-shingles (oracle range(1, len-1) is
+    // empty): filter first — sequence(0, size-3) on a short doc would
+    // produce a descending [0,-1] index sequence and fail under ANSI.
+    val raw = repDocs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("sh"))
+    // all 16 minhashes in ONE aggregation pass (single shuffle on
+    // doc_id; no seed explode — 16x less shuffled data). Each shingle
+    // string is hashed once; the 16 permutations re-hash the resulting
+    // 8-byte long, not the ~50-byte string.
+    val hashed = raw.select(col("doc_id"), xxhash64(col("sh")).as("h64"))
+    val mhCols = (0 until 16).map(i =>
+      min(xxhash64(lit(i), col("h64"))).as(s"mh$i"))
+    val minhash = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // 8 bands x 2 rows: signature = the band's minhashes joined
+    val bandStructs = (0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig")))
+    val bands = minhash
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // NOTE: no cache here — Spark's ReusedExchange already shares the
+    // scan -> shingle -> minhash -> band subtree across consuming branches
+    // inside the single job; an explicit cache() measured 2.6x SLOWER
+    // (separate fill job + broken pipelining).
+    cappedBucketPairs(bands, Seq("band", "sig"), maxBucket).distinct()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: digest-groupBy; reports per-source doc vs distinct-text
@@ -36,43 +152,27 @@ object Dedup extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Cluster assignment — the O(n)-output scale path: every doc mapped to
+    // its exact-duplicate cluster (rep = min doc_id per content digest),
+    // instead of materializing O(c^2) duplicate PAIRS per cluster. This is
+    // what a 100 TB dedup job actually emits; the pair queries below are
+    // the audit/verification view.
+    "d_dedup_cluster_assign" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      digestGroups(docs, md5(col("text").cast("binary")))
+        .select(col("doc_id"), col("rep_id").as("cluster_id"),
+          (col("doc_id") =!= col("rep_id")).cast("int").as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash + LSH near-dup pairs, exact-verified at jaccard >= 0.8.
+    // Pipeline: exact pre-dedup -> rep-level LSH (capped buckets) ->
+    // exact verification on candidate reps -> expand to member pairs.
     "d_dedup_minhash_lsh" -> ((s, dir) => {
-      // raw shingles, NOT deduplicated: min() is insensitive to duplicate
-      // shingles, so minhashing skips the distinct-shuffle entirely.
-      // Docs with < 3 words have NO 3-shingles (oracle range(1, len-1) is
-      // empty): filter first — sequence(0, size-3) on a short doc would
-      // produce a descending [0,-1] index sequence and fail under ANSI.
-      val raw = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-          .as("sh"))
-      // all 16 minhashes in ONE aggregation pass (single shuffle on
-      // doc_id; no seed explode — 16x less shuffled data). Each shingle
-      // string is hashed once; the 16 permutations re-hash the resulting
-      // 8-byte long, not the ~50-byte string.
-      val hashed = raw.select(col("doc_id"), xxhash64(col("sh")).as("h64"))
-      val mhCols = (0 until 16).map(i =>
-        min(xxhash64(lit(i), col("h64"))).as(s"mh$i"))
-      val minhash = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-      // 8 bands x 2 rows: signature = the band's minhashes joined
-      val bandStructs = (0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig")))
-      val bands = minhash
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      // NOTE: no cache here — Spark's ReusedExchange already shares the
-      // scan -> shingle -> minhash -> band-join subtree across the three
-      // consuming branches inside the single job; an explicit cache()
-      // measured 2.6x SLOWER (separate fill job + broken pipelining).
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val docs = t(s, dir, "documents")
+      val memRep = digestGroups(docs, md5(col("text").cast("binary")))
+      val repDocs = repsOnly(docs, memRep)
+      val cand = minhashCandidates(repDocs, MaxBucket)
       // exact verification on candidate docs only: the candidate set
       // prunes the documents scan BEFORE shingling (broadcast semi-join
       // on the narrow table), so the explode+distinct for verification
@@ -80,7 +180,7 @@ object Dedup extends QueryModule {
       // corpus is candidate-sized, not corpus-sized
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val sh = t(s, dir, "documents")
+      val sh = docs
         .join(broadcast(candDocs), "doc_id")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
@@ -97,13 +197,20 @@ object Dedup extends QueryModule {
       // jaccard as half-up integer micros: i/u is an exact rational, and
       // float ROUND can land exactly on a round-half boundary (engines
       // then disagree by 1 ulp); integer division is bit-identical.
-      inter
+      val repPairs = inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
         .withColumn("u", col("sza") + col("szb") - col("inter"))
         .select(col("doc_a"), col("doc_b"),
           expr("(2000000 * inter + u) div (2 * u)").as("jaccard_u"))
         .filter(col("jaccard_u") >= 800000)
+      // identical texts: jaccard == 1 exactly — (2e6*u + u) div (2u) =
+      // 1000000 — but only docs with >= 3 words have shingles at all
+      // (matches the oracle's empty-list NULL-division dropout).
+      val eligible = docs.filter(size(split(col("text"), " ")) >= 3)
+        .select("doc_id")
+      expandPairs(memRep, memRep.join(eligible, "doc_id"), repPairs,
+          "jaccard_u", lit(1000000L))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -112,9 +219,13 @@ object Dedup extends QueryModule {
     // engine-independent digest), so the oracle reproduces the signatures
     // bit-exactly and brute-forces the same pair set — and 4 bands x 12
     // bits guarantee full recall at distance <= 3 (pigeonhole), making
-    // LSH output == brute force output exactly.
+    // LSH output == brute force output exactly. Same pre-dedup + capped
+    // buckets + expansion discipline as minhash (identical text =>
+    // identical signature => Hamming 0).
     "d_dedup_simhash" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
+      val docs = t(s, dir, "documents")
+      val memRep = digestGroups(docs, md5(col("text").cast("binary")))
+      val words = repsOnly(docs, memRep)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .select(col("doc_id"),
           conv(substring(md5(col("word").cast("binary")), 1, 12), 16, 10)
@@ -130,26 +241,32 @@ object Dedup extends QueryModule {
           (0 until 48).map(j =>
             when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
             .reduce(_ + _).as("sig"))
-      val banded = sig.select(col("doc_id"), col("sig"),
+      val banded = sig.select(col("doc_id"),
           explode(expr(
             "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b*12) & 4095 as key))"))
           .as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(expr("a.sig ^ b.sig")).as("hamming"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val repPairs = cappedBucketPairs(banded, Seq("band", "key"), MaxBucket)
         .distinct()
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(expr("sig_a ^ sig_b")).as("hamming"))
         .filter(col("hamming") <= 3)
+      expandPairs(memRep, memRep, repPairs, "hamming", lit(0).cast("int"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Word-bigram Jaccard inside same-source blocks (blocked pairwise).
+    // Word-bigram Jaccard inside same-source blocks (blocked pairwise),
+    // with exact pre-dedup chained in front: the bigram-intersection join
+    // runs over distinct (source, text) representatives only.
     "d_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val memRep = digestGroups(docs,
+        concat(md5(col("source").cast("binary")), md5(col("text").cast("binary"))))
       // < 2 words -> no bigrams (matches oracle's empty range); also keeps
       // sequence() ascending under ANSI mode (see minhash note above).
-      val bg = t(s, dir, "documents")
+      val bg = repsOnly(docs, memRep)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), col("source"), explode(expr(
@@ -163,32 +280,50 @@ object Dedup extends QueryModule {
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       // integer-micros jaccard, same rationale as the minhash variant
-      inter
+      val repPairs = inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
         .withColumn("u", col("sza") + col("szb") - col("inter"))
         .select(col("doc_a"), col("doc_b"),
           expr("(2000000 * inter + u) div (2 * u)").as("jaccard_u"))
         .filter(col("jaccard_u") >= 500000)
+      val eligible = docs.filter(size(split(col("text"), " ")) >= 2)
+        .select("doc_id")
+      expandPairs(memRep, memRep.join(eligible, "doc_id"), repPairs,
+          "jaccard_u", lit(1000000L))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Entity-resolution dedup (fuzzy matching, the record-linkage family):
-    // block on the first two words (candidate generation = equi-join on
-    // the blocking key — the scale-critical property), then verify
-    // candidates with edit distance over a bounded prefix. levenshtein is
-    // a codegen'd built-in; the 60-char cap bounds the O(len^2) DP cost
-    // per pair regardless of document size.
+    // block on (first two words, head-length band) — the length band
+    // de-Zipfs natural-language blocking keys ("the quick..."-class blocks
+    // split by length) and is provably lossless for this predicate: each
+    // doc lands in bands floor(len/16) and floor(len/16)+1, and
+    // levenshtein(a, b) <= 12 forces |len(a)-len(b)| <= 12 < 16, so every
+    // qualifying pair's band sets overlap. Candidates verified with edit
+    // distance over a bounded prefix (codegen'd levenshtein; the 60-char
+    // cap bounds the O(len^2) DP cost per pair regardless of document
+    // size). Exact pre-dedup on (blk, head) collapses identical prefixes
+    // (edit distance 0) before blocking.
     "d_dedup_entity" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
           substring(col("text"), 1, 60).as("head"))
-      d.as("a").join(d.as("b"),
-          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.head"), col("b.head")).as("edit_dist"))
+      val memRep = digestGroups(d,
+        concat(md5(col("blk").cast("binary")), md5(col("head").cast("binary"))))
+      val repD = repsOnly(d, memRep)
+      val banded = repD.select(col("doc_id"), col("blk"),
+        explode(expr("array(length(head) div 16, length(head) div 16 + 1)"))
+          .as("band"))
+      val repPairs = cappedBucketPairs(banded, Seq("blk", "band"), MaxBucket)
+        .distinct()
+        .join(repD.select(col("doc_id").as("doc_a"), col("head").as("ha")), "doc_a")
+        .join(repD.select(col("doc_id").as("doc_b"), col("head").as("hb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ha"), col("hb")).as("edit_dist"))
         .filter(col("edit_dist") <= 12)
+      expandPairs(memRep, memRep, repPairs, "edit_dist", lit(0).cast("int"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -262,6 +397,13 @@ object Dedup extends QueryModule {
         |  COUNT(DISTINCT md5(text)) AS n_unique,
         |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_dedup_cluster_assign" ->
+      """SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+        |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+        |    AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d_dedup_simhash" ->
       """WITH words AS (

@@ -129,15 +129,21 @@ object Events extends QueryModule {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("tag"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gapUs = unix_micros(col("ts")) - unix_micros(col("asof_ts"))
+      // Carry (ts, value) of the matched purchase in ONE struct so both
+      // fields always come from the SAME row — two independent
+      // last(..., ignoreNulls) windows would diverge from native ASOF when
+      // the latest purchase carries a NULL value (asof_ts would track the
+      // latest row while asof_value fell back to an earlier one).
+      val gapUs = unix_micros(col("ts")) -
+        unix_micros(col("asof_row").getField("ts"))
       purchases.unionAll(errors)
-        .withColumn("asof_value",
-          last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(w))
-        .withColumn("asof_ts",
-          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("asof_row",
+          last(when(col("tag") === 0, struct(col("ts"), col("value"))),
+            ignoreNulls = true).over(w))
         .filter(col("tag") === 1)
         .select(col("user_id"), col("event_id"),
-          when(gapUs <= 3600000000L, col("asof_value")).as("asof_value_1h"),
+          when(gapUs <= 3600000000L, col("asof_row").getField("value"))
+            .as("asof_value_1h"),
           when(gapUs <= 3600000000L,
             (gapUs / 1000000L).cast("long")).as("gap_s"))
         .orderBy(col("user_id"), col("event_id"))

@@ -127,10 +127,16 @@ object Multimodal extends QueryModule {
     // exceeds the uniform mean. 4x16-bit LSH bands guarantee FULL recall
     // at Hamming <= 3 (pigeonhole), so the banded equi-join output equals
     // the brute-force oracle exactly — candidate generation stays an
-    // equi-join at any corpus size.
+    // equi-join at any corpus size. Byte-identical payloads collapse to
+    // one representative before banding (Dedup.digestGroups) and expand
+    // back at the end (identical payload => identical signature =>
+    // Hamming 0); residual hot buckets are capped (Dedup.cappedBucketPairs).
     "m_phash_dedup" -> ((s, dir) => {
       val sp = s; import sp.implicits._
-      val sig = assets(s, dir).select(col("doc_id"), col("payload"))
+      val allAssets = assets(s, dir)
+      val memRep = Dedup.digestGroups(allAssets, md5(col("payload")))
+      val sig = Dedup.repsOnly(allAssets, memRep)
+        .select(col("doc_id"), col("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, bytes) =>
@@ -149,18 +155,19 @@ object Multimodal extends QueryModule {
             (id, sigv)
           }
         }.toDF("doc_id", "sig")
-      val banded = sig.select(col("doc_id"), col("sig"),
+      val banded = sig.select(col("doc_id"),
           explode(expr(
             "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*16) & 65535 AS key))"))
             .as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(expr("a.sig ^ b.sig")).as("hamming"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val repPairs = Dedup.cappedBucketPairs(banded, Seq("band", "key"), Dedup.MaxBucket)
         .distinct()
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(expr("sig_a ^ sig_b")).as("hamming"))
         .filter(col("hamming") <= 3)
+      Dedup.expandPairs(memRep, memRep, repPairs, "hamming", lit(0).cast("int"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -56,13 +56,13 @@ object SqlParity extends QueryModule {
     "q_sql_verbatim_exists" ->
       """SELECT c_mktsegment,
         |  COUNT(*) AS n_customers,
-        |  SUM(CASE WHEN EXISTS (
+        |  CAST(SUM(CASE WHEN EXISTS (
         |    SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey
-        |      AND o.o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END) AS n_urgent,
-        |  SUM(CASE WHEN c.c_nationkey IN (
+        |      AND o.o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(SUM(CASE WHEN c.c_nationkey IN (
         |    SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
-        |    THEN 1 ELSE 0 END) AS n_region0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_region0
         |FROM customer c
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,30 +61,58 @@ object Ingest {
     val updated = set.foldLeft(source) { case (df, (name, value)) =>
       df.withColumn(name, when(where, value).otherwise(col(name)))
     }
-    updated.write.mode(SaveMode.Overwrite).parquet(path)
-    spark.read.parquet(path)
+    replaceTable(spark, updated, path)
   }
 
   /** DELETE ... WHERE as filter-rewrite (unpartitioned fallback; see
     * [[deleteWherePartitioned]]). */
   def deleteWhere(spark: SparkSession, source: DataFrame, path: String,
                   where: Column): DataFrame = {
-    source.filter(!where || where.isNull).write
-      .mode(SaveMode.Overwrite).parquet(path)
+    replaceTable(spark, source.filter(!where || where.isNull), path)
+  }
+
+  /** Whole-table rewrite via stage + backup-swap: `df` (which may read
+    * `path`) writes to a staging dir, then directories swap — at every
+    * crash point the full table exists at `path` or `path.__bak`. */
+  private def replaceTable(spark: SparkSession, df: DataFrame,
+                           path: String): DataFrame = {
+    val staged = stageDir(path)
+    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val fs = fsOf(spark, path)
+    val dst = new Path(path)
+    val bak = new Path(path + ".__bak")
+    fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(staged, dst)
+    fs.delete(bak, true)
     spark.read.parquet(path)
   }
 
-  /** Run `body` with a SQL conf set, restoring the previous value after —
-    * never leaves session-global state behind. */
-  private def withConf[T](spark: SparkSession, key: String, value: String)
-                         (body: => T): T = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fresh sibling staging directory for a rewrite of `path`. DML plans
+    * write HERE while reading the live table, then directories swap into
+    * place — the plan never overwrites its own input (no persist/cache-loss
+    * recompute hazard) and a crash mid-write leaves the live table intact. */
+  private def stageDir(path: String): Path =
+    new Path(path + ".__stage_" +
+      java.util.UUID.randomUUID().toString.take(8))
+
+  /** Move every `partCol=value` child of `staged` into `dest`, replacing
+    * the previous partition directory — per-partition rename, so untouched
+    * partitions are never rewritten. Returns the staged partition names. */
+  private def swapPartitionDirs(fs: FileSystem, staged: Path, dest: Path,
+                                partCol: String): Set[String] = {
+    val dirs = fs.listStatus(staged)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+    dirs.foreach { st =>
+      val target = new Path(dest, st.getPath.getName)
+      fs.delete(target, true)
+      fs.rename(st.getPath, target)
     }
+    fs.delete(staged, true)
+    dirs.map(_.getPath.getName).toSet
   }
 
   /** Partition-scoped UPDATE (SplitUpdate parity,
@@ -102,18 +131,12 @@ object Ingest {
     val updated = set.foldLeft(affected) { case (df, (name, value)) =>
       df.withColumn(name, when(where, value).otherwise(col(name)))
     }
-    // materialize the rewritten partitions before overwriting the path we
-    // read them from (bounded: touched partitions only). A catalog-table
-    // INSERT OVERWRITE has no such read-write cycle; this harness is
-    // path-based.
-    updated.persist()
-    try {
-      updated.count()
-      withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
-        updated.write.mode(SaveMode.Overwrite)
-          .partitionBy(partCol).parquet(path)
-      }
-    } finally updated.unpersist()
+    // Stage the rewritten partitions beside the table, then swap each
+    // partition directory into place (only touched partitions move).
+    val staged = stageDir(path)
+    updated.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(staged.toString)
+    swapPartitionDirs(fsOf(spark, path), staged, new Path(path), partCol)
     spark.read.parquet(path)
   }
 
@@ -123,28 +146,20 @@ object Ingest {
                              where: Column): DataFrame = {
     val table = spark.read.parquet(path)
     val touched = table.filter(where).select(col(partCol)).distinct()
+    // touched-partition VALUES are metadata-sized (bounded by partition
+    // count) — collected before any mutation, while the table is pristine.
+    val touchedVals = touched.collect().map(r => s"$partCol=${r.get(0)}")
     val kept = table.join(touched, Seq(partCol), "left_semi")
       .filter(!where || where.isNull)
-    kept.persist()
-    try {
-      kept.count()
-      // dynamic overwrite replaces only partitions PRESENT in the output —
-      // a partition whose every row matched would silently survive. Those
-      // fully-emptied partition values (bounded by the partition count, a
-      // metadata-sized set) get their directories removed explicitly.
-      val emptied = touched
-        .join(kept.select(col(partCol)).distinct(), Seq(partCol), "left_anti")
-        .collect().map(_.get(0))
-      withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
-        kept.write.mode(SaveMode.Overwrite)
-          .partitionBy(partCol).parquet(path)
-      }
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, s"$partCol=$v"), true)
-      }
-    } finally kept.unpersist()
+    val staged = stageDir(path)
+    kept.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(staged.toString)
+    val fs = fsOf(spark, path)
+    val stagedNames = swapPartitionDirs(fs, staged, new Path(path), partCol)
+    // a touched partition whose EVERY row matched produces no staged dir —
+    // its live directory must be removed, or the deleted rows survive.
+    touchedVals.filterNot(stagedNames.contains)
+      .foreach(name => fs.delete(new Path(path, name), true))
     spark.read.parquet(path)
   }
 
@@ -159,6 +174,13 @@ object Ingest {
     val target = spark.read.parquet(path)
     require(target.columns.sorted.sameElements(source.columns.sorted),
       s"merge schema mismatch: ${target.columns.toSeq} vs ${source.columns.toSeq}")
+    // PG15 MERGE raises "cannot affect row a second time" on duplicate
+    // source keys; a bare left join would instead silently multiply
+    // matched target rows. One cheap agg job guards the invariant.
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      "MERGE source has duplicate keys — cannot affect a target row a second time")
     val src = source.columns.foldLeft(source)(
       (df, c) => df.withColumnRenamed(c, s"__s_$c"))
     val cond = keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
@@ -171,15 +193,7 @@ object Ingest {
       }: _*)
     val inserts = source.join(
       target.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val out = updated.unionByName(inserts)
-    // materialize before overwriting the path the plan reads from
-    // (path-based harness; a catalog INSERT OVERWRITE has no cycle)
-    out.persist()
-    try {
-      out.count()
-      out.write.mode(SaveMode.Overwrite).parquet(path)
-    } finally out.unpersist()
-    spark.read.parquet(path)
+    replaceTable(spark, updated.unionByName(inserts), path)
   }
 
   /** COPY TO (csv unload) and back. */

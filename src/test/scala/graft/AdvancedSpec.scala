@@ -22,17 +22,26 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
-  test("AssertOp raises on violated invariants") {
+  test("q_assert_op raises through the real query path on a violated FK") {
     val sp = spark; import sp.implicits._
-    val bad = Seq((1L, false), (2L, true)).toDF("id", "missing")
-      .as[(Long, Boolean)]
-      .map { case (id, missing) =>
-        if (missing) throw new IllegalStateException(s"assert violated: $id")
-        id
-      }
-    val e = intercept[org.apache.spark.SparkException] { bad.collect() }
-    assert(e.getMessage.contains("assert violated") ||
-           Option(e.getCause).exists(_.getMessage.contains("assert violated")))
+    val dir = java.nio.file.Files.createTempDirectory("assertop").toString
+    // order 101 references customer 999, which does not exist
+    Seq((100L, 1L), (101L, 999L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(1L)).toDF("c_custkey")
+      .write.parquet(s"$dir/customer.parquet")
+    val e = intercept[Throwable] {
+      SparkEntry.queries("q_assert_op")(spark, dir).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(chain.contains("assert violated: order 101"), chain)
+  }
+
+  test("q_assert_op passes valid data through (count survives pruning)") {
+    val got = SparkEntry.queries("q_assert_op")(spark, sf).head.getLong(0)
+    val expected = Tables.t(spark, sf, "orders").count()
+    assert(got == expected)
   }
 
   test("exact median Aggregator interpolates even-sized groups") {

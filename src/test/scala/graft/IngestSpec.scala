@@ -176,6 +176,21 @@ class IngestSpec extends AnyFunSuite {
       .filter(col("n_name") =!= col("orig")).count() == 0)
   }
 
+  test("MERGE INTO rejects duplicate source keys (PG 'affect row a second time')") {
+    val dir = tmp("mergedup")
+    val nation = Tables.t(spark, sf, "nation")
+    nation.write.mode("overwrite").parquet(dir)
+    val dupSource = nation.filter(col("n_nationkey") < 2)
+      .unionByName(nation.filter(col("n_nationkey") < 1))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Ingest.mergeInto(
+        spark, dir, dupSource, keys = Seq("n_nationkey"), updateCols = Seq("n_name"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // target untouched after the rejected merge
+    assert(spark.read.parquet(dir).count() == nation.count())
+  }
+
   test("COPY out/in round-trips") {
     val dir = tmp("copy")
     val nation = Tables.t(spark, sf, "nation")
