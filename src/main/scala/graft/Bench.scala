@@ -38,11 +38,18 @@ object Bench {
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
       .foreach(n => Tables.t(spark, sfDir, n).limit(1).collect())
 
+    // SPARK_GRAFT_BENCH_ONLY=comma,list restricts the set (local iteration).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val qs = headline.filter(SparkEntry.queries.contains)
-    // two runs per query, report the min: steady-state throughput (first
-    // run pays one-time whole-stage-codegen + JIT compilation).
+      .filter(n => only.forall(_.contains(n)))
+    // three runs per query, report the min: steady-state throughput (first
+    // run pays one-time whole-stage-codegen + JIT compilation; min-of-3
+    // keeps one contended run — GC pause, background load, shuffle-file
+    // pressure from the previous query — from poisoning the canonical
+    // record).
     val results = qs.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val n = try SparkEntry.queries(name)(spark, sfDir).collect().length
                 catch { case e: Throwable =>

@@ -291,13 +291,17 @@ object ToChar {
   /** Register `to_char_num` / `to_char_dt` for SQL + expr use.
     * Idempotent; call at the top of any query that needs them. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "to_char_num",
-      exprs => ToCharNumber(exprs(0), litStr(exprs(1), "to_char_num")),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "to_char_dt",
-      exprs => ToCharDateTime(exprs(0), litStr(exprs(1), "to_char_dt")),
-      "built-in")
+    val reg = spark.sessionState.functionRegistry
+    // exists-guard to avoid per-query "replaced" WARN spam (see VectorFns)
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("to_char_num"))) {
+      reg.createOrReplaceTempFunction(
+        "to_char_num",
+        exprs => ToCharNumber(exprs(0), litStr(exprs(1), "to_char_num")),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "to_char_dt",
+        exprs => ToCharDateTime(exprs(0), litStr(exprs(1), "to_char_dt")),
+        "built-in")
+    }
   }
 }

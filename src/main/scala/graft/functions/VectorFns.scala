@@ -107,9 +107,16 @@ object VectorFns {
   /** Register `vec_dot` / `vec_norm_sq` for SQL + `expr(...)` use.
     * Idempotent; call at the top of any query that needs them. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_norm_sq", exprs => NormSq(exprs.head), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    // exists-guard: createOrReplace on an already-registered name logs a
+    // "replaced a previously registered function" WARN per call, which
+    // spams per-query re-registration (the driver session has no
+    // withExtensions hook, so every query re-invokes register).
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) {
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "vec_norm_sq", exprs => NormSq(exprs.head), "built-in")
+    }
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -42,10 +43,30 @@ object Dedup extends QueryModule {
     * producing an O(c^2) task. */
   private[graft] val MaxBucket = 4096
 
+  /** Materialize a NARROW fan-out point (membership maps, signatures,
+    * candidate pairs — O(n) x 2 longs or smaller) so each consuming branch
+    * reads the materialized table instead of re-expanding the corpus-sized
+    * subtree beneath it (exchange reuse shares the shuffle files, not the
+    * post-shuffle recompute across branches). localCheckpoint, not persist:
+    * eager, lineage-truncated, and NOT registered in the CacheManager, so
+    * repeated invocations never hit a stale plan-matched cache entry. At
+    * cluster scale the same design point is a reliable `.checkpoint()`.
+    * Never materialize WIDE intermediates (the corpus-sized bands table
+    * measured 2.6x slower persisted). The system property lets plan-audit
+    * specs disable truncation to inspect full lineage (ReadSchema pruning). */
+  private[graft] def matNarrow(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.test.noCheckpoint").contains("true")) df
+    else df.localCheckpoint()
+
   /** Exact-payload pre-dedup: (doc_id, rep_id) membership, where rep_id is
-    * the minimum doc_id sharing this digest. One shuffle on the digest. */
+    * the minimum doc_id sharing this digest. One shuffle on the digest.
+    * NULL payloads digest to NULL — coalesced to a sentinel that no hex
+    * digest can collide with, so null-payload docs form their own cluster
+    * instead of being dropped by the null-unsafe equi-join (matches the
+    * oracle's PARTITION BY, which groups NULLs together). */
   private[graft] def digestGroups(docs: DataFrame, digest: Column): DataFrame = {
-    val members = docs.select(col("doc_id"), digest.as("dg"))
+    val members =
+      docs.select(col("doc_id"), coalesce(digest, lit("\u0000null")).as("dg"))
     val reps = members.groupBy("dg").agg(min("doc_id").as("rep_id"))
     members.join(reps, "dg").select(col("doc_id"), col("rep_id"))
   }
@@ -53,24 +74,41 @@ object Dedup extends QueryModule {
   /** Candidate pairs from a bucket table (columns: keys..., doc_id).
     * Buckets holding <= maxBucket members emit all intra-bucket pairs
     * (doc_a < doc_b); oversized buckets emit a star around the bucket's
-    * minimum doc_id — O(c) candidates, cluster connectivity preserved.
-    * The size/min aggregation shuffles on the same keys as the self-join,
-    * so the bucket scan's exchange is reused, not repeated. */
+    * minimum doc_id — O(c) candidates, cluster connectivity preserved
+    * (pair-level output above the cap is degraded: non-center pairs are
+    * not emitted as candidates; see the spec and the simhash note).
+    *
+    * Plan shape matters here: bucket size/min are computed as WINDOW
+    * aggregates over Window.partitionBy(keys), so stats and membership
+    * come out of the SAME (keys) exchange — the (possibly corpus-sized)
+    * subtree feeding `buckets` is shuffled once and every consuming branch
+    * reuses that exchange. The previous groupBy(keys)+join-back shape put
+    * a partial-aggregate below its exchange, which defeats exchange reuse
+    * and recomputed the whole signature subtree per branch (measured ~1.9x
+    * slower at sf0.1 for identical output).
+    *
+    * The star fallback is observable without extra passes: the star branch
+    * carries a CollectMetrics node (`Dataset.observe`) counting degraded
+    * candidates, surfaced to any QueryExecutionListener as metric
+    * `star_candidates` — a silent parity divergence on adversarial corpora
+    * shows up as a nonzero counter. */
   private[graft] def cappedBucketPairs(buckets: DataFrame, keys: Seq[String],
                                        maxBucket: Int): DataFrame = {
-    val kc = keys.map(col)
-    val stats = buckets.groupBy(kc: _*)
-      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__bmin"))
-    val joined = buckets.join(stats, keys)
-    val small = joined.filter(col("__n") <= maxBucket)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val annotated = buckets
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col("doc_id")).over(w))
+    val small = annotated.filter(col("__n") <= maxBucket)
       .select((keys :+ "doc_id").map(col): _*)
     val allPairs = small.as("a").join(small.as("b"),
         keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val star = joined
+    val star = annotated
       .filter(col("__n") > maxBucket && col("doc_id") =!= col("__bmin"))
       .select(col("__bmin").as("doc_a"), col("doc_id").as("doc_b"))
+      .observe(s"star_fallback_${keys.mkString("_")}",
+        count(lit(1)).as("star_candidates"))
     allPairs.unionAll(star)
   }
 
@@ -170,9 +208,15 @@ object Dedup extends QueryModule {
     // exact verification on candidate reps -> expand to member pairs.
     "d_dedup_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val memRep = digestGroups(docs, md5(col("text").cast("binary")))
+      // membership map and candidate pairs are the two NARROW intermediates
+      // every later stage fans out from (memRep: n x 2 longs; cand:
+      // O(candidates) x 2 longs) — materialized once via matNarrow (full
+      // rationale there); without it each consuming branch re-expands the
+      // corpus-sized digest/shingle/minhash subtree (measured ~1.8x slower
+      // at sf0.1).
+      val memRep = matNarrow(digestGroups(docs, md5(col("text").cast("binary"))))
       val repDocs = repsOnly(docs, memRep)
-      val cand = minhashCandidates(repDocs, MaxBucket)
+      val cand = matNarrow(minhashCandidates(repDocs, MaxBucket))
       // exact verification on candidate docs only: the candidate set
       // prunes the documents scan BEFORE shingling (broadcast semi-join
       // on the narrow table), so the explode+distinct for verification
@@ -219,12 +263,17 @@ object Dedup extends QueryModule {
     // engine-independent digest), so the oracle reproduces the signatures
     // bit-exactly and brute-forces the same pair set — and 4 bands x 12
     // bits guarantee full recall at distance <= 3 (pigeonhole), making
-    // LSH output == brute force output exactly. Same pre-dedup + capped
-    // buckets + expansion discipline as minhash (identical text =>
-    // identical signature => Hamming 0).
+    // LSH output == brute force output exactly BELOW the bucket cap. A
+    // bucket driven past MaxBucket distinct payloads degrades to star
+    // candidates around the bucket minimum: connectivity is preserved but
+    // qualifying pairs between two non-center members are not emitted, so
+    // pair output can under-report vs brute force on adversarial corpora
+    // (observable via the star_candidates CollectMetrics counter). Same
+    // pre-dedup + capped buckets + expansion discipline as minhash
+    // (identical text => identical signature => Hamming 0).
     "d_dedup_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val memRep = digestGroups(docs, md5(col("text").cast("binary")))
+      val memRep = matNarrow(digestGroups(docs, md5(col("text").cast("binary"))))
       val words = repsOnly(docs, memRep)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .select(col("doc_id"),
@@ -235,12 +284,16 @@ object Dedup extends QueryModule {
       // aggregation, 48 narrow long columns per doc.
       val bitSums = (0 until 48).map(j =>
         sum(when(expr(s"shiftright(h, $j) & 1 = 1"), 1).otherwise(-1)).as(s"s$j"))
-      val sig = words.groupBy(col("doc_id"))
+      // sig is the narrow fan-out point (doc_id + one long, consumed by
+      // banding AND both verification joins): materialize it once instead
+      // of re-running the corpus-sized word-explode groupBy per branch
+      // (see the minhash note; at cluster scale use reliable .checkpoint()).
+      val sig = matNarrow(words.groupBy(col("doc_id"))
         .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
           (0 until 48).map(j =>
             when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
-            .reduce(_ + _).as("sig"))
+            .reduce(_ + _).as("sig")))
       val banded = sig.select(col("doc_id"),
           explode(expr(
             "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b*12) & 4095 as key))"))
@@ -262,8 +315,8 @@ object Dedup extends QueryModule {
     // runs over distinct (source, text) representatives only.
     "d_dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val memRep = digestGroups(docs,
-        concat(md5(col("source").cast("binary")), md5(col("text").cast("binary"))))
+      val memRep = matNarrow(digestGroups(docs,
+        concat(md5(col("source").cast("binary")), md5(col("text").cast("binary")))))
       // < 2 words -> no bigrams (matches oracle's empty range); also keeps
       // sequence() ascending under ANSI mode (see minhash note above).
       val bg = repsOnly(docs, memRep)
@@ -310,9 +363,9 @@ object Dedup extends QueryModule {
         .select(col("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
           substring(col("text"), 1, 60).as("head"))
-      val memRep = digestGroups(d,
-        concat(md5(col("blk").cast("binary")), md5(col("head").cast("binary"))))
-      val repD = repsOnly(d, memRep)
+      val memRep = matNarrow(digestGroups(d,
+        concat(md5(col("blk").cast("binary")), md5(col("head").cast("binary")))))
+      val repD = matNarrow(repsOnly(d, memRep))
       val banded = repD.select(col("doc_id"), col("blk"),
         explode(expr("array(length(head) div 16, length(head) div 16 + 1)"))
           .as("band"))

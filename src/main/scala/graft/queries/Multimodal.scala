@@ -134,8 +134,10 @@ object Multimodal extends QueryModule {
     "m_phash_dedup" -> ((s, dir) => {
       val sp = s; import sp.implicits._
       val allAssets = assets(s, dir)
-      val memRep = Dedup.digestGroups(allAssets, md5(col("payload")))
-      val sig = Dedup.repsOnly(allAssets, memRep)
+      // narrow fan-out points materialized once (see Dedup's minhash note)
+      val memRep = Dedup.matNarrow(
+        Dedup.digestGroups(allAssets, md5(col("payload"))))
+      val sig = Dedup.matNarrow(Dedup.repsOnly(allAssets, memRep)
         .select(col("doc_id"), col("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
@@ -154,7 +156,7 @@ object Multimodal extends QueryModule {
             while (j < 63) { if (hist(j) > thr) sigv |= (1L << j); j += 1 }
             (id, sigv)
           }
-        }.toDF("doc_id", "sig")
+        }.toDF("doc_id", "sig"))
       val banded = sig.select(col("doc_id"),
           explode(expr(
             "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*16) & 65535 AS key))"))

@@ -17,11 +17,16 @@ class PruneAuditSpec extends AnyFunSuite {
     "d_dedup_entity" -> Set("doc_id:bigint", "text:string"))
 
   test("round-2 operators read only the columns they need") {
-    for ((q, cols) <- expected) {
-      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
-      val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
-        .flatMap(_.group(1).split(",")).toSet
-      assert(read == cols, s"$q reads $read, expected $cols")
-    }
+    // disable narrow-intermediate checkpoint truncation so the audited
+    // plan keeps full lineage down to the parquet scans
+    sys.props("graft.test.noCheckpoint") = "true"
+    try {
+      for ((q, cols) <- expected) {
+        val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+        val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+          .flatMap(_.group(1).split(",")).toSet
+        assert(read == cols, s"$q reads $read, expected $cols")
+      }
+    } finally sys.props.remove("graft.test.noCheckpoint")
   }
 }
