@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Ingest / DML layer — SURVEY §2.1 sinks and error-tolerant sources.
@@ -71,9 +72,18 @@ object Ingest {
     replaceTable(spark, source.filter(!where || where.isNull), path)
   }
 
+  /** Hadoop FileSystem.rename signals most failures by RETURNING FALSE,
+    * not throwing — an unchecked rename can silently drop a table or
+    * partition. Every directory move in this file goes through here. */
+  private def renameOrDie(fs: FileSystem, src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+
   /** Whole-table rewrite via stage + backup-swap: `df` (which may read
     * `path`) writes to a staging dir, then directories swap — at every
-    * crash point the full table exists at `path` or `path.__bak`. */
+    * crash point the full table exists at `path` or `path.__bak`. Each
+    * rename result is checked, and the backup is only discarded after the
+    * new table is verifiably in place — a failed swap never deletes the
+    * sole remaining copy. */
   private def replaceTable(spark: SparkSession, df: DataFrame,
                            path: String): DataFrame = {
     val staged = stageDir(path)
@@ -82,8 +92,9 @@ object Ingest {
     val dst = new Path(path)
     val bak = new Path(path + ".__bak")
     fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(staged, dst)
+    if (fs.exists(dst)) renameOrDie(fs, dst, bak)
+    renameOrDie(fs, staged, dst)
+    require(fs.exists(dst), s"swap left no table at $dst — backup kept at $bak")
     fs.delete(bak, true)
     spark.read.parquet(path)
   }
@@ -101,19 +112,38 @@ object Ingest {
 
   /** Move every `partCol=value` child of `staged` into `dest`, replacing
     * the previous partition directory — per-partition rename, so untouched
-    * partitions are never rewritten. Returns the staged partition names. */
+    * partitions are never rewritten. Returns the staged partition names.
+    * Mirrors [[replaceTable]]'s backup discipline per partition: the live
+    * dir is renamed aside (to a dot-prefixed name, which Spark's file
+    * index treats as hidden if a crash leaves it behind) before the staged
+    * dir moves in, every rename result is checked, and the backup is only
+    * deleted once the new dir is verifiably in place. */
   private def swapPartitionDirs(fs: FileSystem, staged: Path, dest: Path,
                                 partCol: String): Set[String] = {
     val dirs = fs.listStatus(staged)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
     dirs.foreach { st =>
       val target = new Path(dest, st.getPath.getName)
-      fs.delete(target, true)
-      fs.rename(st.getPath, target)
+      val bak = new Path(dest, "._bak_" + st.getPath.getName)
+      fs.delete(bak, true)
+      if (fs.exists(target)) renameOrDie(fs, target, bak)
+      renameOrDie(fs, st.getPath, target)
+      require(fs.exists(target),
+        s"partition swap left no dir at $target — backup kept at $bak")
+      fs.delete(bak, true)
     }
     fs.delete(staged, true)
     dirs.map(_.getPath.getName).toSet
   }
+
+  /** Rows of `table` living in a touched partition. NULL-SAFE semi-join:
+    * a plain equi-semi-join would drop the NULL partition's rows from the
+    * rewrite, so a partial DELETE/UPDATE inside the NULL partition would
+    * silently discard that partition's non-matching rows. */
+  private def touchedRows(table: DataFrame, touched: DataFrame,
+                          partCol: String): DataFrame =
+    table.join(touched.withColumnRenamed(partCol, "__touched_v"),
+      col(partCol) <=> col("__touched_v"), "left_semi")
 
   /** Partition-scoped UPDATE (SplitUpdate parity,
     * `/root/reference/src/backend/executor/nodeSplitUpdate.c:169` routes
@@ -127,7 +157,7 @@ object Ingest {
                              where: Column, set: Map[String, Column]): DataFrame = {
     val table = spark.read.parquet(path)
     val touched = table.filter(where).select(col(partCol)).distinct()
-    val affected = table.join(touched, Seq(partCol), "left_semi")
+    val affected = touchedRows(table, touched, partCol)
     val updated = set.foldLeft(affected) { case (df, (name, value)) =>
       df.withColumn(name, when(where, value).otherwise(col(name)))
     }
@@ -148,8 +178,16 @@ object Ingest {
     val touched = table.filter(where).select(col(partCol)).distinct()
     // touched-partition VALUES are metadata-sized (bounded by partition
     // count) — collected before any mutation, while the table is pristine.
-    val touchedVals = touched.collect().map(r => s"$partCol=${r.get(0)}")
-    val kept = table.join(touched, Seq(partCol), "left_semi")
+    // Directory names must be derived with the SAME escaping Spark's
+    // writer uses (URL-style escaping of special chars, the Hive sentinel
+    // for NULL) or a fully-emptied partition's delete silently misses.
+    val touchedVals = touched.select(col(partCol).cast("string"))
+      .collect().map { r =>
+        val v = if (r.isNullAt(0)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                else ExternalCatalogUtils.escapePathName(r.getString(0))
+        s"$partCol=$v"
+      }
+    val kept = touchedRows(table, touched, partCol)
       .filter(!where || where.isNull)
     val staged = stageDir(path)
     kept.write.mode(SaveMode.Overwrite).partitionBy(partCol)

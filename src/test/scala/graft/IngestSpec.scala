@@ -154,6 +154,29 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter(col("o_year") === 1995).count() == 0)
   }
 
+  test("partition-scoped DELETE handles escaped names and the NULL partition") {
+    val dir = tmp("delesc")
+    import spark.implicits._
+    // "a:b" forces URL-style escaping in the directory name; None lands in
+    // the __HIVE_DEFAULT_PARTITION__ dir
+    val df = Seq((1L, Some("a:b")), (2L, Some("a:b")), (3L, Some("plain")),
+                 (4L, Option.empty[String]), (5L, Option.empty[String]),
+                 (6L, Some("plain"))).toDF("id", "cat")
+    graft.sources.Ingest.ctasPartitioned(spark, df, dir, "cat")
+    assert(partFiles(dir).keySet.exists(_.contains("%3A")),
+      s"expected an escaped partition dir, got ${partFiles(dir).keySet}")
+    // fully empty the escaped partition; partially delete inside NULL
+    val kept = graft.sources.Ingest.deleteWherePartitioned(spark, dir, "cat",
+      col("cat") === "a:b" || (col("cat").isNull && col("id") === 4))
+    assert(kept.count() == 3)
+    assert(kept.filter(col("cat") === "a:b").count() == 0,
+      "escaped partition dir must be removed when fully emptied")
+    // null partition: id=4 gone, id=5 survives the rewrite
+    assert(kept.filter(col("cat").isNull).select("id").as[Long].collect()
+      .toSet == Set(5L))
+    assert(kept.filter(col("cat") === "plain").count() == 2)
+  }
+
   test("MERGE INTO updates matched rows and inserts unmatched ones") {
     val dir = tmp("merge")
     val nation = Tables.t(spark, sf, "nation")
