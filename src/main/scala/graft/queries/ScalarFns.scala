@@ -133,7 +133,18 @@ object ScalarFns extends QueryModule {
           array_contains(col("w"), "spark").as("has_spark"),
           size(flatten(array(slice(col("w"), 1, 2), slice(col("w"), 3, 2))))
             .as("flat4"),
-          element_at(reverse(col("w")), 1).as("last_word"))
+          element_at(reverse(col("w")), 1).as("last_word"),
+          // PG array-shape family (arrayfuncs.c array_dims/lower/upper/
+          // ndims/cardinality), under the SURVEY's 1-D flattening policy:
+          // dims render as '[1:n]', lower bound is 1, empty arrays give
+          // NULL shape (PG returns NULL dims for empty arrays)
+          when(size(col("w")) > 0,
+            concat(lit("[1:"), size(col("w")).cast("string"), lit("]")))
+            .as("arr_dims"),
+          size(col("w")).as("cardinality"),
+          when(size(col("w")) > 0, lit(1)).as("arr_lower"),
+          when(size(col("w")) > 0, size(col("w"))).as("arr_upper"),
+          lit(1).as("arr_ndims"))
         .orderBy(col("doc_id"))
     }),
 
@@ -355,7 +366,12 @@ object ScalarFns extends QueryModule {
         |  CAST(len(list_filter(w, x -> x <> 'a')) AS INT) AS sans_a,
         |  list_contains(w, 'spark') AS has_spark,
         |  CAST(len(list_concat(w[1:2], w[3:4])) AS INT) AS flat4,
-        |  w[-1] AS last_word
+        |  w[-1] AS last_word,
+        |  CASE WHEN len(w) > 0 THEN '[1:' || len(w) || ']' END AS arr_dims,
+        |  CAST(len(w) AS INT) AS cardinality,
+        |  CASE WHEN len(w) > 0 THEN 1 END AS arr_lower,
+        |  CASE WHEN len(w) > 0 THEN CAST(len(w) AS INT) END AS arr_upper,
+        |  1 AS arr_ndims
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_map_funcs" ->

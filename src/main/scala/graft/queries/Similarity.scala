@@ -116,9 +116,13 @@ object Similarity extends QueryModule {
 
     // IVF (inverted-file) ANN: deterministic k-means (seeded with the
     // first 8 vectors, 3 Lloyd iterations), then probe the 2 nearest
-    // centroid lists per query. Engine-specific float iteration order ->
-    // rows-only check; SimilaritySpec asserts recall against the exact
-    // brute-force top-k.
+    // centroid lists per query. HASH-CHECKED against an oracle that
+    // unrolls the same 3 Lloyd iterations in SQL: every float op on both
+    // sides is either order-fixed (sequential dot products / norms) or
+    // order-free (the centroid update sums integer MICROS, then divides
+    // in one fixed order) — so both engines build bit-identical centroids
+    // and the same probe lists. SimilaritySpec additionally asserts
+    // recall against the exact brute-force top-k.
     //
     // Scale design: the CORPUS never leaves the executors. Each Lloyd
     // iteration is (a) assignment — an argmin over K centroid literals
@@ -149,9 +153,15 @@ object Similarity extends QueryModule {
           struct(distTo(c).as("d"), lit(i).as("i"))
         }: _*)).getField("i")
       for (_ <- 1 to 3) {
+        // centroid mean as micros-sum / n / 1e6: the long sum is
+        // order-independent (Spark's shuffled avg() is not), and the two
+        // double divisions run in the same order as the oracle's — the
+        // update is bit-reproducible across engines and executions
         val upd = e.select(cellCol(centroids).as("cell"),
             posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(round(col("x") * 1000000.0, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1000000.0).as("m"))
           .collect()  // K x dim rows — centroid state only, never the corpus
         val next = centroids.map(_.clone())
         upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
@@ -231,6 +241,35 @@ object Similarity extends QueryModule {
          |  THEN ${1L << j} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
+  /** dist-to-centroid argmin term, matching the Spark plan op-for-op:
+    * |c|^2 (sequential sum of squares from 0.0) minus 2 * v.c (sequential
+    * dot product). Identical double sequences on both engines. */
+  private def ivfDistSql(vec: String, cen: String): String =
+    s"list_reduce(list_prepend(0.0, $cen), (acc, x) -> acc + x * x)" +
+      s" - 2 * list_dot_product($vec, $cen)"
+
+  /** One unrolled Lloyd iteration: assign every vector to its nearest
+    * `prev` centroid (ties -> lowest cell, like the struct-min), then
+    * rebuild each cell's centroid as micros-sum / n / 1e6; empty cells
+    * keep their previous centroid. */
+  private def ivfIterSql(prev: String, cur: String): String =
+    s"""a_$cur AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${ivfDistSql("e.v", "c.c")}, c.cell) AS rk
+       |    FROM e, $prev c) WHERE rk = 1),
+       |m_$cur AS (
+       |  SELECT cell, i.i AS pos,
+       |    CAST(SUM(CAST(round(v[i.i + 1] * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / COUNT(*) / 1000000.0 AS m
+       |  FROM a_$cur, (SELECT unnest(range(0, $dim)) AS i) i
+       |  GROUP BY cell, i.i),
+       |l_$cur AS (SELECT cell, list(m ORDER BY pos) AS c
+       |  FROM m_$cur GROUP BY cell),
+       |$cur AS (SELECT p.cell, COALESCE(l.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN l_$cur l ON p.cell = l.cell)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s_ann_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -282,6 +321,46 @@ object Similarity extends QueryModule {
         |  COUNT(*) AS n
         |FROM embeddings, (SELECT unnest(range(0, 8)) AS i) i
         |GROUP BY label, i.i ORDER BY label, pos""".stripMargin,
+
+    // the same seeded 3-iteration Lloyd as the Spark plan, unrolled —
+    // see the query comment for why every float op is cross-engine stable
+    "s_ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |${ivfIterSql("c0", "c1")},
+         |${ivfIterSql("c1", "c2")},
+         |${ivfIterSql("c2", "c3")},
+         |assigned AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${ivfDistSql("e.v", "c.c")}, c.cell) AS rk
+         |    FROM e, c3 c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT qid, qv, qn, cell FROM (
+         |    SELECT q.vec_id AS qid, q.v AS qv,
+         |      list_reduce(list_prepend(0.0, q.v), (acc, x) -> acc + x * x) AS qn,
+         |      c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${ivfDistSql("q.v", "c.c")}, c.cell) AS rk
+         |    FROM e q, c3 c WHERE q.vec_id < 10) WHERE rk <= 2),
+         |scored AS (
+         |  SELECT DISTINCT p.qid, t.vec_id AS nid,
+         |    ROUND(list_dot_product(p.qv, t.v) / sqrt(p.qn *
+         |      list_reduce(list_prepend(0.0, t.v), (acc, x) -> acc + x * x)), 6)
+         |      AS cos
+         |  FROM probe p JOIN assigned t
+         |    ON t.cell = p.cell AND t.vec_id <> p.qid),
+         |ranked AS (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "s_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

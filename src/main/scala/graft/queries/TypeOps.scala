@@ -140,6 +140,31 @@ object TypeOps extends QueryModule {
           expr("tagged LIKE '100%' ESCAPE '\\\\'").as("esc_prefix"),
           (!col("c_name").like("%Z%")).as("not_like"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // SQL-standard SIMILAR TO dialect (similar_escape, regexp.c:687-775):
+    // LIKE wildcards + POSIX operators, whole-string match, `.` literal.
+    // Translated plan-side by SimilarTo.toRegex into an anchored rlike
+    // (codegen'd); the oracle uses regexp_full_match with HAND-derived
+    // regexes (DuckDB's own SIMILAR TO is a raw-regex full match, not the
+    // SQL dialect), so the translator is cross-checked by an independent
+    // derivation, not itself.
+    "q_similar_to" -> ((s, dir) => {
+      import graft.functions.SimilarTo.similarTo
+      t(s, dir, "part").filter(col("p_partkey") <= 500)
+        .withColumn("tagged", concat(lit("100%_"), col("p_type")))
+        .select(col("p_partkey"),
+          similarTo(col("p_name"), "%ring").as("sim_suffix"),
+          similarTo(col("p_type"), "(ECONOMY|STANDARD)%").as("sim_alt_prefix"),
+          similarTo(col("p_name"), "%(red|blue|green)%").as("sim_mid_alt"),
+          similarTo(col("p_brand"), "Brand#_").as("sim_underscore"),
+          similarTo(col("p_name"), "(red|blue|hot) (widget|bolt|gear)").as("sim_enum"),
+          similarTo(col("p_name"), "[a-z ]+").as("sim_class_plus"),
+          similarTo(col("p_brand"), "Brand#[0-9]{2}").as("sim_bound"),
+          similarTo(col("p_type"), "SM?ALL").as("sim_opt"),
+          similarTo(col("tagged"), "100\\%\\_%").as("sim_escaped"),
+          similarTo(col("p_name"), "%.%").as("sim_literal_dot"))
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -214,6 +239,22 @@ object TypeOps extends QueryModule {
         |  ('100%_' || c_mktsegment) LIKE '100\%\_%' ESCAPE '\' AS esc_hit,
         |  ('100%_' || c_mktsegment) LIKE '100%' ESCAPE '\' AS esc_prefix,
         |  NOT (c_name LIKE '%Z%') AS not_like
-        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    // regexes hand-derived from the SQL-dialect patterns (NOT produced by
+    // the Scala translator) — see the query comment
+    "q_similar_to" ->
+      """SELECT p_partkey,
+        |  regexp_full_match(p_name, '.*ring') AS sim_suffix,
+        |  regexp_full_match(p_type, '(ECONOMY|STANDARD).*') AS sim_alt_prefix,
+        |  regexp_full_match(p_name, '.*(red|blue|green).*') AS sim_mid_alt,
+        |  regexp_full_match(p_brand, 'Brand#.') AS sim_underscore,
+        |  regexp_full_match(p_name, '(red|blue|hot) (widget|bolt|gear)') AS sim_enum,
+        |  regexp_full_match(p_name, '[a-z ]+') AS sim_class_plus,
+        |  regexp_full_match(p_brand, 'Brand#[0-9]{2}') AS sim_bound,
+        |  regexp_full_match(p_type, 'SM?ALL') AS sim_opt,
+        |  regexp_full_match('100%_' || p_type, '100%_.*') AS sim_escaped,
+        |  regexp_full_match(p_name, '.*\..*') AS sim_literal_dot
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin
   )
 }

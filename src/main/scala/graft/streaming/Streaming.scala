@@ -45,6 +45,28 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Append-mode watermarked tumbling counts over a caller-fed directory —
+    * the late-data harness. Unlike [[tumblingAgg]] (complete mode, state
+    * never evicted), append mode emits a window only once its end falls
+    * behind the watermark and then EVICTS the window's state; any row
+    * arriving later than `1 hour` behind the observed max event time is
+    * dropped, never resurrecting the finalized window. The caller writes
+    * parquet batches into `srcDir` and calls `processAllAvailable()`
+    * between arrivals to control micro-batch order (the spec uses this to
+    * deliver a too-late row in a second batch). */
+  def tumblingAppendQuery(spark: SparkSession, srcDir: String,
+                          name: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream
+      .schema("id LONG, ts TIMESTAMP")
+      .parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col("n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+  }
+
   /** Streaming exact dedup — the pipeline dedup operator in streaming
     * form: dropDuplicates on the content key inside the stream. State is
     * one entry per distinct key (bound it with a watermark on ts in

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Matviews
+
+/** Materialized-view lifecycle (matview.c / ExecRefreshMatView parity):
+  * stored definition re-executed on refresh, old snapshot retained for
+  * in-flight readers, crash mid-refresh invisible, staleness marker. */
+class MatviewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private def tmp(s: String): String =
+    Files.createTempDirectory(s"graft_$s").toString
+
+  private def writeBase(dir: String, upTo: Int): Unit = {
+    import spark.implicits._
+    (1 to upTo).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "cat")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  test("create / read / refresh lifecycle with retained pre-refresh snapshot") {
+    val base = tmp("mvbase"); val mv = tmp("mv") + "/mv1"
+    writeBase(base, 10)
+    // path-based table in the stored definition: resolved at each
+    // execution, like the reference's catalog lookup at refresh time
+    val defn =
+      s"SELECT cat, COUNT(*) AS n, SUM(id) AS sum_id FROM parquet.`$base` " +
+        "GROUP BY cat"
+    val created = Matviews.create(spark, mv, defn)
+    assert(created.count() == 2)
+    assert(Matviews.definition(spark, mv) == defn)
+    assert(Matviews.read(spark, mv)
+      .filter(col("cat") === "even").head.getLong(1) == 5)
+    assert(!Matviews.isStale(spark, mv, Seq(base)))
+
+    // take a snapshot reader BEFORE refreshing, then change the base
+    val preRefresh = Matviews.read(spark, mv)
+    Thread.sleep(1100) // mtime granularity can be a full second
+    writeBase(base, 20)
+    assert(Matviews.isStale(spark, mv, Seq(base)),
+      "base rewrite must flip the staleness marker")
+
+    val refreshed = Matviews.refresh(spark, mv)
+    assert(refreshed.filter(col("cat") === "even").head.getLong(1) == 10,
+      "refresh must re-execute the stored definition against new base data")
+    assert(!Matviews.isStale(spark, mv, Seq(base)))
+    // MVCC property: the pre-refresh snapshot's files survive one cycle
+    assert(preRefresh.filter(col("cat") === "even").head.getLong(1) == 5,
+      "pre-refresh snapshot must stay readable after refresh")
+
+    // a second refresh prunes the oldest version but keeps serving
+    Matviews.refresh(spark, mv)
+    assert(Matviews.read(spark, mv).count() == 2)
+    val vdirs = new java.io.File(mv).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(vdirs == Set("v2", "v3"), s"expected bounded retention, got $vdirs")
+  }
+
+  test("a crashed (marker-less) refresh attempt stays invisible") {
+    val base = tmp("mvbase2"); val mv = tmp("mv2") + "/mv"
+    writeBase(base, 6)
+    Matviews.create(spark, mv,
+      s"SELECT COUNT(*) AS n FROM parquet.`$base`")
+    // simulate a refresh that died after writing data but before commit:
+    // a version dir with data files and NO _SUCCESS marker
+    val crashed = new java.io.File(s"$mv/v7"); crashed.mkdirs()
+    Files.write(java.nio.file.Path.of(s"$mv/v7/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Matviews.read(spark, mv).head.getLong(0) == 6,
+      "reader must keep serving the last committed version")
+    // the next successful refresh skips past the crashed dir's number
+    Matviews.refresh(spark, mv)
+    assert(Matviews.read(spark, mv).head.getLong(0) == 6)
+    assert(new java.io.File(s"$mv/v8/_SUCCESS").exists(),
+      "refresh must allocate a version beyond any crashed attempt")
+  }
+
+  test("create refuses to overwrite an existing view") {
+    val base = tmp("mvbase3"); val mv = tmp("mv3") + "/mv"
+    writeBase(base, 3)
+    val defn = s"SELECT * FROM parquet.`$base`"
+    Matviews.create(spark, mv, defn)
+    assertThrows[IllegalArgumentException](Matviews.create(spark, mv, defn))
+  }
+}

@@ -48,6 +48,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("watermark drops late data and never resurrects an emitted window") {
+    import java.sql.Timestamp
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_late").toString
+    def feed(rows: (Long, String)*): Unit = {
+      val sp = spark; import sp.implicits._
+      rows.toSeq.map { case (id, t) => (id, Timestamp.valueOf(t)) }
+        .toDF("id", "ts")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    // batch 1: two rows in the 10:00 window; 14:00 pushes the watermark
+    // to 13:00, finalizing (emitting + evicting) the 10:00 window
+    feed((1L, "2024-01-01 10:10:00"), (2L, "2024-01-01 10:20:00"),
+         (3L, "2024-01-01 14:00:00"))
+    val q = graft.streaming.Streaming
+      .tumblingAppendQuery(spark, srcDir, "stream_late_spec")
+    try {
+      q.processAllAvailable()
+      // batch 2: 10:30 is 1h+ behind the 13:00 watermark -> must be
+      // DROPPED; 16:30 advances the watermark to 15:30, emitting 14:00
+      feed((4L, "2024-01-01 10:30:00"), (5L, "2024-01-01 16:30:00"))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1, s"exactly the late row must be dropped, got $dropped")
+    } finally q.stop()
+    val out = spark.table("stream_late_spec").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // the 10:00 window was emitted ONCE with the on-time rows only — the
+    // late row neither bumped the count nor appended a second 10:00 row
+    assert(out.get("2024-01-01 10:00:00.0").contains(2L), s"got $out")
+    assert(out.get("2024-01-01 14:00:00.0").contains(1L), s"got $out")
+    assert(spark.table("stream_late_spec")
+      .groupBy("hour_start").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0,
+      "no window may be emitted twice in append mode")
+  }
+
   test("stateful mapGroupsWithState counts equal batch groupBy") {
     val stream = graft.streaming.Streaming
       .statefulUserCounts(spark, sf, "stream_state_spec")
