@@ -425,20 +425,37 @@ object Dedup extends QueryModule {
           }
           val left = if (b1 == b2) rows else rows.filter(_._4 == b1)
           val right = if (b1 == b2) rows else rows.filter(_._4 == b2)
-          val out = Iterator.range(0, left.length).flatMap { i =>
-            val jStart = if (b1 == b2) i + 1 else 0
-            Iterator.range(jStart, right.length).flatMap { j =>
-              val a = left(i); val b = right(j)
-              val (ida, va, na) = if (a._1 < b._1) (a._1, a._2, a._3) else (b._1, b._2, b._3)
-              val (idb, vb, nb) = if (a._1 < b._1) (b._1, b._2, b._3) else (a._1, a._2, a._3)
+          // tight while-loops with a match-only buffer: the pair space is
+          // O(|block|^2) (~10^8 at sf1), so even one small allocation per
+          // PAIR dominates the dot products — only matches (rare) allocate
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < left.length) {
+            val a = left(i)
+            var j = if (b1 == b2) i + 1 else 0
+            while (j < right.length) {
+              val b = right(j)
+              val va = a._2; val vb = b._2
               var d = 0.0; var k = 0
               val n = math.min(va.length, vb.length)
               while (k < n) { d += va(k) * vb(k); k += 1 }
-              val cos = round6(d / math.sqrt(na * nb))
-              if (cos >= 0.45) Iterator.single((ida, idb, cos)) else Iterator.empty
+              val raw = d / math.sqrt(a._3 * b._3)
+              // round6 is a BigDecimal round-trip — at O(|block|^2) pairs
+              // it IS the kernel cost. HALF_UP to 6dp moves a value by at
+              // most 5e-7, so anything below threshold-5e-7 can skip it;
+              // the rounded compare stays the keep/drop authority.
+              if (raw >= 0.45 - 5e-7) {
+                val cos = round6(raw)
+                if (cos >= 0.45) {
+                  if (a._1 < b._1) out += ((a._1, b._1, cos))
+                  else out += ((b._1, a._1, cos))
+                }
+              }
+              j += 1
             }
+            i += 1
           }
-          out
+          out.iterator
         }.toDF("id_a", "id_b", "cos")
         .orderBy(col("id_a"), col("id_b"))
     })
