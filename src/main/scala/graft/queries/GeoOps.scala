@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Geometric types/operators (`/root/reference/src/backend/utils/adt/
+  * geo_ops.c` — point/box families; regress `src/test/regress/sql/
+  * {point,box}.sql`). The reference models geometry as typed values with
+  * operator classes; here a point is two numeric columns and a box is
+  * four (the canonical lo/hi form `box.c` maintains), every operator a
+  * plain codegen'd expression:
+  *
+  *  - `<->` point-point distance (euclidean + manhattan variants),
+  *  - `@>` / `<@` containment, `&&` overlap (interval logic per axis),
+  *  - `@@` center, area, diagonal,
+  *  - `<->` point-box gap distance (0 inside, else distance to the
+  *    nearest edge/corner — greatest(lo-p, p-hi, 0) per axis).
+  *
+  * The JOIN analogue of a spatial index (`gist` on box ops) is GRID
+  * BUCKETING: boxes explode to the grid cells they cover, points land in
+  * exactly one cell, and candidates come from a (cx, cy) equi-join —
+  * the O(n·m) theta join becomes O(candidates), shuffled on cell keys.
+  * Each box covers a bounded cell count (box extent / cell size), and a
+  * point lives in ONE cell, so the pair (box, point) meets at most once:
+  * no DISTINCT needed, recall is exact by construction. The oracle
+  * cross-checks with the direct theta join, proving the decomposition
+  * lossless and duplicate-free.
+  */
+object GeoOps extends QueryModule {
+
+  /** Deterministic point/box synthesis from key columns (same spirit as
+    * q_range_ops): integer coordinates, box in canonical lo<=hi form. */
+  private def boxes(df: DataFrame, key: Column, key2: Column): DataFrame =
+    df.withColumn("xl", key % 50)
+      .withColumn("xh", col("xl") + 10 + key2 % 7)
+      .withColumn("yl", key2 % 40)
+      .withColumn("yh", col("yl") + 8)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scalar operator family over synthesized points + boxes
+    "q_geo_ops" -> ((s, dir) => {
+      val d = boxes(t(s, dir, "orders").filter(col("o_orderkey") <= 500),
+          col("o_orderkey"), col("o_custkey"))
+        .withColumn("xp", col("o_orderkey") % 97)
+        .withColumn("yp", col("o_custkey") % 89)
+      val dx = greatest(col("xl") - col("xp"), col("xp") - col("xh"), lit(0L))
+      val dy = greatest(col("yl") - col("yp"), col("yp") - col("yh"), lit(0L))
+      d.select(col("o_orderkey"),
+          col("xp"), col("yp"), col("xl"), col("xh"), col("yl"), col("yh"),
+          round(sqrt(((col("xp") - 48) * (col("xp") - 48) +
+                      (col("yp") - 44) * (col("yp") - 44)).cast("double")), 6)
+            .as("dist_center"),
+          (abs(col("xp") - 48) + abs(col("yp") - 44)).as("dist_manhattan"),
+          ((col("xh") - col("xl")) * (col("yh") - col("yl"))).as("area"),
+          ((col("xl") + col("xh")) / 2.0).as("center_x"),
+          ((col("yl") + col("yh")) / 2.0).as("center_y"),
+          (col("xp").between(col("xl"), col("xh")) &&
+           col("yp").between(col("yl"), col("yh"))).as("contains_pt"),
+          (col("xl") <= 60 && lit(20) <= col("xh") &&
+           col("yl") <= 50 && lit(10) <= col("yh")).as("overlaps_fixed"),
+          round(sqrt((dx * dx + dy * dy).cast("double")), 6).as("pt_box_dist"),
+          round(sqrt(((col("xh") - col("xl")) * (col("xh") - col("xl")) +
+                      (col("yh") - col("yl")) * (col("yh") - col("yl")))
+            .cast("double")), 6).as("diagonal"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // grid-bucketed containment join (the gist-index analogue): points
+    // equi-join boxes on covered grid cells, exact filter after
+    "q_geo_grid_join" -> ((s, dir) => {
+      val cell = 16
+      val pts = t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+        .select(col("c_custkey").as("pid"),
+          (col("c_custkey") % 101).as("px"),
+          (col("c_custkey") * 7 % 103).as("py"))
+        .withColumn("cx", expr(s"px div $cell"))
+        .withColumn("cy", expr(s"py div $cell"))
+      val bx = boxes(t(s, dir, "orders").filter(col("o_orderkey") <= 200),
+          col("o_orderkey"), col("o_custkey"))
+        .select(col("o_orderkey").as("bid"),
+          col("xl"), col("xh"), col("yl"), col("yh"))
+      // one row per covered cell: bounded by (extent/cell + 1)^2 per box
+      val cells = bx.select(col("bid"), col("xl"), col("xh"), col("yl"), col("yh"),
+        explode(expr(
+          s"""flatten(transform(sequence(xl div $cell, xh div $cell),
+             |  cx -> transform(sequence(yl div $cell, yh div $cell),
+             |    cy -> struct(cx as cx, cy as cy))))""".stripMargin)).as("c"))
+        .select(col("bid"), col("xl"), col("xh"), col("yl"), col("yh"),
+          col("c.cx").as("cx"), col("c.cy").as("cy"))
+      cells.join(pts, Seq("cx", "cy"))
+        .filter(col("px").between(col("xl"), col("xh")) &&
+                col("py").between(col("yl"), col("yh")))
+        .groupBy(col("bid"))
+        .agg(count(lit(1)).as("n_points"), sum(col("pid")).as("sum_pid"))
+        .orderBy(col("bid"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_geo_ops" ->
+      """WITH d AS (SELECT o_orderkey,
+        |    o_orderkey % 97 AS xp, o_custkey % 89 AS yp,
+        |    o_orderkey % 50 AS xl,
+        |    o_orderkey % 50 + 10 + o_custkey % 7 AS xh,
+        |    o_custkey % 40 AS yl, o_custkey % 40 + 8 AS yh
+        |  FROM orders WHERE o_orderkey <= 500)
+        |SELECT o_orderkey, xp, yp, xl, xh, yl, yh,
+        |  ROUND(sqrt(CAST((xp-48)*(xp-48) + (yp-44)*(yp-44) AS DOUBLE)), 6)
+        |    AS dist_center,
+        |  abs(xp-48) + abs(yp-44) AS dist_manhattan,
+        |  (xh-xl) * (yh-yl) AS area,
+        |  (xl + xh) / 2.0 AS center_x,
+        |  (yl + yh) / 2.0 AS center_y,
+        |  xp BETWEEN xl AND xh AND yp BETWEEN yl AND yh AS contains_pt,
+        |  xl <= 60 AND 20 <= xh AND yl <= 50 AND 10 <= yh AS overlaps_fixed,
+        |  ROUND(sqrt(CAST(
+        |    greatest(xl-xp, xp-xh, 0) * greatest(xl-xp, xp-xh, 0) +
+        |    greatest(yl-yp, yp-yh, 0) * greatest(yl-yp, yp-yh, 0) AS DOUBLE)), 6)
+        |    AS pt_box_dist,
+        |  ROUND(sqrt(CAST((xh-xl)*(xh-xl) + (yh-yl)*(yh-yl) AS DOUBLE)), 6)
+        |    AS diagonal
+        |FROM d ORDER BY o_orderkey""".stripMargin,
+
+    // direct theta join — independent of the grid decomposition
+    "q_geo_grid_join" ->
+      """WITH p AS (SELECT c_custkey AS pid,
+        |    c_custkey % 101 AS px, c_custkey * 7 % 103 AS py
+        |  FROM customer WHERE c_custkey <= 2000),
+        |b AS (SELECT o_orderkey AS bid,
+        |    o_orderkey % 50 AS xl,
+        |    o_orderkey % 50 + 10 + o_custkey % 7 AS xh,
+        |    o_custkey % 40 AS yl, o_custkey % 40 + 8 AS yh
+        |  FROM orders WHERE o_orderkey <= 200)
+        |SELECT bid, COUNT(*) AS n_points, CAST(SUM(pid) AS BIGINT) AS sum_pid
+        |FROM b JOIN p ON px BETWEEN xl AND xh AND py BETWEEN yl AND yh
+        |GROUP BY bid ORDER BY bid""".stripMargin
+  )
+}

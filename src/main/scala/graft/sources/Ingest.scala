@@ -241,4 +241,19 @@ object Ingest {
     spark.read.option("header", "true")
       .schema(df.schema).csv(path)
   }
+
+  /** JSON-lines unload/load (the reference's `COPY ... (FORMAT json)` /
+    * json external tables): schema re-imposed on read, so types survive
+    * the text round-trip. */
+  def copyOutInJson(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    spark.read.schema(df.schema).json(path)
+  }
+
+  /** ORC unload/load — the second columnar format (AO-column-store
+    * analogue beside Parquet); types carried natively. */
+  def copyOutInOrc(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.orc(path)
+  }
 }

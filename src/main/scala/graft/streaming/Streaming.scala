@@ -99,6 +99,37 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Stream-STREAM join (both sides unbounded — the reference has no
+    * analogue; two continuously-loading external tables would need a
+    * periodic batch join): each purchase joins the same user's clicks
+    * from the preceding hour. Both sides carry a watermark and the join
+    * has a time-range predicate, so Spark provably bounds the buffered
+    * state: a click older than (watermark - 1h) can never match a future
+    * purchase and its state is evicted. Inner joins emit eagerly on
+    * match, so the finite file source drains to exactly the batch
+    * result. */
+  def streamStreamJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("c_id"),
+              col("p_ts"), col("c_ts"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Arbitrary stateful streaming: running per-user event counter via
     * mapGroupsWithState (reference analogue: none — additive). */
   def statefulUserCounts(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -221,4 +221,15 @@ class IngestSpec extends AnyFunSuite {
     assert(back.collect().map(_.toSeq).toSet ==
            nation.collect().map(_.toSeq).toSet)
   }
+
+  test("JSON-lines and ORC round-trips preserve rows and schema") {
+    val nation = Tables.t(spark, sf, "nation")
+    val expect = nation.collect().map(_.toSeq).toSet
+    val j = graft.sources.Ingest.copyOutInJson(spark, nation, tmp("copyjson"))
+    assert(j.schema == nation.schema)
+    assert(j.collect().map(_.toSeq).toSet == expect)
+    val o = graft.sources.Ingest.copyOutInOrc(spark, nation, tmp("copyorc"))
+    assert(o.schema == nation.schema)
+    assert(o.collect().map(_.toSeq).toSet == expect)
+  }
 }

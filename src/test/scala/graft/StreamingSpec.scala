@@ -48,6 +48,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.streaming.Streaming
+      .streamStreamJoin(spark, sf, "stream_stream_spec")
+      .collect().map(_.toSeq).toSet
+    val ev = Tables.t(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+              col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty, "expected purchase-click matches in the window")
+    assert(stream == batch)
+  }
+
   test("watermark drops late data and never resurrects an emitted window") {
     import java.sql.Timestamp
     val srcDir = java.nio.file.Files
