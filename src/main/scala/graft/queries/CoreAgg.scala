@@ -15,6 +15,12 @@ import graft.Tables._
   */
 object CoreAgg extends QueryModule {
 
+  /** HLL estimator constant alpha_m * m^2 for m=256 (Flajolet et al.);
+    * one Scala double, embedded verbatim in both the plan and the oracle
+    * SQL (Double.toString round-trips bit-exactly through DuckDB's
+    * parser — the hyperplane-literal pattern). */
+  private val hllAlphaM2: Double = 0.7213 / (1 + 1.079 / 256) * 256 * 256
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan -> pushed filter -> partial/final hash agg ->
     // shuffle on the 2 grouping cols -> sort. The flagship slice of §3.
@@ -182,10 +188,97 @@ object CoreAgg extends QueryModule {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
              approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Deterministic, ORACLE-CHECKED HyperLogLog (contrast with
+    // q_approx_distinct, whose engine-internal HLL++ register bits are
+    // legitimately rows-only): 60-bit md5-derived hashes (engine-
+    // independent, like the simhash signatures), 256 registers,
+    // rho = leading-zero rank capped at 18 so every 2^-rho is EXACT in
+    // DECIMAL(38,18) = 5^rho/10^rho — the register sum is order-
+    // independent and bit-identical across engines; the only float ops
+    // (the alpha*m^2/sum estimate, the linear-counting correction) run
+    // in one fixed order on both sides. Registers merge across event
+    // types with max() — the sketch-union property — and the merged
+    // 'ALL' estimate is hash-checked alongside the per-type ones.
+    // Flajolet et al.'s published estimator; the cap costs nothing at
+    // any realistic cardinality (rho > 18 needs ~2^18 values PER BUCKET).
+    "q_hll_deterministic" -> ((s, dir) => {
+      val m = 256
+      val alphaM2 = hllAlphaM2
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val hashed = ev.select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string").cast("binary")),
+            1, 15), 16, 10).cast("long").as("h"))
+        .select(col("event_type"), expr("h & 255").as("bucket"),
+          expr("least(53 - length(bin(shiftright(h, 8))), 18)").as("rho"))
+      val reg = hashed.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("mreg"))
+      val regAll = hashed.groupBy(col("bucket")).agg(max(col("rho")).as("mreg"))
+        .withColumn("event_type", lit("ALL"))
+      val types = ev.select(col("event_type")).distinct()
+        .unionAll(s.range(1).select(lit("ALL").as("event_type")))
+      // empty registers count as rho=0 (term 1.0): materialize the full
+      // type x 256 grid — constant-size, broadcast-friendly
+      val grid = types.crossJoin(
+        s.range(m).select(col("id").cast("int").as("bucket")))
+      val full = grid
+        .join(reg.unionByName(regAll), Seq("event_type", "bucket"), "left")
+        .withColumn("mreg", coalesce(col("mreg"), lit(0)))
+      val est = full.groupBy(col("event_type"))
+        .agg(expr("cast(sum(cast(pow(2.0, -mreg) as decimal(38,18))) as double)")
+               .as("sump"),
+             sum(when(col("mreg") === 0, 1).otherwise(0)).as("v"))
+        .withColumn("e_raw", lit(alphaM2) / col("sump"))
+        .withColumn("n_est", round(
+          when(col("e_raw") <= 2.5 * m && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+            .otherwise(col("e_raw")), 3))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .unionByName(ev.agg(countDistinct(col("user_id")).as("n_exact"))
+          .withColumn("event_type", lit("ALL")))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_est"), col("n_exact"))
+        .orderBy(col("event_type"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hll_deterministic" ->
+      s"""WITH ev AS (SELECT event_type, user_id FROM events),
+         |h AS (SELECT event_type,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM ev),
+         |b AS (SELECT event_type, h & 255 AS bucket,
+         |    least(53 - length(bin(h >> 8)), 18) AS rho FROM h),
+         |reg AS (SELECT event_type, bucket, MAX(rho) AS mreg
+         |    FROM b GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'ALL', bucket, MAX(rho) FROM b GROUP BY 2),
+         |types AS (SELECT DISTINCT event_type FROM ev UNION ALL SELECT 'ALL'),
+         |grid AS (SELECT t.event_type, g.g AS bucket
+         |  FROM types t, (SELECT unnest(range(0, 256)) AS g) g),
+         |f AS (SELECT g.event_type, COALESCE(r.mreg, 0) AS mreg
+         |  FROM grid g LEFT JOIN reg r
+         |    ON g.event_type = r.event_type AND g.bucket = r.bucket),
+         |est AS (SELECT event_type,
+         |    CAST(SUM(CAST(power(2.0, -mreg) AS DECIMAL(38,18))) AS DOUBLE)
+         |      AS sump,
+         |    SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v
+         |  FROM f GROUP BY 1),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+         |    FROM ev GROUP BY 1
+         |  UNION ALL SELECT 'ALL', COUNT(DISTINCT user_id) FROM ev)
+         |SELECT e.event_type,
+         |  ROUND(CASE WHEN $hllAlphaM2 / sump <= 640.0 AND v > 0
+         |    THEN 256.0 * ln(256.0 / v) ELSE $hllAlphaM2 / sump END, 3)
+         |    AS n_est,
+         |  x.n_exact
+         |FROM est e JOIN ex x ON e.event_type = x.event_type
+         |ORDER BY e.event_type""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
