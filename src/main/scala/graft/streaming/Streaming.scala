@@ -130,6 +130,38 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Streaming-to-TABLE ingestion with exactly-once semantics across
+    * restarts (the reference's transactional external-table load:
+    * gpfdist batches commit or roll back atomically). Spark's file sink
+    * is already exactly-once, but only for its own log format; this is
+    * the general pattern for ANY idempotent sink: `foreachBatch` writes
+    * each micro-batch under a `batch=<id>` directory via stage+rename,
+    * and SKIPS ids that already exist — on restart or checkpoint loss a
+    * replayed batch id is a no-op, so rows land exactly once no matter
+    * how many times the batch is delivered. */
+  def streamToTable(spark: SparkSession, dir: String, tableDir: String,
+                    checkpointDir: String): Unit = {
+    val q = eventsStream(spark, dir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(tableDir, s"batch=$batchId")
+        if (!fs.exists(dst)) {
+          // dot-prefixed staging dir: invisible to readers until the
+          // atomic rename commits the batch
+          val staged = new org.apache.hadoop.fs.Path(
+            tableDir, s".stage_batch_$batchId")
+          fs.delete(staged, true)
+          batch.write.mode("overwrite").parquet(staged.toString)
+          require(fs.rename(staged, dst), s"rename failed: $staged -> $dst")
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Arbitrary stateful streaming: running per-user event counter via
     * mapGroupsWithState (reference analogue: none — additive). */
   def statefulUserCounts(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -108,6 +108,26 @@ class StreamingSpec extends AnyFunSuite {
       "no window may be emitted twice in append mode")
   }
 
+  test("foreachBatch table sink is exactly-once across restart AND replay") {
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_tbl").toString
+    val ckpt1 = java.nio.file.Files
+      .createTempDirectory("graft_stream_ck1").toString
+    val expected = Tables.t(spark, sf, "events").count()
+    graft.streaming.Streaming.streamToTable(spark, sf, tableDir, ckpt1)
+    def tableRows(): Long = spark.read.parquet(tableDir).count()
+    assert(tableRows() == expected)
+    // restart with the SAME checkpoint: no new data, no new batches
+    graft.streaming.Streaming.streamToTable(spark, sf, tableDir, ckpt1)
+    assert(tableRows() == expected, "restart must not duplicate rows")
+    // checkpoint LOSS: batch ids replay from 0 — the idempotent sink
+    // must recognize the committed batch dir and skip it
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft_stream_ck2").toString
+    graft.streaming.Streaming.streamToTable(spark, sf, tableDir, ckpt2)
+    assert(tableRows() == expected, "replayed batch ids must not duplicate rows")
+  }
+
   test("stateful mapGroupsWithState counts equal batch groupBy") {
     val stream = graft.streaming.Streaming
       .statefulUserCounts(spark, sf, "stream_state_spec")
