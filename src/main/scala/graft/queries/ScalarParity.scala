@@ -143,6 +143,32 @@ object ScalarParity extends QueryModule {
     // ISO week + ISO year (the year of the week's Thursday), century,
     // decade — emulated arithmetically, checked against DuckDB's NATIVE
     // isodow/week/isoyear/century/decade.
+    // AT TIME ZONE both directions (timestamp.c timestamp_zone /
+    // timestamptz_zone): naive-local -> UTC instant and UTC instant ->
+    // zone wall time, plus derived UTC offsets across a DST boundary
+    // (the +182d column lands the January events in July: Berlin CET+1
+    // becomes CEST+2, New York -5 stays on the winter side). Oracle =
+    // DuckDB's NATIVE ICU timezone() with the session in UTC.
+    "q_at_time_zone" -> ((s, dir) => {
+      val summer = col("ts") + expr("INTERVAL 182 DAYS")
+      val nyUtc = to_utc_timestamp(col("ts"), "America/New_York")
+      val berlinW = from_utc_timestamp(col("ts"), "Europe/Berlin")
+      val berlinS = from_utc_timestamp(summer, "Europe/Berlin")
+      t(s, dir, "events").filter(col("event_id") <= 300)
+        .select(col("event_id"), col("ts"),
+          nyUtc.as("ny_to_utc"),
+          from_utc_timestamp(col("ts"), "Asia/Tokyo").as("tokyo_wall"),
+          berlinW.as("berlin_winter"),
+          berlinS.as("berlin_summer"),
+          ((unix_timestamp(nyUtc) - unix_timestamp(col("ts"))) / 3600)
+            .cast("int").as("ny_offset_h"),
+          ((unix_timestamp(berlinW) - unix_timestamp(col("ts"))) / 3600)
+            .cast("int").as("berlin_winter_offset_h"),
+          ((unix_timestamp(berlinS) - unix_timestamp(summer)) / 3600)
+            .cast("int").as("berlin_summer_offset_h"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_extract_parts" -> ((s, dir) => {
       val d = col("o_orderdate").cast("date")
       val isodow = pmod(dayofweek(d) + 5, lit(7)) + 1
@@ -338,6 +364,28 @@ object ScalarParity extends QueryModule {
          |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
          |    AS statuses
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_at_time_zone" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_id <= 300),
+        |c AS (SELECT event_id, ts,
+        |    CAST(timezone('America/New_York', ts) AS TIMESTAMP) AS ny_to_utc,
+        |    timezone('Asia/Tokyo', CAST(ts AS TIMESTAMPTZ)) AS tokyo_wall,
+        |    timezone('Europe/Berlin', CAST(ts AS TIMESTAMPTZ)) AS berlin_winter,
+        |    timezone('Europe/Berlin',
+        |      CAST(ts + INTERVAL 182 DAY AS TIMESTAMPTZ)) AS berlin_summer,
+        |    ts + INTERVAL 182 DAY AS ts_summer
+        |  FROM e)
+        |SELECT event_id, ts, ny_to_utc, tokyo_wall, berlin_winter, berlin_summer,
+        |  CAST((CAST(floor(epoch(ny_to_utc)) AS BIGINT)
+        |    - CAST(floor(epoch(ts)) AS BIGINT)) // 3600 AS INT) AS ny_offset_h,
+        |  CAST((CAST(floor(epoch(berlin_winter)) AS BIGINT)
+        |    - CAST(floor(epoch(ts)) AS BIGINT)) // 3600 AS INT)
+        |    AS berlin_winter_offset_h,
+        |  CAST((CAST(floor(epoch(berlin_summer)) AS BIGINT)
+        |    - CAST(floor(epoch(ts_summer)) AS BIGINT)) // 3600 AS INT)
+        |    AS berlin_summer_offset_h
+        |FROM c ORDER BY event_id""".stripMargin,
 
     "q_extract_parts" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,

@@ -242,6 +242,37 @@ object Ingest {
       .schema(df.schema).csv(path)
   }
 
+  /** CLUSTER — physically re-sort a table by `sortCols`
+    * (`/root/reference/src/backend/commands/cluster.c`: rewrite the heap
+    * in index order). Spark-first: range-partition on the sort key, sort
+    * within partitions, rewrite via the crash-safe staging swap. Every
+    * output file then covers a DISJOINT key range, so any selective
+    * filter on the cluster key prunes to ~one file via parquet row-group
+    * min/max stats — the same I/O win the reference gets from a
+    * clustered heap + BRIN-ish stats, with no index structure at all. */
+  def rewriteSorted(spark: SparkSession, path: String, numFiles: Int,
+                    sortCols: String*): DataFrame = {
+    val sorted = spark.read.parquet(path)
+      .repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    replaceTable(spark, sorted, path)
+  }
+
+  /** VACUUM/compaction (the AO-segment compaction half of
+    * `/root/reference/src/backend/commands/vacuum.c` — reclaim the
+    * small-file debris that micro-batch ingest and partition-scoped DML
+    * leave behind). Coalesces the table into ceil(bytes/targetBytes)
+    * files via the same crash-safe staging swap. At 100 TB the
+    * small-file problem IS the scan-latency problem: footer reads and
+    * task scheduling dominate once files shrink below ~100 MB. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): DataFrame = {
+    val fs = fsOf(spark, path)
+    val bytes = fs.getContentSummary(new Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    replaceTable(spark, spark.read.parquet(path).repartition(nFiles), path)
+  }
+
   /** JSON-lines unload/load (the reference's `COPY ... (FORMAT json)` /
     * json external tables): schema re-imposed on read, so types survive
     * the text round-trip. */

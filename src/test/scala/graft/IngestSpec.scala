@@ -222,6 +222,41 @@ class IngestSpec extends AnyFunSuite {
            nation.collect().map(_.toSeq).toSet)
   }
 
+  test("CLUSTER rewrite gives files disjoint key ranges; compaction merges debris") {
+    val dir = tmp("cluster")
+    val orders = Tables.t(spark, sf, "orders")
+    // simulate ingest debris: many tiny files in random key order
+    orders.orderBy(rand(42)).repartition(24)
+      .write.mode("overwrite").parquet(dir)
+    def fileRanges(): Seq[(Long, Long)] = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // pre-cluster: shuffled writes give every file ~the full key span
+    val before = fileRanges()
+    assert(before.count { case (lo, hi) => lo < 100 && hi > 1000 } > 20,
+      s"expected overlapping full-span files before clustering: $before")
+    val clustered = graft.sources.Ingest
+      .rewriteSorted(spark, dir, numFiles = 8, "o_orderkey")
+    assert(clustered.count() == orders.count())
+    val after = fileRanges()
+    // disjoint ranges: every file's hi < next file's lo
+    after.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges overlap after CLUSTER: $after")
+      case _ =>
+    }
+    // a selective key filter now prunes to exactly one file
+    val probe = clustered.filter(col("o_orderkey") === after(3)._1)
+    assert(probe.select(input_file_name()).distinct().count() == 1)
+    // compaction: merge everything back into one right-sized file
+    graft.sources.Ingest.compact(spark, dir, targetFileBytes = 1L << 30)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected 1 compacted file, got ${files.length}")
+    assert(spark.read.parquet(dir).count() == orders.count())
+  }
+
   test("JSON-lines and ORC round-trips preserve rows and schema") {
     val nation = Tables.t(spark, sf, "nation")
     val expect = nation.collect().map(_.toSeq).toSet
