@@ -234,6 +234,60 @@ object Ingest {
     replaceTable(spark, updated.unionByName(inserts), path)
   }
 
+  /** Partition-scoped MERGE: like [[mergeInto]], but the table at `path`
+    * is partitioned on `partCol` and only partitions that receive an
+    * update or an insert are rewritten — I/O is O(touched partitions),
+    * the SplitUpdate-style scale path for continuous upsert feeds. The
+    * touched set is the source rows' `partCol` values (where inserts
+    * land) UNION the partitions holding a matched key (updates rewrite
+    * the matched row IN ITS OWN partition — when the match key doesn't
+    * include `partCol`, a source row can match a row living in a
+    * different partition, and that partition must be rewritten, not the
+    * source's). Deriving matched partitions costs one keys-only
+    * projection of the table — narrow columns, no payload scan. Same
+    * duplicate-source-key guard as [[mergeInto]]. */
+  def mergeIntoPartitioned(spark: SparkSession, path: String, partCol: String,
+                           source: DataFrame, keys: Seq[String],
+                           updateCols: Seq[String]): DataFrame = {
+    require(!updateCols.contains(partCol),
+      s"partition column $partCol cannot be an update column — a " +
+        "partition-moving merge needs the SplitUpdate whole-table path")
+    val table = spark.read.parquet(path)
+    require(table.columns.sorted.sameElements(source.columns.sorted),
+      s"merge schema mismatch: ${table.columns.toSeq} vs ${source.columns.toSeq}")
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      "MERGE source has duplicate keys — cannot affect a target row a second time")
+    val matchedParts = table
+      .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .select(col(partCol)).distinct()
+    val touched = source.select(col(partCol))
+      .unionByName(matchedParts).distinct()
+    val affected = touchedRows(table, touched, partCol)
+    val src = source.columns.foldLeft(source)(
+      (df, c) => df.withColumnRenamed(c, s"__s_$c"))
+    val cond = keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
+    val matched = col(s"__s_${keys.head}").isNotNull
+    val updated = affected.join(src, cond, "left").select(
+      table.columns.map { c =>
+        if (updateCols.contains(c))
+          when(matched, col(s"__s_$c")).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+    // anti-join against the WHOLE table's keys (not just touched
+    // partitions): a key matched in any partition is an update, never a
+    // duplicate-creating insert
+    val inserts = source.join(
+      table.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val staged = stageDir(path)
+    updated.unionByName(inserts)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(staged.toString)
+    swapPartitionDirs(fsOf(spark, path), staged, new Path(path), partCol)
+    spark.read.parquet(path)
+  }
+
   /** COPY TO (csv unload) and back. */
   def copyOutIn(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     df.write.mode(SaveMode.Overwrite)
