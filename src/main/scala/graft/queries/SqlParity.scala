@@ -124,6 +124,20 @@ object SqlParity extends QueryModule {
       .limit(50)
   }
 
+  /** Extended-query / prepared-statement path (§3.3 — postgres.c
+    * `exec_parse_message`/`exec_bind_message`: parse once, bind
+    * parameters at execute). Spark's parameterized `spark.sql(text,
+    * args)` is the same contract; the text below runs with named markers
+    * bound plan-side, while the oracle inlines the identical literals. */
+  private val preparedSqlText =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(round(c_acctbal * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+      |    / 1000000.0 AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > :minbal AND c_mktsegment <> :seg
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     sharedSql.map { case (name, sql) =>
       name -> ((s: SparkSession, dir: String) => {
@@ -133,7 +147,12 @@ object SqlParity extends QueryModule {
       })
     } ++ Map(
       "q_mdqa_grouping_sets" -> mdqaSpark,
-      "q_null_ordering" -> nullOrderSpark)
+      "q_null_ordering" -> nullOrderSpark,
+      "q_sql_prepared" -> ((s: SparkSession, dir: String) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(preparedSqlText,
+          Map("minbal" -> 2000.0, "seg" -> "BUILDING"))
+      }))
 
   val oracle: Map[String, String] = sharedSql ++ Map(
     "q_mdqa_grouping_sets" ->
@@ -151,6 +170,12 @@ object SqlParity extends QueryModule {
         |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
         |FROM customer WHERE c_custkey <= 200
         |ORDER BY bal DESC NULLS LAST, c_custkey
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    // the prepared text with the bind values inlined as literals
+    "q_sql_prepared" ->
+      preparedSqlText
+        .replace(":minbal", "2000.0")
+        .replace(":seg", "'BUILDING'")
   )
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance: the engine's numeric conventions (integer-
+  * micros sums, integer-rational thresholds, fixed-order float ops, the
+  * micros-stabilized Lloyd update) exist so that results are BIT-IDENTICAL
+  * under any parallelism — on a 1000-executor cluster or local[1]. This
+  * spec reruns load-bearing queries with shuffle parallelism forced down
+  * from the suite's 8 to 3 and demands exactly equal output, which fails
+  * for any plan that leaks accumulation order into the result (the classic
+  * parallel-engine nondeterminism bug this repo's conventions prevent). */
+class DeterminismSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private val names = Seq(
+    "q1_pricing_summary",     // micros-long money sums
+    "q_agg_multi_distinct",   // 3-stage DQA plan
+    "d_dedup_minhash_lsh",    // banded candidates + integer-rational jaccard
+    "q_hll_deterministic",    // exact-decimal register sum + fixed-order est
+    "s_ann_ivf_topk")         // micros-stabilized Lloyd iterations
+
+  private def run(name: String): Seq[Seq[Any]] =
+    SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+
+  names.foreach { name =>
+    test(s"$name is invariant to shuffle partition count") {
+      val base = run(name)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", 3)
+      val low = try run(name)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      assert(base == low,
+        s"$name changed under different parallelism — an accumulation-order leak")
+    }
+  }
+}
