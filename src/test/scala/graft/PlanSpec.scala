@@ -32,6 +32,14 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("geo grid join is an equi-join on cells, never a cartesian") {
+    val p = planOf("q_geo_grid_join")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"spatial join must come from the (cx,cy) equi-join, plan:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("column pruning reaches the scan (q_agg_having reads 2 cols)") {
     val p = planOf("q_agg_having")
     assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double>"), p)
