@@ -180,6 +180,24 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // Cohort retention (the warehouse-analytics staple): users bucketed
+    // by first-activity week, distinct-user counts per weeks-since-cohort
+    // offset. Both engines truncate weeks to Monday; offsets are exact
+    // multiples of 7 days, so the integer division is lossless.
+    "q_events_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      val active = ev.select(col("user_id").as("u"),
+          date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+      cohort.join(active, col("user_id") === col("u"))
+        .withColumn("week_offset",
+          expr("datediff(week, cohort_week) div 7").cast("int"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Daily activity with zero-filled gaps: calendar spine cross user set,
     // left join actuals (reference interpolate.c gap-fill shape, step 1).
     "q_events_gapfill_zero" -> ((s, dir) => {
@@ -204,6 +222,19 @@ object Events extends QueryModule {
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH c AS (SELECT user_id,
+        |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events)
+        |SELECT cohort_week,
+        |  CAST((week - cohort_week) // 7 AS INT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM c JOIN a ON c.user_id = a.user_id
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_events_sliding" ->
       s"""WITH offs AS (SELECT unnest([0, 1]) AS o)

@@ -84,6 +84,37 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing — training-data hygiene (additive pipeline op; the
+    // synthetic corpus carries no PII, so deterministic fake PII derived
+    // from doc_id is appended first, then redacted). Detection counts run
+    // over the raw text BEFORE redaction; the regex chain (emails, then
+    // URLs, then phone fragments) is identical in both engines, built
+    // with the DataFrame API so no SQL-literal backslash mangling occurs.
+    "t_pii_scrub" -> ((s, dir) => {
+      val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+      val urlRe = "https?://[^ ]+"
+      val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://ex.com/u/"), col("doc_id"),
+          lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      d.select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              urlRe, "<URL>"),
+            phoneRe, "<PHONE>").as("clean"),
+          size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(urlRe), lit(0)))
+            .as("n_urls"),
+          size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+            .as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint: rolling polynomial hash (Rabin-Karp family)
     // over per-word char hashes — pure integer arithmetic, reproducible in
     // any engine (mod 1e9+7 keeps every intermediate below 2^63).
@@ -203,6 +234,28 @@ object TextOps extends QueryModule {
          |            {'s': s_zh, 'l': 'zh'}]).l AS predicted,
          |  s_en, s_de, s_es, s_fr, s_zh
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "t_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com or https://ex.com/u/' || doc_id ||
+        |    ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      AS raw
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(raw,
+        |        '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS INT)
+        |    AS n_urls,
+        |  CAST(len(regexp_extract_all(raw, '\b[0-9]{3}-[0-9]{4}\b')) AS INT)
+        |    AS n_phones
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->
       s"""SELECT doc_id, $fpSql AS fingerprint,
