@@ -141,6 +141,27 @@ object Joins extends QueryModule {
                GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    // Quantified comparison subqueries (> ALL / > ANY — the reference's
+    // SubLink/SubPlan machinery, nodeSubplan.c; ORCA's
+    // CXformSubqueryQuantified). Spark SQL has no ALL/ANY comparison
+    // quantifiers, so they decompose into the classic aggregate rewrite:
+    // x > ALL(S) == x > max(S) (vacuously TRUE on empty S),
+    // x > ANY(S) == x > min(S) (FALSE on empty S) — valid because the
+    // inner is filtered non-NULL, exactly the precondition the
+    // reference's rewrite checks. Oracle = DuckDB's NATIVE quantifiers.
+    "q_any_all_subquery" -> ((s, dir) => {
+      val supBal = t(s, dir, "supplier").filter(col("s_acctbal").isNotNull)
+        .groupBy(col("s_nationkey"))
+        .agg(max(col("s_acctbal")).as("mx"), min(col("s_acctbal")).as("mn"))
+      t(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .join(supBal, col("c_nationkey") === col("s_nationkey"), "left")
+        .select(col("c_custkey"),
+          // empty S: left-join NULL mx -> > ALL is vacuously true
+          coalesce(col("c_acctbal") > col("mx"), lit(true)).as("gt_all_supp"),
+          coalesce(col("c_acctbal") > col("mn"), lit(false)).as("gt_any_supp"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // NOT IN with actual NULLs in the inner: x NOT IN (S) is never true
     // when S contains NULL, so zero rows survive. Surfaced as a COUNT so
     // the output is non-empty and checkable. The DataFrame-API anti join
@@ -246,6 +267,17 @@ object Joins extends QueryModule {
   private val rev = "l_extendedprice*(1-l_discount)"
 
   val oracle: Map[String, String] = Map(
+    "q_any_all_subquery" ->
+      """SELECT c_custkey,
+        |  c_acctbal > ALL (SELECT s_acctbal FROM supplier
+        |    WHERE s_nationkey = c_nationkey AND s_acctbal IS NOT NULL)
+        |    AS gt_all_supp,
+        |  c_acctbal > ANY (SELECT s_acctbal FROM supplier
+        |    WHERE s_nationkey = c_nationkey AND s_acctbal IS NOT NULL)
+        |    AS gt_any_supp
+        |FROM customer WHERE c_custkey <= 500
+        |ORDER BY c_custkey""".stripMargin,
+
     "q3_shipping_priority" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
          |  o_orderpriority, ${sqlDsum(rev)} AS revenue
