@@ -124,6 +124,18 @@ object SqlParity extends QueryModule {
       .limit(50)
   }
 
+  /** Named-window (WINDOW clause) verbatim text — parse.c windowClause /
+    * transformWindowDefinitions; one definition, several consumers. */
+  private val namedWindowSql =
+    """SELECT user_id, event_id,
+      |  rank() OVER w AS rnk,
+      |  lag(event_type, 1) OVER w AS prev_type,
+      |  COUNT(*) OVER w AS n_so_far
+      |FROM events
+      |WHERE user_id <= 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Extended-query / prepared-statement path (§3.3 — postgres.c
     * `exec_parse_message`/`exec_bind_message`: parse once, bind
     * parameters at execute). Spark's parameterized `spark.sql(text,
@@ -152,6 +164,10 @@ object SqlParity extends QueryModule {
         t(s, dir, "customer").createOrReplaceTempView("customer")
         s.sql(preparedSqlText,
           Map("minbal" -> 2000.0, "seg" -> "BUILDING"))
+      }),
+      "q_sql_named_window" -> ((s: SparkSession, dir: String) => {
+        t(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(namedWindowSql)
       }))
 
   val oracle: Map[String, String] = sharedSql ++ Map(
@@ -176,6 +192,8 @@ object SqlParity extends QueryModule {
     "q_sql_prepared" ->
       preparedSqlText
         .replace(":minbal", "2000.0")
-        .replace(":seg", "'BUILDING'")
+        .replace(":seg", "'BUILDING'"),
+
+    "q_sql_named_window" -> namedWindowSql
   )
 }

@@ -32,6 +32,42 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("AQE splits a skewed join partition (OptimizeSkewedJoin)") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // make the skew detector fire on test-sized data, and forbid the
+      // broadcast fallback so a real shuffle join plans
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sp = spark; import sp.implicits._
+      // one hot key carrying 50k rows vs 1 row for everything else
+      val fact = spark.range(0, 51000)
+        .select(when(col("id") < 50000, 0L).otherwise(col("id")).as("k"),
+                col("id").as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+      val joined = fact.join(dim, "k").groupBy(col("name")).count()
+      joined.collect()  // AQE finalizes the plan only after execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot partition, plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("geo grid join is an equi-join on cells, never a cartesian") {
     val p = planOf("q_geo_grid_join")
     assert(!p.contains("CartesianProduct") &&
