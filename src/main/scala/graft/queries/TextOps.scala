@@ -118,14 +118,14 @@ object TextOps extends QueryModule {
     // Document fingerprint: rolling polynomial hash (Rabin-Karp family)
     // over per-word char hashes — pure integer arithmetic, reproducible in
     // any engine (mod 1e9+7 keeps every intermediate below 2^63).
+    // Computed by the native codegen expression rolling_fp (one zero-
+    // allocation pass; the HOF aggregate/split chain it replaces is
+    // CodegenFallback — TextFnsSpec proves corpus-wide equality).
     "t_fingerprint" -> ((s, dir) => {
+      graft.functions.TextFns.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          expr("""aggregate(split(text, ' '), 0L,
-              (acc, word) -> (acc * 131 +
-                aggregate(split(word, ''), 0L,
-                  (a, c) -> (a * 31 + ascii(c)) % 1000000007)
-              ) % 1000000007)""").as("fingerprint"))
+          call_function("rolling_fp", col("text")).as("fingerprint"))
         .withColumn("fp_bucket", pmod(col("fingerprint"), lit(997)))
         .orderBy(col("doc_id"))
     }),
@@ -168,13 +168,10 @@ object TextOps extends QueryModule {
 
     // Fingerprint-based dup grouping: docs sharing a fingerprint.
     "t_fingerprint_groups" -> ((s, dir) => {
+      graft.functions.TextFns.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          expr("""aggregate(split(text, ' '), 0L,
-              (acc, word) -> (acc * 131 +
-                aggregate(split(word, ''), 0L,
-                  (a, c) -> (a * 31 + ascii(c)) % 1000000007)
-              ) % 1000000007)""").as("fingerprint"))
+          call_function("rolling_fp", col("text")).as("fingerprint"))
         .groupBy(col("fingerprint"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
         .groupBy()
