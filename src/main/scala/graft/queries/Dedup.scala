@@ -58,6 +58,18 @@ object Dedup extends QueryModule {
     if (sys.props.get("graft.test.noCheckpoint").contains("true")) df
     else df.localCheckpoint()
 
+  /** Fan a compute-heavy map-side stage out to the session's parallelism
+    * WHEN the incoming partitioning is starved (a small-file scan can
+    * coalesce to ~1 partition and serialize a per-row kernel — measured
+    * at the sf1 probe). On a wide scan this is a no-op: no exchange is
+    * added where the file layout already provides parallelism, which is
+    * the 100 TB case. Inspecting the partition count compiles the
+    * subplan but runs no job. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** Exact-payload pre-dedup: (doc_id, rep_id) membership, where rep_id is
     * the minimum doc_id sharing this digest. One shuffle on the digest.
     * NULL payloads digest to NULL — coalesced to a sentinel that no hex
@@ -138,42 +150,29 @@ object Dedup extends QueryModule {
     docs.join(memRep.filter(col("doc_id") === col("rep_id"))
       .select("doc_id"), "doc_id")
 
-  /** MinHash-LSH candidate generation over representative docs: shingle ->
-    * 16 minhashes in one groupBy -> 8 bands -> capped bucket join.
-    * Factored out so the adversarial spec can assert the candidate count
-    * directly. */
+  /** MinHash-LSH candidate generation over representative docs:
+    * one-pass map-side minhash16 kernel -> 8 bands -> capped bucket
+    * join. Factored out so the adversarial spec can assert the candidate
+    * count directly.
+    *
+    * The signature stage is the codegen [[graft.functions.Minhash16]]
+    * expression — a pure per-document function, so it runs with ZERO
+    * shuffle (the previous shape exploded shingles and re-aggregated 16
+    * minhashes through a corpus-sized groupBy; SigFnsSpec proves the
+    * kernel bit-equal to that formula, including the < 3-words
+    * no-shingles dropout, which surfaces here as an empty array). */
   private[graft] def minhashCandidates(repDocs: DataFrame,
                                        maxBucket: Int): DataFrame = {
-    // raw shingles, NOT deduplicated: min() is insensitive to duplicate
-    // shingles, so minhashing skips the distinct-shuffle entirely.
-    // Docs with < 3 words have NO 3-shingles (oracle range(1, len-1) is
-    // empty): filter first — sequence(0, size-3) on a short doc would
-    // produce a descending [0,-1] index sequence and fail under ANSI.
-    val raw = repDocs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("sh"))
-    // all 16 minhashes in ONE aggregation pass (single shuffle on
-    // doc_id; no seed explode — 16x less shuffled data). Each shingle
-    // string is hashed once; the 16 permutations re-hash the resulting
-    // 8-byte long, not the ~50-byte string.
-    val hashed = raw.select(col("doc_id"), xxhash64(col("sh")).as("h64"))
-    val mhCols = (0 until 16).map(i =>
-      min(xxhash64(lit(i), col("h64"))).as(s"mh$i"))
-    val minhash = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-    // 8 bands x 2 rows: signature = the band's minhashes joined
-    val bandStructs = (0 until 8).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig")))
-    val bands = minhash
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    graft.functions.SigFns.register(repDocs.sparkSession)
+    val mh = fanOut(repDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), call_function("minhash16", col("text")).as("mh"))
+      .filter(size(col("mh")) === 16)
+    // 8 bands x 2 longs: signature = the band's minhashes joined
+    val bands = mh.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 7), b -> " +
+          "struct(b as band, concat_ws(':', mh[b*2], mh[b*2+1]) as sig))"))
+        .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    // NOTE: no cache here — Spark's ReusedExchange already shares the
-    // scan -> shingle -> minhash -> band subtree across consuming branches
-    // inside the single job; an explicit cache() measured 2.6x SLOWER
-    // (separate fill job + broken pipelining).
     cappedBucketPairs(bands, Seq("band", "sig"), maxBucket).distinct()
   }
 
@@ -272,28 +271,20 @@ object Dedup extends QueryModule {
     // pre-dedup + capped buckets + expansion discipline as minhash
     // (identical text => identical signature => Hamming 0).
     "d_dedup_simhash" -> ((s, dir) => {
+      graft.functions.SigFns.register(s)
       val docs = t(s, dir, "documents")
       val memRep = matNarrow(digestGroups(docs, md5(col("text").cast("binary"))))
-      val words = repsOnly(docs, memRep)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      // signature = the one-pass map-side simhash48 kernel (codegen; was
+      // a word-explode + 48-aggregate groupBy — a corpus-sized shuffle
+      // for a pure per-document function; SigFnsSpec proves bit
+      // equality). sig stays the narrow fan-out point (doc_id + one
+      // long, consumed by banding AND both verification joins),
+      // materialized once (see the minhash note; at cluster scale use
+      // reliable .checkpoint()).
+      val sig = matNarrow(fanOut(repsOnly(docs, memRep)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
-          conv(substring(md5(col("word").cast("binary")), 1, 12), 16, 10)
-            .cast("long").as("h"))
-      // all 48 bit-sums in ONE groupBy (the minhash trick): no 48x row
-      // explosion — word-hash rows shuffle once with map-side partial
-      // aggregation, 48 narrow long columns per doc.
-      val bitSums = (0 until 48).map(j =>
-        sum(when(expr(s"shiftright(h, $j) & 1 = 1"), 1).otherwise(-1)).as(s"s$j"))
-      // sig is the narrow fan-out point (doc_id + one long, consumed by
-      // banding AND both verification joins): materialize it once instead
-      // of re-running the corpus-sized word-explode groupBy per branch
-      // (see the minhash note; at cluster scale use reliable .checkpoint()).
-      val sig = matNarrow(words.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 48).map(j =>
-            when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
-            .reduce(_ + _).as("sig")))
+          call_function("simhash48", col("text")).as("sig")))
       val banded = sig.select(col("doc_id"),
           explode(expr(
             "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b*12) & 4095 as key))"))
