@@ -264,6 +264,31 @@ object ScalarFns extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Encoding/binary family (reference `encode.c`: encode/decode
+    // base64/hex escape formats, `varlena.c` bit_length/octet_length,
+    // `int.c` to_hex, `quote.c` quote_literal, `regexp.c` regexp_count).
+    // Everything round-trips through Spark's codegen'd built-ins; the
+    // quote_literal build is the same doubling rule `quote.c` applies.
+    "q_encoding_funcs" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          base64(substring(col("text"), 1, 24).cast("binary")).as("b64"),
+          unbase64(base64(substring(col("text"), 1, 24).cast("binary")))
+            .cast("string").as("b64_rt"),
+          hex(substring(col("text"), 1, 12)).as("hx"),
+          unhex(hex(substring(col("text"), 1, 12))).cast("string").as("unhex_rt"),
+          hex(col("doc_id")).as("hx_id"),
+          bit_length(col("text")).cast("int").as("bitlen"),
+          octet_length(col("text")).cast("int").as("octlen"),
+          regexp_count(col("text"), lit("the")).cast("int").as("re_the"),
+          ascii(substring(col("text"), 1, 1)).as("ascii_c"),
+          expr("char(65 + doc_id % 26)").as("chr_c"),
+          concat(lit("'"),
+            expr("replace(substring(text, 1, 20), \"'\", \"''\")"),
+            lit("'")).as("quoted"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_format_funcs" -> ((s, dir) => {
       t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
         .select(col("s_suppkey"),
@@ -457,6 +482,21 @@ object ScalarFns extends QueryModule {
         |  sha256(n_name) AS sha256_name,
         |  CAST(length(md5(n_name)) AS INT) AS md5_len
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_encoding_funcs" ->
+      """SELECT doc_id,
+        |  base64(encode(substr(text, 1, 24))) AS b64,
+        |  decode(from_base64(base64(encode(substr(text, 1, 24))))) AS b64_rt,
+        |  hex(substr(text, 1, 12)) AS hx,
+        |  decode(unhex(hex(substr(text, 1, 12)))) AS unhex_rt,
+        |  to_hex(doc_id) AS hx_id,
+        |  CAST(bit_length(text) AS INT) AS bitlen,
+        |  CAST(octet_length(encode(text)) AS INT) AS octlen,
+        |  CAST(len(regexp_extract_all(text, 'the')) AS INT) AS re_the,
+        |  ascii(substr(text, 1, 1)) AS ascii_c,
+        |  chr(CAST(65 + doc_id % 26 AS INT)) AS chr_c,
+        |  '''' || replace(substr(text, 1, 20), '''', '''''') || '''' AS quoted
+        |FROM documents WHERE doc_id <= 200 ORDER BY doc_id""".stripMargin,
 
     "q_format_funcs" ->
       """SELECT s_suppkey,
