@@ -6,12 +6,18 @@ import org.apache.spark.sql.Column
   *
   * The SQL dialect is a hybrid: LIKE's `%` / `_` wildcards plus POSIX-style
   * `| * + ? ( ) [ ] { }` operators, always matching the ENTIRE string, with
-  * `.` `^` `$` as ordinary literal characters. Semantics follow the
-  * reference's `similar_escape` translator
+  * `.` `^` `$` as ordinary literal characters. The overall scheme matches
+  * the reference's `similar_escape` translator
   * (`/root/reference/src/backend/utils/adt/regexp.c:687-775`): anchor as
   * `^(?:...)$`, map `%` -> `.*` and `_` -> `.`, backslash-quote the
-  * regex-special literals, pass bracket expressions through untouched, and
-  * treat the char after the escape character as a literal.
+  * regex-special literals, and pass bracket expressions through untouched.
+  * Two deliberate departures from `similar_escape`'s output:
+  *   - an ESCAPED alphanumeric is emitted as a plain literal (SQL-spec
+  *     behavior: `\d` matches only "d"), whereas the reference emits
+  *     backslash+char verbatim, explicitly so POSIX class escapes like
+  *     `\d` keep their regex meaning (regexp.c:757-766);
+  *   - `(` stays a capturing group — the reference rewrites it to
+  *     non-capturing `(?:` (harmless under rlike, which discards groups).
   *
   * (DuckDB's native SIMILAR TO is a plain RE2 full-match, NOT this
   * dialect — the oracle for [[graft.queries.TypeOps]]'s `q_similar_to`

@@ -63,11 +63,22 @@ object Dedup extends QueryModule {
     * coalesce to ~1 partition and serialize a per-row kernel — measured
     * at the sf1 probe). On a wide scan this is a no-op: no exchange is
     * added where the file layout already provides parallelism, which is
-    * the 100 TB case. Inspecting the partition count compiles the
-    * subplan but runs no job. */
+    * the 100 TB case. The probe reads the leaf scans' split counts from
+    * the PRE-adaptive physical plan — driver-side file listing only.
+    * (`df.rdd` would answer the same question, but under AQE it forces
+    * getFinalPhysicalPlan, eagerly EXECUTING upstream broadcast/shuffle
+    * stages that the real query then runs again — wasted work.) */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec}
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    // max over leaves: a broadcast join's output partitioning follows its
+    // streamed (largest) scan; small dim scans must not mask starvation
+    val parts = df.queryExecution.sparkPlan.collectLeaves().map {
+      case f: FileSourceScanExec => f.inputRDD.getNumPartitions
+      case r: RDDScanExec        => r.rdd.getNumPartitions
+      case _                     => 1
+    }.max
+    if (parts * 2 < target) df.repartition(target) else df
   }
 
   /** Exact-payload pre-dedup: (doc_id, rep_id) membership, where rep_id is
@@ -433,9 +444,13 @@ object Dedup extends QueryModule {
               val raw = d / math.sqrt(a._3 * b._3)
               // round6 is a BigDecimal round-trip — at O(|block|^2) pairs
               // it IS the kernel cost. HALF_UP to 6dp moves a value by at
-              // most 5e-7, so anything below threshold-5e-7 can skip it;
-              // the rounded compare stays the keep/drop authority.
-              if (raw >= 0.45 - 5e-7) {
+              // most 5e-7, so values safely below threshold-5e-7 can skip
+              // it; the rounded compare stays the keep/drop authority.
+              // 6e-7 (not 5e-7) slack: `0.45 - 5e-7` evaluates in double
+              // to ~0.45000000000000001 - 5.0000000000000004e-7, ABOVE the
+              // exact decimal 0.4499995 — the extra 1e-7 keeps it strictly below
+              // every raw value that can round up to the threshold.
+              if (raw >= 0.45 - 6e-7) {
                 val cos = round6(raw)
                 if (cos >= 0.45) {
                   if (a._1 < b._1) out += ((a._1, b._1, cos))

@@ -156,9 +156,16 @@ object Joins extends QueryModule {
       t(s, dir, "customer").filter(col("c_custkey") <= 500)
         .join(supBal, col("c_nationkey") === col("s_nationkey"), "left")
         .select(col("c_custkey"),
-          // empty S: left-join NULL mx -> > ALL is vacuously true
-          coalesce(col("c_acctbal") > col("mx"), lit(true)).as("gt_all_supp"),
-          coalesce(col("c_acctbal") > col("mn"), lit(false)).as("gt_any_supp"))
+          // empty S (left-join NULL mx): > ALL vacuously true, > ANY false.
+          // Guard ONLY that case — a NULL c_acctbal against non-empty S
+          // must stay NULL (SQL quantified comparison), which the bare
+          // comparison gives. Preconditions: inner filtered non-NULL above
+          // (required by the max/min rewrite); customer.c_acctbal is also
+          // non-NULL in the data, so the NULL-outer path never fires here.
+          when(col("mx").isNull, lit(true))
+            .otherwise(col("c_acctbal") > col("mx")).as("gt_all_supp"),
+          when(col("mn").isNull, lit(false))
+            .otherwise(col("c_acctbal") > col("mn")).as("gt_any_supp"))
         .orderBy(col("c_custkey"))
     }),
 

@@ -131,14 +131,18 @@ object Streaming {
   }
 
   /** Streaming-to-TABLE ingestion with exactly-once semantics across
-    * restarts (the reference's transactional external-table load:
-    * gpfdist batches commit or roll back atomically). Spark's file sink
-    * is already exactly-once, but only for its own log format; this is
-    * the general pattern for ANY idempotent sink: `foreachBatch` writes
-    * each micro-batch under a `batch=<id>` directory via stage+rename,
-    * and SKIPS ids that already exist — on restart or checkpoint loss a
-    * replayed batch id is a no-op, so rows land exactly once no matter
-    * how many times the batch is delivered. */
+    * restarts WITH THE SAME CHECKPOINT (the reference's transactional
+    * external-table load: gpfdist batches commit or roll back atomically).
+    * Spark's file sink is already exactly-once, but only for its own log
+    * format; this is the general pattern for ANY idempotent sink:
+    * `foreachBatch` writes each micro-batch under a `batch=<id>` directory
+    * via stage+rename, and SKIPS ids that already exist — the checkpoint
+    * pins each batch id to a source offset range, so a redelivered id
+    * carries identical rows and the skip deduplicates it. If the
+    * CHECKPOINT is lost, ids restart at 0 over whatever the source now
+    * holds: a replanned batch 0 may contain newly-arrived rows yet still
+    * be skipped — id-keyed idempotency needs an unchanged source (or
+    * content-based dedup downstream) in that scenario. */
   def streamToTable(spark: SparkSession, dir: String, tableDir: String,
                     checkpointDir: String): Unit = {
     val q = eventsStream(spark, dir).writeStream
