@@ -49,6 +49,13 @@ object Bench {
     // pressure from the previous query — from poisoning the canonical
     // record).
     val results = qs.map { name =>
+      // Release the previous query's shuffle files / broadcast blocks
+      // BEFORE the timed runs: ContextCleaner only reclaims them when the
+      // owning RDD/broadcast objects are GC'd, so back-to-back heavy
+      // queries otherwise stack block-manager pressure onto the next
+      // timing (observed: the same query measures 2-3x slower mid-suite
+      // than alone). Outside the timed region by construction.
+      System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val n = try SparkEntry.queries(name)(spark, sfDir).collect().length
