@@ -187,6 +187,38 @@ object Dedup extends QueryModule {
     cappedBucketPairs(bands, Seq("band", "sig"), maxBucket).distinct()
   }
 
+  /** SimHash rep-level near-dup pairs (doc_a < doc_b, Hamming <= 3) over
+    * the representatives of `memRep` — the edge set behind BOTH the
+    * d_dedup_simhash audit query and [[Corpus]]'s connected-components
+    * labeling, factored so they provably share one derivation.
+    *
+    * The signature stage is the one-pass map-side simhash48 kernel
+    * (codegen; was a word-explode + 48-aggregate groupBy — a corpus-sized
+    * shuffle for a pure per-document function; SigFnsSpec proves bit
+    * equality). `sig` stays the narrow fan-out point (doc_id + one long,
+    * consumed by banding AND both verification joins), materialized once
+    * (see the minhash note; at cluster scale use reliable .checkpoint()). */
+  private[graft] def simhashRepPairs(s: SparkSession, docs: DataFrame,
+                                     memRep: DataFrame): DataFrame = {
+    graft.functions.SigFns.register(s)
+    val sig = matNarrow(fanOut(repsOnly(docs, memRep)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        call_function("simhash48", col("text")).as("sig")))
+    val banded = sig.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b*12) & 4095 as key))"))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    cappedBucketPairs(banded, Seq("band", "key"), MaxBucket)
+      .distinct()
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sig_a ^ sig_b")).as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: digest-groupBy; reports per-source doc vs distinct-text
     // counts (the "how many would dedup remove" report).
@@ -282,33 +314,10 @@ object Dedup extends QueryModule {
     // pre-dedup + capped buckets + expansion discipline as minhash
     // (identical text => identical signature => Hamming 0).
     "d_dedup_simhash" -> ((s, dir) => {
-      graft.functions.SigFns.register(s)
       val docs = t(s, dir, "documents")
       val memRep = matNarrow(digestGroups(docs, md5(col("text").cast("binary"))))
-      // signature = the one-pass map-side simhash48 kernel (codegen; was
-      // a word-explode + 48-aggregate groupBy — a corpus-sized shuffle
-      // for a pure per-document function; SigFnsSpec proves bit
-      // equality). sig stays the narrow fan-out point (doc_id + one
-      // long, consumed by banding AND both verification joins),
-      // materialized once (see the minhash note; at cluster scale use
-      // reliable .checkpoint()).
-      val sig = matNarrow(fanOut(repsOnly(docs, memRep)
-          .select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          call_function("simhash48", col("text")).as("sig")))
-      val banded = sig.select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b*12) & 4095 as key))"))
-          .as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val repPairs = cappedBucketPairs(banded, Seq("band", "key"), MaxBucket)
-        .distinct()
-        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(expr("sig_a ^ sig_b")).as("hamming"))
-        .filter(col("hamming") <= 3)
-      expandPairs(memRep, memRep, repPairs, "hamming", lit(0).cast("int"))
+      expandPairs(memRep, memRep, simhashRepPairs(s, docs, memRep),
+          "hamming", lit(0).cast("int"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
