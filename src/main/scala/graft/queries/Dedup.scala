@@ -19,8 +19,10 @@ import graft.Tables._
   *  - SimHash: 48-bit signature, 4-band blocking (pigeonhole: any pair at
   *    Hamming distance <= 3 shares a band), verify with bit_count;
   *  - n-gram Jaccard: blocked pairwise compare inside small blocks;
-  *  - embedding cosine near-dup: blocked all-pairs within threshold (the
-  *    LSH-bucketed scale path lives in Similarity.scala).
+  *  - embedding cosine near-dup: a sign-LSH banded candidate stage
+  *    (the linear-output scale path, [[embeddingLshCandidates]]) plus a
+  *    blocked exact all-pairs audit query that serves as the recall
+  *    oracle at small SF.
   *
   * Hot-bucket discipline (the duplicate-heavy corpora these operators
   * exist for): every banded pipeline FIRST collapses byte-identical
@@ -47,16 +49,33 @@ object Dedup extends QueryModule {
     * candidate pairs — O(n) x 2 longs or smaller) so each consuming branch
     * reads the materialized table instead of re-expanding the corpus-sized
     * subtree beneath it (exchange reuse shares the shuffle files, not the
-    * post-shuffle recompute across branches). localCheckpoint, not persist:
+    * post-shuffle recompute across branches). Checkpoint, not persist:
     * eager, lineage-truncated, and NOT registered in the CacheManager, so
-    * repeated invocations never hit a stale plan-matched cache entry. At
-    * cluster scale the same design point is a reliable `.checkpoint()`.
+    * repeated invocations never hit a stale plan-matched cache entry.
     * Never materialize WIDE intermediates (the corpus-sized bands table
-    * measured 2.6x slower persisted). The system property lets plan-audit
-    * specs disable truncation to inspect full lineage (ReadSchema pruning). */
+    * measured 2.6x slower persisted).
+    *
+    * Two modes, conf-switched: with `spark.graft.checkpoint.dir` set the
+    * blocks go through a RELIABLE `.checkpoint()` into that directory
+    * (shared storage on a cluster), so losing an executor recomputes
+    * nothing — the fault-tolerance mode a 100 TB run uses. Unset (the
+    * local default) it is `localCheckpoint()`: executor-local blocks,
+    * faster, but an executor loss kills the query. The system property
+    * lets plan-audit specs disable truncation entirely to inspect full
+    * lineage (ReadSchema pruning). */
   private[graft] def matNarrow(df: DataFrame): DataFrame =
     if (sys.props.get("graft.test.noCheckpoint").contains("true")) df
-    else df.localCheckpoint()
+    else df.sparkSession.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir appends a per-call UUID subdir; only (re)set
+        // when the current dir isn't already under the configured root
+        val want = dir.stripSuffix("/")
+        if (!sc.getCheckpointDir.exists(_.contains(want)))
+          sc.setCheckpointDir(want)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
 
   /** Fan a compute-heavy map-side stage out to the session's parallelism
     * WHEN the incoming partitioning is starved (a small-file scan can
@@ -70,10 +89,20 @@ object Dedup extends QueryModule {
     * stages that the real query then runs again — wasted work.) */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val plan = df.queryExecution.sparkPlan
+    // a plan that already shuffles produces shuffle-partition-count output
+    // regardless of its leaf splits — repartitioning it again would add a
+    // redundant exchange of the payload (leaf probe would misread e.g. a
+    // sort-merge join over two small scans as starved)
+    if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) return df
     // max over leaves: a broadcast join's output partitioning follows its
-    // streamed (largest) scan; small dim scans must not mask starvation
-    val parts = df.queryExecution.sparkPlan.collectLeaves().map {
+    // streamed (largest) scan; small dim scans must not mask starvation.
+    // Unknown leaf types (local relations, in-memory scans) count as 1:
+    // they are driver-materialized or cached small tables at our call
+    // sites, where fanning out is the safe default.
+    val parts = plan.collectLeaves().map {
       case f: FileSourceScanExec => f.inputRDD.getNumPartitions
       case r: RDDScanExec        => r.rdd.getNumPartitions
       case _                     => 1
@@ -217,6 +246,50 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         bit_count(expr("sig_a ^ sig_b")).as("hamming"))
       .filter(col("hamming") <= 3)
+  }
+
+  /** Sign-LSH banding parameters for the embedding near-dup scale path:
+    * 48 hyperplanes from the shared [[Hyperplanes]] family, banded as
+    * 6 bands x 8 bits. For a pair at angle theta (per-plane agreement
+    * p = 1 - theta/pi), candidate recall is 1 - (1 - p^8)^6 — designed
+    * for genuine near-duplicates: ~0.9999 at cos 0.999, ~0.7 at cos 0.9,
+    * and intentionally low far from 1 (~0.1 at the audit threshold 0.45,
+    * where "pairs" are background correlation, not duplicates). On
+    * balanced buckets the banded join touches ~2^8/6 ~ 43x fewer pairs
+    * than all-pairs; at higher corpus density, widen the bands (more
+    * planes per band) — recall at near-1 cosine decays slowly while the
+    * candidate volume divides by 2^bits. */
+  private[graft] val EmbBands = 6
+  private[graft] val EmbBandBits = 8
+
+  /** 48-bit sign signature of an `array<double>` vector: bit j is
+    * sign(v . plane_j). Pure per-row map-side work (codegen'd vec_dot
+    * against 48 plane literal arrays) — zero shuffle, like the minhash16
+    * / simhash48 kernels. */
+  private[graft] def embeddingSig(v: Column): Column =
+    (0 until EmbBands * EmbBandBits).map { j =>
+      when(call_function("vec_dot", v, Hyperplanes.planeCol(j)) > 0,
+           lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup candidate pairs via sign-LSH banding — the
+    * linear-output scale path in front of exact cosine verification
+    * (the all-pairs block-triangle query stays as the recall audit at
+    * small SF). Input: (vec_id, v); output: (doc_a, doc_b) candidate
+    * pairs sharing at least one 8-bit band. Same capped-bucket
+    * discipline as minhash/simhash ([[cappedBucketPairs]]). */
+  private[graft] def embeddingLshCandidates(e: DataFrame,
+                                            maxBucket: Int): DataFrame = {
+    graft.functions.VectorFns.register(e.sparkSession)
+    val mask = (1 << EmbBandBits) - 1
+    val sig = matNarrow(fanOut(e.select(col("vec_id"), col("v")))
+      .select(col("vec_id").as("doc_id"), embeddingSig(col("v")).as("sig")))
+    val banded = sig.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${EmbBands - 1}), b -> " +
+          s"struct(b as band, shiftright(sig, b*$EmbBandBits) & $mask as key))"))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    cappedBucketPairs(banded, Seq("band", "key"), maxBucket).distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -455,10 +528,11 @@ object Dedup extends QueryModule {
               // it IS the kernel cost. HALF_UP to 6dp moves a value by at
               // most 5e-7, so values safely below threshold-5e-7 can skip
               // it; the rounded compare stays the keep/drop authority.
-              // 6e-7 (not 5e-7) slack: `0.45 - 5e-7` evaluates in double
-              // to ~0.45000000000000001 - 5.0000000000000004e-7, ABOVE the
-              // exact decimal 0.4499995 — the extra 1e-7 keeps it strictly below
-              // every raw value that can round up to the threshold.
+              // 6e-7 (not 5e-7) slack is defensive headroom: the guard is
+              // evaluated in double, and the extra 1e-7 guarantees the
+              // computed constant sits strictly below the exact boundary
+              // 0.4499995 even if `0.45 - slack` lands one ulp high —
+              // cheap insurance, not a fix for an observed miss.
               if (raw >= 0.45 - 6e-7) {
                 val cos = round6(raw)
                 if (cos >= 0.45) {
@@ -473,8 +547,53 @@ object Dedup extends QueryModule {
           out.iterator
         }.toDF("id_a", "id_b", "cos")
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding near-dup, sign-LSH scale path: banded candidate stage
+    // (one narrow signature pass + a capped band equi-join — work is
+    // O(candidates), never O(n^2)) followed by exact cosine verification
+    // on candidate pairs only. The DuckDB oracle replicates the identical
+    // banding predicate over the identical plane literals, so the hash
+    // check verifies the whole pipeline bit-exactly; EmbeddingLshSpec
+    // separately proves candidate recall is complete on a planted
+    // near-duplicate corpus (LSH output == all-pairs output), which is
+    // the regime this operator exists for (see EmbBands recall math).
+    "d_dedup_embedding_lsh" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cand = embeddingLshCandidates(e, MaxBucket)
+      val side = e.withColumn("nrm", expr("vec_norm_sq(v)"))
+      cand
+        .join(side.select(col("vec_id").as("doc_a"), col("v").as("va"),
+                          col("nrm").as("na")), "doc_a")
+        .join(side.select(col("vec_id").as("doc_b"), col("v").as("vb"),
+                          col("nrm").as("nb")), "doc_b")
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+          round(expr("vec_dot(va, vb)") / sqrt(col("na") * col("nb")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.45)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** The 48-bit sign signature as DuckDB SQL over the SAME plane literals
+    * the Spark plan embeds — both engines compute sequential dot products
+    * in index order, so every sign decision (and hence every band key) is
+    * bit-identical. */
+  private def embSigSql: String =
+    (0 until EmbBands * EmbBandBits).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${Hyperplanes.planeSql(j)}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** "shares at least one band" predicate between aliases a and b. */
+  private def embBandSql: String =
+    (0 until EmbBands).map { b =>
+      val sh = b * EmbBandBits
+      val mask = (1 << EmbBandBits) - 1
+      s"((a.sig >> $sh) & $mask) = ((b.sig >> $sh) & $mask)"
+    }.mkString(" OR ")
 
   val oracle: Map[String, String] = Map(
     "d_dedup_exact" ->
@@ -559,6 +678,21 @@ object Dedup extends QueryModule {
         |  ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the LSH pipeline replicated predicate-for-predicate: identical plane
+    // literals -> identical 48-bit signatures -> identical shares-a-band
+    // candidate set -> identical exact-cosine verification
+    "d_dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+         |                (acc, x) -> acc + x * x) AS nrm
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, v, nrm, CAST($embSigSql AS BIGINT) AS sig FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6) AS cos
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($embBandSql)
+         |WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6) >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

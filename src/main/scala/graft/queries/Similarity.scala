@@ -19,18 +19,27 @@ import graft.Tables._
   * the very same literal values are embedded into the DuckDB oracle SQL, so
   * both engines see bit-identical planes.
   */
+/** Deterministic random-hyperplane family shared by every sign-LSH
+  * consumer ([[Similarity]]'s bucketed ANN and [[Dedup]]'s embedding
+  * near-dup candidate stage): plane(j)(k) = round(sin(j*64 + k + 1), 6),
+  * rounded so the literals survive a text round-trip into the DuckDB
+  * oracle bit-exactly. One definition, two renderings — a Column of
+  * literals for the Spark plan and a SQL array literal for the oracle —
+  * so both engines see bit-identical planes by construction. */
+private[queries] object Hyperplanes {
+  val dim = 64
+  def plane(j: Int): Seq[Double] =
+    Seq.tabulate(dim)(k => math.rint(math.sin(j * dim + k + 1) * 1e6) / 1e6)
+  def planeCol(j: Int): Column = array(plane(j).map(lit(_)): _*)
+  def planeSql(j: Int): String = plane(j).mkString("[", ", ", "]")
+}
+
 object Similarity extends QueryModule {
 
   private val nPlanes = 8
-  private val dim = 64
-  /** plane(j)(k), rounded so literals survive text round-trip exactly. */
-  private val planes: Seq[Seq[Double]] = Seq.tabulate(nPlanes, dim) { (j, k) =>
-    math.rint(math.sin(j * dim + k + 1) * 1e6) / 1e6
-  }
-  private def planeCol(j: Int): Column =
-    array(planes(j).map(lit(_)): _*)
-  private def planeSql(j: Int): String =
-    planes(j).mkString("[", ", ", "]")
+  private val dim = Hyperplanes.dim
+  private def planeCol(j: Int): Column = Hyperplanes.planeCol(j)
+  private def planeSql(j: Int): String = Hyperplanes.planeSql(j)
 
   /** (vec_id, v double[], bucket) with bucket = sign-LSH over the planes. */
   private def bucketed(s: SparkSession, dir: String): DataFrame = {

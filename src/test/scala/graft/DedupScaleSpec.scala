@@ -49,6 +49,24 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(nCand >= 1 && nCand <= 66, s"candidate count $nCand")
   }
 
+  test("matNarrow reliable-checkpoint mode: same results, blocks on disk") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 100L).map(i => (i, i % 7)).toDF("doc_id", "k")
+    val local = Dedup.matNarrow(df).collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graftckpt").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val reliable = Dedup.matNarrow(df).collect().toSet
+      assert(reliable == local)
+      // the blocks must actually live under the configured root (this is
+      // what survives executor loss at cluster scale)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      assert(walk(new java.io.File(dir)).nonEmpty,
+        "no reliable checkpoint files written")
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
   test("5000-copy corpus still yields the exact brute-force pair set") {
     val sp = spark; import sp.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
