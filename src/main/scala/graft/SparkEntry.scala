@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     CoreAgg, Joins, Windows, SetOpsMisc, ScalarFns, ScalarParity, TypeOps,
-    GeoOps, Events, Dedup, Similarity, TextOps, Multimodal, Advanced, SqlParity
+    GeoOps, Events, Dedup, Corpus, Similarity, TextOps, Multimodal, Advanced,
+    SqlParity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

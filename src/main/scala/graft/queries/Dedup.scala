@@ -219,7 +219,8 @@ object Dedup extends QueryModule {
   /** SimHash rep-level near-dup pairs (doc_a < doc_b, Hamming <= 3) over
     * the representatives of `memRep` — the edge set behind BOTH the
     * d_dedup_simhash audit query and [[Corpus]]'s connected-components
-    * labeling, factored so they provably share one derivation.
+    * labeling (`d_dedup_cluster_assign_near`), factored so they provably
+    * share one derivation.
     *
     * The signature stage is the one-pass map-side simhash48 kernel
     * (codegen; was a word-explode + 48-aggregate groupBy — a corpus-sized
