@@ -154,18 +154,24 @@ object Joins extends QueryModule {
         .groupBy(col("s_nationkey"))
         .agg(max(col("s_acctbal")).as("mx"), min(col("s_acctbal")).as("mn"))
       t(s, dir, "customer").filter(col("c_custkey") <= 500)
+        // inject NULL outers (every 10th key) so the hash check actually
+        // exercises the NULL-against-non-empty path below — the raw
+        // column has no NULLs; same CASE in the oracle SQL
+        .withColumn("bal", when(col("c_custkey") % 10 === 3, lit(null))
+          .otherwise(col("c_acctbal")))
         .join(supBal, col("c_nationkey") === col("s_nationkey"), "left")
         .select(col("c_custkey"),
-          // empty S (left-join NULL mx): > ALL vacuously true, > ANY false.
-          // Guard ONLY that case — a NULL c_acctbal against non-empty S
-          // must stay NULL (SQL quantified comparison), which the bare
-          // comparison gives. Preconditions: inner filtered non-NULL above
-          // (required by the max/min rewrite); customer.c_acctbal is also
-          // non-NULL in the data, so the NULL-outer path never fires here.
+          // empty S (left-join NULL mx): > ALL vacuously true, > ANY false
+          // — EVEN for a NULL outer (vacuous truth doesn't look at x).
+          // Guard ONLY that case — a NULL outer against non-empty S must
+          // stay NULL (SQL quantified comparison), which the bare
+          // comparison gives. Precondition: inner filtered non-NULL above
+          // (required by the max/min rewrite). The injected NULL outers
+          // make the hash check cover both NULL paths.
           when(col("mx").isNull, lit(true))
-            .otherwise(col("c_acctbal") > col("mx")).as("gt_all_supp"),
+            .otherwise(col("bal") > col("mx")).as("gt_all_supp"),
           when(col("mn").isNull, lit(false))
-            .otherwise(col("c_acctbal") > col("mn")).as("gt_any_supp"))
+            .otherwise(col("bal") > col("mn")).as("gt_any_supp"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -275,15 +281,17 @@ object Joins extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "q_any_all_subquery" ->
-      """SELECT c_custkey,
-        |  c_acctbal > ALL (SELECT s_acctbal FROM supplier
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 10 = 3 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey <= 500)
+        |SELECT c_custkey,
+        |  bal > ALL (SELECT s_acctbal FROM supplier
         |    WHERE s_nationkey = c_nationkey AND s_acctbal IS NOT NULL)
         |    AS gt_all_supp,
-        |  c_acctbal > ANY (SELECT s_acctbal FROM supplier
+        |  bal > ANY (SELECT s_acctbal FROM supplier
         |    WHERE s_nationkey = c_nationkey AND s_acctbal IS NOT NULL)
         |    AS gt_any_supp
-        |FROM customer WHERE c_custkey <= 500
-        |ORDER BY c_custkey""".stripMargin,
+        |FROM c ORDER BY c_custkey""".stripMargin,
 
     "q3_shipping_priority" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,

@@ -15,9 +15,17 @@ import graft.Tables._
   *  - string edge semantics (`varlena.c:5978`): split_part negative
   *    index, overlay, translate, left/right, trim-with-charset;
   *  - jsonpath / jsonb analogues (`jsonfuncs.c:5323`,
-  *    `jsonpath_exec.c:2347`): nested/array path extraction,
-  *    `jsonb_each` / `json_array_elements` via from_json + explode,
-  *    key listing, containment.
+  *    `jsonpath_exec.c:2347`, grammar `jsonpath_gram.y`, tests
+  *    `src/test/regress/sql/jsonb_jsonpath.sql`): nested/array path
+  *    extraction, `jsonb_each` / `json_array_elements` via from_json +
+  *    explode, key listing, containment, and the SQL/JSON path FILTER
+  *    language subset (lax mode): `$.items[*] ? (@.x > n)` predicates
+  *    (incl. conjunction, `exists(@.k)`, `$var` variables, and
+  *    root-context `$.n` references), the `last` subscript, and the
+  *    `.size()` / `.type()` item methods — filters compile to Catalyst
+  *    higher-order `filter`/`transform` over a `from_json` struct array
+  *    (codegen-friendly, fully distributed), `.type()` to Spark 4
+  *    VariantType introspection (`schema_of_variant`).
   *
   * All plan-side built-ins or plan-time-compiled custom expressions — no
   * UDFs, whole-stage codegen intact throughout.
@@ -267,6 +275,65 @@ object ScalarParity extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // SQL/JSON path filter language (lax mode), the shapes of
+    // `jsonb_jsonpath.sql`: each output column is one jsonpath evaluated
+    // over a constructed document whose arrays/types vary per row.
+    //   filt_x    lax $.items[*] ? (@.x > 3).x      (filter + member)
+    //   has_big_a $ @? '$.items[*] ? (@.x > 3 && @.t == "a")'
+    //   n_items   $.items.size()
+    //   last_x    $.items[last].x
+    //   n_opt     $.items[*] ? (exists (@.opt))     (count)
+    //   var_lt    $ @? '$ ? (@.n < $value)'         ($value bound per row)
+    //   n_eq_root $.items[*] ? (@.x == $.n + 1)     (root-context ref)
+    //   w_type    $.w.type()                        (polymorphic field)
+    // Lax-mode filters are higher-order filter/transform over a typed
+    // from_json array — per-row, codegen'd, no shuffle; .type() reads the
+    // real JSON type through VariantType (get_json_object would strip
+    // string quoting and lose number-vs-string).
+    "q_jsonpath_filter" -> ((s, dir) => {
+      val okey = col("o_orderkey")
+      def m(k: Int): Column = pmod(okey, lit(k))
+      val wJson = when(m(6) === 0, m(97).cast("string"))
+        .when(m(6) === 1, concat(lit("\"s"), m(4), lit("\"")))
+        .when(m(6) === 2, concat(lit("["), m(3), lit(", 5]")))
+        .when(m(6) === 3, concat(lit("{\"y\": "), m(3), lit("}")))
+        .when(m(6) === 4, (m(8) === 4).cast("string"))
+        .otherwise(lit("null"))
+      val jp = concat(
+        lit("{\"items\": [{\"x\": "), m(7), lit(", \"t\": \"a\"}, {\"x\": "),
+        pmod(okey * 3, lit(8)), lit(", \"t\": \"b\"}, {\"x\": "),
+        pmod(okey * 5, lit(9)), lit(", \"t\": \"c\""),
+        when(m(2) === 0, lit(", \"opt\": 1")).otherwise(lit("")),
+        lit("}], \"n\": "), m(5), lit(", \"w\": "), wJson, lit("}"))
+      val wv = "variant_get(parse_json(j), '$.w')"
+      t(s, dir, "orders").filter(okey <= 300)
+        .withColumn("j", jp)
+        .withColumn("items", from_json(get_json_object(col("j"), "$.items"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "x INT, t STRING, opt INT"))))
+        .withColumn("n", get_json_object(col("j"), "$.n").cast("int"))
+        .select(okey,
+          concat_ws(",", expr(
+            "transform(filter(items, i -> i.x > 3), i -> cast(i.x as string))"))
+            .as("filt_x"),
+          expr("exists(items, i -> i.x > 3 AND i.t = 'a')").as("has_big_a"),
+          size(col("items")).as("n_items"),
+          expr("element_at(items, -1).x").as("last_x"),
+          expr("size(filter(items, i -> i.opt is not null))").as("n_opt"),
+          (col("n") < m(4) + lit(2)).as("var_lt"),
+          expr("size(filter(items, i -> i.x = n + 1))").as("n_eq_root"),
+          expr(s"""CASE WHEN is_variant_null($wv) THEN 'null'
+            | WHEN schema_of_variant($wv) IN
+            |   ('BIGINT','INT','SMALLINT','TINYINT','DOUBLE','DECIMAL(38,0)')
+            |   THEN 'number'
+            | WHEN schema_of_variant($wv) = 'STRING' THEN 'string'
+            | WHEN schema_of_variant($wv) = 'BOOLEAN' THEN 'boolean'
+            | WHEN schema_of_variant($wv) LIKE 'ARRAY%' THEN 'array'
+            | ELSE 'object' END""".stripMargin).as("w_type"))
+        .orderBy(okey)
+    }),
+
     // jsonb_each / json_array_elements analogues: one row per array
     // element (posexplode) and per object entry (map explode).
     "q_json_each" -> ((s, dir) => {
@@ -292,6 +359,44 @@ object ScalarParity extends QueryModule {
       s" || '.' || split_part(printf('%.2f', $x), '.', 2)"
 
   val oracle: Map[String, String] = Map(
+    // same document construction char-for-char; filters/methods through
+    // DuckDB's json_transform (typed struct list) + list lambdas +
+    // json_type, mapped to the same canonical jsonpath type names
+    "q_jsonpath_filter" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    '{"items": [{"x": ' || (o_orderkey % 7) || ', "t": "a"}, {"x": ' ||
+        |    (o_orderkey * 3 % 8) || ', "t": "b"}, {"x": ' || (o_orderkey * 5 % 9) ||
+        |    ', "t": "c"' ||
+        |    CASE WHEN o_orderkey % 2 = 0 THEN ', "opt": 1' ELSE '' END ||
+        |    '}], "n": ' || (o_orderkey % 5) || ', "w": ' ||
+        |    CASE WHEN o_orderkey % 6 = 0 THEN CAST(o_orderkey % 97 AS VARCHAR)
+        |         WHEN o_orderkey % 6 = 1 THEN '"s' || (o_orderkey % 4) || '"'
+        |         WHEN o_orderkey % 6 = 2 THEN '[' || (o_orderkey % 3) || ', 5]'
+        |         WHEN o_orderkey % 6 = 3 THEN '{"y": ' || (o_orderkey % 3) || '}'
+        |         WHEN o_orderkey % 6 = 4 THEN CAST(o_orderkey % 8 = 4 AS VARCHAR)
+        |         ELSE 'null' END || '}' AS j
+        |  FROM orders WHERE o_orderkey <= 300),
+        |p AS (SELECT o_orderkey, j,
+        |    json_transform(j, '{"items": [{"x": "INTEGER", "t": "VARCHAR",
+        |      "opt": "INTEGER"}], "n": "INTEGER"}') AS d
+        |  FROM b)
+        |SELECT o_orderkey,
+        |  COALESCE(array_to_string(list_transform(
+        |    list_filter(d.items, i -> i.x > 3),
+        |    i -> CAST(i.x AS VARCHAR)), ','), '') AS filt_x,
+        |  len(list_filter(d.items, i -> i.x > 3 AND i.t = 'a')) > 0 AS has_big_a,
+        |  CAST(len(d.items) AS INT) AS n_items,
+        |  d.items[len(d.items)].x AS last_x,
+        |  CAST(len(list_filter(d.items, i -> i.opt IS NOT NULL)) AS INT) AS n_opt,
+        |  d.n < (o_orderkey % 4) + 2 AS var_lt,
+        |  CAST(len(list_filter(d.items, i -> i.x = d.n + 1)) AS INT) AS n_eq_root,
+        |  CASE json_type(j, '$.w')
+        |    WHEN 'UBIGINT' THEN 'number' WHEN 'BIGINT' THEN 'number'
+        |    WHEN 'DOUBLE' THEN 'number' WHEN 'VARCHAR' THEN 'string'
+        |    WHEN 'BOOLEAN' THEN 'boolean' WHEN 'ARRAY' THEN 'array'
+        |    WHEN 'OBJECT' THEN 'object' WHEN 'NULL' THEN 'null' END AS w_type
+        |FROM p ORDER BY o_orderkey""".stripMargin,
+
     "q_to_char_patterns" ->
       s"""SELECT o_orderkey,
          |  lpad(${g2("o_totalprice")}, 11, ' ') AS p_grouped,
