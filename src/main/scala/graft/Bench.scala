@@ -10,14 +10,54 @@ import org.apache.spark.sql.SparkSession
   * pipeline operators (MinHash LSH, brute-force ANN, fingerprint). Each
   * query's full result is materialized (count of collected rows) after a
   * warm-up of the input files' footer reads.
+  *
+  * Besides the canonical SF, the same harness runs every headline query on
+  * a 10x replica of that SF ([[graft.tools.GenScale]]-synthesized once into
+  * a cache dir, key-shifted so join fan-outs and near-dup structure are
+  * preserved per replica) and reports them under `"queries_sf1"` — so a
+  * superlinear regression shows up in the driver's own BENCH record, not
+  * just in builder-side probes. `SPARK_GRAFT_SF1=0` disables the scale leg;
+  * `SPARK_GRAFT_SF1_DIR` overrides the cache location.
   */
 object Bench {
   private val headline = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q_agg_multi_distinct", "q_window_running", "q_events_sessionize",
     "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_embedding",
+    "d_dedup_embedding_lsh",
     "s_ann_bruteforce_topk", "s_ann_ivf_topk",
     "m_decode_features", "q_to_char_patterns", "t_fingerprint")
+
+  /** Min-of-`runs` wall seconds per query over `dir` (first run pays
+    * one-time whole-stage-codegen + JIT; min keeps one contended run —
+    * GC pause, background load — from poisoning the canonical record). */
+  private def runSuite(spark: SparkSession, qs: Seq[String], dir: String,
+                       runs: Int): Seq[(String, Double)] =
+    qs.map { name =>
+      // Release the previous query's shuffle files / broadcast blocks
+      // before the timed runs: ContextCleaner only reclaims them when the
+      // owning RDD/broadcast objects are GC'd (observed: the same query
+      // measures 2-3x slower mid-suite than alone). Best-effort, not
+      // airtight: System.gc() enqueues the weak refs and the cleaner
+      // thread drains them asynchronously — the blocking-shuffle conf in
+      // main() makes each removal synchronous inside that thread, and the
+      // short pause gives the queue time to drain before timing starts.
+      System.gc()
+      Thread.sleep(200)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(name)(spark, dir).collect().length
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1 }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val sec = times.map(_._1).min
+      System.err.println(f"[bench] ${dir.split('/').last}/$name%-28s $sec%8.3f s  rows=${times.last._2}")
+      name -> sec
+    }
+
+  private def toJsonObj(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,6 +67,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle-file removals requested by ContextCleaner complete before
+      // the cleaner moves on — paired with the pre-query System.gc() so
+      // one query's blocks don't bleed into the next query's timing
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,34 +87,36 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val qs = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
-    // three runs per query, report the min: steady-state throughput (first
-    // run pays one-time whole-stage-codegen + JIT compilation; min-of-3
-    // keeps one contended run — GC pause, background load, shuffle-file
-    // pressure from the previous query — from poisoning the canonical
-    // record).
-    val results = qs.map { name =>
-      // Release the previous query's shuffle files / broadcast blocks
-      // BEFORE the timed runs: ContextCleaner only reclaims them when the
-      // owning RDD/broadcast objects are GC'd, so back-to-back heavy
-      // queries otherwise stack block-manager pressure onto the next
-      // timing (observed: the same query measures 2-3x slower mid-suite
-      // than alone). Outside the timed region by construction.
-      System.gc()
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val n = try SparkEntry.queries(name)(spark, sfDir).collect().length
-                catch { case e: Throwable =>
-                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1 }
-        ((System.nanoTime() - t0) / 1e9, n)
-      }
-      val sec = times.map(_._1).min
-      System.err.println(f"[bench] $name%-28s $sec%8.3f s  rows=${times.last._2}")
-      name -> sec
-    }
-    val qjson = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+
+    val results = runSuite(spark, qs, sfDir, runs = 3)
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+
+    // Scale leg: 10x the canonical SF (sf0.1 -> sf1), generated once and
+    // cached. min-of-2 (not 3) bounds the extra wall time; the signal we
+    // want — a query whose time ratio far exceeds the 10x data ratio — is
+    // much larger than run-to-run noise.
+    val sf1Results: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
+      else try {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/.scale/sf1")
+        val marker = new org.apache.hadoop.fs.Path(sf1Dir, "embeddings.parquet/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // embeddings is the last table GenScale writes: its _SUCCESS marks
+        // a complete generation (a partial one regenerates with Overwrite)
+        if (!fs.exists(marker)) {
+          System.err.println(s"[bench] generating 10x scale leg: $sfDir -> $sf1Dir")
+          graft.tools.GenScale.generate(spark, sfDir, sf1Dir, 10)
+        }
+        Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+          .foreach(n => Tables.t(spark, sf1Dir, n).limit(1).collect())
+        runSuite(spark, qs, sf1Dir, runs = 2)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 leg skipped: ${e.getMessage}"); Nil
+      }
+
+    val sf1Json = if (sf1Results.isEmpty) ""
+      else f""","queries_sf1":${toJsonObj(sf1Results)},"sf1_total":${sf1Results.map(_._2).sum}%.3f"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(results)}$sf1Json,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

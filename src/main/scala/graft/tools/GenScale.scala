@@ -31,7 +31,6 @@ import org.apache.spark.sql.functions._
 object GenScale {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, repsS) = args.take(3)
-    val reps = repsS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,7 +39,12 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, repsS.toInt)
+    spark.stop()
+  }
 
+  /** Callable form (Bench uses it to materialize the scale leg once). */
+  def generate(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
     def rd(name: String): DataFrame =
       if (name == "events")
         spark.read.schema(graft.Tables.eventsRawSchema)
@@ -105,6 +109,5 @@ object GenScale {
     }, "embeddings")
 
     println(s"[genscale] wrote ${reps}x $src -> $dst")
-    spark.stop()
   }
 }
