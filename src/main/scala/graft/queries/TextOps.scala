@@ -166,6 +166,54 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // tsquery boolean combinators — the reference's full query language
+    // (`/root/reference/src/backend/utils/adt/tsvector_op.c:2691` TS_execute,
+    // `tsquery.c` parser; tests `src/test/regress/sql/tsearch.sql`):
+    // `('hash' | 'merge') & !'stream' & 'wind':*` — OR over terms, NOT
+    // (absence), and prefix match (`:*`), evaluated over the same
+    // word-array tf machinery as t_fts_rank. Each leg's tf is emitted so
+    // the oracle checks the operand evaluation, not just the final set.
+    "t_fts_bool" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def tf(term: String) =
+        size(filter(words, w => w === term)).cast("int")
+      t(s, dir, "documents")
+        .withColumn("tf_hash", tf("hash"))
+        .withColumn("tf_merge", tf("merge"))
+        .withColumn("tf_stream", tf("stream"))
+        .withColumn("tf_wind_prefix",
+          size(filter(words, w => w.startsWith("wind"))).cast("int"))
+        .filter((col("tf_hash") > 0 || col("tf_merge") > 0) &&
+                col("tf_stream") === 0 && col("tf_wind_prefix") > 0)
+        .select(col("doc_id"), col("tf_hash"), col("tf_merge"),
+                col("tf_wind_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ts_headline analogue (`/root/reference/src/backend/tsearch/wparser.c`
+    // ts_headline, `wparser_def.c` prsd_headline): the +/-5-word window
+    // around the FIRST query-term occurrence, matched term wrapped in
+    // <b></b> (the reference's default StartSel/StopSel). Word-array
+    // slicing, not regex windows: both engines compute the identical
+    // snippet with no regex-greediness semantics in play. Pure map-side —
+    // headline generation touches each doc once, no shuffle.
+    "t_fts_headline" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      t(s, dir, "documents")
+        .withColumn("w", words)
+        .withColumn("i", array_position(col("w"), "hash"))
+        .filter(col("i") > 0)
+        .withColumn("snip", slice(col("w"),
+          greatest(lit(1L), col("i") - 5).cast("int"),
+          (least(size(col("w")).cast("long"), col("i") + 5) -
+            greatest(lit(1L), col("i") - 5) + 1).cast("int")))
+        .select(col("doc_id"), col("i").cast("int").as("first_idx"),
+          array_join(transform(col("snip"),
+            x => when(x === "hash", lit("<b>hash</b>")).otherwise(x)),
+            " ").as("headline"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprint-based dup grouping: docs sharing a fingerprint.
     "t_fingerprint_groups" -> ((s, dir) => {
       graft.functions.TextFns.register(s)
@@ -279,6 +327,31 @@ object TextOps extends QueryModule {
         |FROM documents
         |WHERE len(regexp_extract_all(text, '\bhash join\b')) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "t_fts_bool" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x = 'hash')) AS INT) AS tf_hash,
+        |    CAST(len(list_filter(w, x -> x = 'merge')) AS INT) AS tf_merge,
+        |    CAST(len(list_filter(w, x -> x = 'stream')) AS INT) AS tf_stream,
+        |    CAST(len(list_filter(w, x -> x LIKE 'wind%')) AS INT) AS tf_wind_prefix
+        |  FROM d)
+        |SELECT doc_id, tf_hash, tf_merge, tf_wind_prefix
+        |FROM s
+        |WHERE (tf_hash > 0 OR tf_merge > 0)
+        |  AND tf_stream = 0 AND tf_wind_prefix > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "t_fts_headline" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w,
+        |    COALESCE(list_position(w, 'hash'), 0) AS i, len(w) AS n FROM d)
+        |SELECT doc_id, CAST(i AS INT) AS first_idx,
+        |  array_to_string(list_transform(
+        |    w[greatest(1, i - 5):least(n, i + 5)],
+        |    x -> CASE WHEN x = 'hash' THEN '<b>hash</b>' ELSE x END),
+        |    ' ') AS headline
+        |FROM p WHERE i > 0 ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint_groups" ->
       s"""WITH fp AS (SELECT doc_id, $fpSql AS fingerprint FROM documents),
