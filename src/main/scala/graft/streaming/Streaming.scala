@@ -141,8 +141,9 @@ object Streaming {
     * carries identical rows and the skip deduplicates it. If the
     * CHECKPOINT is lost, ids restart at 0 over whatever the source now
     * holds: a replanned batch 0 may contain newly-arrived rows yet still
-    * be skipped — id-keyed idempotency needs an unchanged source (or
-    * content-based dedup downstream) in that scenario. */
+    * be skipped — id-keyed idempotency needs an unchanged source in that
+    * scenario; [[streamToTableContent]] is the content-keyed variant that
+    * survives it. */
   def streamToTable(spark: SparkSession, dir: String, tableDir: String,
                     checkpointDir: String): Unit = {
     val q = eventsStream(spark, dir).writeStream
@@ -161,6 +162,64 @@ object Streaming {
           require(fs.rename(staged, dst), s"rename failed: $staged -> $dst")
         }
         ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Content-keyed streaming table sink — the opt-in for the scenario
+    * [[streamToTable]]'s docstring flags: after CHECKPOINT LOSS, batch ids
+    * replay from 0 over whatever the source now holds, so id-keyed
+    * idempotency would skip a replanned batch 0 that carries NEW rows.
+    * Here idempotency keys on row CONTENT instead: each micro-batch row
+    * gets a digest (md5 over the canonical JSON of all columns in sorted
+    * name order), the batch dedups on that digest, anti-joins the digests
+    * already committed to the table, and appends only the remainder under
+    * a fresh uniquely-named directory via the same stage+rename commit.
+    * Losing the checkpoint then costs reprocessing, never correctness: a
+    * replayed row matches its committed digest and is filtered; a
+    * newly-arrived row cannot match and is appended.
+    *
+    * The digest is persisted with the data, so the anti-join's committed
+    * side scans ONE 32-char column (parquet column pruning), not the
+    * payload — at scale this is exact-dedup's shape: one shuffle of
+    * (digest) keys per micro-batch. Caveat, documented not hidden: rows
+    * that are EXACT duplicates across the whole stream's lifetime are
+    * collapsed by design (content identity IS the key), so feeds whose
+    * rows legitimately repeat need a distinguishing column (event id,
+    * arrival file) in the schema. */
+  def streamToTableContent(spark: SparkSession, srcDir: String, schemaDdl: String,
+                           tableDir: String, checkpointDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val q = spark.readStream.schema(schemaDdl).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val dataCols = batch.columns.sorted.map(col).toSeq
+        val withDigest = batch
+          .withColumn("row_digest", md5(to_json(struct(dataCols: _*))))
+          .dropDuplicates("row_digest")
+        val fs = new Path(tableDir)
+          .getFileSystem(sess.sparkContext.hadoopConfiguration)
+        val committedDirs = Option(
+          fs.globStatus(new Path(tableDir, "ingest=*"))).getOrElse(Array.empty)
+        val fresh =
+          if (committedDirs.isEmpty) withDigest
+          else withDigest.join(
+            sess.read.parquet(tableDir).select(col("row_digest")),
+            Seq("row_digest"), "left_anti")
+        val rows = fresh.persist()
+        try {
+          if (rows.count() > 0) {
+            val commitId = java.util.UUID.randomUUID().toString
+            val staged = new Path(tableDir, s".stage_ingest_$commitId")
+            val dst = new Path(tableDir, s"ingest=$commitId")
+            fs.delete(staged, true)
+            rows.write.mode("overwrite").parquet(staged.toString)
+            require(fs.rename(staged, dst), s"rename failed: $staged -> $dst")
+          }
+        } finally { rows.unpersist(); () }
       }
       .start()
     try q.processAllAvailable() finally q.stop()

@@ -128,6 +128,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(tableRows() == expected, "replayed batch ids must not duplicate rows")
   }
 
+  test("content-keyed sink survives checkpoint loss: zero dupes, zero drops") {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_content_src").toString
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_content_tbl").toString + "/t"
+    def feed(ids: Range): Unit = {
+      val sp = spark; import sp.implicits._
+      // one in-file duplicate pair per feed: ids.head appears twice
+      (ids.head +: ids).map(i => (i.toLong, s"payload_$i"))
+        .toDF("id", "payload").coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def tableIds(): Seq[Long] = spark.read.parquet(tableDir)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val ckpt1 = java.nio.file.Files
+      .createTempDirectory("graft_content_ck1").toString
+    feed(1 to 100)
+    graft.streaming.Streaming.streamToTableContent(
+      spark, srcDir, "id LONG, payload STRING", tableDir, ckpt1)
+    assert(tableIds().sorted == (1L to 100L), "in-batch duplicate collapsed")
+    // same checkpoint, no new data: offsets already consumed, no change
+    graft.streaming.Streaming.streamToTableContent(
+      spark, srcDir, "id LONG, payload STRING", tableDir, ckpt1)
+    assert(tableIds().sorted == (1L to 100L))
+    // CHECKPOINT LOSS + new data: the fresh checkpoint replans batch 0
+    // over ALL files (old 1-100 + new 101-150) — exactly the case where
+    // the id-keyed sink would skip the new rows. Content keying must
+    // append precisely the 50 new rows and re-commit none of the old.
+    feed(101 to 150)
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft_content_ck2").toString
+    graft.streaming.Streaming.streamToTableContent(
+      spark, srcDir, "id LONG, payload STRING", tableDir, ckpt2)
+    assert(tableIds().sorted == (1L to 150L),
+      "replay must add new rows exactly once and duplicate nothing")
+  }
+
   test("stateful mapGroupsWithState counts equal batch groupBy") {
     val stream = graft.streaming.Streaming
       .statefulUserCounts(spark, sf, "stream_state_spec")
