@@ -312,4 +312,38 @@ class IngestSpec extends AnyFunSuite {
     assert(o.schema == nation.schema)
     assert(o.collect().map(_.toSeq).toSet == expect)
   }
+
+  test("COPY BINARY round-trips every supported type, NULLs included") {
+    import java.sql.{Date, Timestamp}
+    val sp = spark; import sp.implicits._
+    // every supported type in one table, with a NULL in each column and a
+    // non-ASCII string (UTF-8 payload length != char count)
+    val df = Seq(
+      (1L, Some(42), Some(3.5), Some("plain"), Some(true),
+        Some(Date.valueOf("1997-06-15")), Some(Timestamp.valueOf("1997-06-15 12:34:56.123456"))),
+      (2L, None: Option[Int], None: Option[Double], None: Option[String],
+        None: Option[Boolean], None: Option[Date], None: Option[Timestamp]),
+      (3L, Some(-7), Some(-0.125), Some("naïve — ünïcode"), Some(false),
+        Some(Date.valueOf("2031-01-01")), Some(Timestamp.valueOf("2031-01-01 00:00:00")))
+    ).toDF("id", "i", "d", "s", "b", "dt", "ts").repartition(2)
+    val dir = tmp("copybin")
+    graft.sources.CopyBinary.write(df, dir)
+    val back = graft.sources.CopyBinary.read(spark, dir, df.schema)
+    assert(back.schema == df.schema, "schema fidelity")
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // and a real table: orders (long/string/double/date columns) at test SF
+    val orders = Tables.t(spark, sf, "orders")
+    val odir = tmp("copybin_orders")
+    graft.sources.CopyBinary.write(orders, odir)
+    val oback = graft.sources.CopyBinary.read(spark, odir, orders.schema)
+    assert(oback.schema == orders.schema)
+    assert(oback.collect().map(_.toSeq).toSet ==
+           orders.collect().map(_.toSeq).toSet)
+    // the wire bytes really are COPY BINARY: check a file's signature
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin")).head
+    val head = java.nio.file.Files.readAllBytes(part.toPath).take(11)
+    assert(head.sameElements(Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y',
+      '\n', 0xFF.toByte, '\r', '\n', 0)))
+  }
 }
