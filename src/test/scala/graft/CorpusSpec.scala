@@ -31,6 +31,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(labels == (0L until n).map(_ -> 0L).toMap)
   }
 
+  test("pointer jumping: a 512-chain converges in O(log n) rounds, exactly") {
+    // path 0-1-...-511: neighbor-propagation alone needs 511 rounds; with
+    // the lbl <- lbl(lbl) jump each round, label distances at least halve,
+    // so convergence must arrive within ~log2(512)+slack rounds. This is
+    // the adversarial-diameter case a 100 TB corpus can exhibit (update
+    // chains of near-identical revisions), and why the loop is written
+    // hop+jump instead of hop-only.
+    val sp = spark; import sp.implicits._
+    val n = 512L
+    val (lbl, iters) = graft.queries.Corpus.connectedComponentsIter(
+      (0L until n).toDF("id"),
+      (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst"))
+    val labels = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (0L until n).map(_ -> 0L).toMap)
+    assert(iters <= 14, s"expected O(log n) rounds for a 512-chain, took $iters")
+  }
+
   test("near-dup cluster assignment is transitive over simhash edges") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("corpusnear").toString
