@@ -20,7 +20,7 @@ import graft.Tables._
   *    Hamming distance <= 3 shares a band), verify with bit_count;
   *  - n-gram Jaccard: blocked pairwise compare inside small blocks;
   *  - embedding cosine near-dup: a sign-LSH banded candidate stage
-  *    (the linear-output scale path, [[embeddingLshCandidates]]) plus a
+  *    (the linear-output scale path, [[embeddingLshPairs]]) plus a
   *    blocked exact all-pairs audit query that serves as the recall
   *    oracle at small SF.
   *
@@ -273,24 +273,111 @@ object Dedup extends QueryModule {
            lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Embedding near-dup candidate pairs via sign-LSH banding — the
-    * linear-output scale path in front of exact cosine verification
-    * (the all-pairs block-triangle query stays as the recall audit at
-    * small SF). Input: (vec_id, v); output: (doc_a, doc_b) candidate
-    * pairs sharing at least one 8-bit band. Same capped-bucket
-    * discipline as minhash/simhash ([[cappedBucketPairs]]). */
-  private[graft] def embeddingLshCandidates(e: DataFrame,
-                                            maxBucket: Int): DataFrame = {
+  /** Every vector exploded to its [[EmbBands]] (band, key) bucket keys
+    * WITH the payload (v, nrm) carried along. Carrying the payload is the
+    * load-bearing choice: verification then happens INSIDE the bucket
+    * group, so total shuffle is bands x corpus rows — independent of how
+    * dense the candidate space turns out to be. The first cut of this
+    * operator materialized candidate ID pairs and joined the vectors back
+    * per pair; the bench's sf1 scale leg caught it at 26x time for 10x
+    * data on a correlation-dense corpus (candidate-pair joins shuffle
+    * O(candidates) x payload — quadratic in the worst case). */
+  private[graft] def embeddingBanded(e: DataFrame): DataFrame = {
     graft.functions.VectorFns.register(e.sparkSession)
     val mask = (1 << EmbBandBits) - 1
-    val sig = matNarrow(fanOut(e.select(col("vec_id"), col("v")))
-      .select(col("vec_id").as("doc_id"), embeddingSig(col("v")).as("sig")))
-    val banded = sig.select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${EmbBands - 1}), b -> " +
-          s"struct(b as band, shiftright(sig, b*$EmbBandBits) & $mask as key))"))
-        .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    cappedBucketPairs(banded, Seq("band", "key"), maxBucket).distinct()
+    fanOut(e.select(col("vec_id"), col("v")))
+      .select(col("vec_id").as("doc_id"), col("v"),
+        call_function("vec_norm_sq", col("v")).as("nrm"),
+        embeddingSig(col("v")).as("sig"))
+      .select(col("doc_id"), col("v"), col("nrm"), explode(expr(
+          s"transform(sequence(0, ${EmbBands - 1}), b -> " +
+            s"struct(b as band, shiftright(sig, b*$EmbBandBits) & $mask as key))"))
+          .as("bk"))
+      .select(col("doc_id"), col("v"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** HALF_UP 6-dp round — the keep/drop authority both engines share. */
+  private[graft] def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Embedding near-dup pairs via sign-LSH banding + IN-BUCKET exact
+    * cosine verification — the linear-output scale path (the all-pairs
+    * block-triangle query stays as the recall audit at small SF).
+    * Output: (id_a < id_b, cos) with HALF_UP-6dp cos >= threshold.
+    *
+    * Same capped-bucket discipline as [[cappedBucketPairs]], fused with
+    * verification: buckets <= maxBucket verify all intra-bucket pairs in
+    * a tight per-task kernel (bounded buffer: maxBucket rows x vector),
+    * emitting only matches; oversized buckets degrade to the star
+    * fallback (bucket-min vs members — narrow ID pairs, vectors joined
+    * back candidate-sized, rare by construction). A pair sharing several
+    * bands yields bit-identical (id_a, id_b, cos) rows in each — the
+    * dot products are sequential index-order sums in both the kernel and
+    * the codegen'd vec_dot, and both paths round HALF_UP — so the final
+    * distinct() collapses them exactly. */
+  private[graft] def embeddingLshPairs(e: DataFrame, maxBucket: Int,
+                                       threshold: Double): DataFrame = {
+    val sp = e.sparkSession; import sp.implicits._
+    val w = Window.partitionBy(col("band"), col("key"))
+    val annotated = embeddingBanded(e)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col("doc_id")).over(w))
+    // same defensive pre-guard as the exact kernel: HALF_UP to 6dp moves
+    // a value by at most 5e-7 (+1e-7 headroom against the guard constant
+    // itself landing one ulp high), so only near-threshold values pay the
+    // BigDecimal round-trip
+    val guard = threshold - 6e-7
+    val small = annotated.filter(col("__n") <= maxBucket)
+      .select(col("band").cast("int"), col("key").cast("long"),
+              col("doc_id"), col("v"), col("nrm"))
+      .as[(Int, Long, Long, Array[Double], Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it: Iterator[(Int, Long, Long, Array[Double], Double)]) =>
+        val rows = it.toArray // <= maxBucket rows by the filter above
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < rows.length) {
+          val a = rows(i)
+          var j = i + 1
+          while (j < rows.length) {
+            val b = rows(j)
+            val va = a._4; val vb = b._4
+            var d = 0.0; var k = 0
+            val n = math.min(va.length, vb.length)
+            while (k < n) { d += va(k) * vb(k); k += 1 }
+            val raw = d / math.sqrt(a._5 * b._5)
+            if (raw >= guard) {
+              val cos = round6(raw)
+              if (cos >= threshold) {
+                if (a._3 < b._3) out += ((a._3, b._3, cos))
+                else out += ((b._3, a._3, cos))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }.toDF("id_a", "id_b", "cos")
+    // star fallback: id_a = bucket min < id_b always, matching the small
+    // path's ordering; vectors joined back only for these rare pairs
+    val starIds = annotated
+      .filter(col("__n") > maxBucket && col("doc_id") =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col("doc_id").as("id_b")).distinct()
+    val side = e.select(col("vec_id"), col("v"),
+      call_function("vec_norm_sq", col("v")).as("nrm"))
+    val star = starIds
+      .join(side.select(col("vec_id").as("id_a"), col("v").as("va"),
+                        col("nrm").as("na")), "id_a")
+      .join(side.select(col("vec_id").as("id_b"), col("v").as("vb"),
+                        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(call_function("vec_dot", col("va"), col("vb")) /
+          sqrt(col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+    small.unionAll(star).distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -491,9 +578,6 @@ object Dedup extends QueryModule {
         .toDF("b1", "b2")
       val rep = e.join(broadcast(bp),
           col("blk") === col("b1") || col("blk") === col("b2"))
-      def round6(x: Double): Double =
-        java.math.BigDecimal.valueOf(x)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       rep.select(col("b1"), col("b2"), col("blk"), col("vec_id"), col("v"))
         .as[(Int, Int, Int, Long, Array[Double])]
         .groupByKey(r => (r._1, r._2))
@@ -550,30 +634,20 @@ object Dedup extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Embedding near-dup, sign-LSH scale path: banded candidate stage
-    // (one narrow signature pass + a capped band equi-join — work is
-    // O(candidates), never O(n^2)) followed by exact cosine verification
-    // on candidate pairs only. The DuckDB oracle replicates the identical
-    // banding predicate over the identical plane literals, so the hash
-    // check verifies the whole pipeline bit-exactly; EmbeddingLshSpec
-    // separately proves candidate recall is complete on a planted
-    // near-duplicate corpus (LSH output == all-pairs output), which is
-    // the regime this operator exists for (see EmbBands recall math).
+    // Embedding near-dup, sign-LSH scale path: banded bucketing with
+    // IN-BUCKET exact cosine verification (see [[embeddingLshPairs]] —
+    // shuffle is bands x corpus, work is per-bucket pairs, output is
+    // matches only; never O(n^2) pair-join traffic). The DuckDB oracle
+    // replicates the identical banding predicate over the identical
+    // plane literals, so the hash check verifies the whole pipeline
+    // bit-exactly; EmbeddingLshSpec separately proves recall is complete
+    // on a planted near-duplicate corpus (LSH output == all-pairs
+    // output), which is the regime this operator exists for (see
+    // EmbBands recall math).
     "d_dedup_embedding_lsh" -> ((s, dir) => {
-      graft.functions.VectorFns.register(s)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cand = embeddingLshCandidates(e, MaxBucket)
-      val side = e.withColumn("nrm", expr("vec_norm_sq(v)"))
-      cand
-        .join(side.select(col("vec_id").as("doc_a"), col("v").as("va"),
-                          col("nrm").as("na")), "doc_a")
-        .join(side.select(col("vec_id").as("doc_b"), col("v").as("vb"),
-                          col("nrm").as("nb")), "doc_b")
-        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
-          round(expr("vec_dot(va, vb)") / sqrt(col("na") * col("nb")), 6)
-            .as("cos"))
-        .filter(col("cos") >= 0.45)
+      embeddingLshPairs(e, MaxBucket, 0.45)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
