@@ -214,6 +214,28 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // tsquery distance operator `'hash' <2> 'join'` (tsquery_phrase_distance,
+    // `/root/reference/src/backend/utils/adt/tsquery.c` <-> parsing,
+    // `tsvector_op.c` TS_phrase_execute): a match is a pair of positions
+    // exactly N words apart. Computed from per-term position arrays
+    // (index-aware transform + filter) — still one map-side pass per doc,
+    // no explode/shuffle; the position arrays are term-frequency-sized.
+    "t_fts_distance" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def positions(term: String) =
+        filter(transform(words, (x, i) => when(x === term, i + 1).otherwise(-1)),
+               p => p >= 0)
+      t(s, dir, "documents")
+        .withColumn("ph", positions("hash"))
+        .withColumn("pj", positions("join"))
+        .withColumn("n_dist2",
+          size(filter(col("ph"),
+            p => array_contains(col("pj"), p + 2))).cast("int"))
+        .filter(col("n_dist2") > 0)
+        .select(col("doc_id"), col("n_dist2"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprint-based dup grouping: docs sharing a fingerprint.
     "t_fingerprint_groups" -> ((s, dir) => {
       graft.functions.TextFns.register(s)
@@ -352,6 +374,17 @@ object TextOps extends QueryModule {
         |    x -> CASE WHEN x = 'hash' THEN '<b>hash</b>' ELSE x END),
         |    ' ') AS headline
         |FROM p WHERE i > 0 ORDER BY doc_id""".stripMargin,
+
+    "t_fts_distance" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |    [i for i in range(1, len(w) + 1) if w[i] = 'hash'] AS ph,
+        |    [i for i in range(1, len(w) + 1) if w[i] = 'join'] AS pj
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len([p for p in ph if list_contains(pj, p + 2)]) AS INT) AS n_dist2
+        |FROM p WHERE len([p for p in ph if list_contains(pj, p + 2)]) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint_groups" ->
       s"""WITH fp AS (SELECT doc_id, $fpSql AS fingerprint FROM documents),
