@@ -148,6 +148,40 @@ object ScalarFns extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Multi-dimensional arrays (arrayfuncs.c is N-dim; SURVEY's 1-D
+    // flattening policy covers storage, and THIS query covers the 2-D
+    // COMPUTE surface as nested arrays): per-row matrices of varying
+    // shape with dims, transpose, row sums, flatten-total, main diagonal,
+    // and a matrix-vector product — all integer-exact, all pure map-side
+    // (nested higher-order functions; no explode, no shuffle). Index
+    // bases differ by engine (Spark [] is 0-based, DuckDB 1-based); each
+    // side uses its own convention to produce identical values.
+    "q_array_multidim" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 3 + 2).cast("int").as("nr"),
+          (col("c_custkey") % 4 + 2).cast("int").as("nc"))
+        .withColumn("m", expr(
+          "transform(sequence(0, nr - 1), i -> " +
+            "transform(sequence(0, nc - 1), j -> " +
+              "CAST(i * nc + j + c_custkey AS BIGINT)))"))
+        .select(col("c_custkey"),
+          array(size(col("m")).cast("long"),
+                size(expr("m[0]")).cast("long")).as("dims"),
+          expr("transform(sequence(0, nc - 1), j -> " +
+            "transform(sequence(0, nr - 1), i -> m[i][j]))").as("mt"),
+          expr("transform(m, r -> " +
+            "aggregate(r, CAST(0 AS BIGINT), (a, x) -> a + x))").as("row_sums"),
+          expr("aggregate(flatten(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("total"),
+          expr("transform(sequence(0, least(nr, nc) - 1), i -> m[i][i])")
+            .as("diag"),
+          expr("transform(m, r -> aggregate(" +
+            "zip_with(r, sequence(1, nc), (x, w) -> x * CAST(w AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x))").as("matvec"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Map/kv family (hstore-ish; MapType): str_to_map + typed access.
     "q_map_funcs" -> ((s, dir) => {
       t(s, dir, "events").filter(col("event_id") <= 300)
@@ -398,6 +432,25 @@ object ScalarFns extends QueryModule {
         |  CASE WHEN len(w) > 0 THEN CAST(len(w) AS INT) END AS arr_upper,
         |  1 AS arr_ndims
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_array_multidim" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |    CAST(c_custkey % 3 + 2 AS INT) AS nr,
+        |    CAST(c_custkey % 4 + 2 AS INT) AS nc
+        |  FROM customer WHERE c_custkey <= 50),
+        |mm AS (SELECT k, nr, nc,
+        |    [[CAST(i * nc + j + k AS BIGINT) for j in range(0, nc)]
+        |      for i in range(0, nr)] AS m
+        |  FROM base)
+        |SELECT k AS c_custkey,
+        |  [CAST(len(m) AS BIGINT), CAST(len(m[1]) AS BIGINT)] AS dims,
+        |  [[m[i+1][j+1] for i in range(0, nr)] for j in range(0, nc)] AS mt,
+        |  [CAST(list_sum(r) AS BIGINT) for r in m] AS row_sums,
+        |  CAST(list_sum(flatten(m)) AS BIGINT) AS total,
+        |  [m[i+1][i+1] for i in range(0, least(nr, nc))] AS diag,
+        |  [CAST(list_sum([r[j+1] * (j+1) for j in range(0, nc)]) AS BIGINT)
+        |    for r in m] AS matvec
+        |FROM mm ORDER BY c_custkey""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT event_id,

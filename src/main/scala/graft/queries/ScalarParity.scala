@@ -334,6 +334,53 @@ object ScalarParity extends QueryModule {
         .orderBy(okey)
     }),
 
+    // SQL/JSON path strict vs lax modes (jsonpath_exec.c
+    // executeItemOptUnwrapTarget; reference tests jsonb_jsonpath.sql:20-60,
+    // 357-410, 1330-1343): LAX auto-wraps non-arrays for subscripting and
+    // .size() (scalar -> [scalar], so $[0] returns the scalar and .size()
+    // is 1 — even for JSON null) and suppresses structural errors (member
+    // access on a non-object -> empty result); STRICT raises them. Error
+    // outcomes are modeled as *_ok booleans ("would the strict path
+    // succeed") and empty results as SQL NULL — checking the semantics,
+    // not the error text. The same six-way w construction as
+    // q_jsonpath_filter puts every JSON kind through every path.
+    "q_jsonpath_modes" -> ((s, dir) => {
+      val okey = col("o_orderkey")
+      def m(k: Int): Column = pmod(okey, lit(k))
+      val wJson = when(m(6) === 0, m(97).cast("string"))
+        .when(m(6) === 1, concat(lit("\"s"), m(4), lit("\"")))
+        .when(m(6) === 2, concat(lit("["), m(3), lit(", 5]")))
+        .when(m(6) === 3, concat(lit("{\"y\": "), m(3), lit("}")))
+        .when(m(6) === 4, (m(8) === 4).cast("string"))
+        .otherwise(lit("null"))
+      val wv = "variant_get(parse_json(j), '$.w')"
+      t(s, dir, "orders").filter(okey <= 300)
+        .withColumn("j", concat(lit("{\"w\": "), wJson, lit("}")))
+        .withColumn("wkind", expr(s"""CASE WHEN is_variant_null($wv) THEN 'null'
+          | WHEN schema_of_variant($wv) IN
+          |   ('BIGINT','INT','SMALLINT','TINYINT','DOUBLE','DECIMAL(38,0)')
+          |   THEN 'number'
+          | WHEN schema_of_variant($wv) = 'STRING' THEN 'string'
+          | WHEN schema_of_variant($wv) = 'BOOLEAN' THEN 'boolean'
+          | WHEN schema_of_variant($wv) LIKE 'ARRAY%' THEN 'array'
+          | ELSE 'object' END""".stripMargin))
+        .select(okey, col("wkind"),
+          expr("CASE WHEN wkind = 'array' " +
+            "THEN CAST(variant_get(parse_json(j), '$.w[0]') AS INT) " +
+            "WHEN wkind = 'number' " +
+            "THEN CAST(variant_get(parse_json(j), '$.w') AS INT) END")
+            .as("lax_w0_num"),
+          (col("wkind") === "array").as("strict_w0_ok"),
+          expr("CAST(variant_get(parse_json(j), '$.w.y') AS INT)")
+            .as("lax_wy_num"),
+          (col("wkind") === "object").as("strict_wy_ok"),
+          coalesce(size(expr(
+            "from_json(get_json_object(j, '$.w'), 'array<int>')")), lit(1))
+            .as("lax_wsize"),
+          (col("wkind") === "array").as("strict_wsize_ok"))
+        .orderBy(okey)
+    }),
+
     // jsonb_each / json_array_elements analogues: one row per array
     // element (posexplode) and per object entry (map explode).
     "q_json_each" -> ((s, dir) => {
@@ -396,6 +443,35 @@ object ScalarParity extends QueryModule {
         |    WHEN 'BOOLEAN' THEN 'boolean' WHEN 'ARRAY' THEN 'array'
         |    WHEN 'OBJECT' THEN 'object' WHEN 'NULL' THEN 'null' END AS w_type
         |FROM p ORDER BY o_orderkey""".stripMargin,
+
+    "q_jsonpath_modes" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    '{"w": ' ||
+        |    CASE WHEN o_orderkey % 6 = 0 THEN CAST(o_orderkey % 97 AS VARCHAR)
+        |         WHEN o_orderkey % 6 = 1 THEN '"s' || (o_orderkey % 4) || '"'
+        |         WHEN o_orderkey % 6 = 2 THEN '[' || (o_orderkey % 3) || ', 5]'
+        |         WHEN o_orderkey % 6 = 3 THEN '{"y": ' || (o_orderkey % 3) || '}'
+        |         WHEN o_orderkey % 6 = 4 THEN CAST(o_orderkey % 8 = 4 AS VARCHAR)
+        |         ELSE 'null' END || '}' AS j
+        |  FROM orders WHERE o_orderkey <= 300),
+        |k AS (SELECT o_orderkey, j,
+        |    CASE json_type(j, '$.w')
+        |      WHEN 'UBIGINT' THEN 'number' WHEN 'BIGINT' THEN 'number'
+        |      WHEN 'DOUBLE' THEN 'number' WHEN 'VARCHAR' THEN 'string'
+        |      WHEN 'BOOLEAN' THEN 'boolean' WHEN 'ARRAY' THEN 'array'
+        |      WHEN 'OBJECT' THEN 'object' WHEN 'NULL' THEN 'null' END AS wkind
+        |  FROM b)
+        |SELECT o_orderkey, wkind,
+        |  CASE WHEN wkind = 'array' THEN CAST(json_extract(j, '$.w[0]') AS INT)
+        |       WHEN wkind = 'number' THEN CAST(json_extract(j, '$.w') AS INT)
+        |  END AS lax_w0_num,
+        |  wkind = 'array' AS strict_w0_ok,
+        |  CAST(json_extract(j, '$.w.y') AS INT) AS lax_wy_num,
+        |  wkind = 'object' AS strict_wy_ok,
+        |  CAST(CASE WHEN wkind = 'array' THEN json_array_length(j, '$.w')
+        |       ELSE 1 END AS INT) AS lax_wsize,
+        |  wkind = 'array' AS strict_wsize_ok
+        |FROM k ORDER BY o_orderkey""".stripMargin,
 
     "q_to_char_patterns" ->
       s"""SELECT o_orderkey,
