@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** tsquery dialect translator — the reference's text-search query language
+  * (`/root/reference/src/backend/utils/adt/tsquery.c` makepol/parse_tsquery
+  * recursive-descent grammar; executed by `tsvector_op.c` TS_execute /
+  * TS_phrase_execute; tests `src/test/regress/sql/tsearch.sql`), compiled
+  * to Catalyst Column predicates over a word-array column — the same
+  * translator pattern as [[SimilarTo]].
+  *
+  * Grammar (PG precedence, loosest to tightest: `|` < `&` < `<->`/`<N>` <
+  * `!`):
+  * {{{
+  *   or     := and  ( '|' and )*
+  *   and    := phr  ( '&' phr )*
+  *   phr    := not  ( ('<->' | '<' N '>') not )*    // left-associative
+  *   not    := '!' not | primary
+  *   primary:= '(' or ')' | lexeme [':*']
+  *   lexeme := 'quoted word' | bare-word
+  * }}}
+  *
+  * Semantics compiled:
+  *  - lexeme: whole-word membership; `:*` prefix match (`tsquery.c`
+  *    prefix flag);
+  *  - `&` / `|` / `!`: boolean combinators over matches;
+  *  - `a <N> b`: positional — some position p matching `b` has a match of
+  *    `a` at `p - N` (`<->` = `<1>`, adjacent). Matches the reference's
+  *    TSPhraseOperand evaluation where a phrase's match positions are the
+  *    RIGHT operand's positions, so phrases nest left-associatively:
+  *    `a <-> b <-> c` = `(a <-> b) <-> c`.
+  *  - Inside a phrase operand, `|` unions position sets (per TS_phrase_
+  *    execute OR handling). `&`/`!` inside a phrase operand need the
+  *    reference's NOT/AND position algebra and are rejected as
+  *    unsupported (deliberate subset; the error says so).
+  *
+  * All compiled predicates are per-row array expressions (positions via
+  * index-aware transform+filter) — pure map-side, no explode, no shuffle,
+  * exactly like the hand-built FTS queries in `TextOps`. */
+object TsQuery {
+
+  sealed trait Node
+  final case class Lexeme(word: String, prefix: Boolean) extends Node
+  final case class And(l: Node, r: Node) extends Node
+  final case class Or(l: Node, r: Node) extends Node
+  final case class Not(n: Node) extends Node
+  final case class Phrase(l: Node, r: Node, dist: Int) extends Node
+
+  // ---- parser -----------------------------------------------------------
+
+  private sealed trait Tok
+  private final case class TWord(w: String) extends Tok
+  private case object TPrefix extends Tok // :*
+  private case object TAnd extends Tok
+  private case object TOr extends Tok
+  private case object TNot extends Tok
+  private final case class TDist(n: Int) extends Tok // <-> / <N>
+  private case object TOpen extends Tok
+  private case object TClose extends Tok
+
+  private def tokenize(s: String): List[Tok] = {
+    val b = List.newBuilder[Tok]
+    var i = 0
+    def err(msg: String) =
+      throw new IllegalArgumentException(s"tsquery: $msg at offset $i in: $s")
+    while (i < s.length) {
+      s.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '&' => b += TAnd; i += 1
+        case '|' => b += TOr; i += 1
+        case '!' => b += TNot; i += 1
+        case '(' => b += TOpen; i += 1
+        case ')' => b += TClose; i += 1
+        case ':' =>
+          if (i + 1 < s.length && s.charAt(i + 1) == '*') { b += TPrefix; i += 2 }
+          else err("expected ':*'")
+        case '<' =>
+          val close = s.indexOf('>', i)
+          if (close < 0) err("unterminated distance operator")
+          val body = s.substring(i + 1, close)
+          if (body == "-") b += TDist(1)
+          else if (body.nonEmpty && body.forall(_.isDigit)) b += TDist(body.toInt)
+          else err(s"bad distance operator <$body>")
+          i = close + 1
+        case '\'' =>
+          val close = s.indexOf('\'', i + 1)
+          if (close < 0) err("unterminated quoted lexeme")
+          b += TWord(s.substring(i + 1, close)); i = close + 1
+        case c if c.isLetterOrDigit || c == '_' =>
+          val start = i
+          while (i < s.length &&
+                 (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+          b += TWord(s.substring(start, i))
+        case c => err(s"unexpected character '$c'")
+      }
+    }
+    b.result()
+  }
+
+  /** Parse a tsquery string to its AST. Throws IllegalArgumentException on
+    * syntax errors (unbalanced parens, dangling operators, empty input). */
+  def parse(q: String): Node = {
+    var toks = tokenize(q)
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"tsquery: $msg in: $q")
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = toks match {
+      case h :: t => toks = t; h
+      case Nil    => fail("unexpected end of input")
+    }
+    def primary(): Node = next() match {
+      case TWord(w) =>
+        if (peek.contains(TPrefix)) { next(); Lexeme(w, prefix = true) }
+        else Lexeme(w, prefix = false)
+      case TOpen =>
+        val n = or()
+        if (next() != TClose) fail("expected ')'")
+        n
+      case t => fail(s"unexpected token $t")
+    }
+    def not(): Node =
+      if (peek.contains(TNot)) { next(); Not(not()) } else primary()
+    def phr(): Node = {
+      var n = not()
+      while (peek.exists(_.isInstanceOf[TDist])) {
+        val TDist(d) = next(): @unchecked
+        n = Phrase(n, not(), d)
+      }
+      n
+    }
+    def and(): Node = {
+      var n = phr()
+      while (peek.contains(TAnd)) { next(); n = And(n, phr()) }
+      n
+    }
+    def or(): Node = {
+      var n = and()
+      while (peek.contains(TOr)) { next(); n = Or(n, and()) }
+      n
+    }
+    if (toks.isEmpty) fail("empty query")
+    val n = or()
+    if (toks.nonEmpty) fail(s"trailing tokens $toks")
+    n
+  }
+
+  // ---- compiler ---------------------------------------------------------
+
+  /** 1-based positions (array<int>) of a phrase operand's matches in
+    * `words`. Defined for Lexeme, Or (position union), and nested Phrase
+    * (right operand's positions with a left match at p - dist). */
+  private def positions(node: Node, words: Column): Column = node match {
+    case Lexeme(w, false) =>
+      filter(transform(words, (x, i) => when(x === w, i + 1).otherwise(-1)),
+             p => p >= 0)
+    case Lexeme(w, true) =>
+      filter(transform(words,
+               (x, i) => when(x.startsWith(w), i + 1).otherwise(-1)),
+             p => p >= 0)
+    case Or(l, r) =>
+      array_sort(array_distinct(
+        concat(positions(l, words), positions(r, words))))
+    case Phrase(l, r, d) =>
+      filter(positions(r, words),
+             p => array_contains(positions(l, words), p - d))
+    case other =>
+      throw new IllegalArgumentException(
+        s"tsquery: $other unsupported inside a phrase operand " +
+          "(supported: lexemes, |, nested <N>)")
+  }
+
+  /** Compile an AST to a boolean match Column over a word array. */
+  def matches(node: Node, words: Column): Column = node match {
+    case Lexeme(w, false) => exists(words, _ === w)
+    case Lexeme(w, true)  => exists(words, _.startsWith(w))
+    case And(l, r)        => matches(l, words) && matches(r, words)
+    case Or(l, r)         => matches(l, words) || matches(r, words)
+    case Not(n)           => !matches(n, words)
+    case p: Phrase        => size(positions(p, words)) > 0
+  }
+
+  /** Parse + compile in one step: the user-facing `text @@ tsquery`. */
+  def matches(query: String, words: Column): Column =
+    matches(parse(query), words)
+
+  /** Match COUNT of a phrase/lexeme node (ts_rank-style evidence). */
+  def matchCount(query: String, words: Column): Column = {
+    val n = parse(query)
+    n match {
+      case _: Lexeme | _: Or | _: Phrase => size(positions(n, words))
+      case other => throw new IllegalArgumentException(
+        s"tsquery: matchCount needs a positional node, got $other")
+    }
+  }
+}

@@ -236,6 +236,28 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // The tsquery STRING language end-to-end: the same boolean/phrase
+    // semantics as t_fts_bool/t_fts_distance, but arriving through the
+    // [[graft.functions.TsQuery]] recursive-descent parser (tsquery.c
+    // parse_tsquery analogue — precedence, parens, quoted lexemes, :*,
+    // <->/<N>) compiled to the identical Column predicates. The oracle is
+    // written directly against the word arrays, independent of the
+    // parser, so the hash check covers parse + compile + execute.
+    "t_fts_tsquery" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      import graft.functions.TsQuery
+      t(s, dir, "documents")
+        .withColumn("m_bool", TsQuery.matches(
+          "('hash' | 'merge') & !'stream' & 'wind':*", words).cast("int"))
+        .withColumn("m_dist",
+          TsQuery.matches("'hash' <2> 'join'", words).cast("int"))
+        .withColumn("m_nested", TsQuery.matches(
+          "('fast' | 'slow') <-> 'scan'", words).cast("int"))
+        .filter(col("m_bool") + col("m_dist") + col("m_nested") > 0)
+        .select(col("doc_id"), col("m_bool"), col("m_dist"), col("m_nested"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprint-based dup grouping: docs sharing a fingerprint.
     "t_fingerprint_groups" -> ((s, dir) => {
       graft.functions.TextFns.register(s)
@@ -385,6 +407,22 @@ object TextOps extends QueryModule {
         |  CAST(len([p for p in ph if list_contains(pj, p + 2)]) AS INT) AS n_dist2
         |FROM p WHERE len([p for p in ph if list_contains(pj, p + 2)]) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "t_fts_tsquery" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST((len(list_filter(w, x -> x = 'hash')) > 0
+        |          OR len(list_filter(w, x -> x = 'merge')) > 0)
+        |      AND len(list_filter(w, x -> x = 'stream')) = 0
+        |      AND len(list_filter(w, x -> x LIKE 'wind%')) > 0 AS INT) AS m_bool,
+        |    CAST(len([i for i in range(1, len(w) + 1) if w[i] = 'join'
+        |      and list_contains([j for j in range(1, len(w) + 1)
+        |                         if w[j] = 'hash'], i - 2)]) > 0 AS INT) AS m_dist,
+        |    CAST(len([i for i in range(2, len(w) + 1) if w[i] = 'scan'
+        |      and (w[i-1] = 'fast' OR w[i-1] = 'slow')]) > 0 AS INT) AS m_nested
+        |  FROM d)
+        |SELECT doc_id, m_bool, m_dist, m_nested FROM m
+        |WHERE m_bool + m_dist + m_nested > 0 ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint_groups" ->
       s"""WITH fp AS (SELECT doc_id, $fpSql AS fingerprint FROM documents),

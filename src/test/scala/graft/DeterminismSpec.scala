@@ -19,7 +19,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_agg_multi_distinct",   // 3-stage DQA plan
     "d_dedup_minhash_lsh",    // banded candidates + integer-rational jaccard
     "q_hll_deterministic",    // exact-decimal register sum + fixed-order est
-    "s_ann_ivf_topk")         // micros-stabilized Lloyd iterations
+    "s_ann_ivf_topk",         // micros-stabilized Lloyd iterations
+    "d_dedup_embedding_lsh",  // in-bucket kernel + fixed-order dot products
+    "d_dedup_cluster_assign_near") // min-label CC: iteration-order-free fixpoint
 
   private def run(name: String): Seq[Seq[Any]] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
