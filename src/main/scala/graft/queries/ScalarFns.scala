@@ -182,6 +182,22 @@ object ScalarFns extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // unnest WITH ORDINALITY + regexp_split_to_table (arrayfuncs.c
+    // array_unnest ordinality support; varlena.c regexp_split_to_table):
+    // posexplode IS the ordinality-carrying unnest; the per-word regex
+    // split count stands in for the split-to-table row expansion.
+    "q_unnest_ordinality" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5))
+            .as(Seq("ord0", "word")))
+        .select(col("doc_id"),
+          (col("ord0") + 1).cast("int").as("ord"), col("word"),
+          size(split(col("word"), "[aeiou]+")).cast("int")
+            .as("n_vowel_splits"))
+        .orderBy(col("doc_id"), col("ord"))
+    }),
+
     // Map/kv family (hstore-ish; MapType): str_to_map + typed access.
     "q_map_funcs" -> ((s, dir) => {
       t(s, dir, "events").filter(col("event_id") <= 300)
@@ -451,6 +467,17 @@ object ScalarFns extends QueryModule {
         |  [CAST(list_sum([r[j+1] * (j+1) for j in range(0, nc)]) AS BIGINT)
         |    for r in m] AS matvec
         |FROM mm ORDER BY c_custkey""".stripMargin,
+
+    "q_unnest_ordinality" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id < 30),
+        |l AS (SELECT doc_id, [{'ord': CAST(i AS INT), 'word': w[i]}
+        |        for i in range(1, least(len(w), 5) + 1)] AS lst FROM d)
+        |SELECT doc_id, u.ord AS ord, u.word AS word,
+        |  CAST(len(string_split_regex(word, '[aeiou]+')) AS INT)
+        |    AS n_vowel_splits
+        |FROM l, unnest(lst) AS t(u)
+        |ORDER BY doc_id, ord""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT event_id,
