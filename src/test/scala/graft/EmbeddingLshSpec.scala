@@ -59,6 +59,22 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(exact.size == 64 + 100 * 99 / 2 + 100 + 100)
   }
 
+  test("oversized embedding buckets degrade to a star, verified exactly") {
+    val sp = spark; import sp.implicits._
+    // identical vectors: every band's bucket holds all n > MaxBucket rows,
+    // so the in-bucket kernel must NOT see them (O(c^2) per bucket);
+    // the star fallback emits exactly c-1 verified (min, member) pairs
+    val n = Dedup.MaxBucket + 104
+    val v = Array.tabulate(dim)(i => if (i == 3) 1.0 else 0.0)
+    val e = (0 until n).map(i => (i.toLong, v)).toDF("vec_id", "v")
+    val out = Dedup.embeddingLshPairs(e, Dedup.MaxBucket, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == n - 1, s"star output must be O(c), got ${out.length}")
+    assert(out.forall(p => p._1 == 0L && p._3 == 1.0),
+      "star center must be the bucket min, cosine exactly 1")
+    assert(out.map(_._2).toSet == (1L until n.toLong).toSet)
+  }
+
   test("bucketed verification work prunes the background pair space") {
     val sp = spark; import sp.implicits._
     // background corpus only (no hot cluster): the pruning claim is about
