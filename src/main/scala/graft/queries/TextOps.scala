@@ -258,6 +258,34 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary building — the training-pipeline op behind tokenizer/
+    // vocab construction: corpus-wide token frequencies, top-k. Shape at
+    // scale: explode -> partial map-side counts -> one shuffle of
+    // (token, partial) pairs -> TakeOrderedAndProject top-k (bounded
+    // driver result; the full vocab never collects).
+    "t_vocab_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(25)
+    }),
+
+    // Bigram language-model counts (the n-gram count tables LM/tokenizer
+    // pipelines build): adjacent-word pairs via a zip of the word array
+    // with its own tail — one map-side pass per doc, no self-join — then
+    // the same partial-agg shuffle discipline as t_vocab_topk.
+    "t_ngram_counts" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg"))
+        .limit(20)
+    }),
+
     // Fingerprint-based dup grouping: docs sharing a fingerprint.
     "t_fingerprint_groups" -> ((s, dir) => {
       graft.functions.TextFns.register(s)
@@ -423,6 +451,18 @@ object TextOps extends QueryModule {
         |  FROM d)
         |SELECT doc_id, m_bool, m_dist, m_nested FROM m
         |WHERE m_bool + m_dist + m_nested > 0 ORDER BY doc_id""".stripMargin,
+
+    "t_vocab_topk" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY w
+        |ORDER BY n DESC, w LIMIT 25""".stripMargin,
+
+    "t_ngram_counts" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT unnest([w[i] || ' ' || w[i+1]
+        |                     for i in range(1, len(w))]) AS bg FROM d)
+        |SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bg
+        |ORDER BY n DESC, bg LIMIT 20""".stripMargin,
 
     "t_fingerprint_groups" ->
       s"""WITH fp AS (SELECT doc_id, $fpSql AS fingerprint FROM documents),

@@ -67,6 +67,26 @@ object Streaming {
       .format("memory").queryName(name).start()
   }
 
+  /** Watermarked SESSION windows in streaming mode — Spark's native
+    * sessionization aggregation (`session_window`, 30-minute gap) running
+    * incrementally: state per OPEN session, merged as events arrive,
+    * evicted once the watermark passes the session end. Complete-mode
+    * memory sink so the finite file source drains to the full session
+    * set; the spec asserts exact equality with the identical batch
+    * session_window aggregation (stream/batch parity). */
+  def sessionWindowAgg(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sw.start").as("session_start"),
+              col("sw.end").as("session_end"), col("user_id"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup — the pipeline dedup operator in streaming
     * form: dropDuplicates on the content key inside the stream. State is
     * one entry per distinct key (bound it with a watermark on ts in

@@ -29,6 +29,20 @@ class StreamingSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
   }
 
+  test("streaming session windows equal the batch session_window result") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.streaming.Streaming
+      .sessionWindowAgg(spark, sf, "stream_session_spec")
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.t(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sw.start"), col("sw.end"), col("user_id"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stream-static join equals batch join") {
     val stream = graft.streaming.Streaming
       .streamStaticJoin(spark, sf, "stream_static_spec")
