@@ -182,6 +182,27 @@ object ScalarFns extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // json_agg / json_object_agg (json.c json_agg_transfn,
+    // json_object_agg_transfn): aggregate rows INTO json documents —
+    // deterministic by sorting the collected entries on the numeric key
+    // before rendering (collect_list order is partition-dependent; the
+    // sort makes the rendered document parallelism-invariant). Both
+    // engines render compact JSON, so the strings hash-match verbatim.
+    "q_json_agg" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") <= 60)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          to_json(array_sort(collect_list(struct(
+            col("c_custkey").as("id"), col("c_name").as("name")))))
+            .as("customers_json"),
+          to_json(map_from_entries(expr(
+            "transform(array_sort(collect_list(struct(c_custkey as k0, " +
+              "c_mktsegment as v))), e -> " +
+              "struct(cast(e.k0 as string) as k, e.v as v))")))
+            .as("seg_json"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // unnest WITH ORDINALITY + regexp_split_to_table (arrayfuncs.c
     // array_unnest ordinality support; varlena.c regexp_split_to_table):
     // posexplode IS the ordinality-carrying unnest; the per-word regex
@@ -467,6 +488,17 @@ object ScalarFns extends QueryModule {
         |  [CAST(list_sum([r[j+1] * (j+1) for j in range(0, nc)]) AS BIGINT)
         |    for r in m] AS matvec
         |FROM mm ORDER BY c_custkey""".stripMargin,
+
+    "q_json_agg" ->
+      """SELECT c_nationkey,
+        |  CAST(to_json(list(struct_pack(id := c_custkey, name := c_name)
+        |       ORDER BY c_custkey)) AS VARCHAR) AS customers_json,
+        |  CAST(to_json(map_from_entries(
+        |       list(struct_pack(k := CAST(c_custkey AS VARCHAR),
+        |                        v := c_mktsegment)
+        |            ORDER BY c_custkey))) AS VARCHAR) AS seg_json
+        |FROM customer WHERE c_custkey <= 60
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_unnest_ordinality" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
