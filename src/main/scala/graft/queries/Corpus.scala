@@ -109,10 +109,44 @@ object Corpus extends QueryModule {
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") =!= col("cluster_id")).cast("int").as("is_dup"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination — the standard pretraining hygiene pass:
+    // flag corpus documents sharing any 4-gram with an evaluation set
+    // (here: doc_id < 10 stands in for the benchmark). Scale shape: the
+    // eval side is benchmark-sized (thousands of docs), so its distinct
+    // n-gram set BROADCASTS; the corpus side streams one exploded pass
+    // through a broadcast hash join — no corpus-sized shuffle at all.
+    // countDistinct per flagged doc shuffles only matching grams
+    // (contamination-sized). Reference analogue: none (SQL-side this is
+    // the semi-join family, nodeSetOp.c) — additive pipeline operator.
+    "d_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      def grams(d: DataFrame) = d.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(w) >= 4 THEN transform(sequence(1, size(w) - 3), " +
+          "i -> array_join(slice(w, i, 4), ' ')) ELSE array() END")).as("g"))
+      val evalGrams = grams(docs.filter(col("doc_id") < 10))
+        .select(col("g")).distinct()
+      grams(docs.filter(col("doc_id") >= 10))
+        .join(broadcast(evalGrams), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"))
+        .orderBy(col("doc_id"))
     })
   )
 
+  private val decontaminateOracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest([array_to_string(w[i:i+3], ' ')
+      |       for i in range(1, len(w) - 2)]) AS g FROM d),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+      |SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+      |FROM g JOIN ev ON g.g = ev.g WHERE g.doc_id >= 10
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d_decontaminate" -> decontaminateOracle,
     // doc-level transitive closure over the same SimHash signatures the
     // d_dedup_simhash oracle builds: identical texts give hamming-0 edges,
     // so doc-level components equal the Spark side's rep-level components

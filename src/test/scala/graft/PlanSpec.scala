@@ -32,6 +32,13 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("decontamination joins the corpus against a BROADCAST eval-gram set") {
+    val p = planOf("d_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-side gram stream must never shuffle for the join\n" + p)
+  }
+
   test("AQE splits a skewed join partition (OptimizeSkewedJoin)") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
