@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -133,6 +134,50 @@ object Corpus extends QueryModule {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("n_hits"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Dataset mixing — per-source weighted sampling, REPRODUCIBLE: the
+    // keep/drop decision is a pure function of doc_id (md5-derived
+    // uniform in [0,1000) vs the source's per-mille rate), so both
+    // engines, any partitioning, and any rerun select the identical
+    // subset — deterministic sampling is what makes a 100 TB mixing run
+    // auditable (contrast q_sample_bernoulli's engine-RNG TABLESAMPLE,
+    // which is rows-only-checkable by design). Pure map-side decision;
+    // one narrow aggregate for the report.
+    "d_sample_mix" -> ((s, dir) => {
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val ratePm = (pmod(srcNum, lit(4)) + 1) * 200 // 200/400/600/800 permille
+      val u = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long"), lit(1000))
+      t(s, dir, "documents")
+        .withColumn("keep", (u < ratePm).cast("int"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(col("keep")).as("n_sampled"),
+             min(when(col("keep") === 1, col("doc_id"))).as("first_kept"),
+             sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // Sequence packing — concat-then-chunk (the GPT-style packed
+    // pretraining layout): per source, documents lay end-to-end in
+    // doc_id order and chunk into fixed 256-token sequences; each doc
+    // reports its sequence id, offset, and whether it crosses a
+    // boundary. One shuffle on the packing key (source) + an
+    // in-partition running sum — the same sessionize shape, O(1) state
+    // per row; at 100 TB the packing key is a shard prefix and packing
+    // stays embarrassingly parallel across shards.
+    "d_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("(cum - n_tokens) div 256").as("seq_id"),
+          pmod(col("cum") - col("n_tokens"), lit(256)).as("seq_off"),
+          (expr("(cum - n_tokens) div 256") =!= expr("(cum - 1) div 256"))
+            .cast("int").as("crosses"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -147,6 +192,35 @@ object Corpus extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "d_decontaminate" -> decontaminateOracle,
+
+    "d_sample_mix" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 + 1) * 200
+        |      AS rate_pm,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |      % 1000 AS u
+        |  FROM documents),
+        |k AS (SELECT source, doc_id,
+        |    CAST(u < rate_pm AS INT) AS keep FROM d)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(keep) AS BIGINT) AS n_sampled,
+        |  MIN(CASE WHEN keep = 1 THEN doc_id END) AS first_kept,
+        |  CAST(SUM(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |  (cum - n_tokens) // 256 AS seq_id,
+        |  (cum - n_tokens) % 256 AS seq_off,
+        |  CAST((cum - n_tokens) // 256 <> (cum - 1) // 256 AS INT) AS crosses
+        |FROM c ORDER BY doc_id""".stripMargin,
     // doc-level transitive closure over the same SimHash signatures the
     // d_dedup_simhash oracle builds: identical texts give hamming-0 edges,
     // so doc-level components equal the Spark side's rep-level components
