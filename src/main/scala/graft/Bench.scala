@@ -26,7 +26,8 @@ object Bench {
     "d_dedup_minhash_lsh", "d_dedup_simhash", "d_dedup_embedding",
     "d_dedup_embedding_lsh",
     "s_ann_bruteforce_topk", "s_ann_ivf_topk",
-    "m_decode_features", "q_to_char_patterns", "t_fingerprint")
+    "m_decode_features", "q_to_char_patterns", "t_fingerprint",
+    "t_vocab_topk")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —
