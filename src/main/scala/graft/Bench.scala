@@ -99,7 +99,11 @@ object Bench {
     val sf1Results: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
       else try {
-        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/.scale/sf1")
+        // cache dir is keyed on the SOURCE SF (…/sf0.1 -> .scale/sf0.1_x10)
+        // so switching SPARK_GRAFT_SF_DIR can never silently reuse a
+        // replica generated from a different base dataset
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+          s"/root/repo/.scale/${sfDir.stripSuffix("/").split('/').last}_x10")
         val marker = new org.apache.hadoop.fs.Path(sf1Dir, "embeddings.parquet/_SUCCESS")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // embeddings is the last table GenScale writes: its _SUCCESS marks

@@ -111,8 +111,25 @@ object TsQuery {
     }
     def primary(): Node = next() match {
       case TWord(w) =>
-        if (peek.contains(TPrefix)) { next(); Lexeme(w, prefix = true) }
-        else Lexeme(w, prefix = false)
+        val prefix = peek.contains(TPrefix)
+        if (prefix) next()
+        // A quoted multi-word lexeme desugars to an adjacency phrase
+        // ('hash join' -> 'hash' <-> 'join'), like phraseto_tsquery.
+        // Deliberate departure from the reference's tsquery literal
+        // (there a space-embedded lexeme matches a tsvector lexeme that
+        // itself contains a space): over space-split word arrays such a
+        // lexeme could never match anything, and silently-always-false
+        // is the worst failure mode for a query language. The prefix
+        // flag applies to the LAST word of the phrase.
+        val parts = w.trim.split("\\s+").toList.filter(_.nonEmpty)
+        parts match {
+          case Nil => fail("empty lexeme")
+          case single :: Nil => Lexeme(single, prefix)
+          case many =>
+            val lexs = many.init.map(Lexeme(_, prefix = false)) :+
+              Lexeme(many.last, prefix)
+            lexs.reduceLeft[Node](Phrase(_, _, 1))
+        }
       case TOpen =>
         val n = or()
         if (next() != TClose) fail("expected ')'")
@@ -162,8 +179,12 @@ object TsQuery {
       array_sort(array_distinct(
         concat(positions(l, words), positions(r, words))))
     case Phrase(l, r, d) =>
-      filter(positions(r, words),
-             p => array_contains(positions(l, words), p - d))
+      // each operand's position set is computed ONCE and intersected —
+      // embedding positions(l) inside a filter lambda over positions(r)
+      // would re-evaluate the whole left subtree per right position
+      // (O(|words|^depth) for nested phrases)
+      array_intersect(positions(r, words),
+        transform(positions(l, words), p => p + d))
     case other =>
       throw new IllegalArgumentException(
         s"tsquery: $other unsupported inside a phrase operand " +

@@ -55,8 +55,10 @@ object Corpus extends QueryModule {
     // DECIMAL(38) sum: exact at any |V| x id scale (a LONG sum could
     // overflow at 1e12 docs x 1e12 ids and mask a label change)
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head
-        .getDecimal(0)
+      // empty vertex set sums to NULL — normalize so the convergence
+      // compare can't NPE and an empty graph converges in one round
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
     var iter = 0
     var converged = false
@@ -94,9 +96,15 @@ object Corpus extends QueryModule {
     // already their digest group's min, so the component min rep IS the
     // cluster's min doc). Transitivity is the point: A~B and B~C land A,
     // B, C in ONE cluster even when A!~C — the pair queries can't express
-    // that. Star-degraded buckets (cappedBucketPairs) keep connectivity
-    // by construction, so cluster labels stay EXACT even on adversarial
-    // hot corpora where the pair-level audit under-reports.
+    // that. Capping caveat, shared with every consumer of the capped
+    // band join: an OVERSIZED bucket degrades to star candidates around
+    // the bucket min, and a star edge only survives the hamming<=3
+    // verify if the min is itself near the member — so on an adversarial
+    // bucket of >MaxBucket DISTINCT band-colliding docs, edges (and hence
+    // cluster merges) can be under-generated exactly like the pair-level
+    // audit under-reports. The case the cap exists for — hot buckets
+    // made of exact/near-identical payloads — keeps connectivity through
+    // the star because every member IS near the min (DedupScaleSpec).
     "d_dedup_cluster_assign_near" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val memRep = Dedup.matNarrow(

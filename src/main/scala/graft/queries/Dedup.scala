@@ -69,9 +69,13 @@ object Dedup extends QueryModule {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         // setCheckpointDir appends a per-call UUID subdir; only (re)set
-        // when the current dir isn't already under the configured root
+        // when the current dir is exactly the configured root or a child
+        // of it (a substring test would false-positive on sibling paths
+        // like <root>-old and silently checkpoint outside the configured
+        // storage)
         val want = dir.stripSuffix("/")
-        if (!sc.getCheckpointDir.exists(_.contains(want)))
+        if (!sc.getCheckpointDir.exists(d =>
+              d == want || d.startsWith(want + "/")))
           sc.setCheckpointDir(want)
         df.checkpoint()
       case None => df.localCheckpoint()
@@ -640,10 +644,14 @@ object Dedup extends QueryModule {
     // matches only; never O(n^2) pair-join traffic). The DuckDB oracle
     // replicates the identical banding predicate over the identical
     // plane literals, so the hash check verifies the whole pipeline
-    // bit-exactly; EmbeddingLshSpec separately proves recall is complete
-    // on a planted near-duplicate corpus (LSH output == all-pairs
-    // output), which is the regime this operator exists for (see
-    // EmbBands recall math).
+    // bit-exactly BELOW the bucket cap (the oracle deliberately does
+    // not model the star degradation — above MaxBucket the operator
+    // trades recall for boundedness, the same documented trade as the
+    // minhash/simhash caps; EmbeddingLshSpec pins that regime's exact
+    // star output). EmbeddingLshSpec also proves recall is complete on
+    // a planted near-duplicate corpus (LSH output == all-pairs output),
+    // which is the regime this operator exists for (see EmbBands
+    // recall math).
     "d_dedup_embedding_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

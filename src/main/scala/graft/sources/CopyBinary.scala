@@ -57,12 +57,34 @@ object CopyBinary {
     val schema = df.schema
     checkSupported(schema)
     val uri = path
+    // The session's Hadoop configuration, shipped as a plain Map
+    // (Configuration itself is not serializable): filesystem auth and
+    // defaultFS settings configured through spark.hadoop.* must reach
+    // the executor-side writers — a bare `new Configuration()` on the
+    // executor would silently drop them.
+    val confMap: Map[String, String] = {
+      val c = df.sparkSession.sessionState.newHadoopConf()
+      val b = Map.newBuilder[String, String]
+      val it = c.iterator()
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     df.rdd.foreachPartition { rows =>
+      val conf = new Configuration(false)
+      confMap.foreach { case (k, v) => conf.set(k, v) }
       val pid = TaskContext.getPartitionId()
-      val fs = FileSystem.get(new URI(uri), new Configuration())
+      val fs = FileSystem.get(new URI(uri), conf)
       val file = new Path(uri, f"part-$pid%05d.bin")
+      // stage+rename commit (the repo-wide staged-write discipline): a
+      // task that dies mid-partition leaves only a dot-prefixed stage
+      // file invisible to the reader's part-*.bin glob, never a
+      // truncated trailerless final file; concurrent speculative
+      // attempts stage under distinct attempt ids and the loser simply
+      // discards its stage when the final file already exists
+      val staged = new Path(uri,
+        f".part-$pid%05d.bin.attempt-${TaskContext.get().taskAttemptId()}")
       val out = new DataOutputStream(
-        new java.io.BufferedOutputStream(fs.create(file, true), 1 << 16))
+        new java.io.BufferedOutputStream(fs.create(staged, true), 1 << 16))
       try {
         out.write(Signature); out.writeInt(0); out.writeInt(0)
         rows.foreach { row =>
@@ -98,6 +120,11 @@ object CopyBinary {
         }
         out.writeShort(-1)
       } finally out.close()
+      if (fs.exists(file)) fs.delete(staged, false) // lost a speculative race
+      else if (!fs.rename(staged, file)) {
+        fs.delete(staged, false)
+        require(fs.exists(file), s"commit failed: $staged -> $file")
+      }
     }
   }
 

@@ -29,7 +29,12 @@ class TsQuerySpec extends AnyFunSuite {
   }
 
   test("quoted lexemes, prefix flag, distance forms") {
-    assert(parse("'hash join'") == Lexeme("hash join", false))
+    // multi-word quoted lexeme desugars to an adjacency phrase (the
+    // phraseto_tsquery behavior) — see the parser's departure note
+    assert(parse("'hash join'") ==
+      Phrase(Lexeme("hash", false), Lexeme("join", false), 1))
+    assert(parse("'a b c'") == Phrase(
+      Phrase(Lexeme("a", false), Lexeme("b", false), 1), Lexeme("c", false), 1))
     assert(parse("wind:*") == Lexeme("wind", true))
     assert(parse("a <7> b") == Phrase(Lexeme("a", false), Lexeme("b", false), 7))
   }
@@ -75,6 +80,7 @@ class TsQuerySpec extends AnyFunSuite {
 
   test("phrase distances: <-> adjacency, <N> exact distance, nesting") {
     assert(matchIds("hash <-> join", corpus) == Set(1L))
+    assert(matchIds("'hash join'", corpus) == Set(1L)) // desugared phrase
     assert(matchIds("hash <2> join", corpus) == Set(3L, 5L))
     // (fast | slow) <-> scan: doc 3 "slow scan", doc 4 "fast scan"
     assert(matchIds("(fast | slow) <-> scan", corpus) == Set(3L, 4L))
