@@ -90,11 +90,32 @@ object Streaming {
   /** Streaming exact dedup — the pipeline dedup operator in streaming
     * form: dropDuplicates on the content key inside the stream. State is
     * one entry per distinct key (bound it with a watermark on ts in
-    * production; here the finite file source drains completely). */
+    * production — [[streamingDedupBounded]] is that variant; here the
+    * finite file source drains completely). */
   def streamingDedup(spark: SparkSession, dir: String, name: String): DataFrame = {
     val dedup = eventsStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       .dropDuplicates("user_id", "event_type")
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    * keeps a key's state only until the watermark passes its event time
+    * plus the delay — the production form of [[streamingDedup]], whose
+    * per-distinct-key state would otherwise grow for the stream's
+    * lifetime. Duplicates arriving within the watermark horizon are
+    * dropped exactly like the unbounded variant; a duplicate arriving
+    * after its key's state was evicted is the documented trade
+    * (watermark-late data is dropped by the source anyway). */
+  def streamingDedupBounded(spark: SparkSession, dir: String,
+                            name: String): DataFrame = {
+    val dedup = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
     val q = dedup.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()

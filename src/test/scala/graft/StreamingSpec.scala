@@ -29,6 +29,22 @@ class StreamingSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
   }
 
+  test("watermark-bounded streaming dedup keeps one row per key") {
+    val stream = graft.streaming.Streaming
+      .streamingDedupBounded(spark, sf, "stream_dedup_wm_spec")
+    // the whole test feed fits inside the 1h watermark horizon of its max
+    // event time only for keys seen close together; the invariant that
+    // must hold REGARDLESS of eviction timing: no key is ever emitted
+    // twice, and every key present in the data is emitted at least once
+    assert(stream.groupBy("user_id", "event_type").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0,
+      "a key must never be emitted twice")
+    assert(stream.select("user_id", "event_type").distinct().count() ==
+      Tables.t(spark, sf, "events")
+        .select("user_id", "event_type").distinct().count(),
+      "every distinct key must be emitted exactly once")
+  }
+
   test("streaming session windows equal the batch session_window result") {
     import org.apache.spark.sql.functions._
     val stream = graft.streaming.Streaming
