@@ -186,6 +186,40 @@ object Corpus extends QueryModule {
           (expr("(cum - n_tokens) div 256") =!= expr("(cum - 1) div 256"))
             .cast("int").as("crosses"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Greedy NO-SPLIT packing — the SFT-style layout where a document
+    // never straddles two sequences: fill the current 256-token bin
+    // until the next doc would overflow, then start a new bin. A
+    // capped-reset running sum is NOT window-expressible (the reset
+    // depends on the running value), so this is the deliberate
+    // mapPartitions case from SURVEY §7.3(d): repartition on the packing
+    // key + sortWithinPartitions + one ordered pass with O(1) state,
+    // resetting at each source boundary. Same scale posture as
+    // d_pack_sequences: the packing key shards the corpus, passes are
+    // embarrassingly parallel across shards. The oracle replicates the
+    // state machine as a per-source recursive CTE — fully independent
+    // derivation of the same recurrence.
+    "d_pack_greedy" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          var curSrc: String = null
+          var bin = 0L
+          var used = 0L
+          it.map { case (id, src, n) =>
+            if (src != curSrc) { curSrc = src; bin = 0L; used = 0L }
+            else if (used + n > 256) { bin += 1; used = 0L }
+            used += n
+            (id, src, n, bin, used - n)
+          }
+        }.toDF("doc_id", "source", "n_tokens", "bin_id", "bin_off")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -216,6 +250,27 @@ object Corpus extends QueryModule {
         |  CAST(SUM(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
         |    AS kept_id_sum
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_pack_greedy" ->
+      """WITH RECURSIVE t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_off,
+        |    n_tokens AS used
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN r.used + t.n_tokens > 256 THEN r.bin_id + 1
+        |         ELSE r.bin_id END,
+        |    CASE WHEN r.used + t.n_tokens > 256 THEN 0 ELSE r.used END,
+        |    CASE WHEN r.used + t.n_tokens > 256 THEN t.n_tokens
+        |         ELSE r.used + t.n_tokens END
+        |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+        |SELECT doc_id, source, n_tokens, bin_id, bin_off FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     "d_pack_sequences" ->
       """WITH d AS (SELECT doc_id, source,

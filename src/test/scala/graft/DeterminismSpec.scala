@@ -21,7 +21,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_hll_deterministic",    // exact-decimal register sum + fixed-order est
     "s_ann_ivf_topk",         // micros-stabilized Lloyd iterations
     "d_dedup_embedding_lsh",  // in-bucket kernel + fixed-order dot products
-    "d_dedup_cluster_assign_near") // min-label CC: iteration-order-free fixpoint
+    "d_dedup_cluster_assign_near", // min-label CC: iteration-order-free fixpoint
+    "d_pack_greedy")          // per-source ordered state machine, O(1) state
 
   private def run(name: String): Seq[Seq[Any]] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
