@@ -31,9 +31,12 @@ object Bench {
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —
-    * GC pause, background load — from poisoning the canonical record). */
+    * GC pause, background load — from poisoning the canonical record).
+    * A query with NO successful run records None (rendered as JSON
+    * null) — a broken query must invalidate the record, not lower the
+    * published total with its short error-path timing. */
   private def runSuite(spark: SparkSession, qs: Seq[String], dir: String,
-                       runs: Int): Seq[(String, Double)] =
+                       runs: Int): Seq[(String, Option[Double])] =
     qs.map { name =>
       // Release the previous query's shuffle files / broadcast blocks
       // before the timed runs: ContextCleaner only reclaims them when the
@@ -52,13 +55,15 @@ object Bench {
                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1 }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val sec = times.map(_._1).min
-      System.err.println(f"[bench] ${dir.split('/').last}/$name%-28s $sec%8.3f s  rows=${times.last._2}")
+      val ok = times.filter(_._2 >= 0)
+      val sec = if (ok.isEmpty) None else Some(ok.map(_._1).min)
+      System.err.println(f"[bench] ${dir.split('/').last}/$name%-28s ${sec.fold("FAILED")(s => f"$s%8.3f s")}  rows=${times.last._2}")
       name -> sec
     }
 
-  private def toJsonObj(rs: Seq[(String, Double)]): String =
-    rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+  private def toJsonObj(rs: Seq[(String, Option[Double])]): String =
+    rs.map { case (k, v) => s""""$k":${v.fold("null")(s => f"$s%.3f")}""" }
+      .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,7 +79,10 @@ object Bench {
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: stray WARNs ("Broadcasting large task binary")
+    // land on stdout via log4j's console appender and corrupt the
+    // one-line JSON contract the driver parses structurally.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warm-up: JIT/codegen compilation + parquet footer reads, so the
     // timings below reflect steady-state execution, not JVM startup.
@@ -90,20 +98,24 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
 
     val results = runSuite(spark, qs, sfDir, runs = 3)
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
+    val failed = results.collect { case (k, None) => s""""$k"""" }
 
     // Scale leg: 10x the canonical SF (sf0.1 -> sf1), generated once and
     // cached. min-of-2 (not 3) bounds the extra wall time; the signal we
     // want — a query whose time ratio far exceeds the 10x data ratio — is
     // much larger than run-to-run noise.
-    val sf1Results: Seq[(String, Double)] =
+    val sf1Results: Seq[(String, Option[Double])] =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
       else try {
-        // cache dir is keyed on the SOURCE SF (…/sf0.1 -> .scale/sf0.1_x10)
-        // so switching SPARK_GRAFT_SF_DIR can never silently reuse a
-        // replica generated from a different base dataset
+        // cache dir is keyed on source basename + a hash of the FULL
+        // absolute source path: two base datasets whose paths share a
+        // final segment (/a/sf0.1 vs /b/sf0.1) get distinct replicas
+        val srcAbs = new java.io.File(sfDir.stripSuffix("/")).getAbsolutePath
+        val pathKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(srcAbs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
-          s"/root/repo/.scale/${sfDir.stripSuffix("/").split('/').last}_x10")
+          s"/root/repo/.scale/${srcAbs.split('/').last}_${pathKey}_x10")
         val marker = new org.apache.hadoop.fs.Path(sf1Dir, "embeddings.parquet/_SUCCESS")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // embeddings is the last table GenScale writes: its _SUCCESS marks
@@ -120,8 +132,13 @@ object Bench {
       }
 
     val sf1Json = if (sf1Results.isEmpty) ""
-      else f""","queries_sf1":${toJsonObj(sf1Results)},"sf1_total":${sf1Results.map(_._2).sum}%.3f"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(results)}$sf1Json,"sf":"$sfDir"}""")
+      else f""","queries_sf1":${toJsonObj(sf1Results)},"sf1_total":${sf1Results.flatMap(_._2).sum}%.3f"""
+    val failedJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(results)}$sf1Json$failedJson,"sf":"$sfDir"}"""
+    // stop() BEFORE printing: executor/cleaner shutdown can emit late log
+    // lines; printing last keeps the JSON as the final (and, at ERROR
+    // level, only) stdout content for the driver's structural parse.
     spark.stop()
+    println(line)
   }
 }

@@ -280,8 +280,8 @@ object Corpus extends QueryModule {
         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
         |SELECT doc_id, source, n_tokens,
-        |  (cum - n_tokens) // 256 AS seq_id,
-        |  (cum - n_tokens) % 256 AS seq_off,
+        |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_off,
         |  CAST((cum - n_tokens) // 256 <> (cum - 1) // 256 AS INT) AS crosses
         |FROM c ORDER BY doc_id""".stripMargin,
     // doc-level transitive closure over the same SimHash signatures the

@@ -574,6 +574,20 @@ object Dedup extends QueryModule {
     "d_dedup_embedding" -> ((s, dir) => {
       val sp = s; import sp.implicits._
       val nBlocks = 8
+      // Misuse guard: this is the AUDIT path — O(n^2) dot products by
+      // construction; its production sibling is d_dedup_embedding_lsh.
+      // Fail fast above audit scale so the quadratic path can't be
+      // pointed at a big input by accident; `spark.graft.audit=true`
+      // (or a raised `spark.graft.audit.maxRows`) opts in explicitly.
+      val auditOk = s.conf.getOption("spark.graft.audit").contains("true")
+      val maxRows = s.conf.getOption("spark.graft.audit.maxRows")
+        .map(_.toLong).getOrElse(1000000L)
+      if (!auditOk) {
+        val n = t(s, dir, "embeddings").count()
+        require(n <= maxRows,
+          s"d_dedup_embedding is the O(n^2) audit path ($n rows > $maxRows); " +
+            "use d_dedup_embedding_lsh at scale, or set spark.graft.audit=true")
+      }
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
                 pmod(hash(col("vec_id")), lit(nBlocks)).cast("int").as("blk"))

@@ -155,7 +155,10 @@ object ScalarFns extends QueryModule {
     // and a matrix-vector product — all integer-exact, all pure map-side
     // (nested higher-order functions; no explode, no shuffle). Index
     // bases differ by engine (Spark [] is 0-based, DuckDB 1-based); each
-    // side uses its own convention to produce identical values.
+    // side uses its own convention to produce identical values. Array
+    // columns are rendered as compact JSON strings in BOTH engines —
+    // content-identical, and sortable/hashable by the driver's pandas
+    // compare (nested ndarray columns crash its factorize).
     "q_array_multidim" -> ((s, dir) => {
       t(s, dir, "customer").filter(col("c_custkey") <= 50)
         .select(col("c_custkey"),
@@ -166,19 +169,19 @@ object ScalarFns extends QueryModule {
             "transform(sequence(0, nc - 1), j -> " +
               "CAST(i * nc + j + c_custkey AS BIGINT)))"))
         .select(col("c_custkey"),
-          array(size(col("m")).cast("long"),
-                size(expr("m[0]")).cast("long")).as("dims"),
-          expr("transform(sequence(0, nc - 1), j -> " +
-            "transform(sequence(0, nr - 1), i -> m[i][j]))").as("mt"),
-          expr("transform(m, r -> " +
-            "aggregate(r, CAST(0 AS BIGINT), (a, x) -> a + x))").as("row_sums"),
+          to_json(array(size(col("m")).cast("long"),
+                size(expr("m[0]")).cast("long"))).as("dims"),
+          to_json(expr("transform(sequence(0, nc - 1), j -> " +
+            "transform(sequence(0, nr - 1), i -> m[i][j]))")).as("mt"),
+          to_json(expr("transform(m, r -> " +
+            "aggregate(r, CAST(0 AS BIGINT), (a, x) -> a + x))")).as("row_sums"),
           expr("aggregate(flatten(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
             .as("total"),
-          expr("transform(sequence(0, least(nr, nc) - 1), i -> m[i][i])")
+          to_json(expr("transform(sequence(0, least(nr, nc) - 1), i -> m[i][i])"))
             .as("diag"),
-          expr("transform(m, r -> aggregate(" +
+          to_json(expr("transform(m, r -> aggregate(" +
             "zip_with(r, sequence(1, nc), (x, w) -> x * CAST(w AS BIGINT)), " +
-            "CAST(0 AS BIGINT), (a, x) -> a + x))").as("matvec"))
+            "CAST(0 AS BIGINT), (a, x) -> a + x))")).as("matvec"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -480,13 +483,17 @@ object ScalarFns extends QueryModule {
         |      for i in range(0, nr)] AS m
         |  FROM base)
         |SELECT k AS c_custkey,
-        |  [CAST(len(m) AS BIGINT), CAST(len(m[1]) AS BIGINT)] AS dims,
-        |  [[m[i+1][j+1] for i in range(0, nr)] for j in range(0, nc)] AS mt,
-        |  [CAST(list_sum(r) AS BIGINT) for r in m] AS row_sums,
+        |  CAST(to_json([CAST(len(m) AS BIGINT), CAST(len(m[1]) AS BIGINT)])
+        |    AS VARCHAR) AS dims,
+        |  CAST(to_json([[m[i+1][j+1] for i in range(0, nr)]
+        |    for j in range(0, nc)]) AS VARCHAR) AS mt,
+        |  CAST(to_json([CAST(list_sum(r) AS BIGINT) for r in m])
+        |    AS VARCHAR) AS row_sums,
         |  CAST(list_sum(flatten(m)) AS BIGINT) AS total,
-        |  [m[i+1][i+1] for i in range(0, least(nr, nc))] AS diag,
-        |  [CAST(list_sum([r[j+1] * (j+1) for j in range(0, nc)]) AS BIGINT)
-        |    for r in m] AS matvec
+        |  CAST(to_json([m[i+1][i+1] for i in range(0, least(nr, nc))])
+        |    AS VARCHAR) AS diag,
+        |  CAST(to_json([CAST(list_sum([r[j+1] * (j+1) for j in range(0, nc)])
+        |    AS BIGINT) for r in m]) AS VARCHAR) AS matvec
         |FROM mm ORDER BY c_custkey""".stripMargin,
 
     "q_json_agg" ->

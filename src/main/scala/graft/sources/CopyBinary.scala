@@ -53,10 +53,33 @@ object CopyBinary {
     }
   }
 
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, overwrite: Boolean = false): Unit = {
     val schema = df.schema
     checkSupported(schema)
     val uri = path
+    // Fail fast (or clear, under overwrite) if the destination already
+    // holds part files: otherwise the tasks' exists-check below — meant
+    // only to arbitrate same-job speculative attempts — would treat the
+    // STALE files as winners and silently keep old data, and a prior
+    // write with more partitions would leave extra part files that the
+    // reader's part-*.bin glob mixes into the result.
+    locally {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val fs = FileSystem.get(new URI(uri), conf)
+      val dir = new Path(uri)
+      if (fs.exists(dir)) {
+        val stale = fs.globStatus(new Path(dir, "part-*.bin"))
+        if (stale != null && stale.nonEmpty) {
+          require(overwrite, s"copy binary: destination $uri already has " +
+            s"${stale.length} part-*.bin file(s); pass overwrite=true to replace")
+          stale.foreach(st => fs.delete(st.getPath, false))
+        }
+        // orphaned stage files from killed prior attempts are garbage
+        // either way — clear them so they can't accumulate
+        val orphans = fs.globStatus(new Path(dir, ".part-*.bin.attempt-*"))
+        if (orphans != null) orphans.foreach(st => fs.delete(st.getPath, false))
+      }
+    }
     // The session's Hadoop configuration, shipped as a plain Map
     // (Configuration itself is not serializable): filesystem auth and
     // defaultFS settings configured through spark.hadoop.* must reach
@@ -125,6 +148,13 @@ object CopyBinary {
         fs.delete(staged, false)
         require(fs.exists(file), s"commit failed: $staged -> $file")
       }
+      // best-effort GC of sibling attempts' stage files (a retried or
+      // killed attempt's orphan would otherwise linger until the next
+      // overwrite): the final file exists now, so any remaining
+      // .part-$pid stage file is a loser by definition
+      val leftovers = fs.globStatus(new Path(uri, f".part-$pid%05d.bin.attempt-*"))
+      if (leftovers != null) leftovers.foreach(st =>
+        try fs.delete(st.getPath, false) catch { case _: Throwable => () })
     }
   }
 
