@@ -200,6 +200,35 @@ object Corpus extends QueryModule {
     // embarrassingly parallel across shards. The oracle replicates the
     // state machine as a per-source recursive CTE — fully independent
     // derivation of the same recurrence.
+    // Sharded packing — the DEMONSTRATED form of the "packing key is a
+    // shard prefix" scale posture the two packers above only claim in
+    // prose: the packing key is the composite (source, shard) with
+    // shard = an md5-derived hash of doc_id mod 16 (the same
+    // deterministic cross-engine hash as d_sample_mix — a plain
+    // doc_id%16 correlates with the testdata's source assignment and
+    // collapses the key space), and sequences are scoped per-shard
+    // (seq_id restarts in every shard). Packing parallelism becomes
+    // #sources x #shards instead of #sources — the difference between
+    // 20-way and arbitrarily-wide at 100 TB, where shard would be a
+    // file/byte-range prefix and #shards tracks the cluster size.
+    // CorpusSpec asserts the parallelism claim on the physical plan:
+    // the packing exchange partitions on the composite key, whose
+    // cardinality dwarfs the #sources bound.
+    "d_pack_sharded" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("shard",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+            16, 10).cast("long"), lit(16)).cast("int"))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+          expr("(cum - n_tokens) div 256").as("seq_id"),
+          pmod(col("cum") - col("n_tokens"), lit(256)).as("seq_off"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d_pack_greedy" -> ((s, dir) => {
       val sp = s; import sp.implicits._
       t(s, dir, "documents")
@@ -283,6 +312,20 @@ object Corpus extends QueryModule {
         |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
         |  CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_off,
         |  CAST((cum - n_tokens) // 256 <> (cum - 1) // 256 AS INT) AS crosses
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "d_pack_sharded" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) % 16 AS INT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, source, shard, n_tokens,
+        |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_off
         |FROM c ORDER BY doc_id""".stripMargin,
     // doc-level transitive closure over the same SimHash signatures the
     // d_dedup_simhash oracle builds: identical texts give hamming-0 edges,

@@ -81,4 +81,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(byDoc(9L) == 9L)
     assert(out.find(_._1 == 4L).get._3 == 1) // copy flagged as dup
   }
+
+  test("sharded packing widens parallelism past the #sources bound") {
+    val sf = SparkTestSession.sf
+    val df = SparkEntry.queries("d_pack_sharded")(spark, sf)
+    // 1. the packing stage's exchange partitions on the COMPOSITE key:
+    // achievable parallelism is #distinct (source, shard) keys, not
+    // #sources (d_pack_sequences' bound, 20 at test SF)
+    val plan = df.queryExecution.executedPlan.toString
+    val part = plan.linesIterator.find(_.contains("hashpartitioning"))
+      .getOrElse(fail(s"no exchange in packing plan:\n$plan"))
+    assert(part.contains("source") && part.contains("shard"),
+      s"window exchange must partition on (source, shard): $part")
+    // 2. the data actually realizes the widening: composite keys
+    // far outnumber sources (each source spreads over mod-16 shards)
+    val docs = Tables.t(spark, sf, "documents")
+    val nSources = docs.select("source").distinct().count()
+    val nComposite = df.select(col("source"), col("shard"))
+      .distinct().count()
+    assert(nComposite >= 8 * nSources && nComposite >= 16,
+      s"composite keys ($nComposite) must dwarf sources ($nSources)")
+    // 3. sequences are scoped per-shard: every (source, shard) group
+    // starts its own seq_id 0 at offset 0
+    val firsts = df.groupBy(col("source"), col("shard"))
+      .agg(min_by(struct(col("seq_id"), col("seq_off")), col("doc_id"))
+        .as("f"))
+      .select(col("f.seq_id"), col("f.seq_off"))
+      .collect()
+    assert(firsts.nonEmpty && firsts.forall(r =>
+      r.getLong(0) == 0L && r.getLong(1) == 0L))
+  }
 }
