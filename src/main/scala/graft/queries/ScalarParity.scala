@@ -381,6 +381,58 @@ object ScalarParity extends QueryModule {
         .orderBy(okey)
     }),
 
+    // SQL/JSON path arithmetic, `last` subscripts, and datetime() — the
+    // remaining jsonpath_exec.c surface past the r6 filter subset
+    // (executeBinaryArithmExpr / executeUnaryArithmExpr at
+    // jsonpath_exec.c:1556,1612; `last` via executeItemOptUnwrapTarget's
+    // jpiLast; .datetime() at :1816; reference tests jsonb_jsonpath.sql
+    // arithmetic + datetime sections). Shapes covered, one column each:
+    //   arith_filt  lax $.items[*] ? (@.x % 2 == 0).x   (arith in filter)
+    //   arith_path  $.n * 2 + 1                         (arith result path)
+    //   last_x      $.items[last].x
+    //   last_m1_x   $.items[last - 1].x                 (arith in subscript)
+    //   neg_n       -$.n                                (unary minus)
+    //   dt          $.ts.datetime()                     (string -> timestamp)
+    //   dt_lt       $.ts.datetime() < "...".datetime()  (datetime compare)
+    //   f_floor/f_ceil/f_abs  $.f.floor()/.ceiling()/.abs()
+    // Same per-row document construction discipline as q_jsonpath_filter;
+    // every numeric output is cast BIGINT on both sides so the driver's
+    // dtype-sensitive hash can't diverge on int width.
+    "q_jsonpath_arith" -> ((s, dir) => {
+      val okey = col("o_orderkey")
+      def m(k: Int): Column = pmod(okey, lit(k))
+      val jp = concat(
+        lit("{\"items\": [{\"x\": "), m(7), lit("}, {\"x\": "),
+        pmod(okey * 3, lit(8)), lit("}, {\"x\": "), pmod(okey * 5, lit(9)),
+        lit("}], \"n\": "), m(5),
+        lit(", \"f\": "), ((m(9) - lit(4)).cast("double") + lit(0.5)).cast("string"),
+        lit(", \"ts\": \"2024-01-"), lpad((m(28) + 1).cast("string"), 2, "0"),
+        lit("T"), lpad(m(24).cast("string"), 2, "0"), lit(":30:00\"}"))
+      t(s, dir, "orders").filter(okey <= 300)
+        .withColumn("j", jp)
+        .withColumn("items", from_json(get_json_object(col("j"), "$.items"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType.fromDDL("x INT"))))
+        .withColumn("n", get_json_object(col("j"), "$.n").cast("int"))
+        .withColumn("f", get_json_object(col("j"), "$.f").cast("double"))
+        .withColumn("dt0", to_timestamp(get_json_object(col("j"), "$.ts"),
+          "yyyy-MM-dd'T'HH:mm:ss"))
+        .select(okey,
+          concat_ws(",", expr(
+            "transform(filter(items, i -> i.x % 2 = 0), i -> cast(i.x as string))"))
+            .as("arith_filt"),
+          (col("n") * 2 + 1).cast("long").as("arith_path"),
+          expr("element_at(items, -1).x").cast("long").as("last_x"),
+          expr("element_at(items, -2).x").cast("long").as("last_m1_x"),
+          (-col("n")).cast("long").as("neg_n"),
+          col("dt0").as("dt"),
+          (col("dt0") < lit("2024-01-15 00:00:00").cast("timestamp")).as("dt_lt"),
+          floor(col("f")).cast("long").as("f_floor"),
+          ceil(col("f")).cast("long").as("f_ceil"),
+          abs(col("f")).as("f_abs"))
+        .orderBy(okey)
+    }),
+
     // jsonb_each / json_array_elements analogues: one row per array
     // element (posexplode) and per object entry (map explode).
     "q_json_each" -> ((s, dir) => {
@@ -472,6 +524,32 @@ object ScalarParity extends QueryModule {
         |       ELSE 1 END AS INT) AS lax_wsize,
         |  wkind = 'array' AS strict_wsize_ok
         |FROM k ORDER BY o_orderkey""".stripMargin,
+
+    "q_jsonpath_arith" ->
+      """WITH d AS (SELECT o_orderkey,
+        |    o_orderkey % 7 AS x1, o_orderkey * 3 % 8 AS x2,
+        |    o_orderkey * 5 % 9 AS x3,
+        |    o_orderkey % 5 AS n,
+        |    CAST(o_orderkey % 9 - 4 AS DOUBLE) + 0.5 AS f,
+        |    '2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+        |      || 'T' || lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0')
+        |      || ':30:00' AS ts
+        |  FROM orders WHERE o_orderkey <= 300)
+        |SELECT o_orderkey,
+        |  COALESCE(array_to_string(
+        |    [CAST(x AS VARCHAR) for x in [x1, x2, x3] if x % 2 = 0], ','), '')
+        |    AS arith_filt,
+        |  CAST(n * 2 + 1 AS BIGINT) AS arith_path,
+        |  CAST(x3 AS BIGINT) AS last_x,
+        |  CAST(x2 AS BIGINT) AS last_m1_x,
+        |  CAST(-n AS BIGINT) AS neg_n,
+        |  strptime(ts, '%Y-%m-%dT%H:%M:%S') AS dt,
+        |  strptime(ts, '%Y-%m-%dT%H:%M:%S') < TIMESTAMP '2024-01-15 00:00:00'
+        |    AS dt_lt,
+        |  CAST(floor(f) AS BIGINT) AS f_floor,
+        |  CAST(ceil(f) AS BIGINT) AS f_ceil,
+        |  abs(f) AS f_abs
+        |FROM d ORDER BY o_orderkey""".stripMargin,
 
     "q_to_char_patterns" ->
       s"""SELECT o_orderkey,
