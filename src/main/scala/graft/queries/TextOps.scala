@@ -26,6 +26,39 @@ object TextOps extends QueryModule {
   private def hitCountSql(set: Seq[String]): String =
     s"len(list_filter(w, x -> x IN (${set.map("'" + _ + "'").mkString(",")})))"
 
+  // Deterministic morphological inflection — the corpus-construction
+  // fixture for the lexize queries below: the test corpus is all
+  // singular/base forms, so each token is inflected (plural / gerund /
+  // past, chosen by its ending and length — grammatical enough that the
+  // stemmer's rules apply) and the lexize stage must recover the base
+  // form. Stop words stay untouched so the stop filter is exercised too.
+  // Both engine forms below are kept textually parallel, and the
+  // `roundtrip` output column proves the recovery property per-row in
+  // BOTH engines rather than trusting this comment.
+  private def inflect(words: Column): Column = {
+    val stops = array(graft.functions.Lexize.StopWords.map(lit): _*)
+    transform(words, w =>
+      when(array_contains(stops, w), w)
+        .when(w.rlike("(s|x|z|ch|sh)$"), concat(w, lit("es")))
+        .when(w.endsWith("y"),
+          concat(w.substr(lit(1), length(w) - lit(1)), lit("ies")))
+        .when(w.endsWith("e"), concat(w, lit("s")))
+        .when(pmod(length(w), lit(3)) === 0, concat(w, lit("ing")))
+        .when(pmod(length(w), lit(3)) === 1, concat(w, lit("ed")))
+        .otherwise(concat(w, lit("s"))))
+  }
+
+  private def inflectSql(v: String): String = {
+    val stops = graft.functions.Lexize.duckStopList
+    s"""CASE WHEN $v IN $stops THEN $v
+       | WHEN regexp_matches($v, '(s|x|z|ch|sh)$$') THEN $v || 'es'
+       | WHEN suffix($v, 'y') THEN substr($v, 1, len($v) - 1) || 'ies'
+       | WHEN suffix($v, 'e') THEN $v || 's'
+       | WHEN len($v) % 3 = 0 THEN $v || 'ing'
+       | WHEN len($v) % 3 = 1 THEN $v || 'ed'
+       | ELSE $v || 's' END""".stripMargin.linesIterator.mkString(" ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish regex tokens, distinct
     // words, character count.
@@ -258,6 +291,60 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // The lexize stage end-to-end (ts_lexize: dict_simple.c stop list +
+    // snowball stemming; see [[graft.functions.Lexize]]): the corpus is
+    // deterministically INFLECTED (plurals/gerunds/past — see inflect
+    // above), then lexized back; per-doc counts, stemmed tfs, the first
+    // lexemes, and a per-row `roundtrip` proof that lexize(inflect(w))
+    // equals the original tokens minus stop words. The oracle rebuilds
+    // the whole pipeline in DuckDB from the SAME rule table (the CASE
+    // SQL is generated by Lexize.duckStem*, so engine and oracle cannot
+    // drift). Pure map-side lexing; one codegen'd pass.
+    "t_fts_lexize" -> ((s, dir) => {
+      import graft.functions.Lexize
+      val raw = split(col("text"), " ")
+      val stops = array(Lexize.StopWords.map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("infl", inflect(raw))
+        .withColumn("lex", Lexize.tsvector(col("infl")))
+        .select(col("doc_id"),
+          size(raw).as("n_raw"),
+          size(col("lex")).as("n_lex"),
+          size(filter(transform(col("infl"), w => lower(w)),
+            w => array_contains(stops, w))).as("n_stop"),
+          size(filter(col("lex"), w => w === "hash")).as("tf_hash"),
+          size(filter(col("lex"), w => w === "query")).as("tf_query"),
+          array_join(slice(col("lex"), 1, 5), " ").as("first5"),
+          (col("lex") === filter(raw, w => !array_contains(stops, w)))
+            .as("roundtrip"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // t_fts_rank over LEXIZED tokens — the reference's actual @@ + ts_rank
+    // semantics, where the query term 'hash' matches "hashes"/"hashing" in
+    // the document: same tf-saturation + rational length-normalization
+    // score as t_fts_rank (no transcendentals, bit-identical doubles),
+    // computed over the lexeme array of the inflected corpus. Length
+    // normalization uses the LEXEME count (stop words don't dilute rank —
+    // matching ts_rank, which ranks over the tsvector, not raw text).
+    "t_fts_rank_stemmed" -> ((s, dir) => {
+      import graft.functions.Lexize
+      t(s, dir, "documents")
+        .withColumn("lex", Lexize.tsvector(inflect(split(col("text"), " "))))
+        .withColumn("tf_hash",
+          size(filter(col("lex"), w => w === "hash")).cast("int"))
+        .withColumn("tf_join",
+          size(filter(col("lex"), w => w === "join")).cast("int"))
+        .filter(col("tf_hash") > 0 && col("tf_join") > 0)
+        .withColumn("score", round(
+          (col("tf_hash").cast("double") / (col("tf_hash") + 1) +
+           col("tf_join").cast("double") / (col("tf_join") + 1)) /
+          (lit(1.0) + size(col("lex")) / lit(100.0)), 6))
+        .select(col("doc_id"), col("tf_hash"), col("tf_join"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Vocabulary building — the training-pipeline op behind tokenizer/
     // vocab construction: corpus-wide token frequencies, top-k. Shape at
     // scale: explode -> partial map-side counts -> one shuffle of
@@ -309,7 +396,51 @@ object TextOps extends QueryModule {
       |      (a, c) -> (a * 31 + c) % 1000000007))),
       |  (acc, wh) -> (acc * 131 + wh) % 1000000007)""".stripMargin
 
+  // The lexize pipeline as staged DuckDB CTEs — inflect, lowercase+stop,
+  // then the two stem groups, each CASE GENERATED from the same rule
+  // table the Spark side compiles to Columns (Lexize.duckStem*).
+  private val lexPipelineSql = {
+    import graft.functions.Lexize
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents),
+       |i AS (SELECT doc_id, w0,
+       |    list_transform(w0, x -> ${inflectSql("x")}) AS wi FROM d),
+       |k AS (SELECT doc_id, w0, wi,
+       |    list_filter(list_transform(wi, x -> lower(x)),
+       |      x -> len(x) > 0 AND x NOT IN ${Lexize.duckStopList}) AS wk FROM i),
+       |s1 AS (SELECT doc_id, w0, wi,
+       |    list_transform(wk, x -> ${Lexize.duckStemPlural("x")}) AS ws FROM k),
+       |s2 AS (SELECT doc_id, w0, wi,
+       |    list_transform(ws, x -> ${Lexize.duckStemSuffix("x")}) AS lex FROM s1)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t_fts_lexize" ->
+      s"""$lexPipelineSql
+         |SELECT doc_id,
+         |  CAST(len(w0) AS INT) AS n_raw,
+         |  CAST(len(lex) AS INT) AS n_lex,
+         |  CAST(len(list_filter(wi, x -> lower(x) IN
+         |    ${graft.functions.Lexize.duckStopList})) AS INT) AS n_stop,
+         |  CAST(len(list_filter(lex, x -> x = 'hash')) AS INT) AS tf_hash,
+         |  CAST(len(list_filter(lex, x -> x = 'query')) AS INT) AS tf_query,
+         |  array_to_string(lex[1:5], ' ') AS first5,
+         |  lex = list_filter(w0, x -> x NOT IN
+         |    ${graft.functions.Lexize.duckStopList}) AS roundtrip
+         |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    "t_fts_rank_stemmed" ->
+      s"""$lexPipelineSql,
+         |s AS (SELECT doc_id,
+         |    CAST(len(list_filter(lex, x -> x = 'hash')) AS INT) AS tf_hash,
+         |    CAST(len(list_filter(lex, x -> x = 'join')) AS INT) AS tf_join,
+         |    len(lex) AS nw FROM s2)
+         |SELECT doc_id, tf_hash, tf_join,
+         |  ROUND((CAST(tf_hash AS DOUBLE) / (tf_hash + 1) +
+         |         CAST(tf_join AS DOUBLE) / (tf_join + 1))
+         |        / (1.0 + CAST(nw AS DOUBLE) / 100.0), 6) AS score
+         |FROM s WHERE tf_hash > 0 AND tf_join > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "t_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,

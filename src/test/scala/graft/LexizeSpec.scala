@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Lexize
+
+/** The deterministic ts_lexize analogue: stemming rules, guards, stop
+  * filtering, and the full tsvector pipeline on known words. */
+class LexizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def stemAll(ws: Seq[String]): Map[String, String] = {
+    val sp = spark; import sp.implicits._
+    ws.toDF("w").select(col("w"), Lexize.stem(col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("plural rules reduce; protected suffixes survive") {
+    val s = stemAll(Seq("queries", "classes", "batches", "hashes", "boxes",
+      "buzzes", "glass", "bus", "analysis", "joins", "gas", "keies", "lines"))
+    assert(s("queries") == "query")
+    assert(s("classes") == "class")
+    assert(s("batches") == "batch")
+    assert(s("hashes") == "hash")
+    assert(s("boxes") == "box")
+    assert(s("buzzes") == "buzz")
+    assert(s("glass") == "glass")    // ss protected
+    assert(s("bus") == "bus")        // us protected
+    assert(s("analysis") == "analysis") // is protected
+    assert(s("joins") == "join")
+    assert(s("gas") == "gas")        // below s-rule min length
+    assert(s("keies") == "key")      // y-plural round-trip
+    assert(s("lines") == "line")
+  }
+
+  test("suffix rules strip with length and vowel guards") {
+    val s = stemAll(Seq("hashing", "joining", "string", "doing", "sorted",
+      "speed", "agreed", "quickly", "only", "streaming", "merged"))
+    assert(s("hashing") == "hash")
+    assert(s("joining") == "join")
+    assert(s("string") == "string")  // stem 'str' has no vowel
+    assert(s("doing") == "doing")    // below ing-rule min length
+    assert(s("sorted") == "sort")
+    assert(s("speed") == "speed")    // eed protected
+    assert(s("agreed") == "agreed")  // eed protected
+    assert(s("quickly") == "quick")
+    assert(s("only") == "only")      // below ly-rule min length
+    assert(s("streaming") == "stream")
+    // known simplification: no e-restoration ("merged" -> "merg", where
+    // snowball gives "merge") — the corpus fixture inflects e-final words
+    // with -s instead, so the round-trip property is unaffected
+    assert(s("merged") == "merg")
+  }
+
+  test("tsvector lowercases, drops stops and empties, keeps order and tf") {
+    val sp = spark; import sp.implicits._
+    val out = Seq("The hashes are hashing The hash Quickly ")
+      .toDF("text")
+      .select(Lexize.tsvector(split(col("text"), " ")).as("v"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("hash", "hash", "hash", "quick"))
+  }
+
+  test("the generated DuckDB CASE mirrors the rule tables textually") {
+    // one clause per rule, in order — the cross-engine value parity is
+    // proven by the t_fts_lexize oracle; this guards the generator shape
+    val p = Lexize.duckStemPlural("x")
+    assert(Lexize.PluralRules.forall(r => p.contains(s"suffix(x, '${r.suffix}')")))
+    assert(p.indexOf("'ies'") < p.indexOf("'sses'"))
+    val sfx = Lexize.duckStemSuffix("x")
+    assert(Lexize.SuffixRules.forall(r => sfx.contains(s"suffix(x, '${r.suffix}')")))
+    assert(sfx.indexOf("'eed'") < sfx.indexOf("'ing'"))
+  }
+}
