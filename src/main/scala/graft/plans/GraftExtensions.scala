@@ -27,6 +27,11 @@ object RewriteSelfDotToNorm extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteSelfDotToNorm)
+    // ORCA-xform analogues, each gated behind its own conf (see the
+    // rule's scaladoc): spark.graft.eagerAgg.enabled,
+    // spark.graft.pushJoinBelowUnionAll.enabled
+    e.injectOptimizerRule(_ => EagerAggRule)
+    e.injectOptimizerRule(_ => PushJoinBelowUnionAllRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.plans.{EagerAggRule, PushJoinBelowUnionAllRule}
+
+/** Optimizer-xform demonstrations: the two ORCA exploration transforms the
+  * engine re-expresses as Catalyst rules (SURVEY §7.3 "optional /
+  * perf-only" items):
+  *
+  *   - eager aggregation below a join
+  *     (`/root/reference/src/backend/gporca/libgpopt/src/xforms/CXformEagerAgg.cpp`)
+  *   - join distribution over UNION ALL
+  *     (`.../CXformPushJoinBelowUnionAll.cpp`)
+  *
+  * Each query runs in a CHILD session (`newSession()`: same SparkContext,
+  * isolated SQLConf + experimental methods) so enabling the opt-in rule
+  * never leaks into sibling queries' plans. The oracle checks the rewrite
+  * preserved semantics; `XformRulesSpec` asserts the plans actually
+  * transformed.
+  */
+object Xforms extends QueryModule {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Aggregate over join -> partial aggregate pushed below the join.
+    // Aggregation args all come from lineitem (the outer child); the
+    // grouping column comes from orders; the lower aggregate groups
+    // lineitem by l_orderkey (the join key), shrinking the join's probe
+    // side ~4x before any shuffle. All aggregates are exact under
+    // regrouping: timestamps (min/max), BIGINT sum/count, and an avg that
+    // the rule decomposes into exact integer sum/count.
+    "q_eager_agg" -> ((s0, dir) => {
+      val s = s0.newSession()
+      EagerAggRule.install(s)
+      s.conf.set(EagerAggRule.ConfKey, "true")
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(ord("o_orderpriority"))
+        .agg(
+          min(li("l_shipdate")).as("min_ship"),
+          max(li("l_shipdate")).as("max_ship"),
+          sum(li("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          avg(li("l_quantity").cast("long")).as("avg_raw"))
+        .select(col("o_orderpriority"), col("min_ship"), col("max_ship"),
+                col("sum_qty"), col("n_rows"),
+                round(col("avg_raw"), 4).as("avg_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Join over UNION ALL -> per-branch joins under one UNION ALL. The
+    // orders side broadcasts into each branch (one shared broadcast
+    // exchange), so neither customer slice is shuffled.
+    "q_join_below_union" -> ((s0, dir) => {
+      val s = s0.newSession()
+      PushJoinBelowUnionAllRule.install(s)
+      s.conf.set(PushJoinBelowUnionAllRule.ConfKey, "true")
+      val c = t(s, dir, "customer")
+      val u = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), lit("b").as("src"))
+        .unionAll(
+          c.filter(col("c_mktsegment") === "MACHINERY")
+            .select(col("c_custkey"), lit("m").as("src")))
+      val ord = t(s, dir, "orders")
+      u.join(ord, u("c_custkey") === ord("o_custkey"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("src")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_eager_agg" ->
+      """SELECT o_orderpriority,
+        |       min(l_shipdate) AS min_ship,
+        |       max(l_shipdate) AS max_ship,
+        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |       count(*) AS n_rows,
+        |       round(avg(CAST(l_quantity AS BIGINT)), 4) AS avg_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_below_union" ->
+      s"""WITH u AS (
+         |  SELECT c_custkey, 'b' AS src FROM customer
+         |  WHERE c_mktsegment = 'BUILDING'
+         |  UNION ALL
+         |  SELECT c_custkey, 'm' AS src FROM customer
+         |  WHERE c_mktsegment = 'MACHINERY')
+         |SELECT src, count(*) AS n_orders,
+         |       ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM u JOIN orders ON c_custkey = o_custkey
+         |GROUP BY src
+         |ORDER BY src""".stripMargin
+  )
+}

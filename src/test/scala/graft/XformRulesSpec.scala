@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Union}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{EagerAggRule, PushJoinBelowUnionAllRule}
+
+/** The two ORCA-xform analogues (EagerAggRule, PushJoinBelowUnionAllRule):
+  * each must (a) transform the plan it claims to transform, (b) leave
+  * results bit-identical to the untransformed plan, and (c) respect its
+  * applicability guards. Rule-on plans run in a child session so the
+  * shared test session stays pristine. */
+class XformRulesSpec extends AnyFunSuite {
+  private val sf = SparkTestSession.sf
+
+  private def withRules[A](confs: (String, String)*)(f: org.apache.spark.sql.SparkSession => A): A = {
+    val s = SparkTestSession.spark.newSession()
+    EagerAggRule.install(s)
+    PushJoinBelowUnionAllRule.install(s)
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    f(s)
+  }
+
+  private def aggsInPlan(p: LogicalPlan): Seq[Aggregate] =
+    p.collect { case a: Aggregate => a }
+
+  private def joinsInPlan(p: LogicalPlan): Seq[Join] =
+    p.collect { case j: Join => j }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // ---- eager aggregation ------------------------------------------------
+
+  private def eagerShape(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val li = Tables.t(s, sf, "lineitem")
+    val ord = Tables.t(s, sf, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(ord("o_orderpriority"))
+      .agg(min(li("l_shipdate")).as("min_ship"),
+           max(li("l_shipdate")).as("max_ship"),
+           sum(li("l_quantity").cast("long")).as("sum_qty"),
+           count(lit(1)).as("n_rows"),
+           avg(li("l_quantity").cast("long")).as("avg_qty"))
+  }
+
+  test("eager agg pushes a partial aggregate below the join") {
+    withRules(EagerAggRule.ConfKey -> "true") { s =>
+      val df = eagerShape(s)
+      val plan = df.queryExecution.optimizedPlan
+      val aggs = aggsInPlan(plan)
+      assert(aggs.size == 2, s"expected upper+lower aggregates:\n$plan")
+      // the lower aggregate is the join's outer (left) child
+      val pushed = joinsInPlan(plan).exists(_.left.exists {
+        case a: Aggregate => a.groupingExpressions.nonEmpty
+        case _ => false
+      })
+      assert(pushed, s"no aggregate below the join:\n$plan")
+    }
+  }
+
+  test("eager agg preserves results exactly (min/max/sum/count/avg)") {
+    val off = withRules(EagerAggRule.ConfKey -> "false") { s =>
+      sortedRows(eagerShape(s).withColumn("avg_qty", round(col("avg_qty"), 6)))
+    }
+    val on = withRules(EagerAggRule.ConfKey -> "true") { s =>
+      sortedRows(eagerShape(s).withColumn("avg_qty", round(col("avg_qty"), 6)))
+    }
+    assert(on == off)
+  }
+
+  test("eager agg preserves a global (no grouping) aggregate") {
+    def shape(s: org.apache.spark.sql.SparkSession): DataFrame = {
+      val li = Tables.t(s, sf, "lineitem")
+      val ord = Tables.t(s, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .agg(sum(li("l_quantity").cast("long")).as("sum_qty"),
+             count(lit(1)).as("n"))
+    }
+    val off = withRules(EagerAggRule.ConfKey -> "false")(s => sortedRows(shape(s)))
+    val on = withRules(EagerAggRule.ConfKey -> "true") { s =>
+      val df = shape(s)
+      assert(aggsInPlan(df.queryExecution.optimizedPlan).size == 2,
+        "global agg should still push a keyed lower aggregate")
+      sortedRows(df)
+    }
+    assert(on == off)
+  }
+
+  test("eager agg guards: DISTINCT and inner-side aggregate args do not fire") {
+    withRules(EagerAggRule.ConfKey -> "true") { s =>
+      val li = Tables.t(s, sf, "lineitem")
+      val ord = Tables.t(s, sf, "orders")
+      val distinctAgg = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(ord("o_orderpriority"))
+        .agg(countDistinct(li("l_partkey")).as("d"))
+      assert(aggsInPlan(distinctAgg.queryExecution.optimizedPlan)
+        .count(_.child.isInstanceOf[Join]) <= 1,
+        "DISTINCT aggregate must not be pushed")
+      val innerArg = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(li("l_returnflag"))
+        .agg(sum(ord("o_totalprice")).as("s"))
+      val aggs = aggsInPlan(innerArg.queryExecution.optimizedPlan)
+      assert(aggs.size == 1,
+        "aggregate over the inner child's column must not be pushed")
+    }
+  }
+
+  test("eager agg stays off without the conf") {
+    withRules() { s =>
+      assert(aggsInPlan(eagerShape(s).queryExecution.optimizedPlan).size == 1)
+    }
+  }
+
+  // ---- push join below union all ---------------------------------------
+
+  private def unionShape(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val c = Tables.t(s, sf, "customer")
+    val u = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), lit("b").as("src"))
+      .unionAll(c.filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"), lit("m").as("src")))
+    val ord = Tables.t(s, sf, "orders")
+    u.join(ord, u("c_custkey") === ord("o_custkey"))
+      .select(col("src"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  test("join over UNION ALL distributes into per-branch joins") {
+    withRules(PushJoinBelowUnionAllRule.ConfKey -> "true") { s =>
+      val df = unionShape(s)
+      val plan = df.queryExecution.optimizedPlan
+      assert(joinsInPlan(plan).size == 2, s"expected one join per branch:\n$plan")
+      val unionOnTopOfJoins = plan.collect {
+        case u: Union if u.children.forall(c => joinsInPlan(c).nonEmpty) => u
+      }
+      assert(unionOnTopOfJoins.nonEmpty, s"joins must sit under the union:\n$plan")
+    }
+  }
+
+  test("join over UNION ALL preserves results") {
+    val off = withRules(PushJoinBelowUnionAllRule.ConfKey -> "false")(
+      s => sortedRows(unionShape(s)))
+    val on = withRules(PushJoinBelowUnionAllRule.ConfKey -> "true")(
+      s => sortedRows(unionShape(s)))
+    assert(on == off)
+  }
+
+  test("left outer join distributes only when the union is the preserved side") {
+    withRules(PushJoinBelowUnionAllRule.ConfKey -> "true") { s =>
+      val c = Tables.t(s, sf, "customer")
+      val u = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .unionAll(c.filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey")))
+      val ord = Tables.t(s, sf, "orders").select(col("o_custkey"), col("o_orderkey"))
+
+      // union preserved (left of LEFT OUTER): distributes
+      val keep = u.join(ord, u("c_custkey") === ord("o_custkey"), "left")
+      assert(joinsInPlan(keep.queryExecution.optimizedPlan).size == 2,
+        "left-outer with union on the preserved side must distribute")
+
+      // union on the null-producing side: must NOT distribute (would pad
+      // one null row per branch instead of one per unmatched left row)
+      val pad = ord.join(u, ord("o_custkey") === u("c_custkey"), "left")
+      assert(joinsInPlan(pad.queryExecution.optimizedPlan).size == 1,
+        "left-outer with union on the null side must not distribute")
+
+      // and the non-distributed side stays value-correct
+      val rows = pad.groupBy().agg(count(lit(1)).as("n"),
+        count(u("c_custkey")).as("matched")).collect()(0)
+      assert(rows.getLong(0) >= rows.getLong(1))
+    }
+  }
+}
