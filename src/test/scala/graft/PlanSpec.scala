@@ -222,4 +222,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected a shuffle-free co-located join, plan:\n$p")
     assert(joined.count() > 0)
   }
+
+  test("sparse cosine top-k broadcasts the query set, never the corpus") {
+    val p = planOf("v_svec_dot_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus side must stream: exactly one broadcast exchange (the
+    // tiny query set), no corpus-wide hash exchange before the join
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+  }
 }
