@@ -249,6 +249,69 @@ object Corpus extends QueryModule {
           }
         }.toDF("doc_id", "source", "n_tokens", "bin_id", "bin_off")
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    // standard pre-training quality gate): per-document top n-gram
+    // occurrence fraction, duplicate n-gram fraction (all occurrences of
+    // grams seen more than once), and the longest consecutive same-word
+    // run. Fractions use the repo's half-up integer-micros discipline so
+    // both engines emit identical longs. Scale shape: one shuffle keyed
+    // (doc, gram) with map-side partials, then one keyed (doc) — gram-
+    // proportional, corpus-linear.
+    "d_gopher_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      def gramStats(n: Int): DataFrame = docs
+        .select(col("doc_id"), explode(expr(
+          s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), " +
+            s"i -> concat_ws(' ', slice(w, i + 1, $n))) " +
+            "ELSE array() END")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n$n"), max(col("c")).as(s"top$n"),
+             sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"dup$n"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = docs
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+        .withColumn("brk",
+          when(col("word") === lag(col("word"), 1).over(wOrd), 0).otherwise(1))
+        .withColumn("run_id", sum(col("brk")).over(wOrd))
+        .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("rl"))
+        .groupBy(col("doc_id")).agg(max(col("rl")).cast("int").as("max_run"))
+      gramStats(2).join(gramStats(3), "doc_id").join(runs, "doc_id")
+        .select(col("doc_id"),
+          expr("(2000000 * top2 + n2) div (2 * n2)").as("top2_u"),
+          expr("(2000000 * dup2 + n2) div (2 * n2)").as("dup2_u"),
+          expr("(2000000 * top3 + n3) div (2 * n3)").as("top3_u"),
+          expr("(2000000 * dup3 + n3) div (2 * n3)").as("dup3_u"),
+          col("max_run"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact duplicated-span removal primitive (RefinedWeb/C4-style):
+    // 16-word chunks, corpus-wide exact dedup on the chunk digest,
+    // per-document duplicated-chunk fraction. The shuffle carries
+    // (digest, doc) pairs — never text — which is what keeps this the
+    // 100 TB exact-substring dedup shape.
+    "d_dedup_chunks" -> ((s, dir) => {
+      val C = 16
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, (size(w) - 1) div $C), " +
+            s"i -> concat_ws(' ', slice(w, i * $C + 1, $C)))")).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("dg"))
+      val dup = chunks.groupBy(col("dg")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("dg"), lit(1).as("isdup"))
+      chunks.join(dup, Seq("dg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          expr("(2000000 * n_dup + n_chunks) div (2 * n_chunks)")
+            .as("dup_frac_u"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -263,6 +326,62 @@ object Corpus extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "d_decontaminate" -> decontaminateOracle,
+
+    // CAST(SUM(..) AS BIGINT) everywhere: DuckDB SUM(BIGINT) returns
+    // HUGEINT, which would poison the // arithmetic's driver-side dtype
+    // (the d_pack_sequences lesson)
+    "d_gopher_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+        |    for i in range(1, len(w))]) AS g FROM d WHERE len(w) >= 2),
+        |g3 AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+        |    for i in range(1, len(w) - 1)]) AS g FROM d WHERE len(w) >= 3),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+        |    CAST(MAX(c) AS BIGINT) AS top2,
+        |    CAST(coalesce(SUM(c) FILTER (c > 1), 0) AS BIGINT) AS dup2
+        |  FROM c2 GROUP BY doc_id),
+        |s3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3,
+        |    CAST(MAX(c) AS BIGINT) AS top3,
+        |    CAST(coalesce(SUM(c) FILTER (c > 1), 0) AS BIGINT) AS dup3
+        |  FROM c3 GROUP BY doc_id),
+        |pos AS (SELECT doc_id,
+        |    unnest([{'p': i, 'wd': w[i + 1]} for i in range(0, len(w))]) AS s
+        |  FROM d),
+        |rr AS (SELECT doc_id, s.p AS pos, s.wd AS word FROM pos),
+        |b AS (SELECT doc_id, pos, CASE WHEN lag(word) OVER
+        |    (PARTITION BY doc_id ORDER BY pos) = word THEN 0 ELSE 1 END AS brk
+        |  FROM rr),
+        |ri AS (SELECT doc_id, pos, CAST(SUM(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY pos) AS BIGINT) AS run_id FROM b),
+        |rl AS (SELECT doc_id, run_id, COUNT(*) AS rl FROM ri
+        |  GROUP BY doc_id, run_id),
+        |mr AS (SELECT doc_id, CAST(MAX(rl) AS INT) AS max_run FROM rl
+        |  GROUP BY doc_id)
+        |SELECT s2.doc_id,
+        |  (2000000 * top2 + n2) // (2 * n2) AS top2_u,
+        |  (2000000 * dup2 + n2) // (2 * n2) AS dup2_u,
+        |  (2000000 * top3 + n3) // (2 * n3) AS top3_u,
+        |  (2000000 * dup3 + n3) // (2 * n3) AS dup3_u,
+        |  max_run
+        |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+        |  JOIN mr ON s2.doc_id = mr.doc_id
+        |ORDER BY s2.doc_id""".stripMargin,
+
+    "d_dedup_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ck AS (SELECT doc_id,
+        |    unnest([array_to_string(w[i * 16 + 1 : i * 16 + 16], ' ')
+        |      for i in range(0, (len(w) - 1) // 16 + 1)]) AS chunk
+        |  FROM d),
+        |dup AS (SELECT chunk FROM ck GROUP BY chunk HAVING COUNT(*) > 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(dup.chunk) AS BIGINT) AS n_dup,
+        |  (2000000 * CAST(COUNT(dup.chunk) AS BIGINT) + COUNT(*))
+        |    // (2 * COUNT(*)) AS dup_frac_u
+        |FROM ck LEFT JOIN dup USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_sample_mix" ->
       """WITH d AS (SELECT source, doc_id,
