@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** The rest of the TPC-H suite, as far as the reduced test schema allows —
+  * the reference ships/derives the full TPC-H workload in its regress
+  * suites (`/root/reference/src/test/regress/sql/` qp_* planners,
+  * `gpcontrib`/ORCA minidumps are full of these shapes), and a migrating
+  * user's first benchmark is exactly this battery.
+  *
+  * Schema deltas vs. standard TPC-H (driver-generated data,
+  * TESTDATA.md): no `partsupp` (drops Q2/Q9/Q11/Q16/Q20), no
+  * `l_commitdate`/`l_receiptdate` (drops Q4/Q12/Q21), no
+  * `o_comment`/`c_phone`/`p_container`/`l_shipmode` (Q13/Q17/Q19/Q22
+  * keep their plan shape with a documented filter substitution). Q1, Q3,
+  * Q5 live in CoreAgg/Joins since round 1. Every aggregate follows the
+  * micros-long discipline (Tables.scala) so hashes are exact.
+  *
+  * Scale notes are per-query: the suite exercises selective-scan pushdown
+  * (Q6/Q19), snowflake broadcast chains (Q7/Q8/Q10), left-join histograms
+  * (Q13), ratio aggregates (Q8/Q14), scalar-subquery max / per-group
+  * thresholds (Q15/Q17), group-HAVING semi joins (Q18), and
+  * anti-join + threshold subqueries (Q22).
+  */
+object TpchSuite extends QueryModule {
+
+  private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val revSql = "l_extendedprice * (1 - l_discount)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q6 forecast revenue change — the pure pushdown query: every filter
+    // must reach the parquet scan, no joins, one global agg.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    }),
+
+    // Q7 volume shipping between two nations, by direction and year.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(rev).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q8 national market share within a region (p_type = 'PROMO' stands
+    // in for the 3-word type since the corpus has single-word types).
+    // The share divides two exact micros-long sums in double — identical
+    // IEEE ops both engines.
+    "q8_market_share" -> ((s, dir) => {
+      val nCust = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_regionkey").as("c_rk"))
+      val nSupp = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val volMicros = sum(round(rev * 1000000.0, 0).cast("long"))
+      val volSel = sum(when(col("supp_nation") === "NATION_3",
+        round(rev * 1000000.0, 0).cast("long")).otherwise(0L))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t(s, dir, "region"))
+          .filter(col("r_name") === "ASIA"), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(volSel.cast("double") / volMicros.cast("double"), 6)
+          .as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q10 returned-item reporting (top 20 lossy customers, one quarter).
+    "q10_returned_items" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(dsum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q13 customer order-count distribution (left join histogram; the
+    // o_comment NOT-LIKE filter becomes an o_orderpriority exclusion).
+    "q13_cust_distribution" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q14 promo revenue ratio for one month.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val m = round(rev * 1000000.0, 0).cast("long")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", m).otherwise(0L)).cast("double") /
+          sum(m).cast("double"), 6).as("promo_revenue"))
+    }),
+
+    // Q15 top supplier(s): revenue kept as EXACT micros longs so the
+    // `revenue = max(revenue)` equality can never be a float tie-break.
+    "q15_top_supplier" -> ((s, dir) => {
+      val qrev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(rev * 1000000.0, 0).cast("long")).as("rev_u"))
+      val best = qrev.agg(max(col("rev_u")).as("best_u"))
+      qrev.join(broadcast(best), col("rev_u") === col("best_u"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_u").cast("double") / 1000000.0).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q17 small-quantity-order revenue (p_container filter becomes a
+    // p_brand + p_size one). Per-part threshold = 0.2 * avg(qty), the
+    // average mirrored as exact-long-sum / count in both engines.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#13" && col("p_size") < 10)
+        .select(col("p_partkey"))
+      val perPart = li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val thresholds = perPart.groupBy(col("p_partkey").as("t_pk"))
+        .agg(((sum(col("l_quantity").cast("long")).cast("double") /
+          count(lit(1))) * 0.2).as("thr"))
+      perPart.join(thresholds, col("p_partkey") === col("t_pk"))
+        .filter(col("l_quantity") < col("thr"))
+        .agg(round(dsum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+    }),
+
+    // Q18 large-volume customers (HAVING sum(qty) > threshold, then the
+    // qualifying orderkeys re-join the detail).
+    "q18_large_volume_cust" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t(s, dir, "orders").join(big, col("o_orderkey") === col("bk"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q19 bracketed-predicate revenue: the classic OR-of-ANDs join filter
+    // (brand/size/quantity brackets replacing container/shipmode).
+    "q19_bracketed_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsum(rev).as("revenue"))
+    }),
+
+    // Q22 global sales opportunity: acctbal-above-average customers with
+    // no RECENT orders (the original's "no orders in 7 years", scoped to
+    // the corpus' date range so the answer is non-empty), bucketed by
+    // nation (standing in for the phone country code). Scalar avg
+    // threshold mirrored micros-exact; NOT EXISTS = left anti join.
+    "q22_global_sales_opp" -> ((s, dir) => {
+      val codes = Seq(1, 3, 5, 7, 9, 11, 13).map(lit(_))
+      val cust = t(s, dir, "customer")
+        .filter(col("c_nationkey").isin(codes: _*))
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(round(col("c_acctbal") * 1000000.0, 0).cast("long"))
+          .cast("double") / 1000000.0 / count(lit(1))).as("thr"))
+      cust.join(broadcast(thr)).filter(col("c_acctbal") > col("thr"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         |  ${sqlDsum(revSql)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         |  ROUND(
+         |    CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+         |      THEN CAST(round(($revSql) * 1000000.0, 0) AS BIGINT)
+         |      ELSE 0 END) AS DOUBLE) /
+         |    CAST(SUM(CAST(round(($revSql) * 1000000.0, 0) AS BIGINT))
+         |      AS DOUBLE), 6) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlDsum(revSql)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q13_cust_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist FROM co
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      s"""SELECT ROUND(100.0 *
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN CAST(round(($revSql) * 1000000.0, 0) AS BIGINT)
+         |    ELSE 0 END) AS DOUBLE) /
+         |  CAST(SUM(CAST(round(($revSql) * 1000000.0, 0) AS BIGINT))
+         |    AS DOUBLE), 6) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH qrev AS (
+         |  SELECT l_suppkey,
+         |    CAST(SUM(CAST(round(($revSql) * 1000000.0, 0) AS BIGINT))
+         |      AS BIGINT) AS rev_u
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name,
+         |  CAST(rev_u AS DOUBLE) / 1000000.0 AS total_revenue
+         |FROM qrev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_u = (SELECT MAX(rev_u) FROM qrev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      s"""WITH pp AS (SELECT p_partkey FROM part
+         |    WHERE p_brand = 'Brand#13' AND p_size < 10),
+         |thr AS (
+         |  SELECT l_partkey AS t_pk,
+         |    (CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / COUNT(*)) * 0.2 AS thr
+         |  FROM lineitem JOIN pp ON l_partkey = p_partkey
+         |  GROUP BY l_partkey)
+         |SELECT ROUND(${sqlDsum("l_extendedprice")} / 7.0, 4) AS avg_yearly
+         |FROM lineitem JOIN pp ON l_partkey = p_partkey
+         |JOIN thr ON l_partkey = t_pk
+         |WHERE l_quantity < thr""".stripMargin,
+
+    "q18_large_volume_cust" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_bracketed_revenue" ->
+      s"""SELECT ${sqlDsum(revSql)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_global_sales_opp" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |thr AS (
+        |  SELECT CAST(SUM(CAST(round(c_acctbal * 1000000.0, 0) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0 / COUNT(*) AS thr
+        |  FROM cust WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(round(c_acctbal * 1000000.0, 0) AS BIGINT))
+        |    AS DOUBLE) / 1000000.0 AS totacctbal
+        |FROM cust, thr
+        |WHERE c_acctbal > thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
+  )
+}

@@ -10,7 +10,11 @@ class QueriesSpec extends AnyFunSuite {
   private val sf = SparkTestSession.sf
 
   // queries whose result may legitimately be empty/tiny at sf0.001
-  private val mayBeEmpty = Set("d_dedup_simhash", "q_join_anti")
+  // (q7/q22: ~10 suppliers / 150 customers at this SF can miss the fixed
+  // nation pair / leave no order-less above-average customer; both return
+  // rows at the sf0.01 correctness gate)
+  private val mayBeEmpty = Set("d_dedup_simhash", "q_join_anti",
+    "q7_volume_shipping", "q22_global_sales_opp")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
