@@ -433,6 +433,46 @@ object ScalarParity extends QueryModule {
         .orderBy(okey)
     }),
 
+    // jsonpath string predicates + keyvalue(): `? (@ like_regex "...")`,
+    // `? (@ starts with "...")`, `.keyvalue()`, and an exists() filter —
+    // the remaining SQL/JSON path language constructs
+    // (`/root/reference/src/backend/utils/adt/jsonpath_exec.c`:
+    // executeLikeRegex / jpiStartsWith / JsonPathKeyValue; tests
+    // `sql/jsonb_jsonpath.sql`). Same discipline as the other jsonpath
+    // queries: the document is built per-row from columns, Spark PARSES
+    // it back and applies the path semantics, the oracle derives the
+    // expected values from the same source columns — a construction/
+    // extraction round-trip proof.
+    "q_jsonpath_strpred" -> ((s, dir) => {
+      val okey = col("o_orderkey")
+      def m(k: Int): Column = pmod(okey, lit(k))
+      val jp = concat(
+        lit("{\"tags\": [\"a"), m(10), lit("\", \"ab"), m(3),
+        lit("\", \"pre_"), m(4), lit("\", \"beta\"], \"obj\": {\"k"),
+        m(2), lit("\": "), m(11), lit(", \"m\": "), m(13), lit("}}"))
+      t(s, dir, "orders").filter(okey <= 300)
+        .withColumn("j", jp)
+        .withColumn("tags", from_json(get_json_object(col("j"), "$.tags"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+        .withColumn("obj", from_json(get_json_object(col("j"), "$.obj"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .select(okey,
+          // $.tags[*] ? (@ like_regex "^a[0-9]+$")
+          concat_ws(",", expr("filter(tags, t -> t rlike '^a[0-9]+$')"))
+            .as("like_regex_hits"),
+          // $.tags[*] ? (@ starts with "pre")
+          concat_ws(",", expr("filter(tags, t -> startswith(t, 'pre'))"))
+            .as("starts_with_hits"),
+          // $.obj.keyvalue() — entries as sorted (key, value) pairs
+          to_json(expr("array_sort(map_entries(obj))")).as("kv_json"),
+          // exists($.obj.m ? (@ > 6))
+          expr("element_at(obj, 'm') > 6").as("m_gt6"))
+        .orderBy(okey)
+    }),
+
     // jsonb_each / json_array_elements analogues: one row per array
     // element (posexplode) and per object entry (map explode).
     "q_json_each" -> ((s, dir) => {
@@ -549,6 +589,26 @@ object ScalarParity extends QueryModule {
         |  CAST(floor(f) AS BIGINT) AS f_floor,
         |  CAST(ceil(f) AS BIGINT) AS f_ceil,
         |  abs(f) AS f_abs
+        |FROM d ORDER BY o_orderkey""".stripMargin,
+
+    "q_jsonpath_strpred" ->
+      """WITH d AS (SELECT o_orderkey,
+        |    ['a' || CAST(o_orderkey % 10 AS VARCHAR),
+        |     'ab' || CAST(o_orderkey % 3 AS VARCHAR),
+        |     'pre_' || CAST(o_orderkey % 4 AS VARCHAR),
+        |     'beta'] AS tags
+        |  FROM orders WHERE o_orderkey <= 300)
+        |SELECT o_orderkey,
+        |  array_to_string(list_filter(tags,
+        |    t -> regexp_matches(t, '^a[0-9]+$')), ',') AS like_regex_hits,
+        |  array_to_string(list_filter(tags,
+        |    t -> starts_with(t, 'pre')), ',') AS starts_with_hits,
+        |  CAST(to_json([
+        |    {'key': 'k' || CAST(o_orderkey % 2 AS VARCHAR),
+        |     'value': CAST(o_orderkey % 11 AS INT)},
+        |    {'key': 'm', 'value': CAST(o_orderkey % 13 AS INT)}])
+        |    AS VARCHAR) AS kv_json,
+        |  (o_orderkey % 13) > 6 AS m_gt6
         |FROM d ORDER BY o_orderkey""".stripMargin,
 
     "q_to_char_patterns" ->

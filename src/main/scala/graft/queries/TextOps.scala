@@ -187,6 +187,37 @@ object TextOps extends QueryModule {
         .limit(20)
     }),
 
+    // setweight + weighted ts_rank (`tsvector_op.c` tsvector_setweight,
+    // `tsrank.c:60` default weights {D:0.1, C:0.2, B:0.4, A:1.0}): the
+    // first 8 words are the 'A' zone (title), the rest 'D' (body); each
+    // term's weighted frequency folds the zone weights before the same
+    // tf-saturation used by t_fts_rank. Float op order mirrored exactly
+    // in the oracle, ROUND(6) output.
+    "t_fts_weighted" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val title = slice(words, 1, 8)
+      val body = expr("slice(split(text, ' '), 9, size(split(text, ' ')))")
+      def tf(arr: Column, term: String) =
+        size(filter(arr, w => w === term)).cast("double")
+      def wtf(term: String) =
+        lit(1.0) * tf(title, term) + lit(0.1) * tf(body, term)
+      val score = round((wtf("hash") / (wtf("hash") + 1) +
+        wtf("join") / (wtf("join") + 1)) /
+        (lit(1.0) + size(words) / lit(100.0)), 6)
+      t(s, dir, "documents")
+        .withColumn("t_hash", tf(title, "hash").cast("int"))
+        .withColumn("b_hash", tf(body, "hash").cast("int"))
+        .withColumn("t_join", tf(title, "join").cast("int"))
+        .withColumn("b_join", tf(body, "join").cast("int"))
+        .filter(col("t_hash") + col("b_hash") > 0 &&
+                col("t_join") + col("b_join") > 0)
+        .withColumn("score", score)
+        .select(col("doc_id"), col("t_hash"), col("b_hash"),
+          col("t_join"), col("b_join"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Phrase search: adjacency via word-boundary regex over the
     // space-joined text (tsquery <-> FOLLOWED BY analogue).
     "t_fts_phrase" -> ((s, dir) => {
@@ -521,6 +552,26 @@ object TextOps extends QueryModule {
         |         CAST(tf_join AS DOUBLE) / (tf_join + 1))
         |        / (1.0 + CAST(nw AS DOUBLE) / 100.0), 6) AS score
         |FROM s WHERE tf_hash > 0 AND tf_join > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t_fts_weighted" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |z AS (SELECT doc_id, w[1:8] AS title, w[9:len(w)] AS body,
+        |    len(w) AS nw FROM d),
+        |s AS (SELECT doc_id, nw,
+        |    CAST(len(list_filter(title, x -> x = 'hash')) AS INT) AS t_hash,
+        |    CAST(len(list_filter(body, x -> x = 'hash')) AS INT) AS b_hash,
+        |    CAST(len(list_filter(title, x -> x = 'join')) AS INT) AS t_join,
+        |    CAST(len(list_filter(body, x -> x = 'join')) AS INT) AS b_join
+        |  FROM z),
+        |r AS (SELECT doc_id, t_hash, b_hash, t_join, b_join,
+        |    1.0 * CAST(t_hash AS DOUBLE) + 0.1 * CAST(b_hash AS DOUBLE) AS wh,
+        |    1.0 * CAST(t_join AS DOUBLE) + 0.1 * CAST(b_join AS DOUBLE) AS wj,
+        |    nw FROM s)
+        |SELECT doc_id, t_hash, b_hash, t_join, b_join,
+        |  ROUND((wh / (wh + 1) + wj / (wj + 1))
+        |        / (1.0 + CAST(nw AS DOUBLE) / 100.0), 6) AS score
+        |FROM r WHERE t_hash + b_hash > 0 AND t_join + b_join > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "t_fts_phrase" ->
