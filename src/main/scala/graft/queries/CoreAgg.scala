@@ -102,6 +102,25 @@ object CoreAgg extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The rest of the regr_* linear-regression family (pg_aggregate.dat
+    // regr_r2/avgx/avgy/sxx/syy/sxy — float8_regr_* in
+    // `src/backend/utils/adt/float.c`). Same rounding discipline as
+    // q_agg_stats: r2 is 0..1 (round 6), moments are large sums with
+    // ~1e-9 relative error (round 3).
+    "q_regr_family" -> ((s, dir) => {
+      val y = col("l_extendedprice"); val x = col("l_quantity")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_r2(y, x), 6).as("r2"),
+          round(regr_avgx(y, x), 4).as("avgx"),
+          round(regr_avgy(y, x), 4).as("avgy"),
+          round(regr_sxx(y, x), 3).as("sxx"),
+          round(regr_syy(y, x), 0).as("syy"),
+          round(regr_sxy(y, x), 2).as("sxy"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Ordered-set aggregates (orderedsetaggs.c: percentile_cont/disc, mode)
     // + GP's median alias (pg_proc.dat:11586). Exact interpolated
     // percentile via Spark's `percentile`, deterministic mode via max_by
@@ -334,6 +353,16 @@ object CoreAgg extends QueryModule {
         |  ROUND(regr_slope(l_extendedprice, l_quantity), 3) AS slope_pq,
         |  ROUND(regr_intercept(l_extendedprice, l_quantity), 3) AS icpt_pq,
         |  regr_count(l_extendedprice, l_quantity) AS n_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_regr_family" ->
+      """SELECT l_returnflag,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  ROUND(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+        |  ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy,
+        |  ROUND(regr_sxx(l_extendedprice, l_quantity), 3) AS sxx,
+        |  ROUND(regr_syy(l_extendedprice, l_quantity), 0) AS syy,
+        |  ROUND(regr_sxy(l_extendedprice, l_quantity), 2) AS sxy
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_ordered_set_agg" ->

@@ -111,4 +111,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(firsts.nonEmpty && firsts.forall(r =>
       r.getLong(0) == 0L && r.getLong(1) == 0L))
   }
+
+  test("chunk dedup flags a planted duplicated span, and only it") {
+    // semantic check beyond the oracle hash: two synthetic docs sharing
+    // one exact 16-word span (chunk-aligned) must each report exactly one
+    // duplicated chunk; an unrelated doc reports zero
+    val sp = spark; import sp.implicits._
+    val span = (1 to 16).map(i => s"dup$i").mkString(" ")
+    val uniq = (1 to 16).map(i => s"u$i")
+    val docs = Seq(
+      (900001L, span + " " + uniq.map(_ + "a").mkString(" ")),
+      (900002L, span + " " + uniq.map(_ + "b").mkString(" ")),
+      (900003L, uniq.map(_ + "c").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("chunkdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Corpus.queries("d_dedup_chunks")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(900001L) == ((2L, 1L)), s"doc1: ${out(900001L)}")
+    assert(out(900002L) == ((2L, 1L)), s"doc2: ${out(900002L)}")
+    assert(out(900003L) == ((1L, 0L)), s"doc3: ${out(900003L)}")
+  }
 }
