@@ -223,6 +223,22 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("q6 pushes every scan predicate into the parquet scan") {
+    // read the scan node's metadata directly — the plan's toString
+    // truncates long PushedFilters lists
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides leaves
+    val scans = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 1, s"expected one file scan, got $scans")
+    val pushed = scans.head.metadata("PushedFilters")
+    // shipdate range, discount range, and quantity must ALL reach the scan
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity").foreach(f =>
+      assert(pushed.contains(f), s"missing pushed filter $f in:\n$pushed"))
+  }
+
   test("sparse cosine top-k broadcasts the query set, never the corpus") {
     val p = planOf("v_svec_dot_topk")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
