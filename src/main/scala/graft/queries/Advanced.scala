@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -227,6 +227,42 @@ object Advanced extends QueryModule {
               col("o_orderkey"), lit(" has no customer"))))
           .otherwise(col("o_orderkey")).as("o_orderkey"))
         .agg(count(col("o_orderkey")).as("n_orders_with_customer"))
+    }),
+
+    // In-database ML: closed-form 2-feature linear regression fit per
+    // group (the MADlib-on-Greenplum niche the reference serves via
+    // gpcontrib — `madlib.linregr_train` reduces to exactly these normal
+    // equations). One aggregation pass accumulates the 9 exact moment
+    // sums (products scaled 1e4 -> BIGINT, order-independent), then
+    // Cramer's rule solves [a, b1, b2] in double with the op order
+    // mirrored token-for-token in the oracle — bit-deterministic, no
+    // iterative solver. 100 TB shape: one partial+final agg, 9 longs of
+    // state per group, solve is per-group O(1).
+    "q_linreg_fit" -> ((s, dir) => {
+      def s4(c: Column) =
+        (sum(round(c * 10000.0, 0).cast("long")).cast("double") / 10000.0)
+      val x1 = col("l_quantity"); val x2 = col("l_discount")
+      val y = col("l_extendedprice")
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          s4(x1).as("sx1"), s4(x2).as("sx2"), s4(y).as("sy"),
+          s4(x1 * x1).as("s11"), s4(x1 * x2).as("s12"),
+          s4(x2 * x2).as("s22"), s4(x1 * y).as("s1y"), s4(x2 * y).as("s2y"))
+      val det = expr(
+        "n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) " +
+          "+ sx2 * (sx1 * s12 - s11 * sx2)")
+      m.select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round(expr(
+            "(sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y) " +
+              "+ sx2 * (s1y * s12 - s11 * s2y))") / det, 4).as("intercept"),
+          round(expr(
+            "(n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2) " +
+              "+ sx2 * (sx1 * s2y - s1y * sx2))") / det, 4).as("b_quantity"),
+          round(expr(
+            "(n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) " +
+              "+ sy * (sx1 * s12 - s11 * sx2))") / det, 4).as("b_discount"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -338,6 +374,42 @@ object Advanced extends QueryModule {
 
     "q_assert_op" ->
       """SELECT COUNT(*) AS n_orders_with_customer
-        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_linreg_fit" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(round(l_quantity * 10000.0, 0) AS BIGINT))
+        |      AS DOUBLE) / 10000.0 AS sx1,
+        |    CAST(SUM(CAST(round(l_discount * 10000.0, 0) AS BIGINT))
+        |      AS DOUBLE) / 10000.0 AS sx2,
+        |    CAST(SUM(CAST(round(l_extendedprice * 10000.0, 0) AS BIGINT))
+        |      AS DOUBLE) / 10000.0 AS sy,
+        |    CAST(SUM(CAST(round(l_quantity * l_quantity * 10000.0, 0)
+        |      AS BIGINT)) AS DOUBLE) / 10000.0 AS s11,
+        |    CAST(SUM(CAST(round(l_quantity * l_discount * 10000.0, 0)
+        |      AS BIGINT)) AS DOUBLE) / 10000.0 AS s12,
+        |    CAST(SUM(CAST(round(l_discount * l_discount * 10000.0, 0)
+        |      AS BIGINT)) AS DOUBLE) / 10000.0 AS s22,
+        |    CAST(SUM(CAST(round(l_quantity * l_extendedprice * 10000.0, 0)
+        |      AS BIGINT)) AS DOUBLE) / 10000.0 AS s1y,
+        |    CAST(SUM(CAST(round(l_discount * l_extendedprice * 10000.0, 0)
+        |      AS BIGINT)) AS DOUBLE) / 10000.0 AS s2y
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  ROUND((sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y)
+        |      + sx2 * (s1y * s12 - s11 * s2y)) /
+        |    (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+        |      + sx2 * (sx1 * s12 - s11 * sx2)), 4) AS intercept,
+        |  ROUND((n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2)
+        |      + sx2 * (sx1 * s2y - s1y * sx2)) /
+        |    (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+        |      + sx2 * (sx1 * s12 - s11 * sx2)), 4) AS b_quantity,
+        |  ROUND((n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2)
+        |      + sy * (sx1 * s12 - s11 * sx2)) /
+        |    (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+        |      + sx2 * (sx1 * s12 - s11 * sx2)), 4) AS b_discount
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

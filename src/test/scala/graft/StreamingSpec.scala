@@ -101,6 +101,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream-stream LEFT OUTER join: matches equal inner, nulls are real and evicted-complete") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.Streaming
+      .streamStreamLeftOuter(spark, sf, "stream_stream_lo_spec")
+    val ev = Tables.t(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+              col("ts").as("c_ts"))
+    val batchInner = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
+
+    // 1. the matched subset is exactly the inner join
+    val matched = out.filter(col("c_id").isNotNull)
+      .collect().map(_.toSeq).toSet
+    assert(matched == batchInner.collect().map(_.toSeq).toSet)
+
+    // 2. every null-extended row is genuinely match-less in the batch data
+    val matchedPids = batchInner.select("p_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val nullRows = out.filter(col("c_id").isNull)
+    val nullPids = nullRows.select("p_id").collect().map(_.getLong(0))
+    assert(nullPids.nonEmpty, "expected some match-less purchases")
+    assert(nullPids.toSet.intersect(matchedPids).isEmpty,
+      "a purchase with a real click must never null-extend")
+    assert(nullPids.length == nullPids.toSet.size,
+      "outer rows must emit exactly once")
+
+    // 3. eviction completeness: every match-less purchase old enough that
+    // the final click watermark (max ts - 1h) provably passed its whole
+    // candidate interval MUST have emitted its null row. Purchases newer
+    // than that horizon may legitimately still sit in state when the
+    // finite feed ends — that is watermark semantics, not data loss.
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val horizon = new java.sql.Timestamp(maxTs - 3L * 3600 * 1000)
+    val expectedNullPids = p
+      .join(batchInner.select(col("p_id").as("m_pid")).distinct(),
+        col("p_id") === col("m_pid"), "left_anti")
+      .filter(col("p_ts") < lit(horizon))
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(expectedNullPids.subsetOf(nullPids.toSet),
+      s"missing evicted null rows: ${expectedNullPids -- nullPids.toSet}")
+  }
+
   test("watermark drops late data and never resurrects an emitted window") {
     import java.sql.Timestamp
     val srcDir = java.nio.file.Files
