@@ -341,4 +341,26 @@ object Ingest {
     df.write.mode(SaveMode.Overwrite).orc(path)
     spark.read.orc(path)
   }
+
+  /** ALTER TABLE schema evolution, lakehouse-style
+    * (`/root/reference/src/backend/commands/tablecmds.c` ADD/DROP
+    * COLUMN; GP AO tables rewrite or fill defaults lazily).
+    *
+    * ADD COLUMN is metadata-only: newly appended files simply carry the
+    * extra column; readers union file footers (`mergeSchema`) and old
+    * rows surface the reference's missing-column semantics — NULL, or
+    * the declared default via coalesce. Nothing is rewritten.
+    * DROP COLUMN is projection-on-read (the reference, too, only marks
+    * the attribute dropped — `attisdropped` — and filters it out of
+    * every scan; physical reclamation waits for a table rewrite). */
+  def readEvolved(spark: SparkSession, path: String,
+                  defaults: Map[String, Any] = Map.empty,
+                  dropped: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    val defaulted = defaults.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), lit(v)))
+    }
+    val kept = defaulted.columns.filterNot(dropped.contains)
+    defaulted.select(kept.map(col): _*)
+  }
 }

@@ -346,4 +346,31 @@ class IngestSpec extends AnyFunSuite {
     assert(head.sameElements(Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y',
       '\n', 0xFF.toByte, '\r', '\n', 0)))
   }
+
+  test("ALTER TABLE schema evolution: ADD COLUMN with default, DROP COLUMN, no rewrite") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // v1 files: (id, a)
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    val v1Files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    // ALTER TABLE ADD COLUMN b INT DEFAULT 7: later appends carry b
+    Seq((3L, "z", 9)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val out = graft.sources.Ingest
+      .readEvolved(spark, dir, defaults = Map("b" -> 7))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(out.toSeq == Seq(Seq(1L, "x", 7), Seq(2L, "y", 7), Seq(3L, "z", 9)),
+      out.mkString(","))
+    // old files untouched — ADD COLUMN was metadata-only
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    v1Files.foreach { case (n, ts) => assert(after(n) == ts, s"$n rewritten") }
+    // DROP COLUMN a: projection-on-read (attisdropped semantics)
+    val dropped = graft.sources.Ingest
+      .readEvolved(spark, dir, defaults = Map("b" -> 7), dropped = Seq("a"))
+    assert(dropped.columns.toSeq == Seq("id", "b"))
+    assert(dropped.count() == 3)
+  }
 }
