@@ -107,6 +107,39 @@ object CoreAgg extends QueryModule {
     // `src/backend/utils/adt/float.c`). Same rounding discipline as
     // q_agg_stats: r2 is 0..1 (round 6), moments are large sums with
     // ~1e-9 relative error (round 3).
+    // Deterministic mergeable quantile sketch — the hash-checkable
+    // sibling of approx_percentile (whose engine-internal digest bits
+    // can't cross engines), same discipline as q_hll_deterministic. A
+    // fixed 128-bin equi-width histogram over a declared domain is a
+    // bounded-state mergeable aggregate: partials are (bin, count) pairs
+    // (map-side combined), estimates interpolate within the covering bin.
+    // Every rank/interpolation arithmetic step is mirrored op-for-op in
+    // the oracle. 100 TB shape: state = 128 longs per group regardless
+    // of row count, one narrow shuffle.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val bins = 128; val hi = 110000.0
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      val hist = t(s, dir, "lineitem")
+        .withColumn("bin", least(floor(col("l_extendedprice") / hi * bins),
+          lit(bins - 1)).cast("int"))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+      val sp = s; import sp.implicits._
+      val qs = Seq(0.5, 0.95, 0.99).toDF("q")
+      hist.join(qs)
+        .filter(col("cum") >= col("q") * col("n") &&
+          (col("cum") - col("c")) < col("q") * col("n"))
+        .select(col("l_returnflag"), col("q"), col("n"),
+          round((col("bin") * lit(hi / bins)) +
+            (col("q") * col("n") - (col("cum") - col("c"))) / col("c") *
+              lit(hi / bins), 4).as("est"))
+        .orderBy(col("l_returnflag"), col("q"))
+    }),
+
     "q_regr_family" -> ((s, dir) => {
       val y = col("l_extendedprice"); val x = col("l_quantity")
       t(s, dir, "lineitem")
@@ -354,6 +387,27 @@ object CoreAgg extends QueryModule {
         |  ROUND(regr_intercept(l_extendedprice, l_quantity), 3) AS icpt_pq,
         |  regr_count(l_extendedprice, l_quantity) AS n_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(least(floor(l_extendedprice / 110000.0 * 128), 127) AS INT)
+        |      AS bin,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, bin),
+        |cum AS (
+        |  SELECT l_returnflag, bin, c,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM h),
+        |qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+        |SELECT l_returnflag, q, n,
+        |  ROUND((bin * (110000.0 / 128)) +
+        |    (q * n - (cum - c)) / c * (110000.0 / 128), 4) AS est
+        |FROM cum, qs
+        |WHERE cum >= q * n AND (cum - c) < q * n
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     "q_regr_family" ->
       """SELECT l_returnflag,
