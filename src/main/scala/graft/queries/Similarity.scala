@@ -206,6 +206,89 @@ object Similarity extends QueryModule {
     // Per-vector symmetric scale = max|x| / 127; reports the scale, the
     // max reconstruction error, and an integer checksum of the codes —
     // all per-row map-side expressions, no shuffle at all.
+    // Product quantization + ADC (Jégou et al. 2011, "Product
+    // quantization for nearest neighbor search" — the standard
+    // billion-vector ANN compression; the reference's closest surface is
+    // the same MADlib-on-GP k-means niche the IVF query mirrors).
+    // 64-dim -> 8 subspaces x 16-centroid codebooks -> 8 codes/vector
+    // (32x compression: the ONLY per-vector state the scoring join
+    // touches is 8 small ints). Codebooks fit with the same seeded
+    // micros-stabilized Lloyd as s_ann_ivf_topk, per subspace, 2
+    // iterations — bit-reproducible, so the DuckDB oracle unrolls the
+    // identical fit. Queries stay EXACT (asymmetric distance): per
+    // (query, subspace) a 16-entry LUT of `|c|^2 - 2 q_m . c` terms
+    // (the constant |q_m|^2 drops out of ranking); ADC distance = sum of
+    // 8 LUT hits, accumulated as exact micros so summation order can't
+    // smear the hash. 100 TB shape: codebook state = 1024 doubles on the
+    // driver; the corpus contributes only (vec_id, m, code) triples;
+    // queries broadcast; one narrow (qid, nid) shuffle.
+    "s_ann_pq_adc" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val M = 8; val Sub = 8; val K = 16
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val subCol = array((0 until M).map(m =>
+        struct(lit(m).as("m"), slice(col("v"), m * Sub + 1, Sub).as("sv"))): _*)
+      val sub = e.select(col("vec_id"), explode(subCol).as("p"))
+        .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+      // seed codebooks from the K lowest-vec_id vectors' sub-vectors
+      val seedIds = e.orderBy(col("vec_id")).limit(K).collect().map(_.getLong(0))
+      val rankOf = seedIds.sorted.zipWithIndex.toMap
+      var cb: Array[Array[Array[Double]]] = {
+        val arr = Array.ofDim[Array[Double]](M, K)
+        sub.filter(col("vec_id").isin(seedIds: _*)).collect().foreach { r =>
+          arr(r.getInt(1))(rankOf(r.getLong(0))) = r.getSeq[Double](2).toArray
+        }
+        arr
+      }
+      def subDist(c: Array[Double]): Column =
+        lit(c.map(x => x * x).sum) -
+          lit(2.0) * call_function("vec_dot", col("sv"), array(c.map(lit(_)): _*))
+      // per-row argmin for the row's own subspace (ties -> lowest code)
+      def codeCol(cbNow: Array[Array[Array[Double]]]): Column =
+        (0 until M).foldLeft(lit(-1): Column) { case (acc, m) =>
+          when(col("m") === m,
+            array_min(array((0 until K).map(k =>
+              struct(subDist(cbNow(m)(k)).as("d"), lit(k).as("i"))): _*))
+              .getField("i"))
+            .otherwise(acc)
+        }
+      for (_ <- 1 to 2) {
+        val upd = sub
+          .select(col("m"), codeCol(cb).as("k"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("m"), col("k"), col("pos"))
+          .agg((sum(round(col("x") * 1000000.0, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1000000.0).as("mn"))
+          .collect()  // M x K x Sub = 1024 rows — codebook state only
+        val next = cb.map(_.map(_.clone()))
+        upd.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+        cb = next  // empty codes keep their previous centroid
+      }
+      val codes = sub.select(col("vec_id"), col("m"), codeCol(cb).as("code"))
+      // asymmetric LUT per (query, subspace): K ranking terms
+      val lut = (0 until M).foldLeft(
+        array((0 until K).map(_ => lit(0.0)): _*)) { case (acc, m) =>
+        when(col("m") === m,
+          array((0 until K).map(k => subDist(cb(m)(k))): _*)).otherwise(acc)
+      }
+      val q = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("m").as("qm"), lut.as("lut"))
+      val scored = codes
+        .join(broadcast(q), col("m") === col("qm") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(element_at(col("lut"), col("code") + 1) * 1000000.0, 0)
+            .cast("long").as("term_u"))
+        .groupBy(col("qid"), col("nid"))
+        .agg((sum(col("term_u")).cast("double") / 1000000.0).as("adc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("adc"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "s_quantize_int8" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -256,6 +339,29 @@ object Similarity extends QueryModule {
   private def ivfDistSql(vec: String, cen: String): String =
     s"list_reduce(list_prepend(0.0, $cen), (acc, x) -> acc + x * x)" +
       s" - 2 * list_dot_product($vec, $cen)"
+
+  /** One unrolled PQ Lloyd iteration over ALL subspaces at once: assign
+    * every (vector, subspace) row to its nearest `prev` code of that
+    * subspace (ties -> lowest code), rebuild per-(m, k) centroids as
+    * micros-sum / n / 1e6; empty codes keep their previous centroid.
+    * Mirrors the Spark fit op-for-op, like [[ivfIterSql]]. */
+  private def pqIterSql(prev: String, cur: String): String =
+    s"""pa_$cur AS (
+       |  SELECT vec_id, m, sv, k FROM (
+       |    SELECT s.vec_id, s.m, s.sv, c.k,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${ivfDistSql("s.sv", "c.c")}, c.k) AS rk
+       |    FROM sub s JOIN $prev c ON s.m = c.m) WHERE rk = 1),
+       |pm_$cur AS (
+       |  SELECT m, k, i.i AS pos,
+       |    CAST(SUM(CAST(round(sv[i.i + 1] * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / COUNT(*) / 1000000.0 AS mn
+       |  FROM pa_$cur, (SELECT unnest(range(0, 8)) AS i) i
+       |  GROUP BY m, k, i.i),
+       |pl_$cur AS (SELECT m, k, list(mn ORDER BY pos) AS c
+       |  FROM pm_$cur GROUP BY m, k),
+       |$cur AS (SELECT p.m, p.k, COALESCE(l.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN pl_$cur l ON p.m = l.m AND p.k = l.k)""".stripMargin
 
   /** One unrolled Lloyd iteration: assign every vector to its nearest
     * `prev` centroid (ties -> lowest cell, like the struct-min), then
@@ -369,6 +475,47 @@ object Similarity extends QueryModule {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
          |  FROM scored)
          |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // the same seeded 2-iteration per-subspace Lloyd as the Spark PQ fit,
+    // unrolled; queries stay exact, ADC terms micros-summed
+    "s_ann_pq_adc" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, mm.m AS m,
+         |    v[mm.m * 8 + 1 : mm.m * 8 + 8] AS sv
+         |  FROM e, (SELECT CAST(unnest(range(0, 8)) AS INT) AS m) mm),
+         |pq0 AS (
+         |  SELECT m,
+         |    CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+         |      AS INT) AS k,
+         |    sv AS c
+         |  FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+         |${pqIterSql("pq0", "pq1")},
+         |${pqIterSql("pq1", "pq2")},
+         |enc AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${ivfDistSql("s.sv", "c.c")}, c.k) AS rk
+         |    FROM sub s JOIN pq2 c ON s.m = c.m) WHERE rk = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS qid, s.m, c.k,
+         |    ${ivfDistSql("s.sv", "c.c")} AS term
+         |  FROM sub s JOIN pq2 c ON s.m = c.m WHERE s.vec_id < 8),
+         |score AS (
+         |  SELECT l.qid, t.vec_id AS nid,
+         |    CAST(SUM(CAST(round(l.term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS adc
+         |  FROM enc t JOIN lut l
+         |    ON t.m = l.m AND t.code = l.k AND t.vec_id <> l.qid
+         |  GROUP BY l.qid, t.vec_id),
+         |ranked AS (
+         |  SELECT qid, nid, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+         |  FROM score)
+         |SELECT qid, CAST(rk AS INT) AS rk, nid, adc FROM ranked
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "s_quantize_int8" ->
