@@ -312,6 +312,47 @@ object Ingest {
     replaceTable(spark, sorted, path)
   }
 
+  /** Morton (Z-order) interleave of two columns already normalized to
+    * [0, 2^16): 16 bits each, LSB-first, `a` on even positions. Pure bit
+    * arithmetic, stays in whole-stage codegen. */
+  def zValue(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** CLUSTER ... USING zorder — multi-column physical layout (§2 maps the
+    * reference's composite-index point lookups, `nodeIndexscan.c`, to
+    * "Parquet min/max + Z-order"; this is that Z-order). Linear sort
+    * gives the leading column disjoint per-file ranges but lets every
+    * other column span the full domain in EVERY file; interleaving the
+    * key bits bounds each file to a small rectangle in (a, b) space, so
+    * min/max footer stats prune selective filters on EITHER column —
+    * the executor-side analogue of a composite B-tree, with no index.
+    *
+    * Each column is min/max-normalized to a common 16-bit domain before
+    * interleaving — raw interleave would let the wider-domain column's
+    * high bits dominate the curve and starve the narrow column of any
+    * locality (a partkey spanning 2^11 against a suppkey spanning 2^4
+    * degenerates to a plain partkey sort). The min/max pass is one tiny
+    * aggregate; Delta's OPTIMIZE ZORDER makes the same normalization via
+    * per-column range ids. */
+  def rewriteZOrder(spark: SparkSession, path: String, numFiles: Int,
+                    colA: String, colB: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    def norm(c: String, lo: Long, hi: Long): Column =
+      ((col(c).cast("long") - lo) * 65535L / math.max(hi - lo, 1L))
+    val z = df.withColumn("__z",
+        zValue(norm(colA, r.getLong(0), r.getLong(1)),
+               norm(colB, r.getLong(2), r.getLong(3))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    replaceTable(spark, z, path)
+  }
+
   /** VACUUM/compaction (the AO-segment compaction half of
     * `/root/reference/src/backend/commands/vacuum.c` — reclaim the
     * small-file debris that micro-batch ingest and partition-scoped DML

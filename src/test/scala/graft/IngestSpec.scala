@@ -373,4 +373,43 @@ class IngestSpec extends AnyFunSuite {
     assert(dropped.columns.toSeq == Seq("id", "b"))
     assert(dropped.count() == 3)
   }
+
+  test("Z-order layout prunes on BOTH key columns; linear sort only on the leading one") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.t(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val linDir = java.nio.file.Files.createTempDirectory("zlin").toString
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString
+    src.write.mode("overwrite").parquet(linDir)
+    src.write.mode("overwrite").parquet(zDir)
+    graft.sources.Ingest.rewriteSorted(spark, linDir, 16, "l_partkey")
+    graft.sources.Ingest.rewriteZOrder(spark, zDir, 16, "l_partkey", "l_suppkey")
+
+    // per-file (min,max) boxes straight from the written files
+    def boxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min("l_partkey"), max("l_partkey"),
+              min("l_suppkey"), max("l_suppkey")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    val lin = boxes(linDir); val zo = boxes(zDir)
+    assert(lin.size == 16 && zo.size == 16)
+    // a selective stripe on the NON-leading suppkey column: every linear
+    // file spans the whole suppkey domain, so nothing prunes; z-order
+    // boxes are rectangles, so a good fraction of files fall away
+    val (sLo, sHi) = (1L, 2L)
+    def hits(bs: Seq[(Long, Long, Long, Long)]) =
+      bs.count { case (_, _, lo, hi) => hi >= sLo && lo <= sHi }
+    assert(hits(lin) == 16, s"linear layout should not prune suppkey: ${hits(lin)}")
+    assert(hits(zo) <= 12, s"z-order should prune suppkey stripes: ${hits(zo)}")
+    // and the leading column still prunes under z-order (coarser than
+    // the perfectly-disjoint linear ranges, but far from nothing)
+    val (pLo, pHi) = (1L, 10L)
+    val pHits = zo.count { case (lo, hi, _, _) => hi >= pLo && lo <= pHi }
+    assert(pHits <= 12, s"z-order should prune partkey stripes too: $pHits")
+    // layouts hold identical data
+    assert(spark.read.parquet(zDir).count() == src.count())
+  }
 }
