@@ -22,7 +22,16 @@ class DeterminismSpec extends AnyFunSuite {
     "s_ann_ivf_topk",         // micros-stabilized Lloyd iterations
     "d_dedup_embedding_lsh",  // in-bucket kernel + fixed-order dot products
     "d_dedup_cluster_assign_near", // min-label CC: iteration-order-free fixpoint
-    "d_pack_greedy")          // per-source ordered state machine, O(1) state
+    "d_pack_greedy",          // per-source ordered state machine, O(1) state
+    // r7 additions, each leaning on the same conventions:
+    "q_linreg_fit",           // 9 exact moment sums + mirrored Cramer solve
+    "s_ann_pq_adc",           // micros-Lloyd codebooks + micros-summed ADC
+    "q_quantile_sketch",      // histogram counts + mirrored interpolation
+    "v_svec_sum_by_label")    // nnz-triple shuffle + micros sums
+    // (q_eager_agg deliberately NOT here: it builds a child session, so
+    // the parent-session parallelism override would never reach it and
+    // the invariance claim would be vacuous; XformRulesSpec proves its
+    // rule-on/rule-off equality instead)
 
   private def run(name: String): Seq[Seq[Any]] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
