@@ -165,12 +165,14 @@ class PlanSpec extends AnyFunSuite {
   test("no corpus-sized driver collect in the pipeline operators") {
     // the scale contract from VERDICT r1: candidate generation and kernels
     // run executor-side; the only driver round-trips allowed are K-bounded
-    // (IVF centroid state). Dedup must be collect-free; Similarity may keep
-    // exactly its two K-bounded centroid collects.
+    // (centroid/codebook state). Dedup must be collect-free; Similarity
+    // may keep exactly its five K-bounded collects: IVF seed + per-iter
+    // centroid update (2), PQ seed ids (16 longs) + seed sub-vectors
+    // (M x K rows) + per-iter codebook update (M x K x Sub = 1024 rows).
     def src(f: String): String = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"src/main/scala/graft/queries/$f")))
     assert(!src("Dedup.scala").contains(".collect()"))
-    assert(".collect()".r.unanchored.findAllMatchIn(src("Similarity.scala")).size <= 2)
+    assert(".collect()".r.unanchored.findAllMatchIn(src("Similarity.scala")).size <= 5)
   }
 
   test("persist() serves rescans from memory (Material/tuplestore analogue)") {
