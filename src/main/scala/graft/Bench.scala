@@ -27,7 +27,7 @@ object Bench {
     "d_dedup_embedding_lsh",
     "s_ann_bruteforce_topk", "s_ann_ivf_topk",
     "m_decode_features", "q_to_char_patterns", "t_fingerprint",
-    "t_vocab_topk", "v_svec_dot_topk")
+    "t_vocab_topk", "v_svec_dot_topk", "s_ann_pq_adc")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —

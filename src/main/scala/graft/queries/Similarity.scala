@@ -229,8 +229,15 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val subCol = array((0 until M).map(m =>
         struct(lit(m).as("m"), slice(col("v"), m * Sub + 1, Sub).as("sv"))): _*)
+      // persisted: the fit re-reads these rows once per Lloyd iteration
+      // plus encode + query-LUT — 4 passes over an 8x-exploded corpus.
+      // M x Sub doubles per vector = one corpus copy; it stays cached for
+      // the session (CacheManager dedups re-invocations by canonical
+      // plan), which is the codebook-training reality anyway — you fit
+      // once and score many times.
       val sub = e.select(col("vec_id"), explode(subCol).as("p"))
         .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+        .persist()
       // seed codebooks from the K lowest-vec_id vectors' sub-vectors
       val seedIds = e.orderBy(col("vec_id")).limit(K).collect().map(_.getLong(0))
       val rankOf = seedIds.sorted.zipWithIndex.toMap
