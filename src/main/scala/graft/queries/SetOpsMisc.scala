@@ -145,6 +145,25 @@ object SetOpsMisc extends QueryModule {
         .orderBy(col("m"))
     }),
 
+    // ROWS FROM (f1(), f2()) — PostgreSQL zips multiple set-returning
+    // functions positionally, padding the shorter with NULLs
+    // (`/root/reference/src/backend/executor/nodeFunctionscan.c:84`
+    // SFRM_Materialize multi-function case; tests `sql/rangefuncs.sql`).
+    // Spark-first: arrays_zip IS that positional zip-with-null-padding;
+    // posexplode supplies WITH ORDINALITY.
+    "q_rows_from" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") <= 30)
+        .select(col("o_orderkey"),
+          posexplode(arrays_zip(
+            // series of different lengths per row: 1..(k%4+1) and squares 1..(k%3+1)
+            expr("sequence(1, CAST(o_orderkey % 4 + 1 AS INT))"),
+            expr("transform(sequence(1, CAST(o_orderkey % 3 + 1 AS INT)), x -> x * x)")))
+            .as(Seq("ord0", "z")))
+        .select(col("o_orderkey"), (col("ord0") + 1).cast("int").as("ordinality"),
+          col("z.0").cast("long").as("n"), col("z.1").cast("long").as("sq"))
+        .orderBy(col("o_orderkey"), col("ordinality"))
+    }),
+
     "q_date_series_explode" -> ((s, dir) => {
       // FunctionScan: per-row set-returning function (ProjectSet).
       t(s, dir, "region")
@@ -302,6 +321,20 @@ object SetOpsMisc extends QueryModule {
         |  CAST(date_diff('day', make_date(1997, m, 1),
         |       last_day(make_date(1997, m, 1))) + 1 AS INT) AS days_in_month
         |FROM (SELECT unnest(range(1, 13)) AS m) ORDER BY m""".stripMargin,
+
+    "q_rows_from" ->
+      """WITH d AS (SELECT o_orderkey,
+        |    range(1, CAST(o_orderkey % 4 + 1 AS INT) + 1) AS l1,
+        |    [x * x for x in range(1, CAST(o_orderkey % 3 + 1 AS INT) + 1)]
+        |      AS l2
+        |  FROM orders WHERE o_orderkey <= 30),
+        |z AS (SELECT o_orderkey,
+        |    unnest(list_zip(l1, l2)) AS p,
+        |    unnest(range(1, greatest(len(l1), len(l2)) + 1)) AS o
+        |  FROM d)
+        |SELECT o_orderkey, CAST(o AS INT) AS ordinality,
+        |  CAST(p[1] AS BIGINT) AS n, CAST(p[2] AS BIGINT) AS sq
+        |FROM z ORDER BY o_orderkey, ordinality""".stripMargin,
 
     "q_date_series_explode" ->
       """SELECT r_regionkey, CAST(d AS DATE) AS d

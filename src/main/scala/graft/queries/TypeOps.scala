@@ -142,6 +142,22 @@ object TypeOps extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // LIKE ANY / LIKE ALL quantified pattern lists — the GP extension
+    // (`/root/reference/src/backend/parser/gram.y` a_expr LIKE ANY/ALL
+    // productions; PG scalar-array-op path `scalararrayop`): Spark SQL
+    // carries the same syntax natively; the oracle expands the quantifier
+    // into the OR/AND normal form, which pins the semantics rather than
+    // the parser.
+    "q_like_quantified" -> ((s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 400)
+        .select(col("p_partkey"), col("p_name"),
+          expr("p_name LIKE ANY ('%widget%', '%bolt%')").as("any_hit"),
+          expr("p_name LIKE ALL ('%e%', '%l%')").as("all_hit"),
+          expr("p_name NOT LIKE ANY ('%blue%', '%cold%')").as("not_any"),
+          expr("p_name NOT LIKE ALL ('%blue%', '%cold%')").as("not_all"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // SQL-standard SIMILAR TO dialect (similar_escape, regexp.c:687-775):
     // LIKE wildcards + POSIX operators, whole-string match, `.` literal.
     // Translated plan-side by SimilarTo.toRegex into an anchored rlike
@@ -240,6 +256,14 @@ object TypeOps extends QueryModule {
         |  ('100%_' || c_mktsegment) LIKE '100%' ESCAPE '\' AS esc_prefix,
         |  NOT (c_name LIKE '%Z%') AS not_like
         |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+
+    "q_like_quantified" ->
+      """SELECT p_partkey, p_name,
+        |  (p_name LIKE '%widget%' OR p_name LIKE '%bolt%') AS any_hit,
+        |  (p_name LIKE '%e%' AND p_name LIKE '%l%') AS all_hit,
+        |  (p_name NOT LIKE '%blue%' OR p_name NOT LIKE '%cold%') AS not_any,
+        |  (p_name NOT LIKE '%blue%' AND p_name NOT LIKE '%cold%') AS not_all
+        |FROM part WHERE p_partkey <= 400 ORDER BY p_partkey""".stripMargin,
 
     // regexes hand-derived from the SQL-dialect patterns (NOT produced by
     // the Scala translator) — see the query comment
