@@ -57,7 +57,10 @@ object Bench {
       }
       val ok = times.filter(_._2 >= 0)
       val sec = if (ok.isEmpty) None else Some(ok.map(_._1).min)
-      System.err.println(f"[bench] ${dir.split('/').last}/$name%-28s ${sec.fold("FAILED")(s => f"$s%8.3f s")}  rows=${times.last._2}")
+      // rows from the same run set that produced sec — times.last could
+      // pair a valid min with a transiently-failed final run's rows=-1
+      val rows = ok.lastOption.map(_._2).getOrElse(-1)
+      System.err.println(f"[bench] ${dir.split('/').last}/$name%-28s ${sec.fold("FAILED")(s => f"$s%8.3f s")}  rows=$rows")
       name -> sec
     }
 

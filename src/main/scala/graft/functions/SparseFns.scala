@@ -113,7 +113,14 @@ object SparseFns {
       expr(s"transform($nz, p -> cast(p.x as double))").as("vals"))
   }
 
-  /** svec -> dense array<double> (`svec_return_array`). */
+  /** svec -> dense array<double> (`svec_return_array`).
+    *
+    * COST NOTE: higher-order lambdas don't hoist loop-invariant
+    * subexpressions, so the map literal is rebuilt per output element —
+    * O(dim x nnz) per row. Fine for the audit/test surface this serves;
+    * the hot path is [[SparseDot]], which never densifies. A bulk
+    * densify at scale should stage `map_from_arrays` in its own column
+    * and transform over that. */
   def toDense(svec: String): Column =
     expr(s"transform(sequence(0, $svec.dim - 1), " +
       s"d -> coalesce(element_at(map_from_arrays($svec.idx, $svec.vals), d), 0d))")
@@ -131,7 +138,11 @@ object SparseFns {
 
   /** Elementwise sum of two svecs (`svec_plus` / `+`): key-union via
     * map_zip_with, then re-canonicalize (ascending idx, zeros dropped —
-    * a + (-a) annihilates like the reference's sparse add). */
+    * a + (-a) annihilates like the reference's sparse add). Same cost
+    * note as [[toDense]]: the zipped map is re-derived inside each
+    * lambda (O(nnz^2) per row) — correct and fine at the demo/spec
+    * surface; a scale path would stage the map once or merge in a
+    * custom expression like [[SparseDot]]. */
   def plus(a: String, b: String): Column = {
     val m = s"map_zip_with(map_from_arrays($a.idx, $a.vals), " +
       s"map_from_arrays($b.idx, $b.vals), " +

@@ -27,10 +27,12 @@ object ExplainAnalyze {
     "numFiles" -> "files",
     "numPartitions" -> "parts")
 
-  /** Execute `df` (count-discarding collect) and return the annotated
-    * plan text. */
+  /** Execute `df` and return the annotated plan text. Rows are discarded
+    * EXECUTOR-side (the reference's EXPLAIN ANALYZE discards tuples too)
+    * — a collect here would pull the full result onto the driver just to
+    * populate metrics. */
   def analyze(df: DataFrame): String = {
-    df.collect()
+    df.queryExecution.toRdd.foreach(_ => ())
     render(df.queryExecution.executedPlan)
   }
 

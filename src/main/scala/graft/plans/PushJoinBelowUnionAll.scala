@@ -53,7 +53,12 @@ object PushJoinBelowUnionAllRule extends Rule[LogicalPlan] {
     u.byName == false && u.children.size >= 2 &&
       u.children.size <= MaxBranches &&
       !other.isInstanceOf[Union] &&
-      cond.forall(c => !SubqueryExpression.hasSubquery(c))
+      cond.forall(c => !SubqueryExpression.hasSubquery(c)) &&
+      // the positional rebind is a Map keyed by exprId: a union output
+      // that repeats an attribute (SELECT k, k UNION ALL ...) would keep
+      // only the last position and rebind the condition to the wrong
+      // branch column — skip rather than mis-join
+      u.output.map(_.exprId).distinct.size == u.output.size
 
   /** Per-branch copy of the join with union-output refs re-pointed at the
     * branch child's positionally-matching attributes. */

@@ -342,8 +342,13 @@ object Ingest {
     val df = spark.read.parquet(path)
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // scale in DOUBLE: the integer form ((x-lo) * 65535) overflows Long
+    // once the domain exceeds ~1.4e14 (epoch-micros ranges qualify) and
+    // would silently scramble the curve; double keeps 52 bits of the
+    // offset, far beyond the 16 bits the interleave consumes
     def norm(c: String, lo: Long, hi: Long): Column =
-      ((col(c).cast("long") - lo) * 65535L / math.max(hi - lo, 1L))
+      ((col(c).cast("double") - lo) * 65535.0 / math.max(hi - lo, 1L))
+        .cast("long")
     val z = df.withColumn("__z",
         zValue(norm(colA, r.getLong(0), r.getLong(1)),
                norm(colB, r.getLong(2), r.getLong(3))))
@@ -399,7 +404,10 @@ object Ingest {
                   dropped: Seq[String] = Nil): DataFrame = {
     val df = spark.read.option("mergeSchema", "true").parquet(path)
     val defaulted = defaults.foldLeft(df) { case (d, (c, v)) =>
-      d.withColumn(c, coalesce(col(c), lit(v)))
+      // the column may not exist in ANY file yet — ADD COLUMN is visible
+      // immediately in the reference, before the first new-schema insert
+      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), lit(v)))
+      else d.withColumn(c, lit(v))
     }
     val kept = defaulted.columns.filterNot(dropped.contains)
     defaulted.select(kept.map(col): _*)

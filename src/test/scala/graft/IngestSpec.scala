@@ -355,6 +355,12 @@ class IngestSpec extends AnyFunSuite {
       .write.mode("append").parquet(dir)
     val v1Files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    // ADD COLUMN is visible IMMEDIATELY — before any new-schema file
+    // exists, every row already reads the declared default
+    val pre = graft.sources.Ingest
+      .readEvolved(spark, dir, defaults = Map("b" -> 7))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(pre.toSeq == Seq(Seq(1L, "x", 7), Seq(2L, "y", 7)), pre.mkString(","))
     // ALTER TABLE ADD COLUMN b INT DEFAULT 7: later appends carry b
     Seq((3L, "z", 9)).toDF("id", "a", "b")
       .write.mode("append").parquet(dir)

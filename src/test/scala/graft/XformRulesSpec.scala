@@ -139,6 +139,30 @@ class XformRulesSpec extends AnyFunSuite {
     }
   }
 
+  test("a column selected twice into the union still distributes correctly") {
+    // the analyzer aliases a repeated output column to a fresh exprId,
+    // so the positional rebind stays unambiguous and distribution is
+    // legal; the rule's duplicate-exprId guard covers only plans built
+    // OUTSIDE the analyzer (other rules), which can't arise from the
+    // DataFrame API. Prove the distributed result equals the rule-off
+    // result for this shape.
+    def shape(s: org.apache.spark.sql.SparkSession): DataFrame = {
+      val c = Tables.t(s, sf, "customer")
+      val u = c.select(col("c_custkey"), col("c_custkey"))
+        .unionAll(c.select(col("c_custkey"), col("c_custkey")))
+      val ord = Tables.t(s, sf, "orders").select(col("o_custkey"))
+      u.join(ord, u(u.columns.head) === ord("o_custkey"))
+    }
+    val on = withRules(PushJoinBelowUnionAllRule.ConfKey -> "true") { s =>
+      val df = shape(s)
+      assert(joinsInPlan(df.queryExecution.optimizedPlan).size == 2)
+      sortedRows(df)
+    }
+    val off = withRules(PushJoinBelowUnionAllRule.ConfKey -> "false")(
+      s => sortedRows(shape(s)))
+    assert(on == off)
+  }
+
   test("join over UNION ALL preserves results") {
     val off = withRules(PushJoinBelowUnionAllRule.ConfKey -> "false")(
       s => sortedRows(unionShape(s)))
