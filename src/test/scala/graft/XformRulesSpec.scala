@@ -108,6 +108,19 @@ class XformRulesSpec extends AnyFunSuite {
     }
   }
 
+  test("eager agg guards: decimal sums are not pushed (re-aggregation would widen precision)") {
+    withRules(EagerAggRule.ConfKey -> "true") { s =>
+      val li = Tables.t(s, sf, "lineitem")
+      val ord = Tables.t(s, sf, "orders")
+      val dec = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(ord("o_orderpriority"))
+        .agg(sum(li("l_quantity").cast("decimal(12,2)")).as("s"))
+      assert(aggsInPlan(dec.queryExecution.optimizedPlan).size == 1,
+        "decimal sum must not be pushed: sum(decimal(p,s)) widens to " +
+          "decimal(p+10,s) and re-aggregating would change the result type")
+    }
+  }
+
   test("eager agg stays off without the conf") {
     withRules() { s =>
       assert(aggsInPlan(eagerShape(s).queryExecution.optimizedPlan).size == 1)
