@@ -26,6 +26,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean IVF recall $mean too low")
   }
 
+  test("PQ ADC top-3 recalls a meaningful share of exact-L2 top-10") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFns.register(spark)
+    // exact L2 reference (PQ approximates L2, NOT cosine — comparing it
+    // against the cosine brute-force query would confound the metric)
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("vec_norm_sq(v)"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (col("qn") + col("n2") - lit(2.0) * expr("vec_dot(qv, v)")).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val pq = topkSet("s_ann_pq_adc", 3)
+    assert(pq.nonEmpty)
+    val recalls = pq.keys.toSeq.map { k =>
+      pq(k).intersect(exact.getOrElse(k, Set.empty)).size / 3.0
+    }
+    val mean = recalls.sum / recalls.size
+    // 8 bytes/vector at 32x compression on weakly-clustered random data:
+    // well above chance (top-10/corpus ~ a few %), below exact by design
+    assert(mean >= 0.3, s"mean PQ recall $mean too low")
+  }
+
   test("LSH bucketed top-k agrees with brute force on shared candidates") {
     val exact = topkSet("s_ann_bruteforce_topk", 5)
     val lsh = SparkEntry.queries("s_ann_lsh_topk")(spark, sf).collect()
