@@ -142,6 +142,16 @@ object Bench {
     // lines; printing last keeps the JSON as the final (and, at ERROR
     // level, only) stdout content for the driver's structural parse.
     spark.stop()
+    // sbt decorates stdout ("[info] {...}"), which defeats a structural
+    // JSON parse of the captured output — ALSO write the bare line to a
+    // file the harness can read verbatim.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     println(line)
   }
 }

@@ -151,7 +151,11 @@ object EagerAggRule extends Rule[LogicalPlan] {
                                       Complete, isDistinct = false),
                   Literal(0L)))
               case Average(child, _) =>
-                val s = partial(Sum(child), "_ps")
+                // accumulate the partial in DoubleType — Average's own
+                // sumDataType for non-decimal input — so an integral child
+                // can't overflow-wrap a LongType Sum partial (wrong avg in
+                // legacy mode / ANSI error the un-rewritten plan never hits)
+                val s = partial(Sum(Cast(child, DoubleType)), "_ps")
                 val n = partial(Count(Seq(child)), "_pc")
                 val sumS = AggregateExpression(Sum(s), Complete, isDistinct = false)
                 val sumN = AggregateExpression(Sum(n), Complete, isDistinct = false)

@@ -54,6 +54,12 @@ object PushJoinBelowUnionAllRule extends Rule[LogicalPlan] {
       u.children.size <= MaxBranches &&
       !other.isInstanceOf[Union] &&
       cond.forall(c => !SubqueryExpression.hasSubquery(c)) &&
+      // duplicating `other` into every branch re-evaluates it per branch:
+      // a nondeterministic subtree (rand() filter, sample, nondet UDF)
+      // would yield different rows per copy than the single join saw —
+      // same guard Spark's own duplicating rules apply
+      other.find(p => !p.expressions.forall(_.deterministic)).isEmpty &&
+      cond.forall(_.deterministic) &&
       // the positional rebind is a Map keyed by exprId: a union output
       // that repeats an attribute (SELECT k, k UNION ALL ...) would keep
       // only the last position and rebind the condition to the wrong

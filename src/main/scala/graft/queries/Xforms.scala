@@ -77,7 +77,7 @@ object Xforms extends QueryModule {
       """SELECT o_orderpriority,
         |       min(l_shipdate) AS min_ship,
         |       max(l_shipdate) AS max_ship,
-        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       count(*) AS n_rows,
         |       round(avg(CAST(l_quantity AS BIGINT)), 4) AS avg_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -151,7 +151,7 @@ object XmlOps extends QueryModule {
         |  FROM ranked GROUP BY l_orderkey)
         |SELECT o_orderkey, o_orderstatus AS status, o_custkey AS cust,
         |  coalesce(n_items, 0) AS n_items,
-        |  coalesce(total_qty, 0) AS total_qty,
+        |  CAST(coalesce(total_qty, 0) AS BIGINT) AS total_qty,
         |  CAST(coalesce(first_qty, 0) AS BIGINT) AS first_qty,
         |  CAST(coalesce(first_ln, 0) AS INT) AS first_ln,
         |  coalesce(has_return, false) AS has_return

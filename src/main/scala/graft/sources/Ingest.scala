@@ -398,7 +398,16 @@ object Ingest {
     * the declared default via coalesce. Nothing is rewritten.
     * DROP COLUMN is projection-on-read (the reference, too, only marks
     * the attribute dropped — `attisdropped` — and filters it out of
-    * every scan; physical reclamation waits for a table rewrite). */
+    * every scan; physical reclamation waits for a table rewrite).
+    *
+    * Known delta vs the reference: the coalesce-over-merged-scan default
+    * cannot distinguish "column absent from a pre-ADD file" from "explicit
+    * NULL written after ADD COLUMN" — a new-schema row inserted with the
+    * column explicitly NULL reads back as the default, where tablecmds.c
+    * fills the default only for pre-existing rows. Distinguishing them
+    * needs per-file schema tagging (input_file_name × footer schema);
+    * accepted for now since writers here never store explicit NULLs into
+    * defaulted evolved columns. */
   def readEvolved(spark: SparkSession, path: String,
                   defaults: Map[String, Any] = Map.empty,
                   dropped: Seq[String] = Nil): DataFrame = {

@@ -121,6 +121,22 @@ class XformRulesSpec extends AnyFunSuite {
     }
   }
 
+  test("eager agg accumulates an integral avg partial in DoubleType (Average's own sumDataType)") {
+    withRules(EagerAggRule.ConfKey -> "true") { s =>
+      val plan = eagerShape(s).queryExecution.optimizedPlan
+      // the lower aggregate is the one with no aggregate beneath it
+      val lowerAgg = aggsInPlan(plan).find(a => aggsInPlan(a.child).isEmpty).get
+      val avgPartial = lowerAgg.aggregateExpressions.collectFirst {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if al.name.endsWith("_ps") => al
+      }
+      assert(avgPartial.isDefined, s"no avg sum-partial in lower agg:\n$plan")
+      assert(avgPartial.get.dataType == org.apache.spark.sql.types.DoubleType,
+        "a LongType partial could overflow-wrap where vanilla Average " +
+          s"(double accumulator) would not: ${avgPartial.get.dataType}")
+    }
+  }
+
   test("eager agg stays off without the conf") {
     withRules() { s =>
       assert(aggsInPlan(eagerShape(s).queryExecution.optimizedPlan).size == 1)
@@ -182,6 +198,23 @@ class XformRulesSpec extends AnyFunSuite {
     val on = withRules(PushJoinBelowUnionAllRule.ConfKey -> "true")(
       s => sortedRows(unionShape(s)))
     assert(on == off)
+  }
+
+  test("a nondeterministic non-union side must not distribute") {
+    // duplicating `other` into each branch would re-draw rand() per copy —
+    // the distributed plan could keep different order rows per branch
+    withRules(PushJoinBelowUnionAllRule.ConfKey -> "true") { s =>
+      val c = Tables.t(s, sf, "customer")
+      val u = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .unionAll(c.filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey")))
+      val ord = Tables.t(s, sf, "orders")
+        .filter(rand(7) < 0.5).select(col("o_custkey"))
+      val j = u.join(ord, u("c_custkey") === ord("o_custkey"))
+      assert(joinsInPlan(j.queryExecution.optimizedPlan).size == 1,
+        "nondeterministic other side must keep the single join")
+    }
   }
 
   test("left outer join distributes only when the union is the preserved side") {
