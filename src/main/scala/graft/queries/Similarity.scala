@@ -56,6 +56,140 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("v"), col("bucket"))
   }
 
+  // ---- product-quantization machinery ----------------------------------
+  // Shared by s_ann_pq_adc (in-plan full-corpus fit, the oracle-parity
+  // lane) and s_ann_pq_score (sampled fit / fit-once persisted store, the
+  // production lane). Jégou et al. 2011.
+  private val PqM = 8; private val PqSubDim = 8; private val PqK = 16
+
+  /** Deterministic training sample for the sampled-fit lane: every 16th
+    * vector. Static, so the DuckDB oracle selects the identical sample —
+    * and the honest production choice: PQ codebooks are trained on a
+    * learning subset, never the full indexed corpus. */
+  private val PqSampleMod = 16L
+
+  /** (vec_id, m, sv): the corpus exploded into PqM subvectors per row. */
+  private def pqSub(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val subCol = array((0 until PqM).map(m =>
+      struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
+    e.select(col("vec_id"), explode(subCol).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+  }
+
+  /** Ranking-equivalent distance of the row's `sv` to centroid c:
+    * `|c|^2 - 2 sv.c` — the row's own |sv|^2 is constant per row and
+    * drops out of every argmin/ranking this is used in. */
+  private def pqSubDist(c: Array[Double]): Column =
+    lit(c.map(x => x * x).sum) -
+      lit(2.0) * call_function("vec_dot", col("sv"), array(c.map(lit(_)): _*))
+
+  /** Per-row argmin code for the row's own subspace (ties -> lowest). */
+  private def pqCodeCol(cb: Array[Array[Array[Double]]]): Column =
+    (0 until PqM).foldLeft(lit(-1): Column) { case (acc, m) =>
+      when(col("m") === m,
+        array_min(array((0 until PqK).map(k =>
+          struct(pqSubDist(cb(m)(k)).as("d"), lit(k).as("i"))): _*))
+          .getField("i"))
+        .otherwise(acc)
+    }
+
+  /** Asymmetric-distance LUT per (query, subspace): PqK ranking terms. */
+  private def pqLutCol(cb: Array[Array[Array[Double]]]): Column =
+    (0 until PqM).foldLeft(array((0 until PqK).map(_ => lit(0.0)): _*)) {
+      case (acc, m) =>
+        when(col("m") === m,
+          array((0 until PqK).map(k => pqSubDist(cb(m)(k))): _*)).otherwise(acc)
+    }
+
+  /** Seeded 2-iteration per-subspace Lloyd over `sub` rows (vec_id, m,
+    * sv) — bit-reproducible (micros-stabilized means, ties to lowest
+    * code, seeds = the PqK lowest vec_ids present) so the DuckDB oracle
+    * can unroll the identical fit. Codebook state: PqM x PqK x PqSubDim
+    * = 1024 doubles of driver memory, regardless of corpus size. */
+  private def pqFit(sub: DataFrame): Array[Array[Array[Double]]] = {
+    val seedIds = sub.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(PqK).collect().map(_.getLong(0))
+    val rankOf = seedIds.sorted.zipWithIndex.toMap
+    var cb: Array[Array[Array[Double]]] = {
+      val arr = Array.ofDim[Array[Double]](PqM, PqK)
+      sub.filter(col("vec_id").isin(seedIds: _*)).collect().foreach { r =>
+        arr(r.getInt(1))(rankOf(r.getLong(0))) = r.getSeq[Double](2).toArray
+      }
+      arr
+    }
+    for (_ <- 1 to 2) {
+      val upd = sub
+        .select(col("m"), pqCodeCol(cb).as("k"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("k"), col("pos"))
+        .agg((sum(round(col("x") * 1000000.0, 0).cast("long")).cast("double")
+          / count(lit(1)) / 1000000.0).as("mn"))
+        .collect()  // M x K x SubDim = 1024 rows — codebook state only
+      val next = cb.map(_.map(_.clone()))
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      cb = next  // empty codes keep their previous centroid
+    }
+    cb
+  }
+
+  /** Shared ADC scoring tail: per-query LUTs broadcast against the codes
+    * relation; distance = micros-exact sum of the 8 LUT hits; top-3 per
+    * query. The ONLY per-vector state this touches is 8 small ints. */
+  private def pqScoreTail(codes: DataFrame, q: DataFrame): DataFrame = {
+    val scored = codes
+      .join(broadcast(q), col("m") === col("qm") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(element_at(col("lut"), col("code") + 1) * 1000000.0, 0)
+          .cast("long").as("term_u"))
+      .groupBy(col("qid"), col("nid"))
+      .agg((sum(col("term_u")).cast("double") / 1000000.0).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("adc"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Conf naming the directory that holds fit-once PQ artifacts. */
+  val PqDirConf = "spark.graft.pq.codebookDir"
+
+  /** Fit-once production lane (the r7 verdict's "persist the codebook"
+    * item): train codebooks on the deterministic sample, encode the WHOLE
+    * corpus, store both as parquet tables — `pq_codebooks` (m, k, pos,
+    * val) and `pq_codes` (vec_id, m, code). Idempotent via the codes
+    * _SUCCESS marker. At 100 TB this runs once per corpus version;
+    * queries then touch only stored 8-byte codes (32x compression) and
+    * zero fit passes. */
+  def pqEnsurePersisted(s: SparkSession, dir: String, outDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(outDir, "pq_codes/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    graft.functions.VectorFns.register(s)
+    val fitSub = pqSub(s, dir)
+      .filter(col("vec_id") % PqSampleMod === 0).persist()
+    val cb = pqFit(fitSub)
+    fitSub.unpersist()
+    import s.implicits._
+    val rows = for { m <- 0 until PqM; k <- 0 until PqK; p <- 0 until PqSubDim }
+      yield (m, k, p, cb(m)(k)(p))
+    rows.toDF("m", "k", "pos", "val").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/pq_codebooks")
+    pqSub(s, dir).select(col("vec_id"), col("m"), pqCodeCol(cb).as("code"))
+      .write.mode("overwrite").parquet(s"$outDir/pq_codes")
+  }
+
+  private def pqLoadCodebooks(s: SparkSession,
+                              outDir: String): Array[Array[Array[Double]]] = {
+    val arr = Array.ofDim[Double](PqM, PqK, PqSubDim)
+    s.read.parquet(s"$outDir/pq_codebooks").collect().foreach { r =>
+      arr(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    arr
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 cosine neighbors for query vectors vec_id < 10.
     "s_ann_bruteforce_topk" -> ((s, dir) => {
@@ -224,76 +358,49 @@ object Similarity extends QueryModule {
     // queries broadcast; one narrow (qid, nid) shuffle.
     "s_ann_pq_adc" -> ((s, dir) => {
       graft.functions.VectorFns.register(s)
-      val M = 8; val Sub = 8; val K = 16
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val subCol = array((0 until M).map(m =>
-        struct(lit(m).as("m"), slice(col("v"), m * Sub + 1, Sub).as("sv"))): _*)
       // persisted: the fit re-reads these rows once per Lloyd iteration
       // plus encode + query-LUT — 4 passes over an 8x-exploded corpus.
       // M x Sub doubles per vector = one corpus copy; it stays cached for
       // the session (CacheManager dedups re-invocations by canonical
-      // plan), which is the codebook-training reality anyway — you fit
-      // once and score many times.
-      val sub = e.select(col("vec_id"), explode(subCol).as("p"))
-        .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
-        .persist()
-      // seed codebooks from the K lowest-vec_id vectors' sub-vectors
-      val seedIds = e.orderBy(col("vec_id")).limit(K).collect().map(_.getLong(0))
-      val rankOf = seedIds.sorted.zipWithIndex.toMap
-      var cb: Array[Array[Array[Double]]] = {
-        val arr = Array.ofDim[Array[Double]](M, K)
-        sub.filter(col("vec_id").isin(seedIds: _*)).collect().foreach { r =>
-          arr(r.getInt(1))(rankOf(r.getLong(0))) = r.getSeq[Double](2).toArray
-        }
-        arr
-      }
-      def subDist(c: Array[Double]): Column =
-        lit(c.map(x => x * x).sum) -
-          lit(2.0) * call_function("vec_dot", col("sv"), array(c.map(lit(_)): _*))
-      // per-row argmin for the row's own subspace (ties -> lowest code)
-      def codeCol(cbNow: Array[Array[Array[Double]]]): Column =
-        (0 until M).foldLeft(lit(-1): Column) { case (acc, m) =>
-          when(col("m") === m,
-            array_min(array((0 until K).map(k =>
-              struct(subDist(cbNow(m)(k)).as("d"), lit(k).as("i"))): _*))
-              .getField("i"))
-            .otherwise(acc)
-        }
-      for (_ <- 1 to 2) {
-        val upd = sub
-          .select(col("m"), codeCol(cb).as("k"),
-            posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy(col("m"), col("k"), col("pos"))
-          .agg((sum(round(col("x") * 1000000.0, 0).cast("long")).cast("double")
-            / count(lit(1)) / 1000000.0).as("mn"))
-          .collect()  // M x K x Sub = 1024 rows — codebook state only
-        val next = cb.map(_.map(_.clone()))
-        upd.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
-        cb = next  // empty codes keep their previous centroid
-      }
-      val codes = sub.select(col("vec_id"), col("m"), codeCol(cb).as("code"))
-      // asymmetric LUT per (query, subspace): K ranking terms
-      val lut = (0 until M).foldLeft(
-        array((0 until K).map(_ => lit(0.0)): _*)) { case (acc, m) =>
-        when(col("m") === m,
-          array((0 until K).map(k => subDist(cb(m)(k))): _*)).otherwise(acc)
-      }
+      // plan). This is the oracle-parity lane (the DuckDB SQL unrolls
+      // this exact full-corpus fit); the shape you RUN at scale is
+      // s_ann_pq_score below, which never fits at query time.
+      val sub = pqSub(s, dir).persist()
+      val cb = pqFit(sub)
+      val codes = sub.select(col("vec_id"), col("m"), pqCodeCol(cb).as("code"))
       val q = sub.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("m").as("qm"), lut.as("lut"))
-      val scored = codes
-        .join(broadcast(q), col("m") === col("qm") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          round(element_at(col("lut"), col("code") + 1) * 1000000.0, 0)
-            .cast("long").as("term_u"))
-        .groupBy(col("qid"), col("nid"))
-        .agg((sum(col("term_u")).cast("double") / 1000000.0).as("adc"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("rk"), col("nid"), col("adc"))
-        .orderBy(col("qid"), col("rk"))
+        .select(col("vec_id").as("qid"), col("m").as("qm"),
+          pqLutCol(cb).as("lut"))
+      pqScoreTail(codes, q)
+    }),
+
+    // Fit-once PQ — the production shape at 100 TB. Codebooks come either
+    // from the persisted store ([[PqDirConf]], Bench's lane: the corpus
+    // contributes ONLY its stored 8-byte codes, zero fit passes at query
+    // time) or, when no store is configured (the Verify/oracle lane),
+    // from an in-plan Lloyd fit over the deterministic 1/16 sample —
+    // sample-trained codebooks being standard PQ practice (Jégou et al.
+    // train on a learning subset, not the indexed set). Both lanes
+    // produce identical codebooks (same seeded fit over the same rows),
+    // so the scoring result is the same DataFrame either way.
+    "s_ann_pq_score" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val store = s.conf.get(PqDirConf, "")
+      val (cb, codes) =
+        if (store.nonEmpty)
+          (pqLoadCodebooks(s, store), s.read.parquet(s"$store/pq_codes"))
+        else {
+          val fitSub = pqSub(s, dir)
+            .filter(col("vec_id") % PqSampleMod === 0).persist()
+          val cb0 = pqFit(fitSub)
+          fitSub.unpersist()
+          (cb0, pqSub(s, dir).select(col("vec_id"), col("m"),
+            pqCodeCol(cb0).as("code")))
+        }
+      val q = pqSub(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("m").as("qm"),
+          pqLutCol(cb).as("lut"))
+      pqScoreTail(codes, q)
     }),
 
     "s_quantize_int8" -> ((s, dir) => {
@@ -352,13 +459,13 @@ object Similarity extends QueryModule {
     * subspace (ties -> lowest code), rebuild per-(m, k) centroids as
     * micros-sum / n / 1e6; empty codes keep their previous centroid.
     * Mirrors the Spark fit op-for-op, like [[ivfIterSql]]. */
-  private def pqIterSql(prev: String, cur: String): String =
+  private def pqIterSql(prev: String, cur: String, src: String = "sub"): String =
     s"""pa_$cur AS (
        |  SELECT vec_id, m, sv, k FROM (
        |    SELECT s.vec_id, s.m, s.sv, c.k,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
        |        ORDER BY ${ivfDistSql("s.sv", "c.c")}, c.k) AS rk
-       |    FROM sub s JOIN $prev c ON s.m = c.m) WHERE rk = 1),
+       |    FROM $src s JOIN $prev c ON s.m = c.m) WHERE rk = 1),
        |pm_$cur AS (
        |  SELECT m, k, i.i AS pos,
        |    CAST(SUM(CAST(round(sv[i.i + 1] * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
@@ -501,6 +608,50 @@ object Similarity extends QueryModule {
          |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
          |${pqIterSql("pq0", "pq1")},
          |${pqIterSql("pq1", "pq2")},
+         |enc AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${ivfDistSql("s.sv", "c.c")}, c.k) AS rk
+         |    FROM sub s JOIN pq2 c ON s.m = c.m) WHERE rk = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS qid, s.m, c.k,
+         |    ${ivfDistSql("s.sv", "c.c")} AS term
+         |  FROM sub s JOIN pq2 c ON s.m = c.m WHERE s.vec_id < 8),
+         |score AS (
+         |  SELECT l.qid, t.vec_id AS nid,
+         |    CAST(SUM(CAST(round(l.term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS adc
+         |  FROM enc t JOIN lut l
+         |    ON t.m = l.m AND t.code = l.k AND t.vec_id <> l.qid
+         |  GROUP BY l.qid, t.vec_id),
+         |ranked AS (
+         |  SELECT qid, nid, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+         |  FROM score)
+         |SELECT qid, CAST(rk AS INT) AS rk, nid, adc FROM ranked
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // the sampled-fit lane of the fit-once PQ query, unrolled: identical
+    // Lloyd but trained ONLY on the deterministic 1/16 sample; encode +
+    // LUT + scoring run over the full corpus exactly like s_ann_pq_adc
+    "s_ann_pq_score" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, mm.m AS m,
+         |    v[mm.m * 8 + 1 : mm.m * 8 + 8] AS sv
+         |  FROM e, (SELECT CAST(unnest(range(0, 8)) AS INT) AS m) mm),
+         |fsub AS (SELECT * FROM sub WHERE vec_id % 16 = 0),
+         |pq0 AS (
+         |  SELECT m,
+         |    CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+         |      AS INT) AS k,
+         |    sv AS c
+         |  FROM fsub
+         |  WHERE vec_id IN (SELECT vec_id FROM e WHERE vec_id % 16 = 0
+         |                   ORDER BY vec_id LIMIT 16)),
+         |${pqIterSql("pq0", "pq1", "fsub")},
+         |${pqIterSql("pq1", "pq2", "fsub")},
          |enc AS (
          |  SELECT vec_id, m, k AS code FROM (
          |    SELECT s.vec_id, s.m, c.k,

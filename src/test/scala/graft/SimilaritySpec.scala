@@ -26,11 +26,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean IVF recall $mean too low")
   }
 
-  test("PQ ADC top-3 recalls a meaningful share of exact-L2 top-10") {
+  /** Exact-L2 top-10 per query (PQ approximates L2, NOT cosine —
+    * comparing against the cosine brute-force query would confound the
+    * metric). */
+  private def exactL2Top10: Map[Long, Set[Long]] = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFns.register(spark)
-    // exact L2 reference (PQ approximates L2, NOT cosine — comparing it
-    // against the cosine brute-force query would confound the metric)
     val e = Tables.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n2", expr("vec_norm_sq(v)"))
@@ -38,21 +39,58 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
-    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         (col("qn") + col("n2") - lit(2.0) * expr("vec_dot(qv, v)")).as("d2"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
-    val pq = topkSet("s_ann_pq_adc", 3)
+  }
+
+  private def meanRecallVsExactL2(name: String): Double = {
+    val exact = exactL2Top10
+    val pq = topkSet(name, 3)
     assert(pq.nonEmpty)
     val recalls = pq.keys.toSeq.map { k =>
       pq(k).intersect(exact.getOrElse(k, Set.empty)).size / 3.0
     }
-    val mean = recalls.sum / recalls.size
+    recalls.sum / recalls.size
+  }
+
+  test("PQ ADC top-3 recalls a meaningful share of exact-L2 top-10") {
+    val mean = meanRecallVsExactL2("s_ann_pq_adc")
     // 8 bytes/vector at 32x compression on weakly-clustered random data:
     // well above chance (top-10/corpus ~ a few %), below exact by design
     assert(mean >= 0.3, s"mean PQ recall $mean too low")
+  }
+
+  test("PQ fit-once store lane bit-matches the in-plan sampled-fit lane") {
+    import graft.queries.Similarity
+    // in-plan lane: no store configured -> sampled fit inside the query
+    val inPlan = {
+      val s = spark.newSession()
+      SparkEntry.queries("s_ann_pq_score")(s, sf).collect().map(_.toString).toSeq
+    }
+    // store lane: codebooks + codes persisted once, query only scores
+    val stored = {
+      val s = spark.newSession()
+      val tmp = java.nio.file.Files.createTempDirectory("pqstore").toString
+      Similarity.pqEnsurePersisted(s, sf, tmp)
+      Similarity.pqEnsurePersisted(s, sf, tmp) // idempotent re-entry
+      s.conf.set(Similarity.PqDirConf, tmp)
+      SparkEntry.queries("s_ann_pq_score")(s, sf).collect().map(_.toString).toSeq
+    }
+    assert(stored == inPlan,
+      "persisted-codebook scoring must reproduce the in-plan sampled fit")
+    assert(stored.nonEmpty)
+  }
+
+  test("PQ sampled-fit top-3 still recalls a meaningful share of exact-L2 top-10") {
+    // the production lane trains on 1/16 of the corpus — recall must not
+    // collapse vs the full-fit lane's 0.3 floor (sampled codebooks are
+    // noisier; they must stay far above the few-% chance level)
+    val mean = meanRecallVsExactL2("s_ann_pq_score")
+    assert(mean >= 0.2, s"sampled-fit PQ recall $mean too low")
   }
 
   test("LSH bucketed top-k agrees with brute force on shared candidates") {
