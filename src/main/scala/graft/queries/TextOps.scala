@@ -300,6 +300,61 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ts_rank_cd — cover-density ranking, the reference's second ranking
+    // function (`/root/reference/src/backend/utils/adt/tsrank.c:847`
+    // calc_rank_cd, Cover() at `:643`; four overloads at
+    // `pg_proc.dat:8873-8879`). A cover is a minimal window of document
+    // positions containing every query term; each contributes
+    // Cpos / (1 + nNoise) where Cpos = n_entries / Σ 1/weight and
+    // nNoise = (q - p) - (n_entries - 1). For a two-term AND query the
+    // covers are EXACTLY the adjacent differing-term pairs of the merged
+    // sorted position list (traced through Cover()'s forward/backward
+    // scans: the forward scan stops at the first entry completing the
+    // term set, the backward scan takes the nearest preceding entry of
+    // the other term, and the restart begins past the cover's first
+    // entry) — so with distinct positions n_entries = 2, nNoise = q-p-1,
+    // and rank = Σ (2/ΣinvW)/(q-p). Emitted twice: unweighted (all
+    // positions class D, weight 0.1 -> 0.1/(q-p) per cover) and with
+    // t_fts_weighted's zone model (first 8 words class A, weight 1.0).
+    // Pure per-doc array expressions — one codegen'd map-side pass, no
+    // explode, no shuffle; double summation is the same left-to-right
+    // fold in both engines (same IEEE op sequence, no rounding smear).
+    "t_fts_rank_cd" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def positions(term: String) =
+        filter(transform(words, (x, i) => when(x === term, i + 1).otherwise(-1)),
+               p => p >= 0)
+      val merged = array_sort(concat(
+        transform(col("ph"), p => struct(p.as("pos"), lit(0).as("t"))),
+        transform(col("pj"), p => struct(p.as("pos"), lit(1).as("t")))))
+      def invw(e: Column): Column = // zone weights: A=1.0 (invw 1), D=0.1 (invw 10)
+        when(e.getField("pos") <= 8, lit(1.0)).otherwise(lit(10.0))
+      def rankCd(iw: Column => Column): Column = {
+        val m = col("m")
+        val pairs = zip_with(slice(m, lit(1), size(m) - 1), slice(m, lit(2), size(m) - 1),
+          (a, b) => when(a.getField("t") =!= b.getField("t"),
+            lit(2.0) / (iw(a) + iw(b)) /
+              (b.getField("pos") - a.getField("pos")).cast("double"))
+            .otherwise(lit(0.0)))
+        aggregate(pairs, lit(0.0), (acc, x) => acc + x)
+      }
+      t(s, dir, "documents")
+        .withColumn("ph", positions("hash"))
+        .withColumn("pj", positions("join"))
+        .filter(size(col("ph")) > 0 && size(col("pj")) > 0) // @@ AND match
+        .withColumn("m", merged)
+        .withColumn("n_covers", size(filter(
+          zip_with(slice(col("m"), lit(1), size(col("m")) - 1),
+                   slice(col("m"), lit(2), size(col("m")) - 1),
+            (a, b) => a.getField("t") =!= b.getField("t")),
+          x => x)).cast("int"))
+        .withColumn("rank_cd", round(rankCd(_ => lit(10.0)), 6))
+        .withColumn("rank_cd_w", round(rankCd(invw), 6))
+        .select(col("doc_id"), col("n_covers"), col("rank_cd"), col("rank_cd_w"))
+        .orderBy(col("rank_cd").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // The tsquery STRING language end-to-end: the same boolean/phrase
     // semantics as t_fts_bool/t_fts_distance, but arriving through the
     // [[graft.functions.TsQuery]] recursive-descent parser (tsquery.c
@@ -617,6 +672,40 @@ object TextOps extends QueryModule {
         |  CAST(len([p for p in ph if list_contains(pj, p + 2)]) AS INT) AS n_dist2
         |FROM p WHERE len([p for p in ph if list_contains(pj, p + 2)]) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // covers of a two-term AND query = adjacent differing-term pairs of
+    // the merged sorted position list (see the Spark query comment);
+    // the fold is the same left-to-right double sum as the Spark plan
+    "t_fts_rank_cd" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |    [i for i in range(1, len(w) + 1) if w[i] = 'hash'] AS ph,
+        |    [i for i in range(1, len(w) + 1) if w[i] = 'join'] AS pj
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |    list_sort(list_concat(
+        |      list_transform(ph, x -> {'pos': x, 't': 0}),
+        |      list_transform(pj, x -> {'pos': x, 't': 1}))) AS m
+        |  FROM p WHERE len(ph) > 0 AND len(pj) > 0),
+        |c AS (SELECT doc_id,
+        |    CAST(len([i for i in range(1, len(m)) if m[i].t <> m[i+1].t])
+        |      AS INT) AS n_covers,
+        |    list_transform(range(1, len(m)), i ->
+        |      CASE WHEN m[i].t <> m[i+1].t
+        |        THEN 2.0 / (10.0 + 10.0)
+        |             / CAST(m[i+1].pos - m[i].pos AS DOUBLE)
+        |        ELSE 0.0 END) AS cp,
+        |    list_transform(range(1, len(m)), i ->
+        |      CASE WHEN m[i].t <> m[i+1].t
+        |        THEN 2.0 / ((CASE WHEN m[i].pos <= 8 THEN 1.0 ELSE 10.0 END)
+        |                  + (CASE WHEN m[i+1].pos <= 8 THEN 1.0 ELSE 10.0 END))
+        |             / CAST(m[i+1].pos - m[i].pos AS DOUBLE)
+        |        ELSE 0.0 END) AS cw
+        |  FROM m)
+        |SELECT doc_id, n_covers,
+        |  ROUND(list_reduce(list_prepend(0.0, cp), (a, x) -> a + x), 6) AS rank_cd,
+        |  ROUND(list_reduce(list_prepend(0.0, cw), (a, x) -> a + x), 6) AS rank_cd_w
+        |FROM c ORDER BY rank_cd DESC, doc_id LIMIT 20""".stripMargin,
 
     "t_fts_tsquery" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
