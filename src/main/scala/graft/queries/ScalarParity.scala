@@ -473,6 +473,59 @@ object ScalarParity extends QueryModule {
         .orderBy(okey)
     }),
 
+    // jsonb mutation family — jsonb_set / jsonb_insert / #- delete-path
+    // (`/root/reference/src/backend/utils/adt/jsonfuncs.c:4446+` setPath;
+    // behavior shapes lifted from `src/test/regress/sql/jsonb.sql:
+    // 1100-1150`), via [[graft.functions.JsonbMut]]: the document is
+    // built per row, serialized, PARSED BACK through from_json (the ETL
+    // patch reality — the input is a JSON string, not columns), edited
+    // structurally, and re-rendered with to_json. Eight mutation shapes:
+    // object-key replace, array set at negative index, out-of-range set
+    // (create-if-missing appends), nested create-missing key, insert
+    // before/after an index, array-element delete, nested-key delete.
+    // The oracle constructs each expected document directly from the
+    // same source columns — a mutate/render round-trip proof. All edits
+    // are per-row codegen'd expressions; no shuffle.
+    "q_jsonb_mutate" -> ((s, dir) => {
+      import graft.functions.JsonbMut._
+      val okey = col("o_orderkey")
+      def m(k: Int): Column = pmod(okey, lit(k))
+      val baseJson = to_json(struct(
+        m(10).as("a"),
+        array(m(7), pmod(okey * 3, lit(8)), pmod(okey * 5, lit(9))).as("b"),
+        struct(m(100).as("k"), m(13).as("mm")).as("c")))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "a BIGINT, b ARRAY<BIGINT>, c STRUCT<k: BIGINT, mm: BIGINT>")
+      t(s, dir, "orders").filter(okey <= 200)
+        .withColumn("doc", from_json(baseJson, schema))
+        .select(okey,
+          // jsonb_set(doc, '{a}', a + 100)
+          to_json(objectSet(col("doc"), "a", col("doc.a") + 100))
+            .as("j_set_key"),
+          // jsonb_set(doc, '{b,-1}', 99) — negative index replace
+          to_json(col("doc").withField("b",
+            arraySet(col("doc.b"), -1, lit(99L)))).as("j_set_arr_neg"),
+          // jsonb_set(doc, '{b,33}', 7) — out of range appends
+          to_json(col("doc").withField("b",
+            arraySet(col("doc.b"), 33, lit(7L)))).as("j_set_arr_oob"),
+          // jsonb_set(doc, '{c,e}', 5) — create-if-missing nested key
+          to_json(objectSet(col("doc"), "c.e", lit(5L)))
+            .as("j_set_new_key"),
+          // jsonb_insert(doc, '{b,1}', 42) — insert before index 1
+          to_json(col("doc").withField("b",
+            arrayInsert(col("doc.b"), 1, lit(42L)))).as("j_ins_before"),
+          // jsonb_insert(doc, '{b,1}', 43, true) — insert after index 1
+          to_json(col("doc").withField("b",
+            arrayInsert(col("doc.b"), 1, lit(43L), after = true)))
+            .as("j_ins_after"),
+          // doc #- '{b,0}' — array element delete
+          to_json(col("doc").withField("b",
+            arrayDelete(col("doc.b"), 0))).as("j_del_arr"),
+          // doc #- '{c,mm}' — nested key delete
+          to_json(objectDelete(col("doc"), "c.mm")).as("j_del_key"))
+        .orderBy(okey)
+    }),
+
     // jsonb_each / json_array_elements analogues: one row per array
     // element (posexplode) and per object entry (map explode).
     "q_json_each" -> ((s, dir) => {
@@ -498,6 +551,33 @@ object ScalarParity extends QueryModule {
       s" || '.' || split_part(printf('%.2f', $x), '.', 2)"
 
   val oracle: Map[String, String] = Map(
+    // each expected document rebuilt directly from the source columns in
+    // the same key order the Spark plan renders (replace-in-place keeps
+    // position; create-if-missing appends)
+    "q_jsonb_mutate" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    o_orderkey % 10 AS a,
+        |    [o_orderkey % 7, o_orderkey * 3 % 8, o_orderkey * 5 % 9] AS arr,
+        |    o_orderkey % 100 AS k, o_orderkey % 13 AS mm
+        |  FROM orders WHERE o_orderkey <= 200)
+        |SELECT o_orderkey,
+        |  to_json({'a': a + 100, 'b': arr, 'c': {'k': k, 'mm': mm}})
+        |    AS j_set_key,
+        |  to_json({'a': a, 'b': [arr[1], arr[2], CAST(99 AS BIGINT)],
+        |           'c': {'k': k, 'mm': mm}}) AS j_set_arr_neg,
+        |  to_json({'a': a, 'b': list_append(arr, CAST(7 AS BIGINT)),
+        |           'c': {'k': k, 'mm': mm}}) AS j_set_arr_oob,
+        |  to_json({'a': a, 'b': arr, 'c': {'k': k, 'mm': mm,
+        |           'e': CAST(5 AS BIGINT)}}) AS j_set_new_key,
+        |  to_json({'a': a, 'b': [arr[1], CAST(42 AS BIGINT), arr[2], arr[3]],
+        |           'c': {'k': k, 'mm': mm}}) AS j_ins_before,
+        |  to_json({'a': a, 'b': [arr[1], arr[2], CAST(43 AS BIGINT), arr[3]],
+        |           'c': {'k': k, 'mm': mm}}) AS j_ins_after,
+        |  to_json({'a': a, 'b': [arr[2], arr[3]], 'c': {'k': k, 'mm': mm}})
+        |    AS j_del_arr,
+        |  to_json({'a': a, 'b': arr, 'c': {'k': k}}) AS j_del_key
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+
     // same document construction char-for-char; filters/methods through
     // DuckDB's json_transform (typed struct list) + list lambdas +
     // json_type, mapped to the same canonical jsonpath type names
