@@ -244,6 +244,52 @@ class StreamingSpec extends AnyFunSuite {
       "replay must add new rows exactly once and duplicate nothing")
   }
 
+  test("content-keyed sink: rescaled restarts (shuffle-partition changes) stay exactly-once") {
+    // the r7 verdict's recovery-depth case: the same checkpoint is
+    // resumed under a DIFFERENT spark.sql.shuffle.partitions (cluster
+    // rescale), then lost entirely under a third parallelism — the
+    // content-keyed sink must neither duplicate nor drop across either
+    // transition (its dedup keys on row content, not on any
+    // partition-count-dependent artifact)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_rescale_src").toString
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_rescale_tbl").toString + "/t"
+    def feed(ids: Range): Unit = {
+      val sp = spark; import sp.implicits._
+      (ids.head +: ids).map(i => (i.toLong, s"payload_$i"))
+        .toDF("id", "payload").coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def sess(parts: Int): org.apache.spark.sql.SparkSession = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s
+    }
+    def tableIds(): Seq[Long] = spark.read.parquet(tableDir)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val ckpt1 = java.nio.file.Files
+      .createTempDirectory("graft_rescale_ck1").toString
+    feed(1 to 80)
+    graft.streaming.Streaming.streamToTableContent(
+      sess(4), srcDir, "id LONG, payload STRING", tableDir, ckpt1)
+    assert(tableIds().sorted == (1L to 80L))
+    // rescale UP, same checkpoint, new data: only the new rows commit
+    feed(81 to 120)
+    graft.streaming.Streaming.streamToTableContent(
+      sess(13), srcDir, "id LONG, payload STRING", tableDir, ckpt1)
+    assert(tableIds().sorted == (1L to 120L),
+      "rescaled restart must append the new rows exactly once")
+    // rescale DOWN + checkpoint loss: batch 0 replans over ALL files
+    // under a third parallelism — still zero dupes, zero drops
+    feed(121 to 140)
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft_rescale_ck2").toString
+    graft.streaming.Streaming.streamToTableContent(
+      sess(3), srcDir, "id LONG, payload STRING", tableDir, ckpt2)
+    assert(tableIds().sorted == (1L to 140L),
+      "checkpoint loss under a new parallelism must replay idempotently")
+  }
+
   test("stateful mapGroupsWithState counts equal batch groupBy") {
     val stream = graft.streaming.Streaming
       .statefulUserCounts(spark, sf, "stream_state_spec")
