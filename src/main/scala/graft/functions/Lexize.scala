@@ -58,6 +58,32 @@ object Lexize {
     Rule("ed", 2, "", 5, true),          // sorted -> sort
     Rule("ly", 2, "", 5, true))          // quickly -> quick
 
+  /** Ispell-style exception dictionary — the irregular-forms lookup the
+    * reference front-loads via `dict_ispell.c`/`spell.c` before the
+    * algorithmic stemmer ever sees the token ("mice" must become
+    * "mouse"; no suffix rule can do that). Chain discipline (ts_parse.c
+    * LexizeExec): the FIRST dictionary that returns a lexeme wins, so a
+    * hit here bypasses the suffix stemmer entirely. Every target value
+    * is a fixed point of both suffix-rule groups and of the thesaurus
+    * below (LexizeSpec proves this mechanically), which is what lets the
+    * staged per-array passes compose without a bypass flag. */
+  val IrregularForms: Seq[(String, String)] = Seq(
+    "mice" -> "mouse", "geese" -> "goose", "feet" -> "foot",
+    "teeth" -> "tooth", "children" -> "child", "men" -> "man",
+    "women" -> "woman", "people" -> "person", "indices" -> "index",
+    "matrices" -> "matrix", "vertices" -> "vertex", "leaves" -> "leaf",
+    "wolves" -> "wolf", "knives" -> "knife", "oxen" -> "ox",
+    "ran" -> "run", "wrote" -> "write", "took" -> "take", "went" -> "go")
+
+  /** Thesaurus dictionary (`dict_thesaurus.c`): canonical-synonym
+    * folding applied to LEXEMES (after stemming, like a thesaurus over a
+    * stemmer subdictionary) — "rapidly" stems to "rapid", then folds to
+    * "fast". Targets are their own fixed points (proved in LexizeSpec). */
+  val Synonyms: Seq[(String, String)] = Seq(
+    "rapid" -> "fast", "quick" -> "fast", "speedy" -> "fast",
+    "big" -> "large", "huge" -> "large",
+    "tiny" -> "small", "little" -> "small")
+
   /** English stop list — the high-frequency subset of the reference's
     * `english.stop` (`src/backend/snowball/stopwords/`). */
   val StopWords: Seq[String] = Seq(
@@ -104,6 +130,24 @@ object Lexize {
       w => stem(w))
   }
 
+  private def mapCol(w: Column, m: Seq[(String, String)], els: Column): Column =
+    m.foldRight(els) { case ((k, v), e) => when(w === k, lit(v)).otherwise(e) }
+
+  /** Full dictionary CHAIN (LexizeExec order): lowercase -> stop filter
+    * -> ispell irregular lookup (hit bypasses the stemmer) -> plural +
+    * suffix rules -> thesaurus folding. Three staged array transforms so
+    * no expression subtree is duplicated; the bypass needs no flag
+    * because irregular targets are suffix-rule fixed points. */
+  def tsvectorChain(words: Column): Column = {
+    val stops = array(StopWords.map(lit): _*)
+    val filtered = filter(transform(words, w => lower(w)),
+      w => length(w) > 0 && !array_contains(stops, w))
+    val s1 = transform(filtered,
+      w => mapCol(w, IrregularForms, groupCol(w, PluralRules)))
+    val s2 = transform(s1, w => groupCol(w, SuffixRules))
+    transform(s2, w => mapCol(w, Synonyms, w))
+  }
+
   // ---- DuckDB SQL form (generated from the same tables) ------------------
 
   private def stemSql(v: String, r: Rule): String =
@@ -135,4 +179,16 @@ object Lexize {
 
   /** DuckDB stop-list literal: `('a','the',...)`. */
   def duckStopList: String = StopWords.map("'" + _ + "'").mkString("(", ",", ")")
+
+  private def mapSql(v: String, m: Seq[(String, String)], els: String): String =
+    m.map { case (k, mv) => s"WHEN $v = '$k' THEN '$mv'" }
+      .mkString("CASE ", " ", s" ELSE $els END")
+
+  /** DuckDB chain stage 1: irregular lookup, else the plural rules —
+    * generated from the same tables as the Column form. */
+  def duckIrregularOrPlural(v: String): String =
+    mapSql(v, IrregularForms, groupSql(v, PluralRules))
+
+  /** DuckDB chain stage 3: thesaurus folding. */
+  def duckSynonym(v: String): String = mapSql(v, Synonyms, v)
 }

@@ -406,6 +406,43 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // The full dictionary CHAIN (ts_parse.c LexizeExec dispatch over
+    // dict_ispell -> snowball -> thesaurus; `/root/reference/src/backend/
+    // tsearch/spell.c`, `dict_thesaurus.c`): irregular forms resolve by
+    // LOOKUP before the algorithmic stemmer ("mice" -> "mouse",
+    // "wolves" -> "wolf" where the suffix rules alone would yield
+    // "wolve"), and canonical-synonym folding runs over the stemmed
+    // lexemes ("rapidly" -> "rapid" -> "fast"; the corpus word "big"
+    // folds to "large"). Chain-exercising tokens are injected per doc
+    // (doc_id-keyed, like the PII fixture) since the synthetic corpus
+    // has no irregular forms. The oracle rebuilds every stage from THE
+    // SAME rule tables (Lexize.duck* generators), so engine and oracle
+    // cannot drift. Pure staged array transforms — map-side, no shuffle.
+    "t_fts_lexize_chain" -> ((s, dir) => {
+      import graft.functions.Lexize
+      val inj = element_at(array(
+        lit("mice ran rapidly"), lit("children wrote quickly"),
+        lit("matrices went speedy"), lit("geese took huge"),
+        lit("indices wolves tiny")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      def tf(term: String) =
+        size(filter(col("lex"), w => w === term)).cast("int")
+      t(s, dir, "documents")
+        .withColumn("lex",
+          Lexize.tsvectorChain(split(concat_ws(" ", col("text"), inj), " ")))
+        .select(col("doc_id"),
+          size(col("lex")).as("n_lex"),
+          tf("mouse").as("tf_mouse"),       // mice -> mouse (ispell)
+          tf("wolf").as("tf_wolf"),         // wolves -> wolf, NOT wolve
+          tf("run").as("tf_run"),           // ran -> run (irregular verb)
+          tf("fast").as("tf_fast"),         // rapidly/quickly/speedy fold
+          tf("large").as("tf_large"),       // big/huge fold (corpus + inj)
+          tf("small").as("tf_small"),       // tiny folds into corpus small
+          array_join(slice(col("lex"), -3, 3), " ").as("last3"),
+          (tf("mouse") + tf("goose") + tf("index") > 0).as("matches_lookup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // t_fts_rank over LEXIZED tokens — the reference's actual @@ + ts_rank
     // semantics, where the query term 'hash' matches "hashes"/"hashing" in
     // the document: same tf-saturation + rational length-normalization
@@ -499,7 +536,45 @@ object TextOps extends QueryModule {
        |    list_transform(ws, x -> ${Lexize.duckStemSuffix("x")}) AS lex FROM s1)""".stripMargin
   }
 
+  /** Chain-pipeline CTEs generated from the SAME rule tables as
+    * [[graft.functions.Lexize.tsvectorChain]] — one stage per CTE. */
+  private val chainPipelineSql = {
+    import graft.functions.Lexize
+    s"""WITH d AS (SELECT doc_id, text || ' ' ||
+       |    (['mice ran rapidly', 'children wrote quickly',
+       |      'matrices went speedy', 'geese took huge',
+       |      'indices wolves tiny'])[(doc_id % 5) + 1] AS t2
+       |  FROM documents),
+       |w AS (SELECT doc_id, list_filter(
+       |    list_transform(string_split(t2, ' '), x -> lower(x)),
+       |    x -> len(x) > 0 AND x NOT IN ${Lexize.duckStopList}) AS f FROM d),
+       |c1 AS (SELECT doc_id,
+       |    list_transform(f, x -> ${Lexize.duckIrregularOrPlural("x")}) AS l
+       |  FROM w),
+       |c2 AS (SELECT doc_id,
+       |    list_transform(l, x -> ${Lexize.duckStemSuffix("x")}) AS l2
+       |  FROM c1),
+       |c3 AS (SELECT doc_id,
+       |    list_transform(l2, x -> ${Lexize.duckSynonym("x")}) AS lex
+       |  FROM c2)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t_fts_lexize_chain" ->
+      s"""$chainPipelineSql
+         |SELECT doc_id,
+         |  CAST(len(lex) AS INT) AS n_lex,
+         |  CAST(len(list_filter(lex, x -> x = 'mouse')) AS INT) AS tf_mouse,
+         |  CAST(len(list_filter(lex, x -> x = 'wolf')) AS INT) AS tf_wolf,
+         |  CAST(len(list_filter(lex, x -> x = 'run')) AS INT) AS tf_run,
+         |  CAST(len(list_filter(lex, x -> x = 'fast')) AS INT) AS tf_fast,
+         |  CAST(len(list_filter(lex, x -> x = 'large')) AS INT) AS tf_large,
+         |  CAST(len(list_filter(lex, x -> x = 'small')) AS INT) AS tf_small,
+         |  array_to_string(lex[-3:], ' ') AS last3,
+         |  len(list_filter(lex, x -> x IN ('mouse', 'goose', 'index'))) > 0
+         |    AS matches_lookup
+         |FROM c3 ORDER BY doc_id""".stripMargin,
+
     "t_fts_lexize" ->
       s"""$lexPipelineSql
          |SELECT doc_id,

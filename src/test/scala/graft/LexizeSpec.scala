@@ -61,6 +61,34 @@ class LexizeSpec extends AnyFunSuite {
     assert(out == Seq("hash", "hash", "hash", "quick"))
   }
 
+  test("chain invariant: every dictionary target is a fixed point of every later stage") {
+    // tsvectorChain stages compose without a bypass flag ONLY because
+    // irregular/synonym targets pass unchanged through the suffix rules
+    // and the thesaurus — prove it mechanically for the actual tables
+    val sp = spark; import sp.implicits._
+    val targets = (Lexize.IrregularForms.map(_._2) ++
+      Lexize.Synonyms.map(_._2)).distinct
+    val out = targets.toDF("w")
+      .select(col("w"), Lexize.tsvectorChain(array(col("w"))).as("c"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    out.foreach { case (w, c) =>
+      assert(c == Seq(w), s"target '$w' not a chain fixed point: $c")
+    }
+    // and none is a stop word (the chain would silently drop it)
+    assert(targets.forall(t => !Lexize.StopWords.contains(t)))
+  }
+
+  test("tsvectorChain: lookup precedes the stemmer, synonyms fold post-stem") {
+    val sp = spark; import sp.implicits._
+    val out = Seq("The mice ran rapidly past big wolves")
+      .toDF("text")
+      .select(Lexize.tsvectorChain(split(col("text"), " ")).as("v"))
+      .collect()(0).getSeq[String](0)
+    // mice->mouse (lookup, not "mice"-stem), ran->run, rapidly->rapid->
+    // fast, big->large, wolves->wolf (lookup beats the s-rule's "wolve")
+    assert(out == Seq("mouse", "run", "fast", "past", "large", "wolf"))
+  }
+
   test("the generated DuckDB CASE mirrors the rule tables textually") {
     // one clause per rule, in order — the cross-engine value parity is
     // proven by the t_fts_lexize oracle; this guards the generator shape
