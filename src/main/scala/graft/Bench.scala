@@ -27,7 +27,8 @@ object Bench {
     "d_dedup_embedding_lsh",
     "s_ann_bruteforce_topk", "s_ann_ivf_topk",
     "m_decode_features", "q_to_char_patterns", "t_fingerprint",
-    "t_vocab_topk", "v_svec_dot_topk", "s_ann_pq_adc", "s_ann_pq_score")
+    "t_vocab_topk", "v_svec_dot_topk", "s_ann_pq_adc", "s_ann_pq_score",
+    "s_ann_ivf_score")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —
@@ -104,6 +105,7 @@ object Bench {
         .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val store = s"/root/repo/.scale/pq_${abs.split('/').last}_$key"
       graft.queries.Similarity.pqEnsurePersisted(spark, dir, store)
+      graft.queries.Similarity.ivfEnsurePersisted(spark, dir, store)
       spark.conf.set(graft.queries.Similarity.PqDirConf, store)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pq store skipped (in-plan sampled fit " +

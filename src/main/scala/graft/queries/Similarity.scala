@@ -56,6 +56,93 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("label"), col("v"), col("bucket"))
   }
 
+  // ---- IVF machinery ---------------------------------------------------
+  // Shared by s_ann_ivf_topk (in-plan full-corpus fit, the oracle-parity
+  // lane) and s_ann_ivf_score (sampled fit / fit-once persisted store).
+  private val IvfK = 8
+
+  private def ivfE(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Ranking-equivalent distance of the row's `v` to centroid c:
+    * |c|^2 - 2 v.c (|v|^2 is constant per row). call_function (not an
+    * expr string): array(lit...) is array<double> directly, where
+    * SQL-literal doubles would parse as decimals. */
+  private def ivfDistTo(c: Array[Double]): Column =
+    lit(c.map(x => x * x).sum) -
+      lit(2.0) * call_function("vec_dot", col("v"), array(c.map(lit(_)): _*))
+
+  /** argmin cell over centroid literals; ties -> lowest cell index, via
+    * lexicographic struct(dist, idx) min. */
+  private def ivfCellCol(cs: Array[Array[Double]]): Column =
+    array_min(array(cs.zipWithIndex.map { case (c, i) =>
+      struct(ivfDistTo(c).as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** Seeded 3-iteration Lloyd over `e` (vec_id, v) — seeds are the IvfK
+    * lowest-vec_id vectors; the centroid mean is micros-sum / n / 1e6 so
+    * the update is bit-reproducible across engines and executions. Only
+    * the K x dim centroid state (512 doubles) touches the driver. */
+  private def ivfFit(e: DataFrame): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] =
+      e.orderBy(col("vec_id")).limit(IvfK).collect()
+        .map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to 3) {
+      val upd = e.select(ivfCellCol(centroids).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(round(col("x") * 1000000.0, 0).cast("long")).cast("double")
+          / count(lit(1)) / 1000000.0).as("m"))
+        .collect()  // K x dim rows — centroid state only, never the corpus
+      val next = centroids.map(_.clone())
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next  // empty cells keep their previous centroid
+    }
+    centroids
+  }
+
+  /** Per-query probe rows (qid, qv, qcell, qn): top-2 nearest cells per
+    * query vector, computed in-plan (sorted struct(dist, idx) array; no
+    * driver round-trip). */
+  private def ivfQueries(e: DataFrame,
+                         cs: Array[Array[Double]]): DataFrame = {
+    val probeArr = array_sort(array(cs.zipWithIndex.map { case (c, i) =>
+      struct(ivfDistTo(c).as("d"), lit(i).as("i"))
+    }: _*))
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+              explode(slice(probeArr.getField("i"), 1, 2)).as("qcell"))
+      .withColumn("qn", expr("vec_norm_sq(qv)"))
+  }
+
+  /** Shared probe-join scoring tail: exact cosine inside the probed
+    * cells, top-3 per query. */
+  private def ivfScoreTail(assigned: DataFrame, q: DataFrame): DataFrame = {
+    val scored = assigned
+      .join(broadcast(q), col("cell") === col("qcell") &&
+                          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(expr("vec_dot(qv, v)") /
+              sqrt(col("qn") * expr("vec_norm_sq(v)")), 6).as("cos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private def ivfLoadCentroids(s: SparkSession,
+                               outDir: String): Array[Array[Double]] = {
+    val arr = Array.ofDim[Double](IvfK, dim)
+    s.read.parquet(s"$outDir/ivf_centroids").collect().foreach { r =>
+      arr(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    arr
+  }
+
   // ---- product-quantization machinery ----------------------------------
   // Shared by s_ann_pq_adc (in-plan full-corpus fit, the oracle-parity
   // lane) and s_ann_pq_score (sampled fit / fit-once persisted store, the
@@ -181,6 +268,26 @@ object Similarity extends QueryModule {
       .write.mode("overwrite").parquet(s"$outDir/pq_codes")
   }
 
+  /** Fit-once IVF companion to [[pqEnsurePersisted]]: sampled-fit
+    * centroids (`ivf_centroids`: cell, pos, val) and full-corpus cell
+    * assignments (`ivf_cells`: vec_id, cell) — the stored-layout reality
+    * of an IVF index. Idempotent via the cells _SUCCESS marker. */
+  def ivfEnsurePersisted(s: SparkSession, dir: String, outDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(outDir, "ivf_cells/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    graft.functions.VectorFns.register(s)
+    val e = ivfE(s, dir)
+    val cs = ivfFit(e.filter(col("vec_id") % PqSampleMod === 0))
+    import s.implicits._
+    val rows = for { c <- 0 until IvfK; p <- 0 until dim }
+      yield (c, p, cs(c)(p))
+    rows.toDF("cell", "pos", "val").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/ivf_centroids")
+    e.select(col("vec_id"), ivfCellCol(cs).as("cell"))
+      .write.mode("overwrite").parquet(s"$outDir/ivf_cells")
+  }
+
   private def pqLoadCodebooks(s: SparkSession,
                               outDir: String): Array[Array[Array[Double]]] = {
     val arr = Array.ofDim[Double](PqM, PqK, PqSubDim)
@@ -275,64 +382,33 @@ object Similarity extends QueryModule {
     // between iterations, matching the reference's small-state contract.
     "s_ann_ivf_topk" -> ((s, dir) => {
       graft.functions.VectorFns.register(s)
-      val K = 8
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // seed: the K lowest-vec_id vectors (K rows only — bounded state).
-      var centroids: Array[Array[Double]] =
-        e.orderBy(col("vec_id")).limit(K).collect()
-          .map(_.getSeq[Double](1).toArray)
-      // argmin over centroid literals; ties -> lowest cell index, via
-      // lexicographic struct(dist, idx) min.
-      // call_function (not an expr string): array(lit...) is array<double>
-      // directly, where SQL-literal doubles would parse as decimals.
-      // |v|^2 is constant per row, so the argmin only needs
-      // |c|^2 - 2 v.c — one codegen'd dot product per centroid.
-      def distTo(c: Array[Double]): Column =
-        lit(c.map(x => x * x).sum) -
-          lit(2.0) * call_function("vec_dot", col("v"), array(c.map(lit(_)): _*))
-      def cellCol(cs: Array[Array[Double]]): Column =
-        array_min(array(cs.zipWithIndex.map { case (c, i) =>
-          struct(distTo(c).as("d"), lit(i).as("i"))
-        }: _*)).getField("i")
-      for (_ <- 1 to 3) {
-        // centroid mean as micros-sum / n / 1e6: the long sum is
-        // order-independent (Spark's shuffled avg() is not), and the two
-        // double divisions run in the same order as the oracle's — the
-        // update is bit-reproducible across engines and executions
-        val upd = e.select(cellCol(centroids).as("cell"),
-            posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos"))
-          .agg((sum(round(col("x") * 1000000.0, 0).cast("long")).cast("double")
-            / count(lit(1)) / 1000000.0).as("m"))
-          .collect()  // K x dim rows — centroid state only, never the corpus
-        val next = centroids.map(_.clone())
-        upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        centroids = next  // empty cells keep their previous centroid
-      }
-      val assigned = e.withColumn("cell", cellCol(centroids))
-      // probe list: top-2 nearest cells per query, computed in-plan
-      // (sorted struct(dist, idx) array; no driver round-trip).
-      val probeArr = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(distTo(c).as("d"), lit(i).as("i"))
-      }: _*))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-                explode(slice(probeArr.getField("i"), 1, 2)).as("qcell"))
-        .withColumn("qn", expr("vec_norm_sq(qv)"))
-      val scored = assigned
-        .join(broadcast(q), col("cell") === col("qcell") &&
-                            col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          round(expr("vec_dot(qv, v)") /
-                sqrt(col("qn") * expr("vec_norm_sq(v)")), 6).as("cos"))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("qid"), col("rk"), col("nid"), col("cos"))
-        .orderBy(col("qid"), col("rk"))
+      val e = ivfE(s, dir)
+      val centroids = ivfFit(e)
+      val assigned = e.withColumn("cell", ivfCellCol(centroids))
+      ivfScoreTail(assigned, ivfQueries(e, centroids))
+    }),
+
+    // Fit-once IVF — the companion production lane to s_ann_pq_score:
+    // the in-plan 3-iteration Lloyd fit above is the oracle-parity lane,
+    // but at 100 TB centroids are trained once (on a learning sample)
+    // and cell assignments are part of the STORED layout — query time
+    // touches only the probe-list join. Centroids + assignments come
+    // from the persisted store ([[PqDirConf]], Bench's lane) or, with no
+    // store configured (the Verify/oracle lane), from an in-plan fit
+    // over the deterministic 1/16 sample with full-corpus assignment.
+    "s_ann_ivf_score" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val e = ivfE(s, dir)
+      val store = s.conf.get(PqDirConf, "")
+      val (centroids, assigned) =
+        if (store.nonEmpty) {
+          val cs = ivfLoadCentroids(s, store)
+          (cs, e.join(s.read.parquet(s"$store/ivf_cells"), Seq("vec_id")))
+        } else {
+          val cs = ivfFit(e.filter(col("vec_id") % PqSampleMod === 0))
+          (cs, e.withColumn("cell", ivfCellCol(cs)))
+        }
+      ivfScoreTail(assigned, ivfQueries(e, centroids))
     }),
 
     // Int8 scalar quantization (the storage path for ANN at 100 TB: 4x
@@ -481,13 +557,13 @@ object Similarity extends QueryModule {
     * `prev` centroid (ties -> lowest cell, like the struct-min), then
     * rebuild each cell's centroid as micros-sum / n / 1e6; empty cells
     * keep their previous centroid. */
-  private def ivfIterSql(prev: String, cur: String): String =
+  private def ivfIterSql(prev: String, cur: String, src: String = "e"): String =
     s"""a_$cur AS (
        |  SELECT vec_id, v, cell FROM (
        |    SELECT e.vec_id, e.v, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${ivfDistSql("e.v", "c.c")}, c.cell) AS rk
-       |    FROM e, $prev c) WHERE rk = 1),
+       |    FROM $src e, $prev c) WHERE rk = 1),
        |m_$cur AS (
        |  SELECT cell, i.i AS pos,
        |    CAST(SUM(CAST(round(v[i.i + 1] * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
@@ -563,6 +639,48 @@ object Similarity extends QueryModule {
          |${ivfIterSql("c0", "c1")},
          |${ivfIterSql("c1", "c2")},
          |${ivfIterSql("c2", "c3")},
+         |assigned AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${ivfDistSql("e.v", "c.c")}, c.cell) AS rk
+         |    FROM e, c3 c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT qid, qv, qn, cell FROM (
+         |    SELECT q.vec_id AS qid, q.v AS qv,
+         |      list_reduce(list_prepend(0.0, q.v), (acc, x) -> acc + x * x) AS qn,
+         |      c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${ivfDistSql("q.v", "c.c")}, c.cell) AS rk
+         |    FROM e q, c3 c WHERE q.vec_id < 10) WHERE rk <= 2),
+         |scored AS (
+         |  SELECT DISTINCT p.qid, t.vec_id AS nid,
+         |    ROUND(list_dot_product(p.qv, t.v) / sqrt(p.qn *
+         |      list_reduce(list_prepend(0.0, t.v), (acc, x) -> acc + x * x)), 6)
+         |      AS cos
+         |  FROM probe p JOIN assigned t
+         |    ON t.cell = p.cell AND t.vec_id <> p.qid),
+         |ranked AS (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM scored)
+         |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // the sampled-fit lane of the fit-once IVF query, unrolled: identical
+    // Lloyd but trained only on the deterministic 1/16 sample; assignment,
+    // probe and scoring run over the full corpus like s_ann_ivf_topk
+    "s_ann_ivf_score" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |fe AS (SELECT * FROM e WHERE vec_id % 16 = 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    v AS c
+         |  FROM (SELECT vec_id, v FROM fe ORDER BY vec_id LIMIT 8)),
+         |${ivfIterSql("c0", "c1", "fe")},
+         |${ivfIterSql("c1", "c2", "fe")},
+         |${ivfIterSql("c2", "c3", "fe")},
          |assigned AS (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT e.vec_id, e.v, c.cell,

@@ -93,6 +93,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.2, s"sampled-fit PQ recall $mean too low")
   }
 
+  test("IVF fit-once store lane bit-matches the in-plan sampled-fit lane") {
+    import graft.queries.Similarity
+    val inPlan = {
+      val s = spark.newSession()
+      SparkEntry.queries("s_ann_ivf_score")(s, sf).collect().map(_.toString).toSeq
+    }
+    val stored = {
+      val s = spark.newSession()
+      val tmp = java.nio.file.Files.createTempDirectory("ivfstore").toString
+      Similarity.ivfEnsurePersisted(s, sf, tmp)
+      Similarity.ivfEnsurePersisted(s, sf, tmp) // idempotent re-entry
+      s.conf.set(Similarity.PqDirConf, tmp)
+      SparkEntry.queries("s_ann_ivf_score")(s, sf).collect().map(_.toString).toSeq
+    }
+    assert(stored == inPlan,
+      "persisted-centroid scoring must reproduce the in-plan sampled fit")
+    assert(stored.nonEmpty)
+  }
+
   test("LSH bucketed top-k agrees with brute force on shared candidates") {
     val exact = topkSet("s_ann_bruteforce_topk", 5)
     val lsh = SparkEntry.queries("s_ann_lsh_topk")(spark, sf).collect()
