@@ -162,6 +162,77 @@ object TsQuery {
     n
   }
 
+  // ---- websearch syntax -------------------------------------------------
+
+  /** `websearch_to_tsquery` (`/root/reference/src/backend/tsquery/…` —
+    * `to_tsany.c` websearch_to_tsquery / parse_or_operator): free-form
+    * web-search syntax compiled onto the same AST. Unquoted words AND
+    * together; `"quoted words"` form an adjacency phrase; a leading `-`
+    * negates the following word or phrase; the word `or` (any case,
+    * standing alone) separates OR branches and binds loosest. Like the
+    * reference, the parser never throws on strange input — punctuation
+    * that is not part of a word is treated as whitespace and dropped —
+    * except for fully-empty input, which has no query to mean. */
+  def websearch(q: String): Node = {
+    // tokenize: quoted segments (with optional leading -) survive as
+    // phrase tokens; everything else splits on non-word characters with
+    // a remembered leading '-'
+    sealed trait W
+    final case class Word(w: String, neg: Boolean) extends W
+    final case class Quoted(ws: List[String], neg: Boolean) extends W
+    case object OrSep extends W
+    val toks = List.newBuilder[W]
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '"' || (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '"')) {
+        val neg = c == '-'
+        val open = if (neg) i + 1 else i
+        val close = q.indexOf('"', open + 1)
+        val end = if (close < 0) q.length else close
+        val ws = q.substring(open + 1, end).split("[^A-Za-z0-9_]+")
+          .toList.filter(_.nonEmpty)
+        if (ws.nonEmpty) toks += Quoted(ws, neg)
+        i = end + 1
+      } else if (c == '-' || c.isLetterOrDigit || c == '_') {
+        val neg = c == '-'
+        val start = if (neg) i + 1 else i
+        var j = start
+        while (j < q.length &&
+               (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_')) j += 1
+        val w = q.substring(start, j)
+        if (w.equalsIgnoreCase("or") && !neg) toks += OrSep
+        else if (w.nonEmpty) toks += Word(w, neg)
+        i = if (j == start) start + 1 else j // lone '-' advances past it
+      } else i += 1
+    }
+    def item(t: W): Option[Node] = t match {
+      case Word(w, neg) =>
+        val n = Lexeme(w, prefix = false)
+        Some(if (neg) Not(n) else n)
+      case Quoted(ws, neg) =>
+        val n = ws.map(Lexeme(_, prefix = false)).reduceLeft[Node](Phrase(_, _, 1))
+        Some(if (neg) Not(n) else n)
+      case OrSep => None
+    }
+    val branches = {
+      // split on OrSep; drop empty branches (leading/trailing/double OR)
+      val (acc, last) = toks.result().foldLeft((List.empty[List[Node]], List.empty[Node])) {
+        case ((done, cur), OrSep) => (if (cur.nonEmpty) done :+ cur else done, Nil)
+        case ((done, cur), t)     => (done, cur ++ item(t))
+      }
+      if (last.nonEmpty) acc :+ last else acc
+    }
+    val chains = branches.map(_.reduceLeft[Node](And(_, _)))
+    if (chains.isEmpty)
+      throw new IllegalArgumentException(s"websearch: no query terms in: $q")
+    chains.reduceLeft[Node](Or(_, _))
+  }
+
+  /** Parse websearch syntax + compile: `text @@ websearch_to_tsquery`. */
+  def matchesWebsearch(query: String, words: Column): Column =
+    matches(websearch(query), words)
+
   // ---- compiler ---------------------------------------------------------
 
   /** 1-based positions (array<int>) of a phrase operand's matches in

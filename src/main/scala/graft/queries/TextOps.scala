@@ -377,6 +377,30 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // websearch_to_tsquery end-to-end (`to_tsany.c`
+    // websearch_to_tsquery): free-form search syntax — implicit AND,
+    // "quoted phrases", -negation, loosest-binding OR (any case) —
+    // parsed by [[graft.functions.TsQuery.websearch]] onto the same AST
+    // and compiled to the same array predicates as t_fts_tsquery. The
+    // oracle is written directly against the word arrays, independent of
+    // the parser, so the hash check covers websearch parse + compile +
+    // execute.
+    "t_fts_websearch" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      import graft.functions.TsQuery
+      t(s, dir, "documents")
+        .withColumn("m_or_chains", TsQuery.matchesWebsearch(
+          "hash join or merge scan", words).cast("int"))
+        .withColumn("m_phrase_neg", TsQuery.matchesWebsearch(
+          "\"hash join\" -stream", words).cast("int"))
+        .withColumn("m_mixed", TsQuery.matchesWebsearch(
+          "fast OR \"slow scan\" -big", words).cast("int"))
+        .filter(col("m_or_chains") + col("m_phrase_neg") + col("m_mixed") > 0)
+        .select(col("doc_id"), col("m_or_chains"), col("m_phrase_neg"),
+                col("m_mixed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The lexize stage end-to-end (ts_lexize: dict_simple.c stop list +
     // snowball stemming; see [[graft.functions.Lexize]]): the corpus is
     // deterministically INFLECTED (plurals/gerunds/past — see inflect
@@ -797,6 +821,27 @@ object TextOps extends QueryModule {
         |  FROM d)
         |SELECT doc_id, m_bool, m_dist, m_nested FROM m
         |WHERE m_bool + m_dist + m_nested > 0 ORDER BY doc_id""".stripMargin,
+
+    "t_fts_websearch" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST((len(list_filter(w, x -> x = 'hash')) > 0
+        |           AND len(list_filter(w, x -> x = 'join')) > 0)
+        |      OR (len(list_filter(w, x -> x = 'merge')) > 0
+        |           AND len(list_filter(w, x -> x = 'scan')) > 0) AS INT)
+        |      AS m_or_chains,
+        |    CAST(len([i for i in range(2, len(w) + 1) if w[i] = 'join'
+        |           and w[i-1] = 'hash']) > 0
+        |      AND len(list_filter(w, x -> x = 'stream')) = 0 AS INT)
+        |      AS m_phrase_neg,
+        |    CAST(len(list_filter(w, x -> x = 'fast')) > 0
+        |      OR (len([i for i in range(2, len(w) + 1) if w[i] = 'scan'
+        |            and w[i-1] = 'slow']) > 0
+        |          AND len(list_filter(w, x -> x = 'big')) = 0) AS INT)
+        |      AS m_mixed
+        |  FROM d)
+        |SELECT doc_id, m_or_chains, m_phrase_neg, m_mixed FROM m
+        |WHERE m_or_chains + m_phrase_neg + m_mixed > 0 ORDER BY doc_id""".stripMargin,
 
     "t_vocab_topk" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

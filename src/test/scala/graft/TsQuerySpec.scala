@@ -88,6 +88,22 @@ class TsQuerySpec extends AnyFunSuite {
     assert(matchIds("fast <-> hash <-> join", corpus) == Set(1L))
   }
 
+  test("websearch: implicit AND, quoted phrase, -negation, loosest OR") {
+    assert(websearch("sad cat or fat rat") ==
+      Or(And(Lexeme("sad", false), Lexeme("cat", false)),
+         And(Lexeme("fat", false), Lexeme("rat", false))))
+    assert(websearch("\"hash join\" -stream") ==
+      And(Phrase(Lexeme("hash", false), Lexeme("join", false), 1),
+          Not(Lexeme("stream", false))))
+    // OR is case-insensitive; a negated quote negates the whole phrase
+    assert(websearch("a OR -\"b c\"") ==
+      Or(Lexeme("a", false),
+         Not(Phrase(Lexeme("b", false), Lexeme("c", false), 1))))
+    // stray punctuation is whitespace; empty OR branches collapse
+    assert(websearch("or a!!, (b) or") == And(Lexeme("a", false), Lexeme("b", false)))
+    assertThrows[IllegalArgumentException](websearch("  ...  "))
+  }
+
   test("matchCount counts phrase occurrences") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a b a b a")).toDF("id", "text")
