@@ -411,6 +411,42 @@ object Similarity extends QueryModule {
       ivfScoreTail(assigned, ivfQueries(e, centroids))
     }),
 
+    // Binary quantization + Hamming ANN — the most aggressive vector
+    // compression tier (sign-bit per dimension: 64 dims -> 8 bytes, 64x
+    // vs float32, 512x vs the double working form; the standard
+    // bq-then-rerank trade, same family as the sign-LSH bucketing
+    // above). Packed as TWO 32-bit halves folded MSB-first (acc*2+bit —
+    // a 64-bit fold would overflow BIGINT in the oracle engine, which
+    // errors rather than wraps); distance = popcount(xor(hi)) +
+    // popcount(xor(lo)), all integer — bit-exact across engines by
+    // construction. 100 TB shape: signature build is one map-side pass;
+    // queries broadcast (2 longs each); the only shuffle is the
+    // (qid, nid) top-k.
+    "s_ann_binary_hamming" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def sig(a: Column): Column =
+        aggregate(a, lit(0L),
+          (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L))
+      val b = e.select(col("vec_id"),
+        sig(slice(col("v"), 1, 32)).as("hi"),
+        sig(slice(col("v"), 33, 32)).as("lo"))
+      val q = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("hi").as("qhi"),
+                col("lo").as("qlo"))
+      val scored = b.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (bit_count(col("hi").bitwiseXOR(col("qhi"))) +
+           bit_count(col("lo").bitwiseXOR(col("qlo")))).cast("int")
+            .as("hamming"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("hamming"), col("nid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("hamming"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Int8 scalar quantization (the storage path for ANN at 100 TB: 4x
     // smaller vectors, distance on int8 with one dequant multiply).
     // Per-vector symmetric scale = max|x| / 127; reports the scale, the
@@ -793,6 +829,33 @@ object Similarity extends QueryModule {
          |  FROM score)
          |SELECT qid, CAST(rk AS INT) AS rk, nid, adc FROM ranked
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // the same MSB-first two-half sign packing; pure integer, so the
+    // compare is exact with no stabilization needed
+    "s_ann_binary_hamming" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |b AS (SELECT vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(v[1:32],
+        |        x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+        |      (a, x) -> a * 2 + x) AS hi,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(v[33:64],
+        |        x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+        |      (a, x) -> a * 2 + x) AS lo
+        |  FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    CAST(bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo))
+        |      AS INT) AS hamming
+        |  FROM b q JOIN b c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT qid, nid, hamming,
+        |    row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rk
+        |  FROM scored)
+        |SELECT qid, CAST(rk AS INT) AS rk, nid, hamming FROM ranked
+        |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "s_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

