@@ -77,6 +77,49 @@ object TypeOps extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Multirange types + range_agg (`/root/reference/src/backend/utils/
+    // adt/multirangetypes.c`; range_agg in `rangetypes_*`): each event
+    // contributes a 5-minute activity interval [minute, minute+5); per
+    // user the intervals aggregate into the CANONICAL multirange —
+    // overlapping and touching ranges merged, exactly pg's discrete-
+    // range canonicalization ([1,3) + [3,5) = [1,5)). Merging runs as
+    // the distributed gaps-and-islands shape (running-max window +
+    // island sum) rather than a per-row fold: at 100 TB the ranges of
+    // one key arrive as ROWS, and
+    // a window over (user, lo) is the shuffle-minimal canonicalization —
+    // one partition-by-user exchange, no driver state. Emitted: the
+    // multirange rendered as JSON (its canonical form), range count,
+    // covered length, span, and the has-gap predicate.
+    "q_multirange_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val r = t(s, dir, "events")
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) / 60).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 5)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("lo"), col("hi"))
+      val prevMax = max(col("hi"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val isles = r
+        .withColumn("new_isle",
+          when(prevMax.isNull || col("lo") > prevMax, 1).otherwise(0))
+        .withColumn("isle", sum(col("new_isle"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("isle"))
+        .agg(min(col("lo")).as("mlo"), max(col("hi")).as("mhi"))
+      isles.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("mlo").as("lo"),
+               col("mhi").as("hi")))).as("mr"),
+             sum(col("mhi") - col("mlo")).as("covered_min"),
+             min(col("mlo")).as("first_lo"), max(col("mhi")).as("last_hi"))
+        .select(col("user_id"),
+          size(col("mr")).as("n_ranges"),
+          col("covered_min"), col("first_lo"), col("last_hi"),
+          (col("covered_min") < col("last_hi") - col("first_lo"))
+            .as("has_gap"),
+          to_json(slice(col("mr"), 1, 4)).as("mr_head"))
+        .orderBy(col("user_id"))
+    }),
+
     // IPv4-as-uint32 inet family: dotted text, /24 network + broadcast,
     // subnet membership, and a same-subnet self-join aggregated per /24.
     "q_inet_ops" -> ((s, dir) => {
@@ -190,6 +233,35 @@ object TypeOps extends QueryModule {
          |    TIMESTAMP '2024-01-01 00:30:00') AS bin_start,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY bin_start ORDER BY bin_start""".stripMargin,
+
+    // identical gaps-and-islands canonicalization over the same integer
+    // minutes; epoch() keeps fractional seconds, so floor first
+    "q_multirange_agg" ->
+      """WITH r AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 60 AS lo,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 60 + 5 AS hi
+        |  FROM events),
+        |p AS (SELECT user_id, lo, hi,
+        |    MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM r),
+        |i AS (SELECT user_id, lo, hi,
+        |    SUM(CASE WHEN prev_max IS NULL OR lo > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY lo, hi
+        |        ROWS UNBOUNDED PRECEDING) AS isle
+        |  FROM p),
+        |g AS (SELECT user_id, isle, MIN(lo) AS mlo, MAX(hi) AS mhi
+        |  FROM i GROUP BY user_id, isle),
+        |m AS (SELECT user_id,
+        |    list({'lo': mlo, 'hi': mhi} ORDER BY mlo, mhi) AS mr,
+        |    CAST(SUM(mhi - mlo) AS BIGINT) AS covered_min,
+        |    MIN(mlo) AS first_lo, MAX(mhi) AS last_hi
+        |  FROM g GROUP BY user_id)
+        |SELECT user_id, CAST(len(mr) AS INT) AS n_ranges,
+        |  covered_min, first_lo, last_hi,
+        |  covered_min < last_hi - first_lo AS has_gap,
+        |  to_json(mr[1:4]) AS mr_head
+        |FROM m ORDER BY user_id""".stripMargin,
 
     "q_range_ops" ->
       """SELECT o_orderkey,
