@@ -401,6 +401,24 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ts_stat (`/root/reference/src/backend/utils/adt/tsvector_op.c`
+    // ts_stat_sql): corpus-wide lexeme statistics — per word, the
+    // document frequency (ndoc) and total occurrences (nentry) over the
+    // LEXIZED corpus (stats run over tsvectors, not raw text; stop words
+    // never appear). One explode + one (word) shuffle with map-side
+    // partials — the reference walks every tsvector the same way.
+    "t_ts_stat" -> ((s, dir) => {
+      import graft.functions.Lexize
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Lexize.tsvector(split(col("text"), " "))).as("word"))
+        .groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).cast("int").as("ndoc"),
+             count(lit(1)).as("nentry"))
+        .orderBy(col("nentry").desc, col("word"))
+        .limit(30)
+    }),
+
     // The lexize stage end-to-end (ts_lexize: dict_simple.c stop list +
     // snowball stemming; see [[graft.functions.Lexize]]): the corpus is
     // deterministically INFLECTED (plurals/gerunds/past — see inflect
@@ -842,6 +860,21 @@ object TextOps extends QueryModule {
         |  FROM d)
         |SELECT doc_id, m_or_chains, m_phrase_neg, m_mixed FROM m
         |WHERE m_or_chains + m_phrase_neg + m_mixed > 0 ORDER BY doc_id""".stripMargin,
+
+    "t_ts_stat" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents),
+         |k AS (SELECT doc_id,
+         |    list_filter(list_transform(w0, x -> lower(x)),
+         |      x -> len(x) > 0 AND x NOT IN
+         |        ${graft.functions.Lexize.duckStopList}) AS wk FROM d),
+         |s1 AS (SELECT doc_id, list_transform(wk,
+         |    x -> ${graft.functions.Lexize.duckStemPlural("x")}) AS ws FROM k),
+         |s2 AS (SELECT doc_id, list_transform(ws,
+         |    x -> ${graft.functions.Lexize.duckStemSuffix("x")}) AS lex FROM s1),
+         |u AS (SELECT doc_id, unnest(lex) AS word FROM s2)
+         |SELECT word, CAST(COUNT(DISTINCT doc_id) AS INT) AS ndoc,
+         |  COUNT(*) AS nentry
+         |FROM u GROUP BY word ORDER BY nentry DESC, word LIMIT 30""".stripMargin,
 
     "t_vocab_topk" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
