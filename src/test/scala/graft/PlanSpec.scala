@@ -166,13 +166,15 @@ class PlanSpec extends AnyFunSuite {
     // the scale contract from VERDICT r1: candidate generation and kernels
     // run executor-side; the only driver round-trips allowed are K-bounded
     // (centroid/codebook state). Dedup must be collect-free; Similarity
-    // may keep exactly its five K-bounded collects: IVF seed + per-iter
+    // may keep exactly its seven K-bounded collects: IVF seed + per-iter
     // centroid update (2), PQ seed ids (16 longs) + seed sub-vectors
-    // (M x K rows) + per-iter codebook update (M x K x Sub = 1024 rows).
+    // (M x K rows) + per-iter codebook update (M x K x Sub = 1024 rows),
+    // and the two fit-once store loaders (r8: pqLoadCodebooks 1024 rows,
+    // ivfLoadCentroids K x dim rows).
     def src(f: String): String = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"src/main/scala/graft/queries/$f")))
     assert(!src("Dedup.scala").contains(".collect()"))
-    assert(".collect()".r.unanchored.findAllMatchIn(src("Similarity.scala")).size <= 5)
+    assert(".collect()".r.unanchored.findAllMatchIn(src("Similarity.scala")).size <= 7)
   }
 
   test("persist() serves rescans from memory (Material/tuplestore analogue)") {
