@@ -526,6 +526,48 @@ object ScalarParity extends QueryModule {
         .orderBy(okey)
     }),
 
+    // jsonb operators over DYNAMIC documents — `||` concatenation (right
+    // operand wins on key collision, jsonb_concat in jsonfuncs.c),
+    // jsonb_strip_nulls, and `- 'key'` deletion — on MapType documents
+    // (schema-free keys, unlike q_jsonb_mutate's typed structs): parse
+    // with from_json(map<string,string>), edit with map_contains_key /
+    // map_filter / map_from_entries, re-render with to_json. Key order
+    // is deterministic by construction (left keys then unseen right
+    // keys, pg-independent but identical in the oracle). Per-row
+    // codegen'd map expressions; no shuffle.
+    "q_jsonb_concat" -> ((s, dir) => {
+      val okey = col("o_orderkey")
+      def m(k: Int): Column = pmod(okey, lit(k))
+      val j1 = concat(lit("{\"a\": \""), m(7), lit("\", \"b\": \""), m(5),
+        lit("\""),
+        when(m(3) === 0, lit(", \"c\": null"))
+          .otherwise(concat(lit(", \"c\": \""), m(11), lit("\""))), lit("}"))
+      val j2 = concat(lit("{\"b\": \"x"), m(4), lit("\", \"c\": \"z"), m(9),
+        lit("\"}"))
+      t(s, dir, "orders").filter(okey <= 200)
+        .withColumn("m1", from_json(j1, org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+        .withColumn("m2", from_json(j2, org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+        .withColumn("ks",
+          array_union(map_keys(col("m1")), map_keys(col("m2"))))
+        .withColumn("strip",
+          map_filter(col("m1"), (_, v) => v.isNotNull))
+        .select(okey,
+          // m1 || m2: union of keys, right value wins on collision
+          to_json(map_from_entries(transform(col("ks"), k => struct(k,
+            when(map_contains_key(col("m2"), k), element_at(col("m2"), k))
+              .otherwise(element_at(col("m1"), k)))))).as("j_concat"),
+          // jsonb_strip_nulls(m1)
+          to_json(col("strip")).as("j_strip"),
+          // jsonb_strip_nulls(m1) - 'b'
+          to_json(map_filter(col("strip"), (k, _) => k =!= "b"))
+            .as("j_del_key"))
+        .orderBy(okey)
+    }),
+
     // jsonb_each / json_array_elements analogues: one row per array
     // element (posexplode) and per object entry (map explode).
     "q_json_each" -> ((s, dir) => {
@@ -576,6 +618,25 @@ object ScalarParity extends QueryModule {
         |  to_json({'a': a, 'b': [arr[2], arr[3]], 'c': {'k': k, 'mm': mm}})
         |    AS j_del_arr,
         |  to_json({'a': a, 'b': arr, 'c': {'k': k}}) AS j_del_key
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+
+    // expected documents assembled key-by-key in the same order the
+    // Spark plan renders (left keys then unseen right keys)
+    "q_jsonb_concat" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(o_orderkey % 7 AS VARCHAR) AS a,
+        |    CAST(o_orderkey % 5 AS VARCHAR) AS bb,
+        |    CAST(o_orderkey % 11 AS VARCHAR) AS c,
+        |    'x' || (o_orderkey % 4) AS xb,
+        |    'z' || (o_orderkey % 9) AS zc,
+        |    o_orderkey % 3 = 0 AS cnull
+        |  FROM orders WHERE o_orderkey <= 200)
+        |SELECT o_orderkey,
+        |  to_json(map(['a', 'b', 'c'], [a, xb, zc])) AS j_concat,
+        |  to_json(CASE WHEN cnull THEN map(['a', 'b'], [a, bb])
+        |          ELSE map(['a', 'b', 'c'], [a, bb, c]) END) AS j_strip,
+        |  to_json(CASE WHEN cnull THEN map(['a'], [a])
+        |          ELSE map(['a', 'c'], [a, c]) END) AS j_del_key
         |FROM b ORDER BY o_orderkey""".stripMargin,
 
     // same document construction char-for-char; filters/methods through
