@@ -250,4 +250,27 @@ class PlanSpec extends AnyFunSuite {
     // tiny query set), no corpus-wide hash exchange before the join
     assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
   }
+
+  test("fit-once PQ scoring reads stored codes, not re-fit passes") {
+    // with the store configured, the scoring plan's corpus side is the
+    // pq_codes table — the embeddings scan appears only for the
+    // query-vector LUTs, and the tiny query set broadcasts
+    val s = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory("pqplan").toString
+    graft.queries.Similarity.pqEnsurePersisted(s, sf, tmp)
+    s.conf.set(graft.queries.Similarity.PqDirConf, tmp)
+    val p = SparkEntry.queries("s_ann_pq_score")(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("pq_codes"), p)
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("multirange canonicalization shuffles once on the grouping key") {
+    // window partition-by user_id; both downstream groupBys cluster on
+    // supersets/subsets served by the same HashPartitioning — one
+    // exchange total (plus the final presentation sort)
+    val p = planOf("q_multirange_agg")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected a single hash exchange, got $shuffles:\n$p")
+  }
 }
