@@ -259,6 +259,36 @@ object Corpus extends QueryModule {
     // both engines emit identical longs. Scale shape: one shuffle keyed
     // (doc, gram) with map-side partials, then one keyed (doc) — gram-
     // proportional, corpus-linear.
+    // Bigram LM likelihood scoring — the classic LM-quality filter shape
+    // (score each document under a corpus-trained n-gram model; low
+    // likelihood = boilerplate/garbled/OOD). Additive pipeline op, kept
+    // EXACT: conditional p(w2|w1) = c(bigram)/c(prefix) is rational, so
+    // per-bigram micros use the half-up integer-division discipline and
+    // the per-doc mean stays integer — no floats anywhere, bit-equal in
+    // any engine. 100 TB shape: the model is one (bigram) shuffle with
+    // map-side partials and is VOCAB^2-bounded, so scoring broadcasts it
+    // and the only other shuffle is the per-doc aggregation.
+    "d_bigram_likelihood" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat_ws(" ", a, b)).as("bgs"))
+      val ex = d.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      val model = ex.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val prefix = model.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
+      val m2 = model.join(prefix, "w1")
+        .select(col("bg"), col("c_bg"), col("c_w1"))
+      ex.join(broadcast(m2), "bg")
+        .withColumn("p_u", expr("(2000000 * c_bg + c_w1) div (2 * c_w1)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             min(col("p_u")).as("min_p_u"),
+             expr("(2 * sum(p_u) + count(1)) div (2 * count(1))")
+               .as("avg_p_u"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d_gopher_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -330,6 +360,24 @@ object Corpus extends QueryModule {
     // CAST(SUM(..) AS BIGINT) everywhere: DuckDB SUM(BIGINT) returns
     // HUGEINT, which would poison the // arithmetic's driver-side dtype
     // (the d_pack_sequences lesson)
+    "d_bigram_likelihood" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |  FROM d),
+        |model AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+        |pfx AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |    CAST(SUM(c_bg) AS BIGINT) AS c_w1
+        |  FROM model GROUP BY 1),
+        |m2 AS (SELECT bg, c_bg, c_w1
+        |  FROM model JOIN pfx ON split_part(model.bg, ' ', 1) = pfx.w1),
+        |sc AS (SELECT doc_id,
+        |    (2000000 * c_bg + c_w1) // (2 * c_w1) AS p_u
+        |  FROM bg JOIN m2 USING (bg))
+        |SELECT doc_id, COUNT(*) AS n_bigrams, MIN(p_u) AS min_p_u,
+        |  (2 * CAST(SUM(p_u) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS avg_p_u
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d_gopher_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
