@@ -373,6 +373,33 @@ object Ingest {
     replaceTable(spark, spark.read.parquet(path).repartition(nFiles), path)
   }
 
+  /** Parquet BLOOM-FILTER indexing for point lookups on non-sort keys —
+    * the lakehouse analogue of the reference's secondary index AMs
+    * (`/root/reference/src/backend/access/brin/`, bitmap/btree indexes;
+    * GP's AO tables pair block directories with indexes for the same
+    * purpose). Min/max row-group stats only prune when the file is
+    * SORTED by the predicate column; a bloom filter prunes row groups
+    * for equality predicates on ANY column at ~1 byte/row cost. Spark's
+    * parquet reader consumes them automatically under the default
+    * filter pushdown, so at 100 TB a needle query touches only the row
+    * groups whose filter admits the key. */
+  def writeWithBloom(spark: SparkSession, df: DataFrame, path: String,
+                     bloomCols: Seq[String],
+                     expectedNdv: Long = 100000L): DataFrame = {
+    // dictionary off for the bloom columns: parquet-mr omits the filter
+    // when a chunk stays fully dictionary-encoded (the dictionary already
+    // filters exactly) — a high-NDV key at scale always falls out of the
+    // dictionary, so forcing the non-dict path here makes the small-SF
+    // files carry the same index shape the 100 TB files would
+    val w = bloomCols.foldLeft(df.write.mode(SaveMode.Overwrite)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    w.parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** JSON-lines unload/load (the reference's `COPY ... (FORMAT json)` /
     * json external tables): schema re-imposed on read, so types survive
     * the text round-trip. */

@@ -93,6 +93,25 @@ object Matviews {
     read(spark, path)
   }
 
+  /** Commit `df` as the next snapshot version WITHOUT a stored
+    * definition — for callers that maintain the contents incrementally
+    * (streaming delta refresh) and own the compute. Same crash-safe
+    * protocol: a marker-less write is invisible, the previous current
+    * version survives one more cycle for in-flight readers. */
+  def writeSnapshot(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val fs = fsOf(spark, path)
+    fs.mkdirs(new Path(path))
+    val cur = currentVersion(fs, path)
+    val next = versions(fs, path).maxOption.getOrElse(0) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/v$next")
+    cur.foreach(c => versions(fs, path).filter(_ < c)
+      .foreach(v => fs.delete(new Path(s"$path/v$v"), true)))
+  }
+
+  /** Whether the view has any committed snapshot yet. */
+  def exists(spark: SparkSession, path: String): Boolean =
+    currentVersion(fsOf(spark, path), path).isDefined
+
   /** SELECT from the view's current committed snapshot. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsOf(spark, path)

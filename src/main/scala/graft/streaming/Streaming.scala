@@ -298,6 +298,80 @@ object Streaming {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming INCREMENTAL materialized-view maintenance. The
+    * reference's REFRESH MATERIALIZED VIEW re-executes the full stored
+    * definition (`matview.c` ExecRefreshMatView); with an append-only
+    * base and DECOMPOSABLE aggregates the refresh can instead fold only
+    * the new micro-batch into the current snapshot — delta maintenance,
+    * the IVM counting algorithm for distributive aggregates. Per
+    * micro-batch: partial-aggregate the batch (per event_type: row
+    * count + micros-exact value sum), union-merge with the current
+    * snapshot re-aggregating the partials, and commit through
+    * [[graft.sources.Matviews.writeSnapshot]]'s versioned protocol
+    * (crash mid-refresh leaves the old version current; readers of the
+    * pre-refresh snapshot are undisturbed). Refresh cost is
+    * O(|batch| + |view|) shuffled on the group key — never O(|base|).
+    *
+    * Exactly-once: every snapshot row carries the id of the last
+    * applied batch (`_applied_batch`) — recorded ATOMICALLY with the
+    * data by the snapshot commit itself, so a crash anywhere leaves
+    * either the old snapshot (batch unapplied, replay applies it once)
+    * or the new one (replay sees its own id and skips). Restarts of the
+    * same checkpoint are therefore idempotent. After checkpoint LOSS
+    * the batch lineage restarts at 0 over ALL files — a case delta
+    * maintenance cannot distinguish from new data — so recovery is the
+    * reference's full re-execution: [[rebuildMatviewCounts]] into a
+    * FRESH view dir (equivalently: replay the stream into one). */
+  def streamingMatviewCounts(spark: SparkSession, srcDir: String,
+                             mvPath: String, checkpointDir: String): Unit = {
+    val q = spark.readStream
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val existing =
+          if (graft.sources.Matviews.exists(sess, mvPath))
+            Some(graft.sources.Matviews.read(sess, mvPath))
+          else None
+        val applied = existing.exists(
+          _.agg(coalesce(max(col("_applied_batch")), lit(-1L)))
+            .collect()(0).getLong(0) >= batchId)
+        if (!applied) {
+          val delta = batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 1000000.0, 0).cast("long")).as("sum_u"))
+          val merged = existing match {
+            case None => delta
+            case Some(cur) => cur.select(col("event_type"), col("n"), col("sum_u"))
+              .unionByName(delta)
+              .groupBy(col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("sum_u")).as("sum_u"))
+          }
+          graft.sources.Matviews.writeSnapshot(sess, mvPath,
+            merged.withColumn("_applied_batch", lit(batchId)))
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Full refresh of the counts view — bootstrap and checkpoint-loss
+    * recovery (the reference's full re-execution path). Writes into a
+    * fresh or existing view dir; pairs with a FRESH checkpoint. */
+  def rebuildMatviewCounts(spark: SparkSession, srcDir: String,
+                           mvPath: String): Unit = {
+    val full = spark.read
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .parquet(srcDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000.0, 0).cast("long")).as("sum_u"))
+    graft.sources.Matviews.writeSnapshot(spark, mvPath,
+      full.withColumn("_applied_batch", lit(-1L)))
+  }
+
   /** Arbitrary stateful streaming: running per-user event counter via
     * mapGroupsWithState (reference analogue: none — additive). */
   def statefulUserCounts(spark: SparkSession, dir: String, name: String): DataFrame = {

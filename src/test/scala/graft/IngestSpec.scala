@@ -418,4 +418,41 @@ class IngestSpec extends AnyFunSuite {
     // layouts hold identical data
     assert(spark.read.parquet(zDir).count() == src.count())
   }
+
+  test("bloom-filter columns are written into the parquet footers and reads stay exact") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/t"
+    val src = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+              col("l_quantity"))
+    graft.sources.Ingest.writeWithBloom(spark, src.repartition(4), dir,
+      Seq("l_partkey"), expectedNdv = 1000L)
+    // footer check: every row group carries a bloom filter for
+    // l_partkey and none for the other columns
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { cc =>
+            val hasBloom = cc.getBloomFilterOffset >= 0
+            if (cc.getPath.toDotString == "l_partkey")
+              assert(hasBloom, s"no bloom filter for l_partkey in $f")
+            else assert(!hasBloom, s"unexpected bloom on ${cc.getPath} in $f")
+          }
+        }
+      } finally reader.close()
+    }
+    // equality point lookup through the bloom-filtered files stays exact
+    val key = src.select(col("l_partkey")).limit(1).collect()(0).getLong(0)
+    val got = spark.read.parquet(dir).filter(col("l_partkey") === key).count()
+    val want = src.filter(col("l_partkey") === key).count()
+    assert(got == want && want > 0)
+  }
 }
