@@ -120,6 +120,43 @@ object TypeOps extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // Fuzzy string matching — contrib/pg_trgm (trigram extraction +
+    // similarity(), the `%` operator at the default 0.3 limit) and
+    // contrib/fuzzystrmatch levenshtein()
+    // (`/root/reference/contrib/pg_trgm/trgm_op.c` generate_trgm:
+    // lowercase, split on non-alnum, pad "  w ", char 3-grams, distinct;
+    // `/root/reference/contrib/fuzzystrmatch/levenshtein.c`), plus a
+    // contrib/citext-style case-insensitive equality. similarity is the
+    // rational |A∩B|/|A∪B| kept in exact half-up micros. All per-row
+    // array/codegen expressions — no shuffle.
+    "q_trgm_fuzzy" -> ((s, dir) => {
+      def trgmSet(s0: Column): Column = {
+        val words = filter(split(lower(s0), "[^a-z0-9]+"), w => length(w) > 0)
+        array_distinct(flatten(transform(words, w => {
+          val p = concat(lit("  "), w, lit(" "))
+          transform(sequence(lit(1), length(p) - lit(2)),
+            i => p.substr(i, lit(3)))
+        })))
+      }
+      val probe = "Customer#000000100"
+      val own = trgmSet(col("c_name"))
+      val ref = trgmSet(lit(probe))
+      val inter = size(array_intersect(own, ref))
+      val uni = size(array_union(own, ref))
+      t(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .withColumn("inter", inter.cast("long"))
+        .withColumn("uni", uni.cast("long"))
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), lit(probe)).as("lev"),
+          size(own).as("n_trgm"),
+          expr("(2000000 * inter + uni) div (2 * uni)").as("sim_u"),
+          (expr("(2000000 * inter + uni) div (2 * uni)") >= 300000L)
+            .as("is_match"), // pg_trgm default similarity limit 0.3
+          (lower(col("c_name")) === lower(lit("CUSTOMER#000000100")))
+            .as("ci_eq"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // IPv4-as-uint32 inet family: dotted text, /24 network + broadcast,
     // subnet membership, and a same-subnet self-join aggregated per /24.
     "q_inet_ops" -> ((s, dir) => {
@@ -233,6 +270,36 @@ object TypeOps extends QueryModule {
          |    TIMESTAMP '2024-01-01 00:30:00') AS bin_start,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY bin_start ORDER BY bin_start""".stripMargin,
+
+    // the same pg_trgm trigram construction (pad "  w ", distinct char
+    // 3-grams per non-alnum-split word) with the same micros rational
+    "q_trgm_fuzzy" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey <= 200),
+        |t AS (SELECT c_custkey, c_name,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(string_split_regex(lower(c_name), '[^a-z0-9]+'),
+        |                  w -> len(w) > 0),
+        |      w -> [substr('  ' || w || ' ', i, 3)
+        |            for i in range(1, len(w) + 2)]))) AS own,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(string_split_regex(lower('Customer#000000100'),
+        |                                     '[^a-z0-9]+'),
+        |                  w -> len(w) > 0),
+        |      w -> [substr('  ' || w || ' ', i, 3)
+        |            for i in range(1, len(w) + 2)]))) AS ref
+        |  FROM c),
+        |m AS (SELECT c_custkey, c_name, own,
+        |    CAST(len(list_intersect(own, ref)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(own, ref))) AS BIGINT) AS uni
+        |  FROM t)
+        |SELECT c_custkey,
+        |  CAST(levenshtein(c_name, 'Customer#000000100') AS INT) AS lev,
+        |  CAST(len(own) AS INT) AS n_trgm,
+        |  (2000000 * inter + uni) // (2 * uni) AS sim_u,
+        |  (2000000 * inter + uni) // (2 * uni) >= 300000 AS is_match,
+        |  lower(c_name) = lower('CUSTOMER#000000100') AS ci_eq
+        |FROM m ORDER BY c_custkey""".stripMargin,
 
     // identical gaps-and-islands canonicalization over the same integer
     // minutes; epoch() keeps fractional seconds, so floor first
