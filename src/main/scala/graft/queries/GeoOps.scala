@@ -37,7 +37,47 @@ object GeoOps extends QueryModule {
       .withColumn("yl", key2 % 40)
       .withColumn("yh", col("yl") + 8)
 
+  /** Haversine great-circle km between (lat,lon) columns/literals — the
+    * contrib/earthdistance formula (`/root/reference/contrib/
+    * earthdistance/earthdistance.c` geo_distance; earth radius 6378168 m
+    * per earth()), written ONCE as SQL text shared verbatim by the Spark
+    * plan (expr) and the DuckDB oracle so the IEEE op sequence is
+    * identical; results are rounded to 3 decimals, ~9 orders of
+    * magnitude above any libm last-ulp divergence. */
+  private def haversineSql(lat: String, lon: String,
+                           plat: Double, plon: Double): String =
+    s"round(2 * 6378.168 * asin(sqrt(" +
+      s"pow(sin(radians($lat - ($plat)) / 2), 2) + " +
+      s"cos(radians($plat)) * cos(radians($lat)) * " +
+      s"pow(sin(radians($lon - ($plon)) / 2), 2))), 3)"
+
+  private val anchors = Seq(("sfo", 37.77, -122.42), ("fra", 50.03, 8.57),
+                            ("syd", -33.95, 151.18))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // contrib/earthdistance: great-circle distances from synthetic
+    // per-customer coordinates to three anchor points, range predicate,
+    // and nearest-anchor classification (argmin over the ROUNDED
+    // distances, so the tie-break sees identical values cross-engine).
+    // Pure map-side trigonometry inside codegen.
+    "q_earth_distance" -> ((s, dir) => {
+      val base = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .withColumn("lat",
+          (pmod(col("c_custkey"), lit(180)) - 90 + 0.5).cast("double"))
+        .withColumn("lon",
+          (pmod(col("c_custkey") * 7, lit(360)) - 180 + 0.5).cast("double"))
+      val withD = anchors.foldLeft(base) { case (df, (n, la, lo)) =>
+        df.withColumn(s"d_$n", expr(haversineSql("lat", "lon", la, lo)))
+      }
+      withD.select(col("c_custkey"), col("lat"), col("lon"),
+          col("d_sfo"), col("d_fra"), col("d_syd"),
+          (col("d_sfo") < 1000.0).as("near_sfo"),
+          array_min(array(anchors.map { case (n, _, _) =>
+            struct(col(s"d_$n").as("d"), lit(n).as("n")) }: _*))
+            .getField("n").as("nearest"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // scalar operator family over synthesized points + boxes
     "q_geo_ops" -> ((s, dir) => {
       val d = boxes(t(s, dir, "orders").filter(col("o_orderkey") <= 500),
@@ -98,6 +138,23 @@ object GeoOps extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same shared haversine text; nearest via the same rounded argmin
+    "q_earth_distance" ->
+      s"""WITH b AS (SELECT c_custkey,
+         |    CAST(c_custkey % 180 - 90 + 0.5 AS DOUBLE) AS lat,
+         |    CAST((c_custkey * 7) % 360 - 180 + 0.5 AS DOUBLE) AS lon
+         |  FROM customer WHERE c_custkey <= 200),
+         |d AS (SELECT c_custkey, lat, lon,
+         |    ${haversineSql("lat", "lon", 37.77, -122.42)} AS d_sfo,
+         |    ${haversineSql("lat", "lon", 50.03, 8.57)} AS d_fra,
+         |    ${haversineSql("lat", "lon", -33.95, 151.18)} AS d_syd
+         |  FROM b)
+         |SELECT c_custkey, lat, lon, d_sfo, d_fra, d_syd,
+         |  d_sfo < 1000.0 AS near_sfo,
+         |  (list_sort([{'d': d_sfo, 'n': 'sfo'}, {'d': d_fra, 'n': 'fra'},
+         |              {'d': d_syd, 'n': 'syd'}]))[1].n AS nearest
+         |FROM d ORDER BY c_custkey""".stripMargin,
+
     "q_geo_ops" ->
       """WITH d AS (SELECT o_orderkey,
         |    o_orderkey % 97 AS xp, o_custkey % 89 AS yp,
