@@ -162,6 +162,62 @@ object TsQuery {
     n
   }
 
+  // ---- ts_rewrite -------------------------------------------------------
+
+  /** `ts_rewrite(query, target, substitute)`
+    * (`/root/reference/src/backend/utils/adt/tsquery_rewrite.c`,
+    * `findsubquery`/`dofindsubquery` over QTNode trees; tests
+    * `sql/tsearch.sql`): replace every occurrence of `target` inside
+    * `query` with `substitute`. Like the reference, AND/OR matching is
+    * SET-based over the flattened operator chain — rewriting
+    * `a & b & c` by target `c & a` matches regardless of order and
+    * leaves `b & sub` — and a target equal to a whole node replaces it
+    * outright. The rewritten tree is rebuilt left-fold over the
+    * remaining operands, then the substitute. */
+  def rewrite(q: Node, target: Node, sub: Node): Node = {
+    def flat(n: Node, isAnd: Boolean): List[Node] = n match {
+      case And(l, r) if isAnd => flat(l, isAnd) ++ flat(r, isAnd)
+      case Or(l, r) if !isAnd => flat(l, isAnd) ++ flat(r, isAnd)
+      case other => List(other)
+    }
+    def rebuild(ops: List[Node], isAnd: Boolean): Node =
+      ops.reduceLeft[Node]((a, b) => if (isAnd) And(a, b) else Or(a, b))
+    def removeSubset(chain: List[Node], tgt: List[Node]): Option[List[Node]] = {
+      // remove each target operand once (multiset subset)
+      var rest = chain
+      val ok = tgt.forall { t =>
+        val i = rest.indexOf(t)
+        if (i < 0) false else { rest = rest.patch(i, Nil, 1); true }
+      }
+      if (ok) Some(rest) else None
+    }
+    def go(n: Node): Node = {
+      if (n == target) return sub
+      n match {
+        case _: And | _: Or =>
+          val isAnd = n.isInstanceOf[And]
+          val chain = flat(n, isAnd).map(go)
+          val tgtChain = target match {
+            case _: And if isAnd => flat(target, isAnd = true)
+            case _: Or if !isAnd => flat(target, isAnd = false)
+            case single => List(single)
+          }
+          removeSubset(chain, tgtChain) match {
+            case Some(rest) => rebuild(rest :+ sub, isAnd)
+            case None => rebuild(chain, isAnd)
+          }
+        case Not(c) => Not(go(c))
+        case Phrase(l, r, d) => Phrase(go(l), go(r), d)
+        case leaf => leaf
+      }
+    }
+    go(q)
+  }
+
+  /** String-level ts_rewrite: parse all three and rewrite. */
+  def rewrite(q: String, target: String, sub: String): Node =
+    rewrite(parse(q), parse(target), parse(sub))
+
   // ---- websearch syntax -------------------------------------------------
 
   /** `websearch_to_tsquery` (`/root/reference/src/backend/tsquery/…` —

@@ -377,6 +377,31 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ts_rewrite end-to-end (`tsquery_rewrite.c` findsubquery; the
+    // QUERY-EXPANSION half of the reference's FTS surface — synonym/
+    // related-term injection at query time): two rewrites through
+    // [[graft.functions.TsQuery.rewrite]] — a leaf expanded to an OR
+    // ('hash' -> 'hash | merge' inside 'hash & join') and an
+    // order-insensitive AND-chain subset collapsed ('big & slow' inside
+    // 'slow & scan & big' -> 'fast'). The oracle evaluates the EXPECTED
+    // rewritten semantics directly on the word arrays, independent of
+    // parser and rewriter.
+    "t_fts_rewrite" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      import graft.functions.TsQuery
+      val r1 = TsQuery.rewrite("hash & join", "hash", "hash | merge")
+      val r2 = TsQuery.rewrite("slow & scan & big", "big & slow", "fast")
+      t(s, dir, "documents")
+        .withColumn("m_before",
+          TsQuery.matches("hash & join", words).cast("int"))
+        .withColumn("m_expanded", TsQuery.matches(r1, words).cast("int"))
+        .withColumn("m_collapsed", TsQuery.matches(r2, words).cast("int"))
+        .filter(col("m_before") + col("m_expanded") + col("m_collapsed") > 0)
+        .select(col("doc_id"), col("m_before"), col("m_expanded"),
+                col("m_collapsed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // websearch_to_tsquery end-to-end (`to_tsany.c`
     // websearch_to_tsquery): free-form search syntax — implicit AND,
     // "quoted phrases", -negation, loosest-binding OR (any case) —
@@ -839,6 +864,24 @@ object TextOps extends QueryModule {
         |  FROM d)
         |SELECT doc_id, m_bool, m_dist, m_nested FROM m
         |WHERE m_bool + m_dist + m_nested > 0 ORDER BY doc_id""".stripMargin,
+
+    "t_fts_rewrite" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x = 'hash')) > 0
+        |      AND len(list_filter(w, x -> x = 'join')) > 0 AS INT)
+        |      AS m_before,
+        |    CAST((len(list_filter(w, x -> x = 'hash')) > 0
+        |           OR len(list_filter(w, x -> x = 'merge')) > 0)
+        |      AND len(list_filter(w, x -> x = 'join')) > 0 AS INT)
+        |      AS m_expanded,
+        |    CAST(len(list_filter(w, x -> x = 'scan')) > 0
+        |      AND len(list_filter(w, x -> x = 'fast')) > 0 AS INT)
+        |      AS m_collapsed
+        |  FROM d)
+        |SELECT doc_id, m_before, m_expanded, m_collapsed FROM m
+        |WHERE m_before + m_expanded + m_collapsed > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "t_fts_websearch" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -104,6 +104,25 @@ class TsQuerySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](websearch("  ...  "))
   }
 
+  test("ts_rewrite: leaf, whole-node, and set-based AND/OR chain substitution") {
+    // leaf inside a chain
+    assert(rewrite("a & b", "a", "b | c") ==
+      And(Or(Lexeme("b", false), Lexeme("c", false)), Lexeme("b", false)))
+    // order-insensitive subset of an AND chain
+    assert(rewrite("a & b & c", "c & a", "x") ==
+      And(Lexeme("b", false), Lexeme("x", false)))
+    // whole-node match
+    assert(rewrite("a | b", "a | b", "c") == Lexeme("c", false))
+    // no match leaves the query untouched
+    assert(rewrite("a & b", "z", "x") == parse("a & b"))
+    // nested operand match under a different operator
+    assert(rewrite("(a & b) | c", "a & b", "x") ==
+      Or(Lexeme("x", false), Lexeme("c", false)))
+    // rewrite inside NOT and phrase operands
+    assert(rewrite("!a <-> b", "a", "z") ==
+      Phrase(Not(Lexeme("z", false)), Lexeme("b", false), 1))
+  }
+
   test("matchCount counts phrase occurrences") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a b a b a")).toDF("id", "text")
