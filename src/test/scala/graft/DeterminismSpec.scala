@@ -27,7 +27,13 @@ class DeterminismSpec extends AnyFunSuite {
     "q_linreg_fit",           // 9 exact moment sums + mirrored Cramer solve
     "s_ann_pq_adc",           // micros-Lloyd codebooks + micros-summed ADC
     "q_quantile_sketch",      // histogram counts + mirrored interpolation
-    "v_svec_sum_by_label")    // nnz-triple shuffle + micros sums
+    "v_svec_sum_by_label",    // nnz-triple shuffle + micros sums
+    // r8 additions:
+    "q_multirange_agg",       // gaps-and-islands windows + collect_list sort
+    "d_bigram_likelihood",    // broadcast LM + half-up integer-micros means
+    "s_ann_pq_score",         // sampled-fit codebooks + scoring join
+    "t_fts_rank_cd",          // left-to-right double fold over covers
+    "q_trgm_fuzzy")           // trigram set ops + micros rational
     // (q_eager_agg deliberately NOT here: it builds a child session, so
     // the parent-session parallelism override would never reach it and
     // the invariance claim would be vacuous; XformRulesSpec proves its
