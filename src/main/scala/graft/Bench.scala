@@ -95,15 +95,36 @@ object Bench {
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
       .foreach(n => Tables.t(spark, sfDir, n).limit(1).collect())
 
-    // Fit-once PQ store for the scoring-only lane: built UNTIMED here
-    // (codebook training is an offline once-per-corpus-version job, not
-    // query work), keyed on the dataset path, reused across bench runs.
-    // s_ann_pq_score then reads codebooks + stored codes and only scores.
-    def preparePq(dir: String): Unit = try {
-      val abs = new java.io.File(dir.stripSuffix("/")).getAbsolutePath
-      val key = java.security.MessageDigest.getInstance("MD5")
+    // 4-byte MD5 of an absolute path — the shared cache-dir key for the
+    // sf1 replica and the ANN stores (one definition, so the two can't
+    // drift).
+    def pathKey(abs: String): String =
+      java.security.MessageDigest.getInstance("MD5")
         .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val store = s"/root/repo/.scale/pq_${abs.split('/').last}_$key"
+
+    // SPARK_GRAFT_BENCH_ONLY=comma,list restricts the set (local iteration).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val qs = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+
+    // Fit-once ANN store for the scoring-only lanes: built UNTIMED here
+    // (model training is an offline once-per-corpus-version job, not
+    // query work). Keyed on the dataset path AND its embeddings commit
+    // mtime, so a regenerated corpus at the same path invalidates the
+    // derived codes/cells instead of silently scoring stale artifacts.
+    // Skipped entirely when the restricted set has no scoring lane.
+    val scoringLanes = Set("s_ann_pq_score", "s_ann_ivf_score")
+    // NOTE: no early `return` inside the try — Scala's non-local return
+    // is a ControlThrowable the catch-all would swallow as a "skip"
+    def preparePq(dir: String): Unit = if (qs.exists(scoringLanes)) try {
+      val abs = new java.io.File(dir.stripSuffix("/")).getAbsolutePath
+      val emb = new java.io.File(abs, "embeddings.parquet/_SUCCESS")
+      val ver = if (emb.exists()) emb.lastModified() else 0L
+      val key = pathKey(s"$abs:$ver")
+      val storeRoot = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE_DIR",
+        "/root/repo/.scale")
+      val store = s"$storeRoot/pq_${abs.split('/').last}_$key"
       graft.queries.Similarity.pqEnsurePersisted(spark, dir, store)
       graft.queries.Similarity.ivfEnsurePersisted(spark, dir, store)
       spark.conf.set(graft.queries.Similarity.PqDirConf, store)
@@ -112,12 +133,6 @@ object Bench {
         s"will run instead): ${e.getMessage}")
       spark.conf.unset(graft.queries.Similarity.PqDirConf)
     }
-
-    // SPARK_GRAFT_BENCH_ONLY=comma,list restricts the set (local iteration).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val qs = headline.filter(SparkEntry.queries.contains)
-      .filter(n => only.forall(_.contains(n)))
 
     preparePq(sfDir)
     val results = runSuite(spark, qs, sfDir, runs = 3)
@@ -135,10 +150,8 @@ object Bench {
         // absolute source path: two base datasets whose paths share a
         // final segment (/a/sf0.1 vs /b/sf0.1) get distinct replicas
         val srcAbs = new java.io.File(sfDir.stripSuffix("/")).getAbsolutePath
-        val pathKey = java.security.MessageDigest.getInstance("MD5")
-          .digest(srcAbs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
-          s"/root/repo/.scale/${srcAbs.split('/').last}_${pathKey}_x10")
+          s"/root/repo/.scale/${srcAbs.split('/').last}_${pathKey(srcAbs)}_x10")
         val marker = new org.apache.hadoop.fs.Path(sf1Dir, "embeddings.parquet/_SUCCESS")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // embeddings is the last table GenScale writes: its _SUCCESS marks

@@ -237,6 +237,20 @@ object TsQuery {
     final case class Word(w: String, neg: Boolean) extends W
     final case class Quoted(ws: List[String], neg: Boolean) extends W
     case object OrSep extends W
+    // ONE word-character predicate for both quoted and unquoted text —
+    // a quoted "café au" must tokenize the same letters the bare word
+    // café does, or quoting a term changes what it matches
+    def isWordChar(ch: Char): Boolean = ch.isLetterOrDigit || ch == '_'
+    def splitWords(seg: String): List[String] = {
+      val out = List.newBuilder[String]
+      val cur = new StringBuilder
+      seg.foreach { ch =>
+        if (isWordChar(ch)) cur.append(ch)
+        else if (cur.nonEmpty) { out += cur.result(); cur.clear() }
+      }
+      if (cur.nonEmpty) out += cur.result()
+      out.result()
+    }
     val toks = List.newBuilder[W]
     var i = 0
     while (i < q.length) {
@@ -246,16 +260,14 @@ object TsQuery {
         val open = if (neg) i + 1 else i
         val close = q.indexOf('"', open + 1)
         val end = if (close < 0) q.length else close
-        val ws = q.substring(open + 1, end).split("[^A-Za-z0-9_]+")
-          .toList.filter(_.nonEmpty)
+        val ws = splitWords(q.substring(open + 1, end))
         if (ws.nonEmpty) toks += Quoted(ws, neg)
         i = end + 1
-      } else if (c == '-' || c.isLetterOrDigit || c == '_') {
+      } else if (c == '-' || isWordChar(c)) {
         val neg = c == '-'
         val start = if (neg) i + 1 else i
         var j = start
-        while (j < q.length &&
-               (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_')) j += 1
+        while (j < q.length && isWordChar(q.charAt(j))) j += 1
         val w = q.substring(start, j)
         if (w.equalsIgnoreCase("or") && !neg) toks += OrSep
         else if (w.nonEmpty) toks += Word(w, neg)

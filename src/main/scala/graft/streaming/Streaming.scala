@@ -358,8 +358,14 @@ object Streaming {
   }
 
   /** Full refresh of the counts view — bootstrap and checkpoint-loss
-    * recovery (the reference's full re-execution path). Writes into a
-    * fresh or existing view dir; pairs with a FRESH checkpoint. */
+    * recovery (the reference's full re-execution path). Pairs with a
+    * FRESH checkpoint: the snapshot is stamped `_applied_batch = 0`
+    * because that fresh checkpoint's batch 0 re-delivers exactly the
+    * files this rebuild just aggregated — the stream must SKIP it, not
+    * re-fold the whole corpus onto the full snapshot. Files that arrive
+    * between the rebuild and the stream start would also land in batch 0
+    * and be skipped, so re-run the rebuild if ingestion continued during
+    * the handoff (the same snapshot-handoff window any recovery has). */
   def rebuildMatviewCounts(spark: SparkSession, srcDir: String,
                            mvPath: String): Unit = {
     val full = spark.read
@@ -369,7 +375,7 @@ object Streaming {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 1000000.0, 0).cast("long")).as("sum_u"))
     graft.sources.Matviews.writeSnapshot(spark, mvPath,
-      full.withColumn("_applied_batch", lit(-1L)))
+      full.withColumn("_applied_batch", lit(0L)))
   }
 
   /** Arbitrary stateful streaming: running per-user event counter via

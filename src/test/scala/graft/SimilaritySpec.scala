@@ -112,10 +112,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(stored.nonEmpty)
   }
 
-  test("binary-hamming top-3 recalls a meaningful share of exact cosine top-10") {
-    // sign bits preserve angle ordering in expectation; on this random
-    // corpus the measured mean recall is ~0.3 vs a ~2% chance level
-    // (top-10 of 500) — floor at half the measured value
+  test("binary-hamming top-3 recalls a meaningful share of exact cosine top-5") {
+    // sign bits preserve angle ordering in expectation; the reference set
+    // here is the brute-force query's cosine TOP-5 (its emitted depth),
+    // whose chance level on this 500-vector corpus is ~1% — the 0.1
+    // floor is an order of magnitude above chance and comfortably below
+    // the measured recall
     val exact = topkSet("s_ann_bruteforce_topk", 5)
     val bin = topkSet("s_ann_binary_hamming", 3)
     assert(bin.nonEmpty)

@@ -336,6 +336,20 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(r.fieldIndex("event_type")) ->
         (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("sum_u")))).toMap
     assert(rebuilt == batchTruth())
+    // and STREAMING CONTINUES from the rebuilt snapshot with a fresh
+    // checkpoint: batch 0 (the files the rebuild covered) is skipped via
+    // the _applied_batch=0 stamp — no double count — while data arriving
+    // after the stream start applies as a normal delta
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft_mv_ck2").toString
+    graft.streaming.Streaming.streamingMatviewCounts(spark, srcDir, mvDir2, ckpt2)
+    feed(151 to 180)
+    graft.streaming.Streaming.streamingMatviewCounts(spark, srcDir, mvDir2, ckpt2)
+    val resumed = graft.sources.Matviews.read(spark, mvDir2)
+      .collect().map(r => r.getString(r.fieldIndex("event_type")) ->
+        (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("sum_u")))).toMap
+    assert(resumed == batchTruth(),
+      "post-rebuild streaming must neither double-count batch 0 nor drop new data")
   }
 
   test("stateful mapGroupsWithState counts equal batch groupBy") {
