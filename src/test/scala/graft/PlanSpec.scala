@@ -265,6 +265,17 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("the r8 map-side scalar families plan without a hash shuffle") {
+    // trigram sets, haversine, cover-density rank: per-row expressions
+    // only — the sole exchange allowed is the presentation sort's range
+    // partitioning (or none when top-k folds into TakeOrdered)
+    Seq("q_trgm_fuzzy", "q_earth_distance", "t_fts_rank_cd").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$n grew a hash shuffle:\n$p")
+    }
+  }
+
   test("multirange canonicalization shuffles once on the grouping key") {
     // window partition-by user_id; both downstream groupBys cluster on
     // supersets/subsets served by the same HashPartitioning — one
