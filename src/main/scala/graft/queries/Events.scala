@@ -91,6 +91,30 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // DYNAMIC-gap session windows (session_window with an expression
+    // gap — Spark's native form of the reference's adaptive
+    // sessionization idiom): each event extends its session by a gap
+    // that depends on the event itself (views cool off in 2 minutes,
+    // clicks in 5, everything else in 10), sessions merging while an
+    // event starts before the running max of member ends. The oracle
+    // reproduces exactly that interval-union semantics with the
+    // gaps-and-islands window pattern (running MAX(ts+gap) over
+    // preceding, island on ts >= max). Bounds compared as epoch MICROS
+    // integers; session values micros-exact.
+    "q_events_session_dynamic" -> ((s, dir) => {
+      val gap = when(col("event_type") === "view", lit("2 minutes"))
+        .when(col("event_type") === "click", lit("5 minutes"))
+        .otherwise(lit("10 minutes"))
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // Two-table AS-OF join via the union trick (scale path: one shuffle
     // on user_id + one in-partition sort — never a range-join explosion).
     // For each 'error' event: value of the latest 'purchase' at-or-before
@@ -298,6 +322,26 @@ object Events extends QueryModule {
          |  MAX(n_events) AS max_session_events,
          |  ${sqlDsum("session_value")} AS total_value
          |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_session_dynamic" ->
+      s"""WITH r AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         |    CASE WHEN event_type = 'view' THEN 120000000
+         |         WHEN event_type = 'click' THEN 300000000
+         |         ELSE 600000000 END AS gap_us
+         |  FROM events),
+         |p AS (SELECT user_id, event_id, value, us, us + gap_us AS end_us,
+         |    MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM r),
+         |i AS (SELECT user_id, value, us, end_us,
+         |    SUM(CASE WHEN prev_max IS NULL OR us >= prev_max THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM p)
+         |SELECT user_id, MIN(us) AS start_us, MAX(end_us) AS end_us,
+         |  COUNT(*) AS n_events, ${sqlDsum("value")} AS session_value
+         |FROM i GROUP BY user_id, sid
+         |ORDER BY user_id, start_us""".stripMargin,
 
     "q_asof_join" ->
       """WITH u AS (
