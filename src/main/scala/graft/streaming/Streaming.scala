@@ -203,6 +203,35 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the outer-join
+    * matrix beside the inner and left-outer variants: BOTH sides emit a
+    * null-extended row once the watermark proves no partner can still
+    * arrive. Same interval condition and state-eviction discipline as
+    * [[streamStreamLeftOuter]]. */
+  def streamStreamFullOuter(spark: SparkSession, dir: String,
+                            name: String): DataFrame = {
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "fullOuter")
+      .select(col("user_id"), col("c_user"), col("p_id"), col("c_id"),
+              col("p_ts"), col("c_ts"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming-to-TABLE ingestion with exactly-once semantics across
     * restarts WITH THE SAME CHECKPOINT (the reference's transactional
     * external-table load: gpfdist batches commit or roll back atomically).

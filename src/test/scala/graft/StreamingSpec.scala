@@ -149,6 +149,50 @@ class StreamingSpec extends AnyFunSuite {
       s"missing evicted null rows: ${expectedNullPids -- nullPids.toSet}")
   }
 
+  test("stream-stream FULL OUTER join: matches equal inner, BOTH sides null-extend exactly once") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.Streaming
+      .streamStreamFullOuter(spark, sf, "stream_stream_fo_spec")
+    val ev = Tables.t(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+              col("ts").as("c_ts"))
+    val batchInner = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("c_user"), col("p_id"), col("c_id"),
+              col("p_ts"), col("c_ts"))
+
+    // matched subset == inner join
+    val matched = out.filter(col("c_id").isNotNull && col("p_id").isNotNull)
+      .collect().map(_.toSeq).toSet
+    assert(matched == batchInner.collect().map(_.toSeq).toSet)
+
+    val matchedPids = batchInner.select("p_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val matchedCids = batchInner.select("c_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    // left-side nulls: match-less purchases, exactly once
+    val pNull = out.filter(col("c_id").isNull)
+      .select("p_id").collect().map(_.getLong(0))
+    assert(pNull.nonEmpty && pNull.toSet.intersect(matchedPids).isEmpty)
+    assert(pNull.length == pNull.toSet.size)
+
+    // right-side nulls — the half the left-outer variant cannot emit:
+    // match-less clicks, exactly once
+    val cNull = out.filter(col("p_id").isNull)
+      .select("c_id").collect().map(_.getLong(0))
+    assert(cNull.nonEmpty, "expected some match-less clicks")
+    assert(cNull.toSet.intersect(matchedCids).isEmpty,
+      "a click with a real purchase must never null-extend")
+    assert(cNull.length == cNull.toSet.size,
+      "right-outer rows must emit exactly once")
+  }
+
   test("watermark drops late data and never resurrects an emitted window") {
     import java.sql.Timestamp
     val srcDir = java.nio.file.Files
