@@ -259,6 +259,30 @@ object Corpus extends QueryModule {
     // both engines emit identical longs. Scale shape: one shuffle keyed
     // (doc, gram) with map-side partials, then one keyed (doc) — gram-
     // proportional, corpus-linear.
+    // BPE tokenizer training, the pair-statistics step: the first
+    // byte-pair-encoding iteration counts every adjacent symbol pair
+    // weighted by word frequency and picks the top merges — the
+    // corpus-scale primitive a tokenizer fit runs repeatedly. Shape at
+    // 100 TB: the WORD-frequency table (vocab-bounded) is built with one
+    // map-side-combined shuffle; pair explosion then runs over the
+    // vocabulary, not the corpus (a word's pairs are counted once and
+    // weighted by its frequency), so the expensive corpus pass happens
+    // exactly once regardless of how many merge iterations follow.
+    "d_bpe_merges" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 1)
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      val pairs = vocab.select(col("wc"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => concat(col("word").substr(i, lit(1)), lit(" "),
+                      col("word").substr(i + 1, lit(1))))).as("pair"))
+      pairs.groupBy(col("pair"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
     // Bigram LM likelihood scoring — the classic LM-quality filter shape
     // (score each document under a corpus-trained n-gram model; low
     // likelihood = boilerplate/garbled/OOD). Additive pipeline op, kept
@@ -360,6 +384,17 @@ object Corpus extends QueryModule {
     // CAST(SUM(..) AS BIGINT) everywhere: DuckDB SUM(BIGINT) returns
     // HUGEINT, which would poison the // arithmetic's driver-side dtype
     // (the d_pack_sequences lesson)
+    "d_bpe_merges" ->
+      """WITH v AS (SELECT word, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 1 GROUP BY word),
+        |p AS (SELECT wc,
+        |    unnest([substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+        |            for i in range(1, len(word))]) AS pair
+        |  FROM v)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     "d_bigram_likelihood" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bg AS (SELECT doc_id,
