@@ -29,9 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteSelfDotToNorm)
     // ORCA-xform analogues, each gated behind its own conf (see the
     // rule's scaladoc): spark.graft.eagerAgg.enabled,
-    // spark.graft.pushJoinBelowUnionAll.enabled
+    // spark.graft.pushJoinBelowUnionAll.enabled,
+    // spark.graft.orExpansion.enabled
     e.injectOptimizerRule(_ => EagerAggRule)
     e.injectOptimizerRule(_ => PushJoinBelowUnionAllRule)
+    e.injectOptimizerRule(_ => OrExpansionRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.plans.{EagerAggRule, PushJoinBelowUnionAllRule}
+import graft.plans.{EagerAggRule, OrExpansionRule, PushJoinBelowUnionAllRule}
 
 /** Optimizer-xform demonstrations: the two ORCA exploration transforms the
   * engine re-expresses as Catalyst rules (SURVEY §7.3 "optional /
@@ -50,6 +50,27 @@ object Xforms extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // Disjunctive join -> UNION ALL of two hash joins (OR-expansion).
+    // Without the rule Spark plans the OR condition as a
+    // BroadcastNestedLoopJoin — every order against every customer; with
+    // it each branch hash-joins on its own equality and the second
+    // branch's NOT-coalesce dedup keeps both-true rows single. Business
+    // shape: an order matches a customer by ownership OR by a referral
+    // key; count matched orders per segment.
+    "q_or_join" -> ((s0, dir) => {
+      val s = s0.newSession()
+      OrExpansionRule.install(s)
+      s.conf.set(OrExpansionRule.ConfKey, "true")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      o.join(c, o("o_custkey") === c("c_custkey") ||
+                pmod(o("o_orderkey"), lit(500)) + 1 === c("c_custkey"))
+        .groupBy(c("c_mktsegment"))
+        .agg(count(lit(1)).as("n_matches"),
+             countDistinct(o("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Join over UNION ALL -> per-branch joins under one UNION ALL. The
     // orders side broadcasts into each branch (one shared broadcast
     // exchange), so neither customer slice is shuffled.
@@ -83,6 +104,15 @@ object Xforms extends QueryModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_or_join" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS n_matches,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN customer
+        |  ON o_custkey = c_custkey OR o_orderkey % 500 + 1 = c_custkey
+        |WHERE o_orderkey <= 2000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_join_below_union" ->
       s"""WITH u AS (

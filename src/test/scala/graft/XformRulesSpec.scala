@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Union}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.plans.{EagerAggRule, PushJoinBelowUnionAllRule}
+import graft.plans.{EagerAggRule, OrExpansionRule, PushJoinBelowUnionAllRule}
 
 /** The two ORCA-xform analogues (EagerAggRule, PushJoinBelowUnionAllRule):
   * each must (a) transform the plan it claims to transform, (b) leave
@@ -18,6 +18,7 @@ class XformRulesSpec extends AnyFunSuite {
     val s = SparkTestSession.spark.newSession()
     EagerAggRule.install(s)
     PushJoinBelowUnionAllRule.install(s)
+    OrExpansionRule.install(s)
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     f(s)
   }
@@ -214,6 +215,63 @@ class XformRulesSpec extends AnyFunSuite {
       val j = u.join(ord, u("c_custkey") === ord("o_custkey"))
       assert(joinsInPlan(j.queryExecution.optimizedPlan).size == 1,
         "nondeterministic other side must keep the single join")
+    }
+  }
+
+  // ---- OR-expansion ----------------------------------------------------
+
+  private def orShape(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val c = Tables.t(s, sf, "customer")
+    val o = Tables.t(s, sf, "orders").filter(col("o_orderkey") <= 500)
+    o.join(c, o("o_custkey") === c("c_custkey") ||
+              pmod(o("o_orderkey"), lit(100)) + 1 === c("c_custkey"))
+      .select(o("o_orderkey"), c("c_custkey"), c("c_mktsegment"))
+  }
+
+  test("OR-expansion turns the disjunctive nested loop into a union of hash joins") {
+    withRules(OrExpansionRule.ConfKey -> "true") { s =>
+      val df = orShape(s)
+      val logical = df.queryExecution.optimizedPlan
+      assert(joinsInPlan(logical).size == 2, s"expected 2 joins:\n$logical")
+      assert(logical.collect { case u: Union => u }.nonEmpty, s"$logical")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"),
+        s"OR join must not nested-loop after expansion:\n$physical")
+    }
+    withRules(OrExpansionRule.ConfKey -> "false") { s =>
+      val physical = orShape(s).queryExecution.executedPlan.toString
+      assert(physical.contains("BroadcastNestedLoopJoin"),
+        s"baseline should nested-loop (else the rewrite proves nothing):\n$physical")
+    }
+  }
+
+  test("OR-expansion preserves bag semantics, including both-disjuncts-true rows") {
+    val off = withRules(OrExpansionRule.ConfKey -> "false")(
+      s => sortedRows(orShape(s)))
+    val on = withRules(OrExpansionRule.ConfKey -> "true")(
+      s => sortedRows(orShape(s)))
+    assert(on == off)
+    // the shape genuinely has rows where BOTH disjuncts hold (o_custkey
+    // == o_orderkey%100+1): without the NOT-coalesce dedup they would
+    // double — prove the guard is load-bearing
+    val both = withRules() { s =>
+      val c = Tables.t(s, sf, "customer")
+      val o = Tables.t(s, sf, "orders").filter(col("o_orderkey") <= 500)
+      o.join(c, o("o_custkey") === c("c_custkey") &&
+                pmod(o("o_orderkey"), lit(100)) + 1 === c("c_custkey")).count()
+    }
+    assert(both > 0, "fixture must contain both-true rows")
+  }
+
+  test("OR-expansion guards: a disjunct without a cross-side equality does not fire") {
+    withRules(OrExpansionRule.ConfKey -> "true") { s =>
+      val c = Tables.t(s, sf, "customer")
+      val o = Tables.t(s, sf, "orders").filter(col("o_orderkey") <= 200)
+      // second disjunct is a pure range predicate: a branch carrying it
+      // would nested-loop anyway, so the rewrite must not fire
+      val j = o.join(c, o("o_custkey") === c("c_custkey") ||
+                        o("o_totalprice") > c("c_acctbal"))
+      assert(joinsInPlan(j.queryExecution.optimizedPlan).size == 1)
     }
   }
 
