@@ -78,6 +78,46 @@ object GeoOps extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // contrib/cube: n-dimensional boxes (`/root/reference/contrib/cube/
+    // cube.c` — cube_contains/cube_overlap/cube_distance/cube_union/
+    // cube_enlarge, tests sql/cube.sql). 4-D integer-grid cubes derived
+    // from order keys; containment/overlap are dimension-folds, the
+    // center distance is a fixed-order double fold (mirrored token-for-
+    // token in the oracle, then rounded), union volume stays integer.
+    // All per-row array expressions — no shuffle.
+    "q_cube_ops" -> ((s, dir) => {
+      val dims = sequence(lit(0), lit(3))
+      def ll1 = transform(dims, i => pmod(col("o_orderkey") * (i + 1), lit(50)))
+      def ur1 = zip_with(ll1, dims, (l, i) => l + 5 + i)
+      def ll2 = transform(dims, i => pmod(col("o_custkey") * (i + 3), lit(50)))
+      def ur2 = transform(ll2, l => l + 7)
+      def fAnd(c: Column): Column = aggregate(c, lit(true), (a, x) => a && x)
+      val contains = fAnd(zip_with(zip_with(ll1, ll2, (a, b) => a <= b),
+        zip_with(ur2, ur1, (a, b) => a <= b), (x, y) => x && y))
+      val overlap = fAnd(zip_with(zip_with(ll1, ur2, (a, b) => a <= b),
+        zip_with(ll2, ur1, (a, b) => a <= b), (x, y) => x && y))
+      val c1 = zip_with(ll1, ur1, (a, b) => (a + b).cast("double") / 2.0)
+      val c2 = zip_with(ll2, ur2, (a, b) => (a + b).cast("double") / 2.0)
+      val dist = round(sqrt(aggregate(
+        zip_with(c1, c2, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)), 6)
+      val uVol = aggregate(zip_with(
+          zip_with(ll1, ll2, (a, b) => least(a, b)),
+          zip_with(ur1, ur2, (a, b) => greatest(a, b)),
+          (l, u) => u - l),
+        lit(1L), (acc, x) => acc * x)
+      val enlarged = fAnd(zip_with(
+        zip_with(transform(ll1, x => x - 3), ll2, (a, b) => a <= b),
+        zip_with(ur2, transform(ur1, x => x + 3), (a, b) => a <= b),
+        (x, y) => x && y))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          contains.as("contains"), overlap.as("overlap"),
+          dist.as("center_dist"), uVol.as("union_vol"),
+          enlarged.as("contains_enlarged"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // scalar operator family over synthesized points + boxes
     "q_geo_ops" -> ((s, dir) => {
       val d = boxes(t(s, dir, "orders").filter(col("o_orderkey") <= 500),
@@ -138,6 +178,37 @@ object GeoOps extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same dimension folds over DuckDB list comprehensions; the
+    // center-distance fold runs in the same element order before ROUND
+    "q_cube_ops" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    [(o_orderkey * (i + 1)) % 50 for i in range(0, 4)] AS ll1,
+        |    [(o_orderkey * (i + 1)) % 50 + 5 + i for i in range(0, 4)] AS ur1,
+        |    [(o_custkey * (i + 3)) % 50 for i in range(0, 4)] AS ll2,
+        |    [(o_custkey * (i + 3)) % 50 + 7 for i in range(0, 4)] AS ur2
+        |  FROM orders WHERE o_orderkey <= 300)
+        |SELECT o_orderkey,
+        |  list_reduce(list_prepend(true,
+        |    [ll1[i] <= ll2[i] AND ur2[i] <= ur1[i] for i in range(1, 5)]),
+        |    (a, x) -> a AND x) AS contains,
+        |  list_reduce(list_prepend(true,
+        |    [ll1[i] <= ur2[i] AND ll2[i] <= ur1[i] for i in range(1, 5)]),
+        |    (a, x) -> a AND x) AS overlap,
+        |  ROUND(sqrt(list_reduce(list_prepend(0.0,
+        |    [(CAST(ll1[i] + ur1[i] AS DOUBLE) / 2.0
+        |      - CAST(ll2[i] + ur2[i] AS DOUBLE) / 2.0)
+        |     * (CAST(ll1[i] + ur1[i] AS DOUBLE) / 2.0
+        |        - CAST(ll2[i] + ur2[i] AS DOUBLE) / 2.0)
+        |     for i in range(1, 5)]), (a, x) -> a + x)), 6) AS center_dist,
+        |  CAST(list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |    [greatest(ur1[i], ur2[i]) - least(ll1[i], ll2[i])
+        |     for i in range(1, 5)]), (a, x) -> a * x) AS BIGINT) AS union_vol,
+        |  list_reduce(list_prepend(true,
+        |    [ll1[i] - 3 <= ll2[i] AND ur2[i] <= ur1[i] + 3
+        |     for i in range(1, 5)]),
+        |    (a, x) -> a AND x) AS contains_enlarged
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+
     // the same shared haversine text; nearest via the same rounded argmin
     "q_earth_distance" ->
       s"""WITH b AS (SELECT c_custkey,
