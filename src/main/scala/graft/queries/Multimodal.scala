@@ -118,6 +118,49 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // AUDIO energy / silence detection — the VAD-and-trim stage of an
+    // audio pipeline (frame the waveform, energy per frame, flag
+    // silence, find the peak, count the leading silent frames a trimmer
+    // would drop). DECODE STUB: 8-bit PCM samples are the payload bytes
+    // re-centered at zero — a real decoder would inflate the codec here;
+    // everything downstream (framing, per-frame energy, silence
+    // threshold, argmax, trim count) is the real integer kernel shape.
+    // Complete 64-sample frames only (a trailing partial frame carries
+    // no VAD decision). Pure map-side; all integers, exact oracle.
+    "m_audio_energy" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      assets(s, dir)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          val frameLen = 64
+          val silentBelow = 6400L // avg square < 100 ~ |sample| < 10
+          batch.map { case (id, bytes) =>
+            val nFrames = bytes.length / frameLen
+            var peakF = -1; var peakE = -1L
+            var nSilent = 0; var leadTrim = 0; var leading = true
+            var f = 0
+            while (f < nFrames) {
+              var e = 0L; var i = 0
+              while (i < frameLen) {
+                val sm = (bytes(f * frameLen + i) & 0xff) - 128
+                e += sm.toLong * sm; i += 1
+              }
+              if (e > peakE) { peakE = e; peakF = f }
+              if (e < silentBelow) {
+                nSilent += 1
+                if (leading) leadTrim += 1
+              } else leading = false
+              f += 1
+            }
+            (id, nFrames, nSilent, peakF, math.max(peakE, 0L), leadTrim)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_silent", "peak_frame",
+              "peak_energy", "lead_trim")
+        .orderBy(col("doc_id"))
+    }),
+
     // Format-level rollup: group multimodal assets by codec + size band.
     // Perceptual-hash near-dup detection over the BINARY payload — the
     // image-dedup pipeline stage (a real pHash would DCT the decoded
@@ -242,6 +285,43 @@ object Multimodal extends QueryModule {
         |  CAST(least(length(text), 64) AS INT) AS crop_bytes,
         |  substring(text, 1, 16) AS head_utf8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the same framing/energy arithmetic relationally: frames exploded,
+    // per-frame energy as an integer fold, peak = max energy with the
+    // lowest frame index on ties, lead_trim = first non-silent frame
+    "m_audio_energy" ->
+      """WITH a AS (SELECT doc_id, text, length(text) // 64 AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, text, CAST(unnest(range(0, nf)) AS BIGINT) AS f
+        |  FROM a),
+        |e AS (SELECT doc_id, f,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(ord(substr(text, CAST(f * 64 + i AS INT), 1)) - 128
+        |            AS BIGINT)
+        |       * (ord(substr(text, CAST(f * 64 + i AS INT), 1)) - 128)
+        |       for i in range(1, 65)]),
+        |      (a, x) -> a + x) AS energy
+        |  FROM fr),
+        |g AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS INT) AS n_frames,
+        |    CAST(SUM(CASE WHEN energy < 6400 THEN 1 ELSE 0 END) AS INT)
+        |      AS n_silent,
+        |    MAX(energy) AS peak_energy,
+        |    CAST(coalesce(MIN(CASE WHEN energy >= 6400 THEN f END),
+        |                  COUNT(*)) AS INT) AS lead_trim
+        |  FROM e GROUP BY doc_id),
+        |pk AS (SELECT e.doc_id, CAST(MIN(e.f) AS INT) AS peak_frame
+        |  FROM e JOIN g ON e.doc_id = g.doc_id AND e.energy = g.peak_energy
+        |  GROUP BY e.doc_id)
+        |SELECT a.doc_id,
+        |  coalesce(g.n_frames, 0) AS n_frames,
+        |  coalesce(g.n_silent, 0) AS n_silent,
+        |  coalesce(pk.peak_frame, -1) AS peak_frame,
+        |  coalesce(g.peak_energy, 0) AS peak_energy,
+        |  coalesce(g.lead_trim, 0) AS lead_trim
+        |FROM a LEFT JOIN g ON a.doc_id = g.doc_id
+        |LEFT JOIN pk ON a.doc_id = pk.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     "m_format_stats" ->
       """SELECT ['png', 'jpeg', 'webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
