@@ -53,8 +53,12 @@ object OrExpansionRule extends Rule[LogicalPlan] {
     }
     conjuncts(p).exists {
       case EqualTo(a, b) =>
-        (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
-        (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet))
+        // both sides must REFERENCE their relation: an empty reference
+        // set (a literal) is a subset of every outputSet, and a
+        // constant-vs-column equality cannot drive a hash join
+        a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+         (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet)))
       case _ => false
     }
   }

@@ -94,17 +94,24 @@ object Events extends QueryModule {
     // DYNAMIC-gap session windows (session_window with an expression
     // gap — Spark's native form of the reference's adaptive
     // sessionization idiom): each event extends its session by a gap
-    // that depends on the event itself (views cool off in 2 minutes,
-    // clicks in 5, everything else in 10), sessions merging while an
-    // event starts before the running max of member ends. The oracle
+    // that depends on the event itself (views cool off in 30 seconds,
+    // clicks in 90, everything else holds the session 2 hours), sessions
+    // merging while an event starts before the running max of member
+    // ends. The oracle
     // reproduces exactly that interval-union semantics with the
     // gaps-and-islands window pattern (running MAX(ts+gap) over
     // preceding, island on ts >= max). Bounds compared as epoch MICROS
     // integers; session values micros-exact.
     "q_events_session_dynamic" -> ((s, dir) => {
-      val gap = when(col("event_type") === "view", lit("2 minutes"))
-        .when(col("event_type") === "click", lit("5 minutes"))
-        .otherwise(lit("10 minutes"))
+      // gap spread calibrated so the fixture EXERCISES interval-union
+      // merging: at sf0.01, 38 events merge only because an EARLIER
+      // 2-hour window is still open while the immediately-preceding
+      // short window has lapsed — a lag-based (previous-event-only)
+      // sessionizer, or an oracle written with lag(end) instead of the
+      // running MAX, diverges on every one of them
+      val gap = when(col("event_type") === "view", lit("30 seconds"))
+        .when(col("event_type") === "click", lit("90 seconds"))
+        .otherwise(lit("2 hours"))
       t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
@@ -325,9 +332,9 @@ object Events extends QueryModule {
 
     "q_events_session_dynamic" ->
       s"""WITH r AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
-         |    CASE WHEN event_type = 'view' THEN 120000000
-         |         WHEN event_type = 'click' THEN 300000000
-         |         ELSE 600000000 END AS gap_us
+         |    CASE WHEN event_type = 'view' THEN 30000000
+         |         WHEN event_type = 'click' THEN 90000000
+         |         ELSE CAST(7200 AS BIGINT) * 1000000 END AS gap_us
          |  FROM events),
          |p AS (SELECT user_id, event_id, value, us, us + gap_us AS end_us,
          |    MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id

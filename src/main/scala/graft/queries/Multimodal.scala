@@ -129,8 +129,23 @@ object Multimodal extends QueryModule {
     // no VAD decision). Pure map-side; all integers, exact oracle.
     "m_audio_energy" -> ((s, dir) => {
       val sp = s; import sp.implicits._
-      assets(s, dir)
-        .select(col("doc_id"), col("payload"))
+      // Silence injection: ASCII text alone never dips under the
+      // threshold (min frame energy ~103k on this corpus — the silence
+      // features would be vacuously green). DEL bytes (sample -1,
+      // square 1) are woven in per doc_id: (doc_id%3+1) LEADING frames
+      // for 4 of 5 docs, none for the fifth, plus a 128-byte TRAILING
+      // run on even docs that guarantees >=1 aligned silent frame after
+      // sound — so lead_trim, n_silent > lead_trim, and the
+      // leading-run reset are all exercised and any threshold/tie
+      // mismatch with the oracle is a red row, not a coincidence.
+      val del = "\u007f" // DEL: sample -1 after recentering
+      val wave = concat(
+        expr(s"repeat('$del', CASE WHEN doc_id % 5 = 4 THEN 0 " +
+          s"ELSE CAST((doc_id % 3 + 1) * 64 AS INT) END)"),
+        col("text"),
+        expr(s"repeat('$del', CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 0 END)"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(wave, "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { batch =>
           val frameLen = 64
@@ -290,10 +305,16 @@ object Multimodal extends QueryModule {
     // per-frame energy as an integer fold, peak = max energy with the
     // lowest frame index on ties, lead_trim = first non-silent frame
     "m_audio_energy" ->
-      """WITH a AS (SELECT doc_id, text, length(text) // 64 AS nf
+      """WITH a AS (SELECT doc_id,
+        |    repeat(chr(127), CASE WHEN doc_id % 5 = 4 THEN 0
+        |      ELSE CAST((doc_id % 3 + 1) * 64 AS INT) END)
+        |    || text ||
+        |    repeat(chr(127), CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 0 END)
+        |      AS text
         |  FROM documents),
+        |a2 AS (SELECT doc_id, text, length(text) // 64 AS nf FROM a),
         |fr AS (SELECT doc_id, text, CAST(unnest(range(0, nf)) AS BIGINT) AS f
-        |  FROM a),
+        |  FROM a2),
         |e AS (SELECT doc_id, f,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      [CAST(ord(substr(text, CAST(f * 64 + i AS INT), 1)) - 128

@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.plans.{EagerAggRule, OrExpansionRule, PushJoinBelowUnionAllRule}
 
-/** Optimizer-xform demonstrations: the two ORCA exploration transforms the
-  * engine re-expresses as Catalyst rules (SURVEY §7.3 "optional /
+/** Optimizer-xform demonstrations: the three ORCA exploration transforms
+  * the engine re-expresses as Catalyst rules (SURVEY §7.3 "optional /
   * perf-only" items):
   *
   *   - eager aggregation below a join
   *     (`/root/reference/src/backend/gporca/libgpopt/src/xforms/CXformEagerAgg.cpp`)
   *   - join distribution over UNION ALL
   *     (`.../CXformPushJoinBelowUnionAll.cpp`)
+  *   - OR-expansion of a disjunctive join into a union of hash joins
+  *     (the CXformExpandNAryJoin family's union-all rewrite niche)
   *
   * Each query runs in a CHILD session (`newSession()`: same SparkContext,
   * isolated SQLConf + experimental methods) so enabling the opt-in rule

@@ -149,7 +149,12 @@ object Streaming {
     * purchase and its state is evicted. Inner joins emit eagerly on
     * match, so the finite file source drains to exactly the batch
     * result. */
-  def streamStreamJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Shared fixture for the stream-stream interval joins: watermarked
+    * purchase/click streams and the one-hour look-back condition — one
+    * definition for the inner/left-outer/full-outer variants (and the
+    * spec re-derives its batch truth from the same shape). */
+  private def purchaseClickStreams(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
     val purchases = eventsStream(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
@@ -159,10 +164,15 @@ object Streaming {
       .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
               col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    val joined = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") <= col("p_ts"))
+    val cond = col("user_id") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") <= col("p_ts")
+    (purchases, clicks, cond)
+  }
+
+  def streamStreamJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val (purchases, clicks, cond) = purchaseClickStreams(spark, dir)
+    val joined = purchases.join(clicks, cond)
       .select(col("user_id"), col("p_id"), col("c_id"),
               col("p_ts"), col("c_ts"))
     val q = joined.writeStream.outputMode(OutputMode.Append())
@@ -181,20 +191,8 @@ object Streaming {
     * discipline the inner variant documents). */
   def streamStreamLeftOuter(spark: SparkSession, dir: String,
                             name: String): DataFrame = {
-    val purchases = eventsStream(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val clicks = eventsStream(spark, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
-              col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val joined = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") <= col("p_ts"),
-      "leftOuter")
+    val (purchases, clicks, cond) = purchaseClickStreams(spark, dir)
+    val joined = purchases.join(clicks, cond, "leftOuter")
       .select(col("user_id"), col("p_id"), col("c_id"),
               col("p_ts"), col("c_ts"))
     val q = joined.writeStream.outputMode(OutputMode.Append())
@@ -210,20 +208,8 @@ object Streaming {
     * [[streamStreamLeftOuter]]. */
   def streamStreamFullOuter(spark: SparkSession, dir: String,
                             name: String): DataFrame = {
-    val purchases = eventsStream(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val clicks = eventsStream(spark, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
-              col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val joined = purchases.join(clicks,
-      col("user_id") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") <= col("p_ts"),
-      "fullOuter")
+    val (purchases, clicks, cond) = purchaseClickStreams(spark, dir)
+    val joined = purchases.join(clicks, cond, "fullOuter")
       .select(col("user_id"), col("c_user"), col("p_id"), col("c_id"),
               col("p_ts"), col("c_ts"))
     val q = joined.writeStream.outputMode(OutputMode.Append())

@@ -191,6 +191,35 @@ class StreamingSpec extends AnyFunSuite {
       "a click with a real purchase must never null-extend")
     assert(cNull.length == cNull.toSet.size,
       "right-outer rows must emit exactly once")
+
+    // eviction completeness, BOTH sides (the left-outer test's part 3):
+    // every match-less row old enough that the final watermark provably
+    // passed its whole candidate interval MUST have null-extended. With
+    // two watermarked inputs Spark's GLOBAL watermark is the MIN of the
+    // per-stream watermarks (multipleWatermarkPolicy=min) — the last
+    // click itself stays in state because its own stream's watermark
+    // cannot pass it — so the provable horizon for either side is
+    // min(max p_ts, max c_ts) minus delay + interval + one batch of
+    // slack.
+    val maxPTs = p.agg(max(col("p_ts"))).head().getTimestamp(0).getTime
+    val maxCTs = c.agg(max(col("c_ts"))).head().getTimestamp(0).getTime
+    val horizonMs = math.min(maxPTs, maxCTs) - 3L * 3600 * 1000
+    val horizonP = new java.sql.Timestamp(horizonMs)
+    val horizonC = new java.sql.Timestamp(horizonMs)
+    val expectedPNull = p
+      .join(batchInner.select(col("p_id").as("m_pid")).distinct(),
+        col("p_id") === col("m_pid"), "left_anti")
+      .filter(col("p_ts") < lit(horizonP))
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(expectedPNull.subsetOf(pNull.toSet),
+      s"missing evicted left null rows: ${expectedPNull -- pNull.toSet}")
+    val expectedCNull = c
+      .join(batchInner.select(col("c_id").as("m_cid")).distinct(),
+        col("c_id") === col("m_cid"), "left_anti")
+      .filter(col("c_ts") < lit(horizonC))
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    assert(expectedCNull.subsetOf(cNull.toSet),
+      s"missing evicted right null rows: ${expectedCNull -- cNull.toSet}")
   }
 
   test("watermark drops late data and never resurrects an emitted window") {

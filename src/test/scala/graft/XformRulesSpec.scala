@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.plans.{EagerAggRule, OrExpansionRule, PushJoinBelowUnionAllRule}
 
-/** The two ORCA-xform analogues (EagerAggRule, PushJoinBelowUnionAllRule):
+/** The ORCA-xform analogues (EagerAggRule, PushJoinBelowUnionAllRule,
+  * OrExpansionRule):
   * each must (a) transform the plan it claims to transform, (b) leave
   * results bit-identical to the untransformed plan, and (c) respect its
   * applicability guards. Rule-on plans run in a child session so the
@@ -272,6 +273,13 @@ class XformRulesSpec extends AnyFunSuite {
       val j = o.join(c, o("o_custkey") === c("c_custkey") ||
                         o("o_totalprice") > c("c_acctbal"))
       assert(joinsInPlan(j.queryExecution.optimizedPlan).size == 1)
+      // a literal equality is not cross-side either: empty reference
+      // sets are subsets of every outputSet, so this once slipped the
+      // guard — and its branch cannot hash-join
+      val j2 = o.join(c, o("o_custkey") === c("c_custkey") ||
+                         o("o_orderpriority") === lit("1-URGENT"))
+      assert(joinsInPlan(j2.queryExecution.optimizedPlan).size == 1,
+        "a constant-vs-column disjunct must not expand")
     }
   }
 
