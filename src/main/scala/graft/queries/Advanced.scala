@@ -238,6 +238,38 @@ object Advanced extends QueryModule {
     // mirrored token-for-token in the oracle — bit-deterministic, no
     // iterative solver. 100 TB shape: one partial+final agg, 9 longs of
     // state per group, solve is per-group O(1).
+    // In-database graph analytics: PAGERANK (MADlib's graph module is
+    // the reference-ecosystem analogue, alongside the k-means niche the
+    // ANN queries mirror). Synthetic deterministic 3-regular graph over
+    // the documents (dst = (doc*31 + k*17) mod N, k=1..3); 3 power
+    // iterations with damping 0.85, every division in half-up integer
+    // MICROS so both engines produce bit-identical ranks. Scale shape:
+    // ranks NEVER leave the executors — each iteration is one
+    // edges-ranks equi-join plus one dst-keyed shuffle with map-side
+    // partial sums (the Pregel/GraphX contract without the framework);
+    // driver state is the node count, one long.
+    "q_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val pr0 = (2L * 1000000L + n) / (2L * n)
+      val base = (2L * 150000L + n) / (2L * n)
+      val edges = docs.select(col("doc_id").as("src"), explode(array(
+        (1 to 3).map(k => (col("doc_id") * 31 + k * 17) % n): _*)).as("dst"))
+      var ranks = docs.select(col("doc_id"), lit(pr0).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(ranks, col("src") === col("doc_id"))
+          .select(col("dst"), expr("(2 * pr + 3) div 6").as("share"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+        ranks = docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
+          .select(docs("doc_id"),
+            (lit(base) +
+             expr("(2 * 85 * coalesce(inflow, 0) + 100) div 200")).as("pr"))
+      }
+      ranks.select(col("doc_id"), col("pr").as("pr_u"))
+        .orderBy(col("pr_u").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     "q_linreg_fit" -> ((s, dir) => {
       def s4(c: Column) =
         (sum(round(c * 10000.0, 0).cast("long")).cast("double") / 10000.0)
@@ -266,7 +298,33 @@ object Advanced extends QueryModule {
     })
   )
 
+  /** One unrolled PageRank iteration over the same integer-micros
+    * recurrence (share = pr/3 half-up, damped inflow + base). */
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT d.doc_id,
+       |    (2 * 150000 + nn.n) // (2 * nn.n) +
+       |    (2 * 85 * coalesce(x.inf, 0) + 100) // 200 AS pr
+       |  FROM docs d CROSS JOIN nn LEFT JOIN (
+       |    SELECT e.dst AS ddst, CAST(SUM((2 * r.pr + 3) // 6) AS BIGINT) AS inf
+       |    FROM edges e JOIN $prev r ON e.src = r.doc_id
+       |    GROUP BY e.dst) x ON d.doc_id = x.ddst)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT COUNT(*) AS n FROM docs),
+         |edges AS (SELECT doc_id AS src,
+         |    (doc_id * 31 + k.k * 17) % nn.n AS dst
+         |  FROM docs CROSS JOIN nn,
+         |       (SELECT unnest(range(1, 4)) AS k) k),
+         |r0 AS (SELECT doc_id, (2 * 1000000 + nn.n) // (2 * nn.n) AS pr
+         |  FROM docs CROSS JOIN nn),
+         |${prIterSql("r0", "r1")},
+         |${prIterSql("r1", "r2")},
+         |${prIterSql("r2", "r3")}
+         |SELECT doc_id, CAST(pr AS BIGINT) AS pr_u FROM r3
+         |ORDER BY pr_u DESC, doc_id LIMIT 20""".stripMargin,
     "q_udaf_median" ->
       """SELECT c_mktsegment,
         |  ROUND(median(c_acctbal), 4) AS median_bal, COUNT(*) AS n
