@@ -426,6 +426,38 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // GIN-style inverted index + index-assisted search
+    // (`/root/reference/src/backend/access/gin/` — CREATE INDEX USING
+    // gin(tsvector); postings-list intersection is how `@@` avoids the
+    // heap scan): the posting lists (lexeme -> sorted doc ids) are built
+    // with one (lexeme) shuffle — the index build — and the AND query
+    // 'hash & join' is answered by INTERSECTING two posting arrays
+    // instead of scanning text. At 100 TB the search touches exactly the
+    // two lexemes' postings rows; the corpus is read only at build time.
+    // The oracle evaluates the same query by direct text scan — the
+    // index path must return the identical doc set (index == scan, the
+    // property a GIN index owes you), plus each term's doc frequency
+    // from the postings themselves.
+    "t_fts_inverted_index" -> ((s, dir) => {
+      import graft.functions.Lexize
+      val postings = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          Lexize.tsvector(split(col("text"), " ")))).as("lex"))
+        .groupBy(col("lex"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      val h = postings.filter(col("lex") === "hash")
+        .select(col("docs").as("h_docs"))
+      val j = postings.filter(col("lex") === "join")
+        .select(col("docs").as("j_docs"))
+      h.crossJoin(j) // 1x1: two postings rows
+        .select(size(col("h_docs")).as("df_hash"),
+                size(col("j_docs")).as("df_join"),
+                explode(array_intersect(col("h_docs"), col("j_docs")))
+                  .as("doc_id"))
+        .select(col("doc_id"), col("df_hash"), col("df_join"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ts_stat (`/root/reference/src/backend/utils/adt/tsvector_op.c`
     // ts_stat_sql): corpus-wide lexeme statistics — per word, the
     // document frequency (ndoc) and total occurrences (nentry) over the
@@ -903,6 +935,31 @@ object TextOps extends QueryModule {
         |  FROM d)
         |SELECT doc_id, m_or_chains, m_phrase_neg, m_mixed FROM m
         |WHERE m_or_chains + m_phrase_neg + m_mixed > 0 ORDER BY doc_id""".stripMargin,
+
+    // the SCAN path: direct lexized-text evaluation of the same AND
+    // query — deliberately independent of any postings construction, so
+    // the hash compare proves index == scan
+    "t_fts_inverted_index" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents),
+         |k AS (SELECT doc_id,
+         |    list_filter(list_transform(w0, x -> lower(x)),
+         |      x -> len(x) > 0 AND x NOT IN
+         |        ${graft.functions.Lexize.duckStopList}) AS wk FROM d),
+         |s1 AS (SELECT doc_id, list_transform(wk,
+         |    x -> ${graft.functions.Lexize.duckStemPlural("x")}) AS ws FROM k),
+         |s2 AS (SELECT doc_id, list_transform(ws,
+         |    x -> ${graft.functions.Lexize.duckStemSuffix("x")}) AS lex FROM s1),
+         |m AS (SELECT doc_id,
+         |    len(list_filter(lex, x -> x = 'hash')) > 0 AS has_hash,
+         |    len(list_filter(lex, x -> x = 'join')) > 0 AS has_join
+         |  FROM s2),
+         |df AS (SELECT
+         |    CAST(SUM(CASE WHEN has_hash THEN 1 ELSE 0 END) AS INT) AS df_hash,
+         |    CAST(SUM(CASE WHEN has_join THEN 1 ELSE 0 END) AS INT) AS df_join
+         |  FROM m)
+         |SELECT doc_id, df.df_hash, df.df_join
+         |FROM m CROSS JOIN df WHERE has_hash AND has_join
+         |ORDER BY doc_id""".stripMargin,
 
     "t_ts_stat" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents),
