@@ -349,6 +349,41 @@ object Similarity extends QueryModule {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // 5-NN majority-vote label classification (MADlib's knn module —
+    // the same in-database-ML niche as q_linreg_fit/q_pagerank): exact
+    // cosine neighbors among the labeled corpus, labels tallied, the
+    // prediction is the vote argmax with (count, label) struct-max
+    // tie-breaking mirrored in the oracle. The scoring join is the
+    // brute-force ANN shape — broadcast queries, corpus streams.
+    "s_knn_classify" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr("vec_norm_sq(v)"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"),
+                col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("true_label"), col("label"),
+          round(expr("vec_dot(qv, v)") /
+                sqrt(col("qn") * col("nrm")), 6).as("cos"),
+          col("vec_id").as("nid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .groupBy(col("qid"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("qid"), col("true_label"))
+        .agg(max(struct(col("votes").as("c"), col("label").as("l")))
+          .as("win"))
+        .select(col("qid"), col("true_label"),
+          col("win.l").as("predicted"), col("win.c").as("votes"),
+          (col("win.l") === col("true_label")).as("correct"))
+        .orderBy(col("qid"))
+    }),
+
     // Matrix-style aggregate (MADlib matrix_add analogue,
     // `/root/reference/src/backend/utils/adt/matrix.c`): element-wise sum
     // of vectors per label, exact via integer micros per position.
@@ -654,6 +689,33 @@ object Similarity extends QueryModule {
          |  FROM scored)
          |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // same neighbor ranking as the brute-force oracle; the vote argmax
+    // via max-by-(count,label) struct ordering, mirrored
+    "s_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+        |                (a, x) -> a + x * x) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, q.label AS true_label, e.label,
+        |    ROUND(list_dot_product(q.v, e.v) / sqrt(q.nrm * e.nrm), 6) AS cos,
+        |    e.vec_id AS nid
+        |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id),
+        |top5 AS (SELECT qid, true_label, label FROM (
+        |    SELECT qid, true_label, label,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        |    FROM scored) WHERE rk <= 5),
+        |votes AS (SELECT qid, true_label, label, COUNT(*) AS c
+        |  FROM top5 GROUP BY qid, true_label, label),
+        |win AS (SELECT qid, true_label, label, c FROM (
+        |    SELECT qid, true_label, label, c,
+        |      row_number() OVER (PARTITION BY qid ORDER BY c DESC, label DESC)
+        |        AS rk
+        |    FROM votes) WHERE rk = 1)
+        |SELECT qid, true_label, label AS predicted, CAST(c AS BIGINT) AS votes,
+        |  label = true_label AS correct
+        |FROM win ORDER BY qid""".stripMargin,
 
     "s_matrix_sum_by_label" ->
       """SELECT label, CAST(i.i AS INT) AS pos,
