@@ -259,6 +259,40 @@ object Corpus extends QueryModule {
     // both engines emit identical longs. Scale shape: one shuffle keyed
     // (doc, gram) with map-side partials, then one keyed (doc) — gram-
     // proportional, corpus-linear.
+    // Association-rule mining (MADlib's assoc_rules module — the
+    // market-basket analytic of the GP ecosystem): frequent item pairs
+    // over per-document distinct word sets, rules a=>b scored by
+    // support, confidence and lift — every metric a ratio of counts,
+    // kept exact in half-up integer micros. Shape at 100 TB: the pair
+    // candidates come from a doc_id-keyed self-join of the per-doc
+    // item sets (never a global cross join), counts shuffle once on the
+    // pair key with map-side partials, and the item-frequency table the
+    // rules join against is vocabulary-bounded.
+    "d_assoc_rules" -> ((s, dir) => {
+      val items = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("item"))
+      val nDocs = t(s, dir, "documents").select(countDistinct(col("doc_id"))
+        .as("n"))
+      val c1 = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      val a = items.select(col("doc_id"), col("item").as("ia"))
+      val b = items.select(col("doc_id"), col("item").as("ib"))
+      val cab = a.join(b, "doc_id").filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c_ab"))
+      cab
+        .join(c1.select(col("item").as("ia"), col("c").as("c_a")), "ia")
+        .join(c1.select(col("item").as("ib"), col("c").as("c_b")), "ib")
+        .crossJoin(nDocs)
+        .select(col("ia"), col("ib"), col("c_ab"),
+          expr("(2000000 * c_ab + n) div (2 * n)").as("support_u"),
+          expr("(2000000 * c_ab + c_a) div (2 * c_a)").as("conf_u"),
+          expr("(2000000 * c_ab * n + c_a * c_b) div (2 * c_a * c_b)")
+            .as("lift_u"))
+        .filter(col("conf_u") >= 500000 && col("support_u") >= 200000)
+        .orderBy(col("conf_u").desc, col("ia"), col("ib"))
+        .limit(25)
+    }),
+
     // BPE tokenizer training, the pair-statistics step: the first
     // byte-pair-encoding iteration counts every adjacent symbol pair
     // weighted by word frequency and picks the top merges — the
@@ -384,6 +418,30 @@ object Corpus extends QueryModule {
     // CAST(SUM(..) AS BIGINT) everywhere: DuckDB SUM(BIGINT) returns
     // HUGEINT, which would poison the // arithmetic's driver-side dtype
     // (the d_pack_sequences lesson)
+    "d_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS item
+        |  FROM documents),
+        |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM documents),
+        |c1 AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+        |cab AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS c_ab
+        |  FROM items a JOIN items b ON a.doc_id = b.doc_id
+        |    AND a.item < b.item
+        |  GROUP BY a.item, b.item),
+        |r AS (SELECT ia, ib, c_ab,
+        |    (2000000 * c_ab + nn.n) // (2 * nn.n) AS support_u,
+        |    (2000000 * c_ab + ca.c) // (2 * ca.c) AS conf_u,
+        |    (2000000 * c_ab * nn.n + ca.c * cb.c) // (2 * ca.c * cb.c)
+        |      AS lift_u
+        |  FROM cab
+        |  JOIN c1 ca ON cab.ia = ca.item
+        |  JOIN c1 cb ON cab.ib = cb.item
+        |  CROSS JOIN nn)
+        |SELECT ia, ib, c_ab, support_u, conf_u, lift_u FROM r
+        |WHERE conf_u >= 500000 AND support_u >= 200000
+        |ORDER BY conf_u DESC, ia, ib LIMIT 25""".stripMargin,
+
     "d_bpe_merges" ->
       """WITH v AS (SELECT word, COUNT(*) AS wc FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
