@@ -238,6 +238,35 @@ object Advanced extends QueryModule {
     // mirrored token-for-token in the oracle — bit-deterministic, no
     // iterative solver. 100 TB shape: one partial+final agg, 9 longs of
     // state per group, solve is per-group O(1).
+    // Chi-squared independence test (MADlib's stats module; the
+    // reference ecosystem's hypothesis-testing niche): lang x
+    // length-bucket contingency table, expected counts e = r*c/n and
+    // per-cell (o-e)^2/e terms — all ratios of counts, kept exact with
+    // half-up integer micros via the algebraic form
+    // (o*n - r*c)^2 / (n*r*c), so both engines emit identical cells and
+    // an identical statistic. One grouped pass builds the table; the
+    // marginals are window sums over the 10-row table itself.
+    "q_chi2_independence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "documents")
+        .withColumn("bucket",
+          when(length(col("text")) > 400, "long").otherwise("short"))
+        .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("lang"))
+      val wc = Window.partitionBy(col("bucket"))
+      val wn = Window.partitionBy()
+      cells
+        .withColumn("r", sum(col("o")).over(wr))
+        .withColumn("c", sum(col("o")).over(wc))
+        .withColumn("n", sum(col("o")).over(wn))
+        .select(col("lang"), col("bucket"), col("o"),
+          expr("(2000000 * r * c + n) div (2 * n)").as("e_u"),
+          expr("(2 * 1000000 * (o * n - r * c) * (o * n - r * c) + n * r * c)" +
+               " div (2 * n * r * c)").as("term_u"))
+        .withColumn("chi2_u", sum(col("term_u")).over(wn))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // In-database graph analytics: PAGERANK (MADlib's graph module is
     // the reference-ecosystem analogue, alongside the k-means niche the
     // ANN queries mirror). Synthetic deterministic 3-regular graph over
@@ -311,6 +340,26 @@ object Advanced extends QueryModule {
        |    GROUP BY e.dst) x ON d.doc_id = x.ddst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_chi2_independence" ->
+      """WITH cells AS (SELECT lang,
+        |    CASE WHEN length(text) > 400 THEN 'long' ELSE 'short' END
+        |      AS bucket,
+        |    COUNT(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT lang, bucket, o,
+        |    CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY bucket) AS BIGINT) AS c,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |t AS (SELECT lang, bucket, o,
+        |    (2000000 * r * c + n) // (2 * n) AS e_u,
+        |    (2 * 1000000 * (o * n - r * c) * (o * n - r * c) + n * r * c)
+        |      // (2 * n * r * c) AS term_u
+        |  FROM m)
+        |SELECT lang, bucket, o, e_u, term_u,
+        |  CAST(SUM(term_u) OVER () AS BIGINT) AS chi2_u
+        |FROM t ORDER BY lang, bucket""".stripMargin,
+
     "q_pagerank" ->
       s"""WITH docs AS (SELECT doc_id FROM documents),
          |nn AS (SELECT COUNT(*) AS n FROM docs),
