@@ -122,6 +122,40 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("start_us"))
     }),
 
+    // Exponential smoothing (EWMA, alpha = 0.2) per user — the
+    // time-series forecasting primitive (MADlib forecasting niche; no
+    // window function expresses the recurrence without pow()):
+    // e_t = 0.2 x_t + 0.8 e_{t-1}, every step a half-up integer-micros
+    // division so the sequential fold is bit-identical in both engines.
+    // Shape: one user-keyed shuffle collecting the ordered value list,
+    // then a per-group in-memory fold — the sessionize contract (group
+    // history must fit an executor; true at any SF for per-user data).
+    "q_events_ewma" -> ((s, dir) => {
+      val vU = round(col("value") * 1000000.0, 0).cast("long")
+      val g = t(s, dir, "events")
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          vU.as("v")).as("p"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .withColumn("vs", transform(col("ps"), p => p.getField("v")))
+      g.select(col("user_id"),
+          size(col("vs")).as("n_events"),
+          aggregate(slice(col("vs"), lit(2), size(col("vs")) - 1),
+            element_at(col("vs"), 1),
+            (acc, x) => {
+              // half-up micros: (2*(0.2x + 0.8acc) + 1) / 2 in micro
+              // units. Column./ on longs is DOUBLE division, so integer
+              // div is built as (n - n mod d) / d — the numerator is
+              // exactly divisible and far below 2^53, making the double
+              // division exact.
+              val n = lit(2L) * (lit(200000L) * x + lit(800000L) * acc) +
+                lit(1000000L)
+              ((n - pmod(n, lit(2000000L))) / lit(2000000L)).cast("long")
+            }).as("ewma_u"),
+          array_max(col("vs")).as("max_v_u"))
+        .orderBy(col("user_id"))
+    }),
+
     // Two-table AS-OF join via the union trick (scale path: one shuffle
     // on user_id + one in-partition sort — never a range-join explosion).
     // For each 'error' event: value of the latest 'purchase' at-or-before
@@ -329,6 +363,19 @@ object Events extends QueryModule {
          |  MAX(n_events) AS max_session_events,
          |  ${sqlDsum("session_value")} AS total_value
          |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_ewma" ->
+      """WITH g AS (SELECT user_id,
+        |    list(CAST(round(value * 1000000.0, 0) AS BIGINT)
+        |         ORDER BY ts, event_id) AS vs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(len(vs) AS INT) AS n_events,
+        |  list_reduce(list_prepend(vs[1], vs[2:]),
+        |    (acc, x) -> (2 * (200000 * x + 800000 * acc) + 1000000)
+        |                // 2000000) AS ewma_u,
+        |  list_max(vs) AS max_v_u
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "q_events_session_dynamic" ->
       s"""WITH r AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
