@@ -176,6 +176,46 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // VIDEO scene-change detection — the shot-boundary stage of a video
+    // pipeline: consecutive 32-byte frames of the payload compared by
+    // summed absolute byte difference; a jump above the threshold is a
+    // cut. (A real implementation diffs decoded frame histograms; the
+    // byte-delta stand-in has the same kernel shape.) All integers —
+    // exact oracle; threshold 900 sits mid-distribution on this corpus
+    // so both classes occur. Map-side only.
+    "m_scene_detect" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      assets(s, dir)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          val w = 32
+          val cut = 900L
+          batch.map { case (id, bytes) =>
+            val nFrames = bytes.length / w
+            var nScenes = 0; var maxDiff = 0L; var firstCut = -1
+            var f = 1
+            while (f < nFrames) {
+              var d = 0L; var i = 0
+              while (i < w) {
+                d += math.abs((bytes(f * w + i) & 0xff) -
+                              (bytes((f - 1) * w + i) & 0xff))
+                i += 1
+              }
+              if (d > maxDiff) maxDiff = d
+              if (d > cut) {
+                nScenes += 1
+                if (firstCut < 0) firstCut = f
+              }
+              f += 1
+            }
+            (id, nFrames, nScenes, firstCut, maxDiff)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_cuts", "first_cut", "max_diff")
+        .orderBy(col("doc_id"))
+    }),
+
     // Format-level rollup: group multimodal assets by codec + size band.
     // Perceptual-hash near-dup detection over the BINARY payload — the
     // image-dedup pipeline stage (a real pHash would DCT the decoded
@@ -300,6 +340,32 @@ object Multimodal extends QueryModule {
         |  CAST(least(length(text), 64) AS INT) AS crop_bytes,
         |  substring(text, 1, 16) AS head_utf8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_scene_detect" ->
+      """WITH a AS (SELECT doc_id, text, length(text) // 32 AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, text, CAST(unnest(range(1, nf)) AS BIGINT) AS f
+        |  FROM a),
+        |d AS (SELECT doc_id, f,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(abs(ord(substr(text, CAST(f * 32 + i AS INT), 1)) -
+        |                ord(substr(text, CAST((f - 1) * 32 + i AS INT), 1)))
+        |            AS BIGINT)
+        |       for i in range(1, 33)]), (a, x) -> a + x) AS diff
+        |  FROM fr),
+        |g AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN diff > 900 THEN 1 ELSE 0 END) AS INT)
+        |      AS n_cuts,
+        |    CAST(coalesce(MIN(CASE WHEN diff > 900 THEN f END), -1) AS INT)
+        |      AS first_cut,
+        |    MAX(diff) AS max_diff
+        |  FROM d GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(a.nf AS INT) AS n_frames,
+        |  coalesce(g.n_cuts, 0) AS n_cuts,
+        |  coalesce(g.first_cut, -1) AS first_cut,
+        |  coalesce(g.max_diff, 0) AS max_diff
+        |FROM a LEFT JOIN g ON a.doc_id = g.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     // the same framing/energy arithmetic relationally: frames exploded,
     // per-frame energy as an integer fold, peak = max energy with the
