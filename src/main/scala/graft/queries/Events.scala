@@ -122,6 +122,36 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("start_us"))
     }),
 
+    // SCD Type 2 dimension history — the warehouse-modeling classic the
+    // reference serves with UPDATE ... SET valid_to patterns
+    // (tablecmds/DML; Kimball's slowly-changing dimension): each user's
+    // purchase stream becomes versioned dimension rows with
+    // [valid_from, valid_to) ranges via lead(), the open row flagged
+    // current. One user-keyed shuffle + in-partition sort; epoch-micros
+    // bounds so the compare is integer-exact.
+    "q_scd2_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 1000000.0, 0).cast("long").as("value_u"),
+          unix_micros(col("ts")).as("valid_from"))
+        .withColumn("valid_to",
+          lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("valid_from"), col("event_id"))))
+        .withColumn("is_current", col("valid_to").isNull)
+        .withColumn("version", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from"), col("event_id"))))
+        .select(col("user_id"), col("version"), col("event_id"),
+          col("value_u"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // Exponential smoothing (EWMA, alpha = 0.2) per user — the
     // time-series forecasting primitive (MADlib forecasting niche; no
     // window function expresses the recurrence without pow()):
@@ -363,6 +393,18 @@ object Events extends QueryModule {
          |  MAX(n_events) AS max_session_events,
          |  ${sqlDsum("session_value")} AS total_value
          |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_scd2_history" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  event_id,
+        |  CAST(round(value * 1000000.0, 0) AS BIGINT) AS value_u,
+        |  epoch_us(ts) AS valid_from,
+        |  lead(epoch_us(ts)) OVER w AS valid_to,
+        |  lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     "q_events_ewma" ->
       """WITH g AS (SELECT user_id,
