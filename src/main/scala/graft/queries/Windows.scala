@@ -46,6 +46,22 @@ object Windows extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ranking family over a deterministic order (ties broken by custkey).
+    // The remaining ranking trio — ntile / percent_rank / cume_dist
+    // (windowfuncs.c): bucket assignment and the two rational ranks over
+    // a TOTAL order (o_orderkey breaks price ties), percent_rank and
+    // cume_dist rounded after the same k/n divisions both engines run.
+    "q_window_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -276,6 +292,16 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cdist
+        |FROM orders WHERE o_orderkey <= 1000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
     "q_window_rank" ->
       """SELECT * FROM (
         |  SELECT c_nationkey, c_custkey,
