@@ -238,6 +238,52 @@ object Advanced extends QueryModule {
     // mirrored token-for-token in the oracle — bit-deterministic, no
     // iterative solver. 100 TB shape: one partial+final agg, 9 longs of
     // state per group, solve is per-group O(1).
+    // Decision-stump split search — the per-node primitive of decision-
+    // tree training (MADlib's tree module): for every (feature,
+    // threshold) candidate, class counts per side and the Gini-weighted
+    // impurity, all ratios of counts kept exact in half-up integer
+    // micros. Binary target = label < 5; features = the first 4
+    // embedding dims x a 5-point threshold grid. Shape: candidates
+    // explode map-side (20 per row), counts shuffle ONCE on
+    // (dim, threshold) with map-side partials — the classic
+    // histogram-based split search.
+    "q_decision_stump" -> ((s, dir) => {
+      val thresholds = Seq(-0.2, -0.1, 0.0, 0.1, 0.2)
+      val e = t(s, dir, "embeddings")
+        .select((col("label") < 5).cast("int").as("clsA"),
+          posexplode(slice(col("embedding").cast("array<double>"), 1, 4))
+            .as(Seq("dim", "x")))
+      val cand = e.select(col("dim"), col("clsA"), col("x"),
+        explode(array(thresholds.map(lit(_)): _*)).as("thr"))
+      val counts = cand.groupBy(col("dim"), col("thr"))
+        .agg(
+          sum(when(col("x") <= col("thr") && col("clsA") === 1, 1L)
+            .otherwise(0L)).as("la"),
+          sum(when(col("x") <= col("thr") && col("clsA") === 0, 1L)
+            .otherwise(0L)).as("lb"),
+          sum(when(col("x") > col("thr") && col("clsA") === 1, 1L)
+            .otherwise(0L)).as("ra"),
+          sum(when(col("x") > col("thr") && col("clsA") === 0, 1L)
+            .otherwise(0L)).as("rb"))
+      def gini(a: String, b: String): Column = {
+        val ns = col(a) + col(b)
+        when(ns === 0, 0L).otherwise(
+          lit(1000000L) - expr(
+            s"(2 * 1000000 * ($a * $a + $b * $b) + ($a + $b) * ($a + $b))" +
+            s" div (2 * ($a + $b) * ($a + $b))"))
+      }
+      counts
+        .withColumn("gl", gini("la", "lb"))
+        .withColumn("gr", gini("ra", "rb"))
+        .select(col("dim"),
+          round(col("thr") * 1000000.0, 0).cast("long").as("thr_u"),
+          (col("la") + col("lb")).as("n_left"),
+          expr("(2 * ((la + lb) * gl + (ra + rb) * gr)" +
+               " + (la + lb + ra + rb))" +
+               " div (2 * (la + lb + ra + rb))").as("gini_u"))
+        .orderBy(col("dim"), col("thr_u"))
+    }),
+
     // Chi-squared independence test (MADlib's stats module; the
     // reference ecosystem's hypothesis-testing niche): lang x
     // length-bucket contingency table, expected counts e = r*c/n and
@@ -340,6 +386,36 @@ object Advanced extends QueryModule {
        |    GROUP BY e.dst) x ON d.doc_id = x.ddst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_decision_stump" ->
+      """WITH e AS (SELECT CAST(label < 5 AS INT) AS clsA,
+        |    CAST(i.i AS INT) AS dim, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(range(0, 4)) AS i) i),
+        |cand AS (SELECT dim, clsA, x, t.thr
+        |  FROM e, (SELECT unnest([-0.2, -0.1, 0.0, 0.1, 0.2]) AS thr) t),
+        |counts AS (SELECT dim, thr,
+        |    CAST(SUM(CASE WHEN x <= thr AND clsA = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS la,
+        |    CAST(SUM(CASE WHEN x <= thr AND clsA = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS lb,
+        |    CAST(SUM(CASE WHEN x > thr AND clsA = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ra,
+        |    CAST(SUM(CASE WHEN x > thr AND clsA = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rb
+        |  FROM cand GROUP BY dim, thr),
+        |g AS (SELECT dim, thr, la, lb, ra, rb,
+        |    CASE WHEN la + lb = 0 THEN 0 ELSE 1000000 -
+        |      (2 * 1000000 * (la * la + lb * lb) + (la + lb) * (la + lb))
+        |        // (2 * (la + lb) * (la + lb)) END AS gl,
+        |    CASE WHEN ra + rb = 0 THEN 0 ELSE 1000000 -
+        |      (2 * 1000000 * (ra * ra + rb * rb) + (ra + rb) * (ra + rb))
+        |        // (2 * (ra + rb) * (ra + rb)) END AS gr
+        |  FROM counts)
+        |SELECT dim, CAST(round(thr * 1000000.0, 0) AS BIGINT) AS thr_u,
+        |  la + lb AS n_left,
+        |  (2 * ((la + lb) * gl + (ra + rb) * gr) + (la + lb + ra + rb))
+        |    // (2 * (la + lb + ra + rb)) AS gini_u
+        |FROM g ORDER BY dim, thr_u""".stripMargin,
+
     "q_chi2_independence" ->
       """WITH cells AS (SELECT lang,
         |    CASE WHEN length(text) > 400 THEN 'long' ELSE 'short' END
