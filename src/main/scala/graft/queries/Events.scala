@@ -122,6 +122,26 @@ object Events extends QueryModule {
         .orderBy(col("user_id"), col("start_us"))
     }),
 
+    // hstore-style MAP AGGREGATION (contrib/hstore + the hstore_agg
+    // idiom): per user, the event-type histogram materialized AS A MAP
+    // column (map_from_entries over sorted per-type counts) rendered
+    // canonically, plus a point lookup into the aggregated map — the
+    // "one row per entity, k/v attributes inside" modeling hstore
+    // serves. One user-keyed shuffle with map-side count partials.
+    "q_props_map_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type").as("k"), col("n").as("v"))))).as("m"))
+        .select(col("user_id"),
+          to_json(col("m")).as("hist_json"),
+          element_at(col("m"), "purchase").as("n_purchase"),
+          size(col("m")).as("n_types"))
+        .orderBy(col("user_id"))
+    }),
+
     // SCD Type 2 dimension history — the warehouse-modeling classic the
     // reference serves with UPDATE ... SET valid_to patterns
     // (tablecmds/DML; Kimball's slowly-changing dimension): each user's
@@ -393,6 +413,18 @@ object Events extends QueryModule {
          |  MAX(n_events) AS max_session_events,
          |  ${sqlDsum("session_value")} AS total_value
          |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_props_map_agg" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |m AS (SELECT user_id,
+        |    map(list(event_type ORDER BY event_type),
+        |        list(n ORDER BY event_type)) AS m
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, to_json(m) AS hist_json,
+        |  m['purchase'] AS n_purchase,
+        |  CAST(cardinality(m) AS INT) AS n_types
+        |FROM m ORDER BY user_id""".stripMargin,
 
     "q_scd2_history" ->
       """SELECT user_id,
