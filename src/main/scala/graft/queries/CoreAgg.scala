@@ -154,6 +154,36 @@ object CoreAgg extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Winsorized mean — robust statistics (the MADlib/stats trimmed-
+    // estimator niche): values clamped to the group's exact p05/p95
+    // (percentile_disc via the ceil(p*n)-th sorted element, the same
+    // construction q_agg_filter_disc pins), then the micros-exact mean
+    // of the clamped values. Two-pass shape: the percentile pass reduces
+    // each group to two scalars that broadcast back onto the rows.
+    "q_winsorized_mean" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val pcts = li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("""element_at(array_sort(collect_list(l_extendedprice)),
+                 |  cast(ceil(0.05 * count(1)) as int))""".stripMargin)
+            .as("p05"),
+          expr("""element_at(array_sort(collect_list(l_extendedprice)),
+                 |  cast(ceil(0.95 * count(1)) as int))""".stripMargin)
+            .as("p95"))
+      li.join(broadcast(pcts), "l_returnflag")
+        .withColumn("wv",
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          expr("""CAST(SUM(CAST(round(wv * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                 |  / count(1) / 1000000.0""".stripMargin).as("wmean_raw"))
+        .select(col("l_returnflag"), col("n"), col("p05"), col("p95"),
+          round(col("wmean_raw"), 4).as("winsorized_mean"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Ordered-set aggregates (orderedsetaggs.c: percentile_cont/disc, mode)
     // + GP's median alias (pg_proc.dat:11586). Exact interpolated
     // percentile via Spark's `percentile`, deterministic mode via max_by
@@ -418,6 +448,24 @@ object CoreAgg extends QueryModule {
         |  ROUND(regr_syy(l_extendedprice, l_quantity), 0) AS syy,
         |  ROUND(regr_sxy(l_extendedprice, l_quantity), 2) AS sxy
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same exact-percentile construction (ceil(p*n)-th sorted element),
+    // same micros mean over the clamped values
+    "q_winsorized_mean" ->
+      """WITH p AS (SELECT l_returnflag,
+        |    (list_sort(list(l_extendedprice)))
+        |      [CAST(ceil(0.05 * COUNT(*)) AS INT)] AS p05,
+        |    (list_sort(list(l_extendedprice)))
+        |      [CAST(ceil(0.95 * COUNT(*)) AS INT)] AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT li.l_returnflag, COUNT(*) AS n,
+        |  MAX(p.p05) AS p05, MAX(p.p95) AS p95,
+        |  ROUND(CAST(SUM(CAST(round(
+        |      least(greatest(li.l_extendedprice, p.p05), p.p95)
+        |      * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 1000000.0, 4) AS winsorized_mean
+        |FROM lineitem li JOIN p ON li.l_returnflag = p.l_returnflag
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
 
     "q_ordered_set_agg" ->
       """SELECT l_returnflag,
