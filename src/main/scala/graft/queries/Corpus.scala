@@ -259,6 +259,30 @@ object Corpus extends QueryModule {
     // both engines emit identical longs. Scale shape: one shuffle keyed
     // (doc, gram) with map-side partials, then one keyed (doc) — gram-
     // proportional, corpus-linear.
+    // k-anonymity audit — the data-governance gate a training corpus
+    // runs before release: group sizes over the quasi-identifier tuple
+    // (language, length decile), the groups below the k=5 threshold
+    // flagged for suppression, with corpus-wide minimums and suppressed
+    // fractions as window totals over the small group table. One
+    // grouped pass; the QI table is bounded by the QI domain, never the
+    // corpus.
+    "d_k_anonymity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wn = Window.partitionBy()
+      t(s, dir, "documents")
+        .select(col("lang"),
+          (length(col("text")) / 100).cast("int").as("len_bucket"))
+        .groupBy(col("lang"), col("len_bucket"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("suppress", col("k") < 5)
+        .withColumn("k_min", min(col("k")).over(wn))
+        .withColumn("n_suppressed_docs",
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).over(wn))
+        .select(col("lang"), col("len_bucket"), col("k"), col("suppress"),
+                col("k_min"), col("n_suppressed_docs"))
+        .orderBy(col("lang"), col("len_bucket"))
+    }),
+
     // Association-rule mining (MADlib's assoc_rules module — the
     // market-basket analytic of the GP ecosystem): frequent item pairs
     // over per-document distinct word sets, rules a=>b scored by
@@ -418,6 +442,17 @@ object Corpus extends QueryModule {
     // CAST(SUM(..) AS BIGINT) everywhere: DuckDB SUM(BIGINT) returns
     // HUGEINT, which would poison the // arithmetic's driver-side dtype
     // (the d_pack_sequences lesson)
+    "d_k_anonymity" ->
+      """WITH g AS (SELECT lang,
+        |    CAST(length(text) // 100 AS INT) AS len_bucket,
+        |    COUNT(*) AS k
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, len_bucket, k, k < 5 AS suppress,
+        |  CAST(MIN(k) OVER () AS BIGINT) AS k_min,
+        |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) OVER () AS BIGINT)
+        |    AS n_suppressed_docs
+        |FROM g ORDER BY lang, len_bucket""".stripMargin,
+
     "d_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT doc_id,
         |    unnest(list_distinct(string_split(text, ' '))) AS item
