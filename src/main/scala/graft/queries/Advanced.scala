@@ -238,6 +238,34 @@ object Advanced extends QueryModule {
     // mirrored token-for-token in the oracle — bit-deterministic, no
     // iterative solver. 100 TB shape: one partial+final agg, 9 longs of
     // state per group, solve is per-group O(1).
+    // Benford first-digit audit — the classic data-quality / fraud
+    // screen: the first significant digit of order totals against
+    // Benford's log10(1+1/d) expectation. Digits come from integer
+    // CENTS rendered as strings (identical in both engines — no double
+    // formatting in play); observed fractions are half-up micros; the
+    // Benford constants are Scala-computed double literals embedded in
+    // both plan and oracle (the hyperplane-literal pattern), rounded to
+    // micros once.
+    "q_benford_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val benfordU: Map[Int, Long] = (1 to 9).map(d =>
+        d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6).toLong).toMap
+      val bCol = (1 to 9).foldLeft(lit(0L)) { (acc, d) =>
+        when(col("digit") === d.toString, lit(benfordU(d))).otherwise(acc)
+      }
+      val wn = Window.partitionBy()
+      t(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100.0, 0)
+          .cast("long").cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("ntot", sum(col("n")).over(wn))
+        .select(col("digit"), col("n"),
+          expr("(2000000 * n + ntot) div (2 * ntot)").as("obs_u"),
+          bCol.as("benford_u"))
+        .withColumn("dev_u", abs(col("obs_u") - col("benford_u")))
+        .orderBy(col("digit"))
+    }),
+
     // Decision-stump split search — the per-node primitive of decision-
     // tree training (MADlib's tree module): for every (feature,
     // threshold) candidate, class counts per side and the Gini-weighted
@@ -385,7 +413,27 @@ object Advanced extends QueryModule {
        |    FROM edges e JOIN $prev r ON e.src = r.doc_id
        |    GROUP BY e.dst) x ON d.doc_id = x.ddst)""".stripMargin
 
+  /** The same Benford micros literals, rendered for the oracle CASE. */
+  private def benfordCaseSql: String =
+    (1 to 9).map(d => s"WHEN digit = '$d' THEN " +
+        math.rint(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+      .mkString("CASE ", " ", " ELSE 0 END")
+
   val oracle: Map[String, String] = Map(
+    "q_benford_audit" ->
+      s"""WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100.0, 0)
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS digit
+         |  FROM orders),
+         |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+         |m AS (SELECT digit, n,
+         |    CAST(SUM(n) OVER () AS BIGINT) AS ntot FROM g)
+         |SELECT digit, n,
+         |  (2000000 * n + ntot) // (2 * ntot) AS obs_u,
+         |  $benfordCaseSql AS benford_u,
+         |  abs((2000000 * n + ntot) // (2 * ntot) - ($benfordCaseSql))
+         |    AS dev_u
+         |FROM m ORDER BY digit""".stripMargin,
+
     "q_decision_stump" ->
       """WITH e AS (SELECT CAST(label < 5 AS INT) AS clsA,
         |    CAST(i.i AS INT) AS dim, CAST(embedding[i.i + 1] AS DOUBLE) AS x
