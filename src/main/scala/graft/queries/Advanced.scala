@@ -238,6 +238,30 @@ object Advanced extends QueryModule {
     // mirrored token-for-token in the oracle — bit-deterministic, no
     // iterative solver. 100 TB shape: one partial+final agg, 9 longs of
     // state per group, solve is per-group O(1).
+    // SKYLINE (Pareto frontier) — the classic "interesting points"
+    // operator relational engines lack natively (Börzsönyi et al.'s
+    // SKYLINE OF): per return flag, the (price, quantity) pairs no other
+    // row dominates (<= on both, < on one), minimizing both. The 2-D
+    // O(n log n) shape: collapse to per-price minima, then one ordered
+    // window pass keeps a price's minimum iff it beats the running
+    // minimum of all strictly-cheaper prices — no self-join, no
+    // quadratic dominance test; one grouped pass plus one window pass.
+    "q_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perPrice = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(min(col("l_quantity")).as("minq"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perPrice
+        .withColumn("prior", min(col("minq")).over(w))
+        .filter(col("prior").isNull || col("minq") < col("prior"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+                col("minq").as("qty"))
+        .orderBy(col("l_returnflag"), col("price"))
+    }),
+
     // Benford first-digit audit — the classic data-quality / fraud
     // screen: the first significant digit of order totals against
     // Benford's log10(1+1/d) expectation. Digits come from integer
@@ -420,6 +444,18 @@ object Advanced extends QueryModule {
       .mkString("CASE ", " ", " ELSE 0 END")
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" ->
+      """WITH pp AS (SELECT l_returnflag, l_extendedprice AS price,
+        |    MIN(l_quantity) AS minq
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, price, minq,
+        |    MIN(minq) OVER (PARTITION BY l_returnflag ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |  FROM pp)
+        |SELECT l_returnflag, price, minq AS qty
+        |FROM r WHERE prior IS NULL OR minq < prior
+        |ORDER BY l_returnflag, price""".stripMargin,
+
     "q_benford_audit" ->
       s"""WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100.0, 0)
          |      AS BIGINT) AS VARCHAR), 1, 1) AS digit
