@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW (no "[info] " decoration):
+// the driver structurally parses the one JSON line graft.Bench prints,
+// and sbt's logger prefix has defeated that parse since round 3
+// (BENCH_r*.json "parsed": null). StdoutOutput is the sbt-native fix;
+// the JSON is additionally written to SPARK_GRAFT_BENCH_OUT as a belt.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

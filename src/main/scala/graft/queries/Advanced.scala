@@ -343,7 +343,12 @@ object Advanced extends QueryModule {
     // half-up integer micros via the algebraic form
     // (o*n - r*c)^2 / (n*r*c), so both engines emit identical cells and
     // an identical statistic. One grouped pass builds the table; the
-    // marginals are window sums over the 10-row table itself.
+    // marginals are window sums over the 10-row table itself. The micros
+    // arithmetic runs in 128-bit integers (Spark DECIMAL(38,0) / DuckDB
+    // HUGEINT) because the numerator carries (o*n - r*c)^2 <= n^4/16:
+    // 64-bit wraps silently past ~50k rows, 128-bit is exact to n ~ 5e8
+    // documents per contingency table (past that, the statistic belongs
+    // in float anyway).
     "q_chi2_independence" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cells = t(s, dir, "documents")
@@ -357,10 +362,17 @@ object Advanced extends QueryModule {
         .withColumn("r", sum(col("o")).over(wr))
         .withColumn("c", sum(col("o")).over(wc))
         .withColumn("n", sum(col("o")).over(wn))
+        .withColumn("wn", col("n").cast("decimal(38,0)"))
+        .withColumn("wd",
+          (col("o").cast("decimal(38,0)") * col("n") -
+           col("r").cast("decimal(38,0)") * col("c")))
+        .withColumn("wrc",
+          col("n").cast("decimal(38,0)") * col("r") * col("c"))
         .select(col("lang"), col("bucket"), col("o"),
-          expr("(2000000 * r * c + n) div (2 * n)").as("e_u"),
-          expr("(2 * 1000000 * (o * n - r * c) * (o * n - r * c) + n * r * c)" +
-               " div (2 * n * r * c)").as("term_u"))
+          expr("CAST((2000000 * CAST(r AS DECIMAL(38,0)) * c + n)" +
+               " div (2 * wn) AS BIGINT)").as("e_u"),
+          expr("CAST((2000000 * wd * wd + wrc)" +
+               " div (2 * wrc) AS BIGINT)").as("term_u"))
         .withColumn("chi2_u", sum(col("term_u")).over(wn))
         .orderBy(col("lang"), col("bucket"))
     }),
@@ -512,9 +524,12 @@ object Advanced extends QueryModule {
         |    CAST(SUM(o) OVER () AS BIGINT) AS n
         |  FROM cells),
         |t AS (SELECT lang, bucket, o,
-        |    (2000000 * r * c + n) // (2 * n) AS e_u,
-        |    (2 * 1000000 * (o * n - r * c) * (o * n - r * c) + n * r * c)
-        |      // (2 * n * r * c) AS term_u
+        |    CAST((2000000 * CAST(r AS HUGEINT) * c + n)
+        |      // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS e_u,
+        |    CAST((2000000 * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |               * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |          + CAST(n AS HUGEINT) * r * c)
+        |      // (2 * CAST(n AS HUGEINT) * r * c) AS BIGINT) AS term_u
         |  FROM m)
         |SELECT lang, bucket, o, e_u, term_u,
         |  CAST(SUM(term_u) OVER () AS BIGINT) AS chi2_u

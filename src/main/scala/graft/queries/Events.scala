@@ -422,7 +422,7 @@ object Events extends QueryModule {
         |        list(n ORDER BY event_type)) AS m
         |  FROM c GROUP BY user_id)
         |SELECT user_id, to_json(m) AS hist_json,
-        |  m['purchase'] AS n_purchase,
+        |  CAST(m['purchase'][1] AS BIGINT) AS n_purchase,
         |  CAST(cardinality(m) AS INT) AS n_types
         |FROM m ORDER BY user_id""".stripMargin,
 

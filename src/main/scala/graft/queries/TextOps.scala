@@ -537,7 +537,13 @@ object TextOps extends QueryModule {
           tf("fast").as("tf_fast"),         // rapidly/quickly/speedy fold
           tf("large").as("tf_large"),       // big/huge fold (corpus + inj)
           tf("small").as("tf_small"),       // tiny folds into corpus small
-          array_join(slice(col("lex"), -3, 3), " ").as("last3"),
+          // last-3 window: slice(-3, 3) on a <3-element array is EMPTY
+          // in Spark while the oracle's lex[-3:] is the whole list, so
+          // short docs take the whole-array branch explicitly (the
+          // corpus fixture guarantees >=3 lexemes today; the guard keeps
+          // the semantics honest when it doesn't)
+          array_join(when(size(col("lex")) < 3, col("lex"))
+            .otherwise(slice(col("lex"), -3, 3)), " ").as("last3"),
           (tf("mouse") + tf("goose") + tf("index") > 0).as("matches_lookup"))
         .orderBy(col("doc_id"))
     }),

@@ -12,6 +12,14 @@ execution, so sf size is irrelevant) and fails on any result column whose
 type is HUGEINT/UHUGEINT, and on any statement DuckDB cannot bind at all
 (a bind error here would be a FAIL row in the driver's gate too).
 
+A second trap class joined in r8: a LIST/STRUCT/MAP-typed oracle column
+(q_props_map_agg's `m['purchase']`) binds cleanly and executes, but the
+driver's pandas sort chokes on the unhashable ndarray it becomes — the
+query is silently never hash-verified (err row). So the lint also fails on
+any NESTED result column unless the query is explicitly allowlisted for
+nested output (render nested data through to_json instead; VARCHAR is
+always hashable).
+
 Usage: python3 tools/oracle_type_lint.py <oracle_sql.json> [sf_dir]
 Exit 1 on any finding; prints one "LINT <query>.<col>: <TYPE>" per hit.
 Run by OracleTypeLintSpec in `sbt test` (skipped where duckdb is absent).
@@ -21,6 +29,11 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Queries deliberately returning nested columns the driver is known to
+# hash successfully. Keep EMPTY unless a query demonstrably round-trips:
+# the safe rendering for nested data is to_json(...) (VARCHAR).
+NESTED_OK = set()
 
 
 def lint(oracle, con):
@@ -37,6 +50,12 @@ def lint(oracle, con):
                 findings.append(
                     f"LINT {name}.{c}: {t} — wrap the integral aggregate "
                     f"in CAST(... AS BIGINT) (see Tables.scala scaladoc)")
+            elif name not in NESTED_OK and (
+                    "[]" in t or t.startswith(("STRUCT", "MAP", "UNION"))):
+                findings.append(
+                    f"LINT {name}.{c}: {t} — nested oracle columns are "
+                    f"driver-unhashable (pandas ndarray); render through "
+                    f"to_json(...) or extract a scalar")
     return findings
 
 
