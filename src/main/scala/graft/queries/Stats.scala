@@ -1,0 +1,387 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Hypothesis-testing and iterative-ML surface — the MADlib stats/regress
+  * modules of the reference ecosystem (MADlib-on-GP is the reference's
+  * in-database analytics story; `q_chi2_independence` opened the niche,
+  * these rows complete the classical-test family: Mann-Whitney U,
+  * Kolmogorov-Smirnov, one-way ANOVA, Welch's t, and a gradient-descent
+  * logistic-regression fit).
+  *
+  * Numeric discipline (repo-wide contract, Tables.scala scaladoc): every
+  * statistic is exact integer micros — 128-bit (Spark DECIMAL(38,0) /
+  * DuckDB HUGEINT) wherever squares of sums appear — with explicit
+  * half-up rounding at each mirrored staging point, so both engines emit
+  * bit-identical values. Signed integer division is safe to mirror
+  * directly: Spark's `div` and DuckDB's integer `//` BOTH truncate
+  * toward zero (verified: -7 // 2 = -3 in DuckDB for INT/BIGINT/HUGEINT;
+  * `//` floors only for floats), so [[hup]]'s rounding is half-up toward
+  * +inf for positive numerators and the same truncated convention on
+  * both sides for negative ones (only the logistic gradients are signed,
+  * and their driver-side fold replicates truncation explicitly).
+  *
+  * Scale shapes: the rank/ECDF tests first aggregate to a DISTINCT-VALUE
+  * spine (2-decimal money-like doubles: <= ~49k distinct micros points
+  * regardless of row count), so the only ordered window runs over that
+  * bounded spine, never the raw rows; ANOVA/Welch are two-pass (means,
+  * then deviations) with the k-row means broadcast back; the logistic
+  * fit is MADlib's driver-loop shape — per iteration ONE whole-relation
+  * aggregate (map-side partials) collapsing to two numbers of driver
+  * state, the PageRank/IVF precedent.
+  */
+object Stats extends QueryModule {
+
+  /** SQL fragment: truncating division, identical in Spark (`div`) and
+    * DuckDB (integer `//`) for every sign combination. */
+  private def sfdiv(a: String, b: String): String =
+    s"((($a) div ($b)))"
+
+  /** SQL fragment: round-half-up(a/b) = (2a+b) div (2b), b>0 (exact
+    * half-up for a>=0; the same mirrored truncation either side of zero). */
+  private def hup(a: String, b: String): String =
+    sfdiv(s"2 * ($a) + ($b)", s"2 * ($b)")
+
+  /** Two-sample scaffold: 'view' is sample 1, 'purchase' sample 2;
+    * x_u = value in exact integer micros. */
+  private def twoSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(round(col("value") * 1000000.0, 0).cast("long").as("x_u"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("g1"))
+
+  /** Distinct-value spine with per-value and cumulative counts — the
+    * bounded structure every rank/ECDF statistic reads. The ordered
+    * window runs over the spine (value-domain-bounded), not the rows. */
+  private def spine(two: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("x_u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    two.groupBy(col("x_u"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cc1", sum(col("c1")).over(w))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Mann-Whitney U (MADlib mann_whitney test; the rank-sum test).
+    // Ranks are kept DOUBLED so tie midranks stay integral: a tie group
+    // of size c starting at min-rank r has doubled midrank 2r + c - 1
+    // = 2*cum - cnt + 1. R1_2x sums doubled ranks over sample 1 in
+    // 128-bit; 2*U1 = R1_2x - n1(n1+1); U1 + U2 = n1*n2 (doubled: 2x).
+    "q_mannwhitney_u" -> ((s, dir) => {
+      spine(twoSample(s, dir))
+        .withColumn("dm", lit(2) * col("cum") - col("cnt") + 1)
+        .agg(sum(col("c1")).as("n1"),
+             sum(col("cnt") - col("c1")).as("n2"),
+             sum(col("c1").cast("decimal(38,0)") * col("dm")).as("r1w"))
+        .withColumn("u1w", col("r1w") - col("n1").cast("decimal(38,0)") * (col("n1") + 1))
+        .select(col("n1"), col("n2"),
+          col("r1w").cast("long").as("r1_2x"),
+          col("u1w").cast("long").as("u1_2x"),
+          (lit(2) * col("n1") * col("n2") - col("u1w")).cast("long").as("u2_2x"),
+          least(col("u1w"), lit(2) * col("n1") * col("n2") - col("u1w"))
+            .cast("long").as("u_min_2x"))
+    }),
+
+    // Two-sample Kolmogorov-Smirnov (MADlib ks_test): D = max |F1 - F2|
+    // kept EXACT by cross-multiplying both ECDFs onto the common
+    // denominator n1*n2: d_scaled = max |cc1*n2 - cc2*n1| over the
+    // spine, reported with the half-up micros quotient and the smallest
+    // value attaining the maximum. No floats anywhere; the argmax window
+    // runs over the same bounded spine as the cumulants.
+    "q_ks_test" -> ((s, dir) => {
+      val sp = spine(twoSample(s, dir)).withColumn("cc2", col("cum") - col("cc1"))
+      val tot = sp.agg(max(col("cc1")).as("n1"), max(col("cc2")).as("n2"))
+      val wAll = Window.partitionBy(lit(1))
+      sp.crossJoin(broadcast(tot))
+        .withColumn("diff",
+          abs(col("cc1").cast("decimal(38,0)") * col("n2") -
+              col("cc2").cast("decimal(38,0)") * col("n1")))
+        .withColumn("dmax", max(col("diff")).over(wAll))
+        .filter(col("diff") === col("dmax"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(col("dmax")).cast("long").as("d_scaled"),
+             min(col("x_u")).as("x_at_max"))
+        .withColumn("nn", col("n1").cast("decimal(38,0)") * col("n2"))
+        .select(col("n1"), col("n2"), col("d_scaled"), col("x_at_max"),
+          expr(s"CAST(${hup("1000000 * CAST(d_scaled AS DECIMAL(38,0))", "nn")} AS BIGINT)")
+            .as("d_u"))
+    }),
+
+    // One-way ANOVA F (MADlib one_way_anova) across all five event
+    // types. Two passes: per-group n/sum -> half-up micro means, then
+    // the k-row means BROADCAST back for exact 128-bit squared
+    // deviations. SS columns are reported in whole squared units
+    // (half-up of micros^2 / 1e12) so outputs fit BIGINT at any scale;
+    // F in half-up micros. Group rows carry the (constant) F so the
+    // output reads as the full ANOVA table.
+    "q_anova_f" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 1000000.0, 0).cast("long").as("x_u"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x_u").cast("decimal(38,0)")).as("s_g"))
+        .withColumn("mean_g_u", expr(hup("s_g", "CAST(n_g AS DECIMAL(38,0))")))
+      val tot = g.agg(sum(col("n_g")).as("n_tot"), sum(col("s_g")).as("s_tot"),
+                      count(lit(1)).as("k"))
+        .withColumn("mean_u", expr(hup("s_tot", "CAST(n_tot AS DECIMAL(38,0))")))
+      val devs = ev
+        .join(broadcast(g.select(col("event_type"), col("mean_g_u"))), "event_type")
+        .withColumn("dev", col("x_u").cast("decimal(38,0)") - col("mean_g_u"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("dev") * col("dev")).as("ssw_g"))
+      val wAll = Window.partitionBy(lit(1))
+      g.join(devs, "event_type").crossJoin(broadcast(tot))
+        .withColumn("md", col("mean_g_u").cast("decimal(38,0)") - col("mean_u"))
+        .withColumn("ssb_g", col("n_g").cast("decimal(38,0)") * col("md") * col("md"))
+        .withColumn("ssb", sum(col("ssb_g")).over(wAll))
+        .withColumn("ssw", sum(col("ssw_g")).over(wAll))
+        .withColumn("fn", lit(1000000).cast("decimal(38,0)") * col("ssb") *
+          (col("n_tot") - col("k")))
+        .withColumn("fd", col("ssw") * (col("k") - 1))
+        .select(col("event_type"), col("n_g"),
+          col("mean_g_u").cast("long").as("mean_g_u"),
+          expr(s"CAST(${hup("ssw_g", "CAST(1000000000000 AS DECIMAL(38,0))")} AS BIGINT)")
+            .as("ssw_g_sq"),
+          expr(s"CAST(${hup("ssb", "CAST(1000000000000 AS DECIMAL(38,0))")} AS BIGINT)")
+            .as("ssb_sq"),
+          expr(s"CAST(${hup("fn", "fd")} AS BIGINT)").as("f_u"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Welch's t (MADlib t_test_unpooled), reported as t^2 — a pure
+    // RATIONAL of the data (no square root): staged half-up micros for
+    // the sample variances s_i^2 = SSD_i/(n_i-1), the variance-of-mean
+    // sum v = s1^2/n1 + s2^2/n2, then t^2 = (m1-m2)^2 / v. Every stage
+    // is mirrored, so the statistic is bit-identical in both engines.
+    "q_welch_t2" -> ((s, dir) => {
+      val two = twoSample(s, dir)
+        .withColumn("grp", when(col("g1") === 1, "view").otherwise("purchase"))
+      val g = two.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("x_u").cast("decimal(38,0)")).as("sx"))
+        .withColumn("m_u", expr(hup("sx", "CAST(n AS DECIMAL(38,0))")))
+      val ssd = two.join(broadcast(g.select(col("grp"), col("m_u"))), "grp")
+        .withColumn("dev", col("x_u").cast("decimal(38,0)") - col("m_u"))
+        .groupBy(col("grp")).agg(sum(col("dev") * col("dev")).as("ssd"))
+      g.join(ssd, "grp")
+        .withColumn("s2_u", expr(hup("ssd", "CAST(n - 1 AS DECIMAL(38,0))")))
+        .withColumn("vn_u", expr(hup("s2_u", "n")))
+        .groupBy()
+        .agg(max(when(col("grp") === "view", col("n"))).as("n1"),
+             max(when(col("grp") === "purchase", col("n"))).as("n2"),
+             max(when(col("grp") === "view", col("m_u"))).as("m1_u"),
+             max(when(col("grp") === "purchase", col("m_u"))).as("m2_u"),
+             sum(col("vn_u")).as("varsum_u"))
+        .withColumn("dm",
+          col("m1_u").cast("decimal(38,0)") - col("m2_u"))
+        .withColumn("t2n", lit(1000000).cast("decimal(38,0)") * col("dm") * col("dm"))
+        .select(col("n1"), col("n2"),
+          col("m1_u").cast("long").as("m1_u"),
+          col("m2_u").cast("long").as("m2_u"),
+          col("varsum_u").cast("long").as("varsum_u"),
+          expr(s"CAST(${hup("t2n", "CAST(varsum_u AS DECIMAL(38,0))")} AS BIGINT)")
+            .as("t2_u"))
+    }),
+
+    // Logistic regression by gradient descent (MADlib logregr_train, the
+    // flagship of its regress module): y = (event_type = 'purchase'),
+    // x = value/500 so x is in [0,1]; three unrolled iterations at
+    // learning rate 4 from w = (0,0). The sigmoid is the EXACT-RATIONAL
+    // surrogate sigma(z) = 1/2 + z/(2(1+|z|)) ("fast sigmoid"), so the
+    // whole fit — like the linreg/IVF/PQ rows — is integer-exact and the
+    // oracle unrolls the identical recurrence; a transcendental exp()
+    // would put engine libm ulp differences inside an ITERATED fixpoint,
+    // where they amplify instead of rounding away. Scale shape: each
+    // iteration is ONE aggregate over the relation (map-side partials)
+    // returning two numbers to the driver; weights re-enter the next
+    // pass as literals (the PageRank/Lloyd precedent), and the relation
+    // is persisted across the four passes.
+    "q_logreg_gd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(expr("CAST(round(value * 1000000.0, 0) AS BIGINT) div 500").as("x2_u"),
+          when(col("event_type") === "purchase", 1000000L).otherwise(0L).as("y_u"))
+        .persist()
+      // z and the sigma residual as mirrored SQL fragments over
+      // (x2_u, y_u, z_u); weights enter as interpolated literals
+      def zF(w0: BigInt, w1: BigInt): String =
+        s"($w0 + ${sfdiv(s"2 * ($w1) * x2_u + 1000000", "2 * 1000000")})"
+      val resF: String =
+        s"(y_u - (500000 + ${sfdiv("2 * (z_u) * 500000 + (1000000 + abs(z_u))",
+                                   "2 * (1000000 + abs(z_u))")}))"
+      // round-half-up(a/b) via the same TRUNCATING division both SQL
+      // engines use (BigInt / truncates toward zero, like div and //)
+      def h(a: BigInt, b: BigInt): BigInt = (2 * a + b) / (2 * b)
+      var w0 = BigInt(0); var w1 = BigInt(0)
+      for (_ <- 1 to 3) {
+        val r = ev.withColumn("z_u", expr(zF(w0, w1)))
+          .withColumn("res_u", expr(resF))
+          .agg(sum(col("res_u").cast("decimal(38,0)")).as("sr"),
+               sum((col("res_u") * col("x2_u")).cast("decimal(38,0)")).as("srx"),
+               count(lit(1)).as("n")).first()
+        val sr = BigInt(r.getDecimal(0).toBigInteger)
+        val srx = BigInt(r.getDecimal(1).toBigInteger)
+        val n = BigInt(r.getLong(2))
+        w0 += 4 * h(sr, n)
+        w1 += 4 * h(srx, n * 1000000)
+      }
+      val out = ev
+        .withColumn("p_u", when(expr(zF(w0, w1)) > 0, 1000000L).otherwise(0L))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("p_u") === col("y_u"), 1L).otherwise(0L)).as("n_correct"),
+             sum(when(col("p_u") === 1000000L, 1L).otherwise(0L)).as("n_pred_pos"))
+        .select(lit(w0.toLong).as("w0_u"), lit(w1.toLong).as("w1_u"),
+          col("n"), col("n_correct"), col("n_pred_pos"))
+      ev.unpersist()
+      out
+    })
+  )
+
+  /** Shared two-sample + spine CTEs for the oracle (DuckDB windows over
+    * the same distinct-value spine the Spark side builds). */
+  private val sp2 =
+    """WITH two AS (SELECT CAST(round(value * 1000000.0, 0) AS BIGINT) AS x_u,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |spine AS (SELECT x_u, COUNT(*) AS cnt, CAST(SUM(g1) AS BIGINT) AS c1,
+      |    CAST(SUM(COUNT(*)) OVER (ORDER BY x_u) AS BIGINT) AS cum,
+      |    CAST(SUM(SUM(g1)) OVER (ORDER BY x_u) AS BIGINT) AS cc1
+      |  FROM two GROUP BY x_u)""".stripMargin
+
+  /** One sigma/residual/gradient aggregation pass of the logreg oracle,
+    * reading weights from CTE `prev` and emitting CTE `next` — the same
+    * recurrence the Spark driver loop runs, as SQL text. */
+  private def logregPass(prev: String, agg: String, next: String): String =
+    s""",
+       |$agg AS (SELECT
+       |    SUM(y_u - (500000 + (2 * z_u * 500000 + (1000000 + ABS(z_u)))
+       |      // (2 * (1000000 + ABS(z_u))))) AS sr,
+       |    SUM((y_u - (500000 + (2 * z_u * 500000 + (1000000 + ABS(z_u)))
+       |      // (2 * (1000000 + ABS(z_u))))) * x2_u) AS srx,
+       |    COUNT(*) AS n
+       |  FROM (SELECT y_u, x2_u,
+       |      w0 + (2 * w1 * x2_u + 1000000) // (2 * 1000000) AS z_u
+       |    FROM ev, $prev) _),
+       |$next AS (SELECT w0 + 4 * ((2 * sr + n) // (2 * n)) AS w0,
+       |    w1 + 4 * ((2 * srx + n * 1000000) // (2 * n * 1000000)) AS w1
+       |  FROM $prev, $agg)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "q_mannwhitney_u" -> (sp2 +
+      """,
+        |dm AS (SELECT *, 2 * cum - cnt + 1 AS dm FROM spine),
+        |a AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(cnt - c1) AS BIGINT) AS n2,
+        |    SUM(CAST(c1 AS HUGEINT) * dm) AS r1w
+        |  FROM dm),
+        |u AS (SELECT *, r1w - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1w FROM a)
+        |SELECT n1, n2, CAST(r1w AS BIGINT) AS r1_2x,
+        |  CAST(u1w AS BIGINT) AS u1_2x,
+        |  CAST(2 * CAST(n1 AS HUGEINT) * n2 - u1w AS BIGINT) AS u2_2x,
+        |  CAST(LEAST(u1w, 2 * CAST(n1 AS HUGEINT) * n2 - u1w) AS BIGINT)
+        |    AS u_min_2x
+        |FROM u""".stripMargin),
+
+    "q_ks_test" -> (sp2 +
+      """,
+        |sp AS (SELECT *, cum - cc1 AS cc2 FROM spine),
+        |tot AS (SELECT MAX(cc1) AS n1, MAX(cc2) AS n2 FROM sp),
+        |d AS (SELECT sp.x_u, tot.n1, tot.n2,
+        |    abs(CAST(cc1 AS HUGEINT) * n2 - CAST(cc2 AS HUGEINT) * n1) AS diff
+        |  FROM sp, tot),
+        |mx AS (SELECT n1, n2, CAST(MAX(diff) AS BIGINT) AS d_scaled
+        |  FROM d GROUP BY n1, n2)
+        |SELECT mx.n1, mx.n2, mx.d_scaled,
+        |  (SELECT MIN(x_u) FROM d WHERE d.diff = mx.d_scaled) AS x_at_max,
+        |  CAST((2 * 1000000 * CAST(mx.d_scaled AS HUGEINT)
+        |        + CAST(mx.n1 AS HUGEINT) * mx.n2)
+        |    // (2 * CAST(mx.n1 AS HUGEINT) * mx.n2) AS BIGINT) AS d_u
+        |FROM mx""".stripMargin),
+
+    "q_anova_f" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS x_u FROM events),
+        |g AS (SELECT event_type, COUNT(*) AS n_g,
+        |    SUM(CAST(x_u AS HUGEINT)) AS s_g FROM ev GROUP BY event_type),
+        |gm AS (SELECT *,
+        |    (2 * s_g + n_g) // (2 * CAST(n_g AS HUGEINT)) AS mean_g_u FROM g),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot, COUNT(*) AS k,
+        |    (2 * SUM(s_g) + SUM(n_g)) // (2 * CAST(SUM(n_g) AS HUGEINT)) AS mean_u
+        |  FROM g),
+        |devs AS (SELECT ev.event_type,
+        |    SUM((CAST(x_u AS HUGEINT) - mean_g_u)
+        |      * (CAST(x_u AS HUGEINT) - mean_g_u)) AS ssw_g
+        |  FROM ev JOIN gm ON ev.event_type = gm.event_type
+        |  GROUP BY ev.event_type),
+        |r AS (SELECT gm.event_type, gm.n_g, gm.mean_g_u, devs.ssw_g,
+        |    CAST(gm.n_g AS HUGEINT) * (gm.mean_g_u - tot.mean_u)
+        |      * (gm.mean_g_u - tot.mean_u) AS ssb_g,
+        |    tot.n_tot, tot.k
+        |  FROM gm JOIN devs ON gm.event_type = devs.event_type, tot),
+        |w AS (SELECT *, SUM(ssb_g) OVER () AS ssb, SUM(ssw_g) OVER () AS ssw
+        |  FROM r)
+        |SELECT event_type, n_g, CAST(mean_g_u AS BIGINT) AS mean_g_u,
+        |  CAST((2 * ssw_g + 1000000000000)
+        |    // (2 * CAST(1000000000000 AS HUGEINT)) AS BIGINT) AS ssw_g_sq,
+        |  CAST((2 * ssb + 1000000000000)
+        |    // (2 * CAST(1000000000000 AS HUGEINT)) AS BIGINT) AS ssb_sq,
+        |  CAST((2 * 1000000 * ssb * (n_tot - k) + ssw * (k - 1))
+        |    // (2 * ssw * (k - 1)) AS BIGINT) AS f_u
+        |FROM w ORDER BY event_type""".stripMargin,
+
+    "q_welch_t2" ->
+      """WITH two AS (SELECT event_type AS grp,
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS x_u
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |g AS (SELECT grp, COUNT(*) AS n, SUM(CAST(x_u AS HUGEINT)) AS sx
+        |  FROM two GROUP BY grp),
+        |gm AS (SELECT *, (2 * sx + n) // (2 * CAST(n AS HUGEINT)) AS m_u FROM g),
+        |ssd AS (SELECT two.grp,
+        |    SUM((CAST(x_u AS HUGEINT) - m_u) * (CAST(x_u AS HUGEINT) - m_u)) AS ssd
+        |  FROM two JOIN gm ON two.grp = gm.grp GROUP BY two.grp),
+        |j AS (SELECT gm.grp, gm.n, gm.m_u, ssd.ssd,
+        |    (2 * ssd.ssd + (gm.n - 1)) // (2 * CAST(gm.n - 1 AS HUGEINT)) AS s2_u
+        |  FROM gm JOIN ssd ON gm.grp = ssd.grp),
+        |j2 AS (SELECT *, (2 * s2_u + n) // (2 * CAST(n AS HUGEINT)) AS vn_u FROM j),
+        |p AS (SELECT
+        |    MAX(CASE WHEN grp = 'view' THEN n END) AS n1,
+        |    MAX(CASE WHEN grp = 'purchase' THEN n END) AS n2,
+        |    MAX(CASE WHEN grp = 'view' THEN m_u END) AS m1_u,
+        |    MAX(CASE WHEN grp = 'purchase' THEN m_u END) AS m2_u,
+        |    SUM(vn_u) AS varsum_u
+        |  FROM j2)
+        |SELECT n1, n2, CAST(m1_u AS BIGINT) AS m1_u,
+        |  CAST(m2_u AS BIGINT) AS m2_u, CAST(varsum_u AS BIGINT) AS varsum_u,
+        |  CAST((2 * 1000000 * (m1_u - m2_u) * (m1_u - m2_u) + varsum_u)
+        |    // (2 * CAST(varsum_u AS HUGEINT)) AS BIGINT) AS t2_u
+        |FROM p""".stripMargin,
+
+    "q_logreg_gd" ->
+      ("""WITH ev AS (SELECT
+         |    CAST(round(value * 1000000.0, 0) AS BIGINT) // 500 AS x2_u,
+         |    CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END AS y_u
+         |  FROM events),
+         |w0_ AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1)"""
+        .stripMargin
+        + logregPass("w0_", "a1", "w1_")
+        + logregPass("w1_", "a2", "w2_")
+        + logregPass("w2_", "a3", "w3_")
+        + """,
+          |pred AS (SELECT y_u,
+          |    CASE WHEN w0 + (2 * w1 * x2_u + 1000000) // (2 * 1000000) > 0
+          |      THEN 1000000 ELSE 0 END AS p_u
+          |  FROM ev, w3_)
+          |SELECT (SELECT CAST(w0 AS BIGINT) FROM w3_) AS w0_u,
+          |  (SELECT CAST(w1 AS BIGINT) FROM w3_) AS w1_u,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CASE WHEN p_u = y_u THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_correct,
+          |  CAST(SUM(CASE WHEN p_u = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_pred_pos
+          |FROM pred""".stripMargin)
+  )
+}

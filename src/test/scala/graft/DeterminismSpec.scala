@@ -33,7 +33,11 @@ class DeterminismSpec extends AnyFunSuite {
     "d_bigram_likelihood",    // broadcast LM + half-up integer-micros means
     "s_ann_pq_score",         // sampled-fit codebooks + scoring join
     "t_fts_rank_cd",          // left-to-right double fold over covers
-    "q_trgm_fuzzy")           // trigram set ops + micros rational
+    "q_trgm_fuzzy",           // trigram set ops + micros rational
+    // r9 additions:
+    "q_mannwhitney_u",        // doubled midranks over the distinct-value spine
+    "q_anova_f",              // 128-bit squared deviations + half-up staging
+    "q_logreg_gd")            // integer-rational sigmoid recurrence, driver loop
     // (q_eager_agg deliberately NOT here: it builds a child session, so
     // the parent-session parallelism override would never reach it and
     // the invariance claim would be vacuous; XformRulesSpec proves its
