@@ -573,6 +573,71 @@ object TextOps extends QueryModule {
         .limit(20)
     }),
 
+    // Okapi BM25 ranking (k1=1.2, b=0.75; the retrieval scorer behind
+    // RAG / training-data relevance filtering — the reference ecosystem
+    // ships it as the next step up from ts_rank's tf-saturation, which
+    // BM25 generalizes with idf and length normalization). Two-term OR
+    // query; idf is the Lucene non-negative form ln(1+(N-df+.5)/(df+.5)).
+    // The ln/divide float ops are mirrored token-for-token in the oracle
+    // (the q_earth_distance discipline) and the score ROUNDs far above
+    // ulp noise. Shape: one map-side pass computes (tf, dl) per doc; the
+    // 1-row corpus stats (N, sum dl, df per term) broadcast back; top-20
+    // via bounded top-k. No shuffle touches the corpus.
+    "t_bm25_rank" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def tfc(term: String) = size(filter(words, w => w === term))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), tfc("hash").as("tfh"), tfc("join").as("tfj"),
+          size(words).as("dl"))
+      val st = d.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"),
+        sum(when(col("tfh") > 0, 1L).otherwise(0L)).as("dfh"),
+        sum(when(col("tfj") > 0, 1L).otherwise(0L)).as("dfj"))
+      d.crossJoin(broadcast(st))
+        .filter(col("tfh") > 0 || col("tfj") > 0)
+        .withColumn("avgdl", col("sdl").cast("double") / col("nd"))
+        .withColumn("idfh",
+          log(lit(1.0) + (col("nd") - col("dfh") + 0.5) / (col("dfh") + 0.5)))
+        .withColumn("idfj",
+          log(lit(1.0) + (col("nd") - col("dfj") + 0.5) / (col("dfj") + 0.5)))
+        .withColumn("norm",
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+        .select(col("doc_id"), col("tfh"), col("tfj"),
+          round(col("idfh") * ((col("tfh") * 2.2) / (col("tfh") + col("norm"))) +
+                col("idfj") * ((col("tfj") * 2.2) / (col("tfj") + col("norm"))),
+            6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Per-document TF-IDF top terms (the keyword-extraction pipeline op;
+    // ts_stat's corpus statistics turned per-document): every token
+    // joins its document frequency (vocab-bounded broadcast), weight =
+    // tf * ln(N/df), top-3 terms per doc by (weight, term). Shape: one
+    // token-keyed shuffle builds df; the per-doc ranking is a window
+    // over each doc's OWN tokens (doc-keyed partitions, no global sort).
+    "t_tfidf_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      // df/N come from the FULL corpus; only the reported docs (a fixed
+      // window of 40) are ranked, and that filter prunes BEFORE the join
+      val tf = toks.filter(col("doc_id") < 40)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val wnd = Window.partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("w"))
+      tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(nd))
+        .withColumn("weight",
+          round(col("tf") * log(col("nd").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(wnd))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w"), col("tf"), col("df"),
+          col("weight"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Vocabulary building — the training-pipeline op behind tokenizer/
     // vocab construction: corpus-wide token frequencies, top-k. Shape at
     // scale: explode -> partial map-side counts -> one shuffle of
@@ -981,6 +1046,46 @@ object TextOps extends QueryModule {
          |SELECT word, CAST(COUNT(DISTINCT doc_id) AS INT) AS ndoc,
          |  COUNT(*) AS nentry
          |FROM u GROUP BY word ORDER BY nentry DESC, word LIMIT 30""".stripMargin,
+
+    "t_bm25_rank" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'hash'))
+        |      AS INT) AS tfh,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join'))
+        |      AS INT) AS tfj,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS dl
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sdl,
+        |    CAST(SUM(CASE WHEN tfh > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dfh,
+        |    CAST(SUM(CASE WHEN tfj > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dfj
+        |  FROM d),
+        |sc AS (SELECT doc_id, tfh, tfj,
+        |    CAST(sdl AS DOUBLE) / nd AS avgdl,
+        |    ln(1.0 + (nd - dfh + 0.5) / (dfh + 0.5)) AS idfh,
+        |    ln(1.0 + (nd - dfj + 0.5) / (dfj + 0.5)) AS idfj,
+        |    dl FROM d, st WHERE tfh > 0 OR tfj > 0),
+        |n2 AS (SELECT *, 1.2 * (0.25 + 0.75 * (dl / avgdl)) AS norm FROM sc)
+        |SELECT doc_id, tfh, tfj,
+        |  ROUND(idfh * ((tfh * 2.2) / (tfh + norm)) +
+        |        idfj * ((tfj * 2.2) / (tfj + norm)), 6) AS score
+        |FROM n2 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+        |  WHERE doc_id < 40 GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        |nd AS (SELECT COUNT(*) AS nd FROM documents),
+        |wt AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+        |    ROUND(tf.tf * ln(CAST(nd.nd AS DOUBLE) / df.df), 6) AS weight
+        |  FROM tf JOIN df ON tf.w = df.w, nd),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY weight DESC, w) AS INT) AS rk
+        |  FROM wt)
+        |SELECT doc_id, rk, w, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, weight
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "t_vocab_topk" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
