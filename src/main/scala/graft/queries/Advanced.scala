@@ -409,6 +409,34 @@ object Advanced extends QueryModule {
         .limit(20)
     }),
 
+    // Single-source shortest paths / BFS over the same deterministic
+    // 3-regular graph q_pagerank walks (MADlib graph_sssp niche): four
+    // frontier-expansion rounds from doc 0, min-hop per reached node,
+    // reported as the reachability histogram per distance. Scale shape:
+    // each round is one edges-frontier equi-join plus one dst-keyed
+    // min-aggregation — distances never leave the executors, rounds are
+    // O(diameter) (the same Pregel contract as the CC labeler); the
+    // oracle is an independently-written bounded recursive CTE, so the
+    // compare also pins the iterative-join == transitive-closure
+    // equivalence.
+    "q_shortest_hops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"), explode(array(
+        (1 to 3).map(k => (col("doc_id") * 31 + k * 17) % n): _*)).as("dst"))
+      var dist = docs.filter(col("doc_id") === 0)
+        .select(col("doc_id"), lit(0).as("d"))
+      for (i <- 1 to 4) {
+        val next = dist.join(edges, dist("doc_id") === edges("src"))
+          .select(col("dst").as("doc_id"), lit(i).as("d"))
+        dist = dist.union(next).groupBy(col("doc_id")).agg(min(col("d")).as("d"))
+      }
+      dist.groupBy(col("d"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("d"))
+    }),
+
     "q_linreg_fit" -> ((s, dir) => {
       def s4(c: Column) =
         (sum(round(c * 10000.0, 0).cast("long")).cast("double") / 10000.0)
@@ -549,6 +577,24 @@ object Advanced extends QueryModule {
          |${prIterSql("r2", "r3")}
          |SELECT doc_id, CAST(pr AS BIGINT) AS pr_u FROM r3
          |ORDER BY pr_u DESC, doc_id LIMIT 20""".stripMargin,
+
+    // independent transitive-closure derivation: path-enumerating
+    // recursive CTE bounded at 4 hops, then MIN(d) per node — vs the
+    // Spark side's iterative frontier joins
+    "q_shortest_hops" ->
+      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        |edges AS (SELECT doc_id AS src, (doc_id * 31 + k.k * 17) % nn.n AS dst
+        |  FROM documents CROSS JOIN nn,
+        |       (SELECT unnest(range(1, 4)) AS k) k),
+        |bfs(doc_id, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS d
+        |  UNION ALL
+        |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN edges e ON bfs.doc_id = e.src
+        |  WHERE bfs.d < 4),
+        |md AS (SELECT doc_id, MIN(d) AS d FROM bfs GROUP BY doc_id)
+        |SELECT d, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+        |  MAX(doc_id) AS max_doc
+        |FROM md GROUP BY d ORDER BY d""".stripMargin,
     "q_udaf_median" ->
       """SELECT c_mktsegment,
         |  ROUND(median(c_acctbal), 4) AS median_bal, COUNT(*) AS n

@@ -261,6 +261,44 @@ object TypeOps extends QueryModule {
           similarTo(col("tagged"), "100\\%\\_%").as("sim_escaped"),
           similarTo(col("p_name"), "%.%").as("sim_literal_dot"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // contrib/ltree hierarchical label paths (`/root/reference/contrib/
+    // ltree/ltree_op.c` @>/nlevel/subltree, `lquery` matching in
+    // `lquery_op.c`): each customer is a leaf
+    // 'root.r<region>.n<nation>.c<custkey>'; the query shows
+    //  - nlevel / subltree as split/slice expressions,
+    //  - the ANCESTOR operator (prefix @> leaf) executed as an EQUI-join
+    //    on the extracted ancestor-level subpath — the gist-ltree-index
+    //    shape (one shuffle, no theta-join); the oracle runs the naive
+    //    `leaf LIKE prefix || '.%'` definition, so the hash compare
+    //    PROVES the decomposition equivalent,
+    //  - two lquery patterns compiled to anchored regexes (shared
+    //    verbatim with the oracle): 'root.*.n5.*' (any depth between)
+    //    and 'root.r1|r2.*' (level alternation).
+    "q_ltree_paths" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val leaves = t(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(concat(lit("root.r"), col("n_regionkey"),
+          lit(".n"), col("c_nationkey"),
+          lit(".c"), col("c_custkey")).as("leaf"))
+      val lq1 = "^root(\\.[^.]+)*\\.n5(\\.[^.]+)*$"
+      val lq2 = "^root\\.(r1|r2)(\\.[^.]+)*$"
+      leaves
+        .withColumn("parts", split(col("leaf"), "\\."))
+        .withColumn("prefix", array_join(slice(col("parts"), 1, 3), "."))
+        .groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_desc"),
+             sum(when(col("leaf").rlike(lq1), 1L).otherwise(0L)).as("n_lq_n5"),
+             sum(when(col("leaf").rlike(lq2), 1L).otherwise(0L)).as("n_lq_r12"),
+             min(col("leaf")).as("min_leaf"),
+             max(size(col("parts"))).cast("int").as("leaf_nlevel"))
+        .withColumn("prefix_nlevel", size(split(col("prefix"), "\\.")).cast("int"))
+        .withColumn("subpath_1_2",
+          array_join(slice(split(col("prefix"), "\\."), 2, 1), "."))
+        .orderBy(col("prefix"))
     })
   )
 
@@ -418,6 +456,32 @@ object TypeOps extends QueryModule {
         |  regexp_full_match(p_type, 'SM?ALL') AS sim_opt,
         |  regexp_full_match('100%_' || p_type, '100%_.*') AS sim_escaped,
         |  regexp_full_match(p_name, '.*\..*') AS sim_literal_dot
-        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    // the NAIVE ancestor definition (leaf LIKE prefix || '.%') — the
+    // Spark side runs the extracted-subpath equi-join instead, so the
+    // hash compare proves the index-shaped decomposition equivalent
+    "q_ltree_paths" ->
+      """WITH leaves AS (SELECT 'root.r' || n_regionkey || '.n' || c_nationkey
+        |    || '.c' || c_custkey AS leaf
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |prefixes AS (SELECT DISTINCT
+        |    array_to_string(string_split(leaf, '.')[1:3], '.') AS prefix
+        |  FROM leaves),
+        |j AS (SELECT p.prefix, l.leaf,
+        |    len(string_split(l.leaf, '.')) AS nlev
+        |  FROM prefixes p JOIN leaves l ON l.leaf LIKE p.prefix || '.%')
+        |SELECT prefix, COUNT(*) AS n_desc,
+        |  CAST(SUM(CASE WHEN regexp_matches(leaf,
+        |    '^root(\.[^.]+)*\.n5(\.[^.]+)*$') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lq_n5,
+        |  CAST(SUM(CASE WHEN regexp_matches(leaf,
+        |    '^root\.(r1|r2)(\.[^.]+)*$') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lq_r12,
+        |  MIN(leaf) AS min_leaf,
+        |  CAST(MAX(nlev) AS INT) AS leaf_nlevel,
+        |  CAST(len(string_split(prefix, '.')) AS INT) AS prefix_nlevel,
+        |  string_split(prefix, '.')[2] AS subpath_1_2
+        |FROM j GROUP BY prefix ORDER BY prefix""".stripMargin
   )
 }
