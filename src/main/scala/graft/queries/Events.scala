@@ -180,6 +180,41 @@ object Events extends QueryModule {
     // Shape: one user-keyed shuffle collecting the ordered value list,
     // then a per-group in-memory fold — the sessionize contract (group
     // history must fit an executor; true at any SF for per-user data).
+    // Per-user autocorrelation at lags 1..3 (the timeseries diagnostics
+    // next to interpolate/EWMA in the reference's GP timeseries idiom;
+    // MADlib's correlation niche): r_k = sum(d_t * d_{t+k}) / sum(d_t^2)
+    // over mean-deviations d — a pure RATIONAL of the data, staged in
+    // half-up micros with 128-bit products, so both engines emit
+    // identical values (negative numerators mirror because both engines'
+    // integer division truncates). One user-keyed shuffle: means join
+    // back broadcast, lags are in-partition window leads, sums are
+    // map-side partials.
+    "q_autocorr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 1000000.0, 0).cast("long").as("x_u"))
+      val m = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("x_u").cast("decimal(38,0)")).as("sx"))
+        .select(col("user_id"), col("n"),
+          expr("(2 * sx + n) div (2 * CAST(n AS DECIMAL(38,0)))").as("m_u"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val d = ev.join(broadcast(m), "user_id")
+        .withColumn("d0", col("x_u") - col("m_u"))
+        .withColumn("d1", lead(col("d0"), 1).over(w))
+        .withColumn("d2", lead(col("d0"), 2).over(w))
+        .withColumn("d3", lead(col("d0"), 3).over(w))
+      d.groupBy(col("user_id"), col("n"))
+        .agg(sum((col("d0") * col("d0")).cast("decimal(38,0)")).as("den"),
+             sum((col("d0") * col("d1")).cast("decimal(38,0)")).as("n1"),
+             sum((col("d0") * col("d2")).cast("decimal(38,0)")).as("n2"),
+             sum((col("d0") * col("d3")).cast("decimal(38,0)")).as("n3"))
+        .select(col("user_id"), col("n"),
+          expr("CAST((2 * (1000000 * n1) + den) div (2 * den) AS BIGINT)").as("acf1_u"),
+          expr("CAST((2 * (1000000 * n2) + den) div (2 * den) AS BIGINT)").as("acf2_u"),
+          expr("CAST((2 * (1000000 * n3) + den) div (2 * den) AS BIGINT)").as("acf3_u"))
+        .orderBy(col("user_id"))
+    }),
+
     "q_events_ewma" -> ((s, dir) => {
       val vU = round(col("value") * 1000000.0, 0).cast("long")
       val g = t(s, dir, "events")
@@ -437,6 +472,29 @@ object Events extends QueryModule {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS x_u FROM events),
+        |m AS (SELECT user_id, COUNT(*) AS n,
+        |    (2 * SUM(CAST(x_u AS HUGEINT)) + COUNT(*))
+        |      // (2 * CAST(COUNT(*) AS HUGEINT)) AS m_u
+        |  FROM ev GROUP BY user_id),
+        |d AS (SELECT ev.user_id, m.n, x_u - m_u AS d0,
+        |    lead(x_u - m_u, 1) OVER w AS d1,
+        |    lead(x_u - m_u, 2) OVER w AS d2,
+        |    lead(x_u - m_u, 3) OVER w AS d3
+        |  FROM ev JOIN m ON ev.user_id = m.user_id
+        |  WINDOW w AS (PARTITION BY ev.user_id ORDER BY ts, event_id)),
+        |a AS (SELECT user_id, n,
+        |    SUM(d0 * d0) AS den, SUM(d0 * d1) AS n1,
+        |    SUM(d0 * d2) AS n2, SUM(d0 * d3) AS n3
+        |  FROM d GROUP BY user_id, n)
+        |SELECT user_id, n,
+        |  CAST((2 * (1000000 * n1) + den) // (2 * den) AS BIGINT) AS acf1_u,
+        |  CAST((2 * (1000000 * n2) + den) // (2 * den) AS BIGINT) AS acf2_u,
+        |  CAST((2 * (1000000 * n3) + den) // (2 * den) AS BIGINT) AS acf3_u
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q_events_ewma" ->
       """WITH g AS (SELECT user_id,

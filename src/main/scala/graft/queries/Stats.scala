@@ -187,6 +187,57 @@ object Stats extends QueryModule {
             .as("t2_u"))
     }),
 
+    // 2-D PCA (MADlib pca_train niche, closed form): features x = value
+    // (micros), y = hour-of-day (micros). Covariance entries are staged
+    // EXACTLY — two-pass means-then-deviations with 128-bit products,
+    // half-up micros^2 over n-1 — and only the eigen step runs in
+    // doubles: the 2x2 symmetric closed form needs one sqrt, and IEEE
+    // sqrt (unlike ln/exp) is CORRECTLY ROUNDED in both engines, so the
+    // mirrored expression is bit-deterministic before the final ROUND.
+    // Shape: one global aggregate, 1-row stats broadcast back, second
+    // aggregate; nothing ordered, nothing driver-side.
+    "q_pca_2d" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(round(col("value") * 1000000.0, 0).cast("long").as("x_u"),
+          (hour(col("ts")).cast("long") * 1000000L).as("y_u"))
+      val m = ev.agg(count(lit(1)).as("n"),
+        sum(col("x_u").cast("decimal(38,0)")).as("sx"),
+        sum(col("y_u").cast("decimal(38,0)")).as("sy"))
+        .select(col("n"), expr(hup("sx", "CAST(n AS DECIMAL(38,0))")).as("mx_u"),
+          expr(hup("sy", "CAST(n AS DECIMAL(38,0))")).as("my_u"))
+      val c = ev.crossJoin(broadcast(m))
+        .withColumn("dx", col("x_u") - col("mx_u"))
+        .withColumn("dy", col("y_u") - col("my_u"))
+        .groupBy(col("n"), col("mx_u"), col("my_u"))
+        .agg(sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+             sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+             sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+        .select(col("n"), col("mx_u"), col("my_u"),
+          expr(s"CAST(${hup("sxx", "CAST(n - 1 AS DECIMAL(38,0))")} AS BIGINT)").as("cxx_u"),
+          expr(s"CAST(${hup("sxy", "CAST(n - 1 AS DECIMAL(38,0))")} AS BIGINT)").as("cxy_u"),
+          expr(s"CAST(${hup("syy", "CAST(n - 1 AS DECIMAL(38,0))")} AS BIGINT)").as("cyy_u"))
+      c.select(col("n"), col("mx_u"), col("my_u"),
+          col("cxx_u"), col("cxy_u"), col("cyy_u"),
+          expr("""ROUND((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+                 + CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0
+                 + sqrt(((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+                   - CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0)
+                   * ((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+                   - CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0)
+                   + (CAST(cxy_u AS DOUBLE) / 1000000000000.0)
+                   * (CAST(cxy_u AS DOUBLE) / 1000000000000.0)), 6)""")
+            .as("lam1"),
+          expr("""ROUND((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+                 + CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0
+                 - sqrt(((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+                   - CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0)
+                   * ((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+                   - CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0)
+                   + (CAST(cxy_u AS DOUBLE) / 1000000000000.0)
+                   * (CAST(cxy_u AS DOUBLE) / 1000000000000.0)), 6)""")
+            .as("lam2"))
+    }),
+
     // Logistic regression by gradient descent (MADlib logregr_train, the
     // flagship of its regress module): y = (event_type = 'purchase'),
     // x = value/500 so x is in [0,1]; three unrolled iterations at
@@ -359,6 +410,47 @@ object Stats extends QueryModule {
         |  CAST((2 * 1000000 * (m1_u - m2_u) * (m1_u - m2_u) + varsum_u)
         |    // (2 * CAST(varsum_u AS HUGEINT)) AS BIGINT) AS t2_u
         |FROM p""".stripMargin,
+
+    "q_pca_2d" ->
+      """WITH ev AS (SELECT
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS x_u,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) * 1000000 AS y_u
+        |  FROM events),
+        |m AS (SELECT COUNT(*) AS n,
+        |    (2 * SUM(CAST(x_u AS HUGEINT)) + COUNT(*))
+        |      // (2 * CAST(COUNT(*) AS HUGEINT)) AS mx_u,
+        |    (2 * SUM(CAST(y_u AS HUGEINT)) + COUNT(*))
+        |      // (2 * CAST(COUNT(*) AS HUGEINT)) AS my_u
+        |  FROM ev),
+        |d AS (SELECT n, mx_u, my_u, x_u - mx_u AS dx, y_u - my_u AS dy
+        |  FROM ev, m),
+        |c AS (SELECT n, CAST(mx_u AS BIGINT) AS mx_u,
+        |    CAST(my_u AS BIGINT) AS my_u,
+        |    CAST((2 * SUM(dx * dx) + (n - 1)) // (2 * CAST(n - 1 AS HUGEINT))
+        |      AS BIGINT) AS cxx_u,
+        |    CAST((2 * SUM(dx * dy) + (n - 1)) // (2 * CAST(n - 1 AS HUGEINT))
+        |      AS BIGINT) AS cxy_u,
+        |    CAST((2 * SUM(dy * dy) + (n - 1)) // (2 * CAST(n - 1 AS HUGEINT))
+        |      AS BIGINT) AS cyy_u
+        |  FROM d GROUP BY n, mx_u, my_u)
+        |SELECT n, mx_u, my_u, cxx_u, cxy_u, cyy_u,
+        |  ROUND((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+        |    + CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0
+        |    + sqrt(((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+        |      - CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0)
+        |      * ((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+        |      - CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0)
+        |      + (CAST(cxy_u AS DOUBLE) / 1000000000000.0)
+        |      * (CAST(cxy_u AS DOUBLE) / 1000000000000.0)), 6) AS lam1,
+        |  ROUND((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+        |    + CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0
+        |    - sqrt(((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+        |      - CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0)
+        |      * ((CAST(cxx_u AS DOUBLE) / 1000000000000.0
+        |      - CAST(cyy_u AS DOUBLE) / 1000000000000.0) / 2.0)
+        |      + (CAST(cxy_u AS DOUBLE) / 1000000000000.0)
+        |      * (CAST(cxy_u AS DOUBLE) / 1000000000000.0)), 6) AS lam2
+        |FROM c""".stripMargin,
 
     "q_logreg_gd" ->
       ("""WITH ev AS (SELECT
