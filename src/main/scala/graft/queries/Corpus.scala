@@ -371,6 +371,74 @@ object Corpus extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Multinomial naive Bayes language classifier (MADlib's
+    // classification niche; the corpus-quality labeler shape): train on
+    // doc_id%5 != 0, classify the held-out fifth as en-vs-rest. Laplace-
+    // smoothed per-token log-likelihood ratios are ROUNDED TO INTEGER
+    // MICROS at the token level — the ln calls are mirrored doubles (BM25
+    // discipline), but the per-document fold is then an INTEGER sum, so
+    // accumulation order can't leak into the margin (a raw SUM(double)
+    // over tokens would). OOV tokens take the constant smoothed ratio
+    // via the left-join fallback. Shape: the model is vocab-bounded and
+    // broadcast; scoring is one doc-keyed aggregation.
+    "d_naive_bayes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      val train = toks.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val counts = train.groupBy(col("w"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"),
+             sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_r"))
+      val tot = counts.agg(sum(col("c_en")).as("t_en"), sum(col("c_r")).as("t_r"),
+        count(lit(1)).as("v"))
+      val prior = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("d_en"),
+             sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("d_r"))
+      val model = counts.crossJoin(tot)
+        .select(col("w"),
+          round(lit(1000000.0) *
+            (log((col("c_en") + 1).cast("double") / (col("t_en") + col("v"))) -
+             log((col("c_r") + 1).cast("double") / (col("t_r") + col("v")))), 0)
+            .cast("long").as("c_u"))
+      val oov = tot.select(
+        round(lit(1000000.0) *
+          (log(lit(1.0) / (col("t_en") + col("v"))) -
+           log(lit(1.0) / (col("t_r") + col("v")))), 0).cast("long").as("c0_u"))
+      val priorU = prior.select(
+        round(lit(1000000.0) *
+          (log(col("d_en").cast("double")) - log(col("d_r").cast("double"))), 0)
+          .cast("long").as("prior_u"))
+      toks.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .join(broadcast(model), Seq("w"), "left")
+        .crossJoin(broadcast(oov)).crossJoin(broadcast(priorU))
+        .groupBy(col("doc_id"), col("lang"), col("prior_u"))
+        .agg(count(lit(1)).as("n_toks"),
+             sum(coalesce(col("c_u"), col("c0_u"))).as("s_u"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("prior_u") + col("s_u")).as("margin_u"),
+          (col("prior_u") + col("s_u") > 0).as("pred_en"),
+          (col("lang") === "en").as("actual_en"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified sampling with EXACT per-stratum counts (the reference's
+    // TABLESAMPLE is rate-based and RNG-seeded; training-data curation
+    // wants "exactly k per source", reproducibly): rank every doc inside
+    // its source by the md5 of its id (the d_sample_mix hash-decision
+    // idiom turned into an ordering) and keep the first 3. One
+    // source-keyed window, no RNG, identical on any engine/parallelism.
+    "d_stratified_sample" -> ((s, dir) => {
+      val u = md5(col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), u.as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk").cast("int").as("rk"),
+          col("doc_id"), col("h"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     "d_gopher_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -505,6 +573,49 @@ object Corpus extends QueryModule {
         |SELECT doc_id, COUNT(*) AS n_bigrams, MIN(p_u) AS min_p_u,
         |  (2 * CAST(SUM(p_u) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS avg_p_u
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_naive_bayes" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+        |counts AS (SELECT w,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_r
+        |  FROM train GROUP BY w),
+        |tot AS (SELECT CAST(SUM(c_en) AS BIGINT) AS t_en,
+        |    CAST(SUM(c_r) AS BIGINT) AS t_r, COUNT(*) AS v FROM counts),
+        |prior AS (SELECT
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS d_en,
+        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS d_r
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |model AS (SELECT w,
+        |    CAST(round(1000000.0 *
+        |      (ln(CAST(c_en + 1 AS DOUBLE) / (t_en + v))
+        |       - ln(CAST(c_r + 1 AS DOUBLE) / (t_r + v))), 0) AS BIGINT) AS c_u
+        |  FROM counts, tot),
+        |oov AS (SELECT CAST(round(1000000.0 *
+        |      (ln(1.0 / (t_en + v)) - ln(1.0 / (t_r + v))), 0) AS BIGINT) AS c0_u
+        |  FROM tot),
+        |pri AS (SELECT CAST(round(1000000.0 *
+        |      (ln(CAST(d_en AS DOUBLE)) - ln(CAST(d_r AS DOUBLE))), 0) AS BIGINT)
+        |    AS prior_u FROM prior),
+        |sc AS (SELECT t.doc_id, t.lang, pri.prior_u,
+        |    COALESCE(model.c_u, oov.c0_u) AS c_u
+        |  FROM toks t LEFT JOIN model ON t.w = model.w, oov, pri
+        |  WHERE t.doc_id % 5 = 0)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  CAST(prior_u + SUM(c_u) AS BIGINT) AS margin_u,
+        |  (prior_u + SUM(c_u)) > 0 AS pred_en,
+        |  MAX(lang) = 'en' AS actual_en
+        |FROM sc GROUP BY doc_id, prior_u ORDER BY doc_id""".stripMargin,
+
+    "d_stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY source ORDER BY h, doc_id) AS INT) AS rk FROM h)
+        |SELECT source, rk, doc_id, h FROM r WHERE rk <= 3
+        |ORDER BY source, rk""".stripMargin,
 
     "d_gopher_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
