@@ -261,6 +261,31 @@ object CoreAgg extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Distribution-skew audit (gp_toolkit's gp_skew_* views: the
+    // reference ships skew-coefficient reports per table because a hot
+    // distribution key is THE Greenplum operational failure mode; same
+    // story on a 1000-executor shuffle): group-size distribution for a
+    // candidate key — key count, min/max/percentile sizes, and the skew
+    // ratio max/avg in half-up micros (1e6 = perfectly even). The sizes
+    // relation is key-bounded; everything after the first aggregate is
+    // tiny. The heaviest key is reported with a deterministic tie-break.
+    "q_skew_audit" -> ((s, dir) => {
+      val sizes = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("sz"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      sizes
+        .withColumn("mx", max(col("sz")).over(wAll))
+        .agg(count(lit(1)).as("n_keys"),
+             sum(col("sz")).as("n_rows"),
+             min(col("sz")).as("min_sz"),
+             max(col("sz")).as("max_sz"),
+             min(when(col("sz") === col("mx"), col("user_id"))).as("max_key"))
+        .select(col("n_keys"), col("n_rows"), col("min_sz"), col("max_sz"),
+          col("max_key"),
+          expr("CAST((2 * (1000000 * CAST(max_sz AS DECIMAL(38,0)) * n_keys)" +
+               " + n_rows) div (2 * n_rows) AS BIGINT)").as("skew_u"))
+    }),
+
     // approx distinct sketch (gp_hyperloglog.c analogue). No oracle: DuckDB's
     // approx_count_distinct uses a different sketch; driver records
     // rows-only. Exactness checked separately by q_agg_multi_distinct.
@@ -505,6 +530,19 @@ object CoreAgg extends QueryModule {
       s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty,
          |  COUNT(*) AS n
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_skew_audit" ->
+      """WITH sizes AS (SELECT user_id, COUNT(*) AS sz
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT MAX(sz) AS mx FROM sizes),
+        |a AS (SELECT COUNT(*) AS n_keys, CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |    MIN(sz) AS min_sz, MAX(sz) AS max_sz,
+        |    MIN(CASE WHEN sz = mx.mx THEN user_id END) AS max_key
+        |  FROM sizes, mx GROUP BY mx.mx)
+        |SELECT n_keys, n_rows, min_sz, max_sz, max_key,
+        |  CAST((2 * (1000000 * CAST(max_sz AS HUGEINT) * n_keys) + n_rows)
+        |    // (2 * CAST(n_rows AS HUGEINT)) AS BIGINT) AS skew_u
+        |FROM a""".stripMargin,
 
     "q_agg_having" ->
       s"""SELECT l_partkey, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty

@@ -299,6 +299,32 @@ object TypeOps extends QueryModule {
         .withColumn("subpath_1_2",
           array_join(slice(split(col("prefix"), "\\."), 2, 1), "."))
         .orderBy(col("prefix"))
+    }),
+
+    // contrib/intarray operator set (`/root/reference/contrib/intarray/
+    // _int_op.c` sort/uniq/icount/idx, `_int_bool.c` &&/@>, `_intbig`):
+    // per-order quantity arrays with sort, uniq (distinct-on-sorted),
+    // icount, idx (1-based position, 0 when absent — pg convention,
+    // Spark's native array_position semantics; the oracle coalesces
+    // DuckDB's NULL to match), overlap/containment against probe sets,
+    // append (+) and remove-all (-). Arrays are rendered as joined
+    // strings (nested outputs are driver-unhashable — the lint's rule).
+    "q_intarray_ops" -> ((s, dir) => {
+      val arr = sort_array(collect_list(col("l_quantity").cast("int")))
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 500)
+        .groupBy(col("l_orderkey"))
+        .agg(arr.as("a"))
+        .select(col("l_orderkey"),
+          array_join(col("a"), ",").as("sorted"),
+          array_join(array_distinct(col("a")), ",").as("uniq"),
+          size(col("a")).as("icount"),
+          array_position(col("a"), 10).cast("int").as("idx_10"),
+          arrays_overlap(col("a"), array(lit(1), lit(5), lit(10))).as("ovl_1_5_10"),
+          expr("forall(array(5, 10), x -> array_contains(a, x))").as("has_5_10"),
+          array_join(concat(col("a"), array(lit(99))), ",").as("plus_99"),
+          array_join(array_remove(col("a"), 10), ",").as("minus_10"))
+        .orderBy(col("l_orderkey"))
     })
   )
 
@@ -482,6 +508,22 @@ object TypeOps extends QueryModule {
         |  CAST(MAX(nlev) AS INT) AS leaf_nlevel,
         |  CAST(len(string_split(prefix, '.')) AS INT) AS prefix_nlevel,
         |  string_split(prefix, '.')[2] AS subpath_1_2
-        |FROM j GROUP BY prefix ORDER BY prefix""".stripMargin
+        |FROM j GROUP BY prefix ORDER BY prefix""".stripMargin,
+
+    "q_intarray_ops" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    list_sort(list(CAST(l_quantity AS INT))) AS a
+        |  FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  array_to_string(a, ',') AS sorted,
+        |  array_to_string(list_sort(list_distinct(a)), ',') AS uniq,
+        |  CAST(len(a) AS INT) AS icount,
+        |  CAST(COALESCE(list_position(a, 10), 0) AS INT) AS idx_10,
+        |  list_has_any(a, [1, 5, 10]) AS ovl_1_5_10,
+        |  list_has_all(a, [5, 10]) AS has_5_10,
+        |  array_to_string(list_append(a, 99), ',') AS plus_99,
+        |  COALESCE(array_to_string(list_filter(a, x -> x <> 10), ','), '')
+        |    AS minus_10
+        |FROM g ORDER BY l_orderkey""".stripMargin
   )
 }
