@@ -338,6 +338,28 @@ object ScalarFns extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Name-based UUID v3 (uuid-ossp's uuid_generate_v3 / pgcrypto's
+    // digest niche, `/root/reference/contrib/uuid-ossp/uuid-ossp.c`):
+    // RFC 4122 layout assembled from the md5 of namespace:name — version
+    // nibble forced to 3, variant nibble to (x & 3) | 8 via a 4-element
+    // lookup shared with the oracle. Deterministic by construction
+    // (that's the point of v3 vs v4), pure codegen string surgery.
+    "q_uuid_v3" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") <= 200)
+        .withColumn("h", md5(concat(lit("graft:"), col("c_name"))))
+        .select(col("c_custkey"),
+          concat(
+            substring(col("h"), 1, 8), lit("-"),
+            substring(col("h"), 9, 4), lit("-3"),
+            substring(col("h"), 14, 3), lit("-"),
+            expr("element_at(array('8','9','a','b')," +
+                 " CAST(conv(substring(h, 17, 1), 16, 10) % 4 + 1 AS INT))"),
+            substring(col("h"), 18, 3), lit("-"),
+            substring(col("h"), 21, 12)).as("uuid3"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Encoding/binary family (reference `encode.c`: encode/decode
     // base64/hex escape formats, `varlena.c` bit_length/octet_length,
     // `int.c` to_hex, `quote.c` quote_literal, `regexp.c` regexp_count).
@@ -601,6 +623,17 @@ object ScalarFns extends QueryModule {
         |  sha256(n_name) AS sha256_name,
         |  CAST(length(md5(n_name)) AS INT) AS md5_len
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_uuid_v3" ->
+      """WITH h AS (SELECT c_custkey, md5('graft:' || c_name) AS h
+        |  FROM customer WHERE c_custkey <= 200)
+        |SELECT c_custkey,
+        |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' ||
+        |  substr(h, 14, 3) || '-' ||
+        |  (['8','9','a','b'])[CAST(CAST('0x' || substr(h, 17, 1) AS BIGINT)
+        |    % 4 + 1 AS INT)] ||
+        |  substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid3
+        |FROM h ORDER BY c_custkey""".stripMargin,
 
     "q_encoding_funcs" ->
       """SELECT doc_id,
