@@ -187,6 +187,43 @@ object Stats extends QueryModule {
             .as("t2_u"))
     }),
 
+    // Median-absolute-deviation outlier gate (MADlib's robust-statistics
+    // niche; the data-quality screen that survives heavy tails where
+    // mean/stddev gates do not): per event type, median and MAD are kept
+    // EXACT by doubling — median2 = x[k1] + x[k2] of the sorted multiset
+    // (k1 = (n+1) div 2, k2 = n div 2 + 1, so odd n doubles the middle
+    // element) and mad4 doubles again over the doubled deviations; the
+    // 3-sigma-equivalent gate |x - med| > 3 MAD becomes the integer test
+    // 2*dev2 > 3*mad4. Positional extraction reads the VALUE at a sorted
+    // position, so tie order inside row_number cannot affect the result.
+    // Two in-partition (type-keyed) rank passes; no global sort.
+    "q_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 1000000.0, 0).cast("long").as("x_u"))
+      val nPer = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val w1 = Window.partitionBy(col("event_type")).orderBy(col("x_u"))
+      val med2 = ev.withColumn("rk", row_number().over(w1))
+        .join(broadcast(nPer), "event_type")
+        .groupBy(col("event_type"), col("n"))
+        .agg((sum(when(col("rk") === expr("(n + 1) div 2"), col("x_u"))) +
+              sum(when(col("rk") === expr("n div 2 + 1"), col("x_u"))))
+          .as("med2"))
+      val dev = ev.join(broadcast(med2), "event_type")
+        .withColumn("dev2", abs(lit(2) * col("x_u") - col("med2")))
+      val w2 = Window.partitionBy(col("event_type")).orderBy(col("dev2"))
+      val mad4 = dev.withColumn("rk", row_number().over(w2))
+        .groupBy(col("event_type"), col("n"), col("med2"))
+        .agg((sum(when(col("rk") === expr("(n + 1) div 2"), col("dev2"))) +
+              sum(when(col("rk") === expr("n div 2 + 1"), col("dev2"))))
+          .as("mad4"))
+      dev.join(broadcast(mad4), Seq("event_type", "n", "med2"))
+        .groupBy(col("event_type"), col("n"), col("med2"), col("mad4"))
+        .agg(sum(when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // 2-D PCA (MADlib pca_train niche, closed form): features x = value
     // (micros), y = hour-of-day (micros). Covariance entries are staged
     // EXACTLY — two-pass means-then-deviations with 128-bit products,
@@ -410,6 +447,34 @@ object Stats extends QueryModule {
         |  CAST((2 * 1000000 * (m1_u - m2_u) * (m1_u - m2_u) + varsum_u)
         |    // (2 * CAST(varsum_u AS HUGEINT)) AS BIGINT) AS t2_u
         |FROM p""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS x_u FROM events),
+        |np AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type),
+        |r1 AS (SELECT ev.event_type, np.n, x_u,
+        |    row_number() OVER (PARTITION BY ev.event_type ORDER BY x_u) AS rk
+        |  FROM ev JOIN np ON ev.event_type = np.event_type),
+        |med AS (SELECT event_type, n,
+        |    SUM(CASE WHEN rk = (n + 1) // 2 THEN x_u END)
+        |      + SUM(CASE WHEN rk = n // 2 + 1 THEN x_u END) AS med2
+        |  FROM r1 GROUP BY event_type, n),
+        |dev AS (SELECT ev.event_type, med.n, med.med2,
+        |    abs(2 * x_u - med2) AS dev2
+        |  FROM ev JOIN med ON ev.event_type = med.event_type),
+        |r2 AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rk
+        |  FROM dev),
+        |mad AS (SELECT event_type, n, med2,
+        |    SUM(CASE WHEN rk = (n + 1) // 2 THEN dev2 END)
+        |      + SUM(CASE WHEN rk = n // 2 + 1 THEN dev2 END) AS mad4
+        |  FROM r2 GROUP BY event_type, n, med2)
+        |SELECT dev.event_type, dev.n, dev.med2, mad.mad4,
+        |  CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type, dev.n, dev.med2, mad.mad4
+        |ORDER BY dev.event_type""".stripMargin,
 
     "q_pca_2d" ->
       """WITH ev AS (SELECT
