@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -238,6 +238,48 @@ object Events extends QueryModule {
               ((n - pmod(n, lit(2000000L))) / lit(2000000L)).cast("long")
             }).as("ewma_u"),
           array_max(col("vs")).as("max_v_u"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Holt double exponential smoothing (level + trend; the forecasting
+    // step past q_events_ewma's single-state recurrence — the GP
+    // timeseries-idiom niche): alpha=0.2, beta=0.3, state (l, t) folded
+    // over each user's ordered values as a 2-element array accumulator,
+    // every division in mirrored TRUNCATING integer micros (both
+    // engines' integer division truncates; the trend term goes negative,
+    // so floor-style rounding would diverge). l' appears twice in the
+    // recurrence and is inlined twice IDENTICALLY on both sides. The
+    // one-step-ahead forecast is l + t. Same shape as EWMA: one
+    // user-keyed shuffle, O(1) fold state.
+    "q_holt_linear" -> ((s, dir) => {
+      val vU = round(col("value") * 1000000.0, 0).cast("long")
+      // truncating half-up-magnitude div: (2a + den) trunc-div (2 den);
+      // Column./ on the exactly-divisible numerator is exact (< 2^53)
+      def tdivH(a: Column, den: Long): Column = {
+        val n = lit(2L) * a + lit(den)
+        ((n - n % lit(2 * den)) / lit(2 * den)).cast("long")
+      }
+      def lNext(l: Column, t: Column, x: Column): Column =
+        tdivH(lit(2L) * x + lit(8L) * (l + t), 10L)
+      def tNext(l: Column, t: Column, x: Column): Column =
+        tdivH(lit(3L) * (lNext(l, t, x) - l) + lit(7L) * t, 10L)
+      val g = t(s, dir, "events")
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          vU.as("v")).as("p"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .withColumn("vs", transform(col("ps"), p => p.getField("v")))
+      g.select(col("user_id"), size(col("vs")).as("n_events"),
+          aggregate(slice(col("vs"), lit(2), size(col("vs")) - 1),
+            array(element_at(col("vs"), 1), lit(0L)),
+            (acc, x) => {
+              val l = element_at(acc, 1); val tr = element_at(acc, 2)
+              array(lNext(l, tr, x), tNext(l, tr, x))
+            }).as("st"))
+        .select(col("user_id"), col("n_events"),
+          element_at(col("st"), 1).as("level_u"),
+          element_at(col("st"), 2).as("trend_u"),
+          (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast_u"))
         .orderBy(col("user_id"))
     }),
 
@@ -508,6 +550,26 @@ object Events extends QueryModule {
         |                // 2000000) AS ewma_u,
         |  list_max(vs) AS max_v_u
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "q_holt_linear" ->
+      """WITH g AS (SELECT user_id,
+        |    list(CAST(round(value * 1000000.0, 0) AS BIGINT)
+        |         ORDER BY ts, event_id) AS vs
+        |  FROM events GROUP BY user_id),
+        |f AS (SELECT user_id, CAST(len(vs) AS INT) AS n_events,
+        |    list_reduce(
+        |      list_prepend([vs[1], CAST(0 AS BIGINT)],
+        |                   [[x, CAST(0 AS BIGINT)] for x in vs[2:]]),
+        |      (acc, p) -> [
+        |        (2 * (2 * p[1] + 8 * (acc[1] + acc[2])) + 10) // 20,
+        |        (2 * (3 * (((2 * (2 * p[1] + 8 * (acc[1] + acc[2])) + 10) // 20)
+        |                   - acc[1])
+        |           + 7 * acc[2]) + 10) // 20
+        |      ]) AS st
+        |  FROM g)
+        |SELECT user_id, n_events, st[1] AS level_u, st[2] AS trend_u,
+        |  st[1] + st[2] AS forecast_u
+        |FROM f ORDER BY user_id""".stripMargin,
 
     "q_events_session_dynamic" ->
       s"""WITH r AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,

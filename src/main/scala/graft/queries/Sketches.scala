@@ -105,6 +105,32 @@ object Sketches extends QueryModule {
              min(when(col("hit") === 1 && col("m").isNull, col("w")))
                .as("first_fp"))
         .crossJoin(broadcast(nbits))
+    }),
+
+    // Feature hashing ("the hashing trick", Weinberger et al. 2009 —
+    // the fixed-width featurizer LM/classifier pipelines use when the
+    // vocabulary is unbounded): each token maps to one of 16 dimensions
+    // with a +/-1 sign, both md5-derived, and a document's feature
+    // vector is the signed count sum per dimension. Rendered as a
+    // sorted "dim:value" string (nested outputs are driver-unhashable).
+    // Shape: one (doc, dim) shuffle with map-side partials — the vector
+    // width is fixed, so the output is O(docs), never O(vocab).
+    "d_feature_hash" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val dims = toks
+        .withColumn("dim", bucket(1, col("w"), 16))
+        .withColumn("sgn", bucket(2, col("w"), 2) * 2 - 1)
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sgn")).as("v"))
+        .filter(col("v") =!= 0)
+      dims.groupBy(col("doc_id"))
+        .agg(array_join(array_sort(collect_list(
+               concat(col("dim"), lit(":"), col("v")))), ",").as("feats"),
+             count(lit(1)).as("nnz"),
+             sum(abs(col("v"))).as("l1"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -157,6 +183,22 @@ object Sketches extends QueryModule {
          |FROM probes
          |LEFT JOIN hits ON probes.w = hits.w
          |LEFT JOIN members ON probes.w = members.w""".stripMargin
-    }
+    },
+
+    "d_feature_hash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE doc_id < 100),
+         |d AS (SELECT doc_id,
+         |    ${duckBucket(1, "w", 16)} AS dim,
+         |    (${duckBucket(2, "w", 2)}) * 2 - 1 AS sgn
+         |  FROM toks),
+         |v AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS v
+         |  FROM d GROUP BY doc_id, dim HAVING SUM(sgn) <> 0)
+         |SELECT doc_id,
+         |  array_to_string(list_sort(list(
+         |    CAST(dim AS VARCHAR) || ':' || CAST(v AS VARCHAR))), ',') AS feats,
+         |  COUNT(*) AS nnz,
+         |  CAST(SUM(abs(v)) AS BIGINT) AS l1
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
