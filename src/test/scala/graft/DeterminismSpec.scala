@@ -37,7 +37,10 @@ class DeterminismSpec extends AnyFunSuite {
     // r9 additions:
     "q_mannwhitney_u",        // doubled midranks over the distinct-value spine
     "q_anova_f",              // 128-bit squared deviations + half-up staging
-    "q_logreg_gd")            // integer-rational sigmoid recurrence, driver loop
+    "q_logreg_gd",            // integer-rational sigmoid recurrence, driver loop
+    "d_naive_bayes",          // token-level integer micros kill sum-order leaks
+    "q_mad_outliers",         // positional medians immune to tie order
+    "q_holt_linear")          // ordered array fold, O(1) integer state
     // (q_eager_agg deliberately NOT here: it builds a child session, so
     // the parent-session parallelism override would never reach it and
     // the invariance claim would be vacuous; XformRulesSpec proves its
