@@ -300,6 +300,36 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // tsvector surgery (`tsvector_op.c`): CONCATENATION `||` shifts the
+    // right operand's positions by the left's max position
+    // (tsvector_concat), ts_delete removes a lexeme outright, ts_filter
+    // keeps only chosen-weight lexemes (here the 'A' title zone, the
+    // t_fts_weighted convention). The concat semantics are PROVEN, not
+    // just mirrored: title-tsvector || body-tsvector must reproduce the
+    // whole-document position list exactly, and the query asserts that
+    // identity as a hash-checked boolean column (true on every row).
+    "t_tsvector_concat" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def posIn(arr: org.apache.spark.sql.Column, term: String) =
+        filter(transform(arr, (x, i) => when(x === term, i + 1).otherwise(-1)),
+               p => p >= 0)
+      t(s, dir, "documents")
+        .withColumn("title", slice(words, 1, 8))
+        .withColumn("body",
+          slice(words, lit(9), greatest(size(words) - 8, lit(0))))
+        .withColumn("cat", concat(posIn(col("title"), "hash"),
+          transform(posIn(col("body"), "hash"), p => p + size(col("title")))))
+        .withColumn("whole", posIn(words, "hash"))
+        .select(col("doc_id"),
+          array_join(col("cat"), ",").as("hash_pos"),
+          (col("cat") === col("whole")).as("concat_matches_whole"),
+          size(array_distinct(words)).as("n_lex"),
+          size(array_distinct(filter(words, w => w =!= "hash")))
+            .as("n_after_delete"),
+          size(array_distinct(col("title"))).as("n_filter_a"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ts_rank_cd — cover-density ranking, the reference's second ranking
     // function (`/root/reference/src/backend/utils/adt/tsrank.c:847`
     // calc_rank_cd, Cover() at `:643`; four overloads at
@@ -917,6 +947,25 @@ object TextOps extends QueryModule {
         |  CAST(len([p for p in ph if list_contains(pj, p + 2)]) AS INT) AS n_dist2
         |FROM p WHERE len([p for p in ph if list_contains(pj, p + 2)]) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "t_tsvector_concat" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |z AS (SELECT doc_id, w, w[1:8] AS title, w[9:] AS body FROM d),
+        |p AS (SELECT doc_id, w, title, body,
+        |    list_concat(
+        |      [i for i in range(1, len(title) + 1) if title[i] = 'hash'],
+        |      [i + len(title) for i in range(1, len(body) + 1)
+        |        if body[i] = 'hash']) AS cat,
+        |    [i for i in range(1, len(w) + 1) if w[i] = 'hash'] AS whole
+        |  FROM z)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(cat, ','), '') AS hash_pos,
+        |  cat = whole AS concat_matches_whole,
+        |  CAST(len(list_distinct(w)) AS INT) AS n_lex,
+        |  CAST(len(list_distinct(list_filter(w, x -> x <> 'hash'))) AS INT)
+        |    AS n_after_delete,
+        |  CAST(len(list_distinct(title)) AS INT) AS n_filter_a
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // covers of a two-term AND query = adjacent differing-term pairs of
     // the merged sorted position list (see the Spark query comment);

@@ -278,6 +278,30 @@ object Windows extends QueryModule {
     }),
 
     // Gap fill: forward-fill (last non-null) — interpolate.c's locf shape.
+    // IGNORE NULLS navigation functions (windowfuncs.c lead/lag/
+    // first_value/nth_value with the SQL:2011 null-treatment clause —
+    // the reference parses IGNORE NULLS via gram.y opt_null_treatment):
+    // sparse purchase values navigated per user with nulls skipped, vs
+    // DuckDB's NATIVE `IGNORE NULLS` forms. Values carried as integer
+    // micros so the compare is exact.
+    "q_window_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") <= 30)
+        .withColumn("v_u", when(col("event_type") === "purchase",
+          round(col("value") * 1000000.0, 0).cast("long")))
+        .select(col("user_id"), col("event_id"),
+          lag(col("v_u"), 1, null, ignoreNulls = true).over(w).as("prev_purchase"),
+          lead(col("v_u"), 1, null, ignoreNulls = true).over(w).as("next_purchase"),
+          first(col("v_u"), ignoreNulls = true).over(wRun).as("first_so_far"),
+          nth_value(col("v_u"), 2, ignoreNulls = true).over(wFull)
+            .as("second_purchase"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "q_window_fill_forward" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -456,6 +480,25 @@ object Windows extends QueryModule {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
         |FROM events WHERE user_id <= 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_ignore_nulls" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000000.0, 0) AS BIGINT) END AS v_u
+        |  FROM events WHERE user_id <= 30)
+        |SELECT user_id, event_id,
+        |  lag(v_u IGNORE NULLS) OVER w AS prev_purchase,
+        |  lead(v_u IGNORE NULLS) OVER w AS next_purchase,
+        |  first_value(v_u IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_so_far,
+        |  nth_value(v_u, 2 IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_purchase
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin
   )
 }
