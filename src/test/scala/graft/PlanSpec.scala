@@ -190,6 +190,36 @@ class PlanSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("bloom membership probes the bit set via broadcast, no cartesian") {
+    val p = planOf("d_bloom_membership")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("count-min probe join broadcasts the sketch cells") {
+    val p = planOf("d_countmin_heavy")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("BM25 corpus stats broadcast back onto the doc pass") {
+    val p = planOf("t_bm25_rank")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row stats side must broadcast, never shuffle the corpus\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be bounded top-k, not a global sort\n" + p)
+  }
+
+  test("ltree ancestor join is an equi-join on the extracted subpath") {
+    val p = planOf("q_ltree_paths")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the @> ancestor test must run as the equi-join decomposition\n" + p)
+  }
+
+  test("naive Bayes scores through a broadcast model join") {
+    val p = planOf("d_naive_bayes")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("AQE coalesces shuffle partitions at runtime") {
     import org.apache.spark.sql.functions.{col, sum}
     val df = Tables.t(spark, sf, "lineitem")
