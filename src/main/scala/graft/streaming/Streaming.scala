@@ -122,6 +122,41 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Streaming NEAR-duplicate suppression — the dedup pipeline family
+    * run at ingest time (the shape a 100 TB crawl pipeline actually
+    * wants: drop near-dups before they ever land): each arriving
+    * document gets its one-pass codegen simhash48 signature (the SAME
+    * kernel the batch pipeline uses, so stream and batch agree on what
+    * a near-dup class is) and `dropDuplicates` on the signature keeps
+    * only the first arrival of each class. State is signature-keyed —
+    * 8 bytes per CLASS, not per document; with an event-time column the
+    * bounded `dropDuplicatesWithinWatermark` variant applies unchanged
+    * (streamingDedupBounded shows it). */
+  def streamingNearDedup(spark: SparkSession, dir: String,
+                         name: String): DataFrame = {
+    graft.functions.SigFns.register(spark)
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val kept = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), call_function("simhash48", col("text")).as("sig"))
+      .dropDuplicates("sig")
+    val q = kept.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Stream-static join: the streaming fact joins a static dimension
     * (broadcast per micro-batch — the reference's replicated-table join
     * against a continuously-loading external table). */

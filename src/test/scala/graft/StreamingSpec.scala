@@ -47,6 +47,22 @@ class StreamingSpec extends AnyFunSuite {
       "every distinct key must be emitted exactly once")
   }
 
+  test("streaming near-dedup suppresses exactly one doc per simhash class") {
+    val stream = graft.streaming.Streaming
+      .streamingNearDedup(spark, sf, "stream_neardedup_spec")
+    graft.functions.SigFns.register(spark)
+    val batchClasses = Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions
+        .call_function("simhash48", org.apache.spark.sql.functions.col("text"))
+        .as("sig"))
+      .distinct().count()
+    // one survivor per near-dup class, same class definition as batch
+    assert(stream.count() == batchClasses,
+      "streamed survivors must equal the batch near-dup class count")
+    assert(stream.select("sig").distinct().count() == stream.count(),
+      "no signature may survive twice")
+  }
+
   test("streaming session windows equal the batch session_window result") {
     import org.apache.spark.sql.functions._
     val stream = graft.streaming.Streaming
