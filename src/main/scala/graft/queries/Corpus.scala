@@ -371,6 +371,32 @@ object Corpus extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping-window document chunking (the RAG / retrieval-corpus
+    // prep op: fixed 64-token windows at stride 48, 16 tokens of overlap
+    // so no phrase is ever split across a retrieval boundary — the
+    // complement of d_pack_sequences' disjoint training chunks). Chunk
+    // count per doc is the integer (max(len-64,0)+47) div 48 plus one,
+    // so a short doc yields exactly one window. Pure per-doc array
+    // expressions — map-side, no shuffle; each chunk carries its md5
+    // digest (the downstream chunk-dedup / index key).
+    "d_chunk_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("len", size(col("w")))
+        .withColumn("k0",
+          explode(expr("sequence(0, (greatest(len - 64, 0) + 47) div 48)")))
+        .withColumn("k", col("k0").cast("int"))
+        .withColumn("start_tok", (col("k") * 48 + 1).cast("int"))
+        .withColumn("n_toks",
+          least(lit(64), col("len") - col("k") * 48).cast("int"))
+        .filter(col("n_toks") > 0)
+      d.select(col("doc_id"), col("k").as("chunk_id"),
+          col("start_tok"), col("n_toks"),
+          md5(array_join(expr("slice(w, start_tok, n_toks)"), " ")).as("digest"),
+          element_at(col("w"), col("start_tok")).as("first_w"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Multinomial naive Bayes language classifier (MADlib's
     // classification niche; the corpus-quality labeler shape): train on
     // doc_id%5 != 0, classify the held-out fifth as en-vs-rest. Laplace-
@@ -573,6 +599,22 @@ object Corpus extends QueryModule {
         |SELECT doc_id, COUNT(*) AS n_bigrams, MIN(p_u) AS min_p_u,
         |  (2 * CAST(SUM(p_u) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS avg_p_u
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS len FROM documents),
+        |k AS (SELECT doc_id, w, len,
+        |    unnest(range(0, (greatest(len - 64, 0) + 47) // 48 + 1)) AS k
+        |  FROM d),
+        |c AS (SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |    CAST(k * 48 + 1 AS INT) AS start_tok,
+        |    CAST(least(64, len - k * 48) AS INT) AS n_toks,
+        |    w FROM k WHERE len - k * 48 > 0)
+        |SELECT doc_id, chunk_id, start_tok, n_toks,
+        |  md5(array_to_string(w[start_tok:start_tok + n_toks - 1], ' '))
+        |    AS digest,
+        |  w[start_tok] AS first_w
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "d_naive_bayes" ->
       """WITH toks AS (SELECT doc_id, lang,

@@ -318,6 +318,41 @@ object Similarity extends QueryModule {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Contrastive pair mining (the training-data op behind contrastive /
+    // triplet objectives: for each anchor, the closest SAME-label vector
+    // is the positive and the closest OTHER-label vector is the HARD
+    // negative — the pairs that actually move an embedding model): one
+    // broadcast of the anchor set, cosine via the vec_dot kernel, one
+    // (qid, same-label) ranking window, pivoted to anchor rows with the
+    // triplet margin. Scale path: swap the brute scan for the IVF/PQ
+    // candidate stages — the mining logic downstream is unchanged.
+    "s_hard_negatives" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr("vec_norm_sq(v)"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("ql"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("ql"), col("vec_id").as("nid"),
+          (col("label") === col("ql")).as("same"),
+          round(expr("vec_dot(qv, v)") /
+                sqrt(col("qn") * col("nrm")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"), col("same")).orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("qid"))
+        .agg(max(when(col("same"), col("nid"))).as("pos_id"),
+             max(when(col("same"), col("cos"))).as("pos_cos"),
+             max(when(!col("same"), col("nid"))).as("neg_id"),
+             max(when(!col("same"), col("cos"))).as("neg_cos"))
+        .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+        .orderBy(col("qid"))
+    }),
+
     // Sign-LSH bucket histogram (the partition-shape diagnostic you run
     // before trusting the bucketed path at scale).
     "s_ann_lsh_buckets" -> ((s, dir) => {
@@ -647,6 +682,30 @@ object Similarity extends QueryModule {
        |  FROM $prev p LEFT JOIN l_$cur l ON p.cell = l.cell)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+        |                (a, x) -> a + x * x) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, e.label = q.label AS same,
+        |    ROUND(list_dot_product(q.v, e.v) / sqrt(q.nrm * e.nrm), 6) AS cos
+        |  FROM e q JOIN e ON q.vec_id < 20 AND e.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT qid, nid, same, cos,
+        |    row_number() OVER (PARTITION BY qid, same ORDER BY cos DESC, nid)
+        |      AS rk
+        |  FROM scored),
+        |top AS (SELECT qid,
+        |    MAX(CASE WHEN same THEN nid END) AS pos_id,
+        |    MAX(CASE WHEN same THEN cos END) AS pos_cos,
+        |    MAX(CASE WHEN NOT same THEN nid END) AS neg_id,
+        |    MAX(CASE WHEN NOT same THEN cos END) AS neg_cos
+        |  FROM ranked WHERE rk = 1 GROUP BY qid)
+        |SELECT qid, pos_id, pos_cos, neg_id, neg_cos,
+        |  ROUND(pos_cos - neg_cos, 6) AS margin
+        |FROM top ORDER BY qid""".stripMargin,
+
     "s_ann_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
