@@ -469,7 +469,8 @@ object Stats extends QueryModule {
         |    SUM(CASE WHEN rk = (n + 1) // 2 THEN dev2 END)
         |      + SUM(CASE WHEN rk = n // 2 + 1 THEN dev2 END) AS mad4
         |  FROM r2 GROUP BY event_type, n, med2)
-        |SELECT dev.event_type, dev.n, dev.med2, mad.mad4,
+        |SELECT dev.event_type, dev.n, CAST(dev.med2 AS BIGINT) AS med2,
+        |  CAST(mad.mad4 AS BIGINT) AS mad4,
         |  CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
         |FROM dev JOIN mad ON dev.event_type = mad.event_type
