@@ -620,6 +620,55 @@ object Similarity extends QueryModule {
              round(sum(sqrt(col("d2")).cast(Dec)).cast("double") /
                    count(lit(1)), 4).as("avg_dist"))
         .orderBy(col("label"))
+    }),
+
+    // Cluster-quality metrics over the labeled embedding space (the
+    // MADlib clustering-eval niche; what you run AFTER k-means/IVF to
+    // decide whether the clustering is usable): per-cluster scatter s_i
+    // (mean distance to centroid, micros), nearest-other-centroid
+    // separation, and the Davies-Bouldin term max_j (s_i + s_j) / d_ij
+    // — lower is better-separated. Per-row sqrt outputs are rounded to
+    // integer micros BEFORE summing (IEEE sqrt is correctly rounded, so
+    // the per-row longs are engine-identical and the sums order-free).
+    // Shape: centroids are (labels x dims) rows; the pair matrix is
+    // labels^2 — both tiny at any corpus size; one corpus pass total.
+    "s_cluster_quality" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+                posexplode(col("embedding").cast("array<double>"))
+                  .as(Seq("pos", "x")))
+      val centroid = e.groupBy(col("label"), col("pos"))
+        .agg((sum(col("x").cast(Dec)).cast("double") /
+              count(lit(1))).as("c"))
+      val scatter = e.join(centroid, Seq("label", "pos"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
+          .cast(Dec)).cast("double").as("d2"))
+        .select(col("label"),
+          round(sqrt(col("d2")) * 1000000.0, 0).cast("long").as("d_u"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+             expr("(2 * sum(d_u) + count(1)) div (2 * count(1))").as("s_u"))
+      val cj = centroid.select(col("label").as("lj"), col("pos"),
+        col("c").as("cj"))
+      val pairs = centroid.join(cj, Seq("pos"))
+        .filter(col("label") =!= col("lj"))
+        .groupBy(col("label"), col("lj"))
+        .agg(sum(((col("c") - col("cj")) * (col("c") - col("cj")))
+          .cast(Dec)).cast("double").as("dc2"))
+        .select(col("label"), col("lj"),
+          round(sqrt(col("dc2")) * 1000000.0, 0).cast("long").as("dij_u"))
+      val sj = scatter.select(col("label").as("lj"), col("s_u").as("sj_u"))
+      val wL = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      pairs.join(broadcast(scatter), "label").join(broadcast(sj), "lj")
+        .withColumn("db_term_u",
+          expr("(2 * (1000000 * (s_u + sj_u)) + dij_u) div (2 * dij_u)"))
+        .withColumn("dmin", min(col("dij_u")).over(wL))
+        .groupBy(col("label"), col("n"), col("s_u"))
+        .agg(min(when(col("dij_u") === col("dmin"), col("lj"))).as("nearest_label"),
+             min(col("dij_u")).as("nearest_d_u"),
+             max(col("db_term_u")).as("db_u"))
+        .orderBy(col("label"))
     })
   )
 
@@ -1009,6 +1058,44 @@ object Similarity extends QueryModule {
         |  GROUP BY e.label, e.vec_id)
         |SELECT label, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(sqrt(d2) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_dist
-        |FROM d2 GROUP BY label ORDER BY label""".stripMargin
+        |FROM d2 GROUP BY label ORDER BY label""".stripMargin,
+
+    "s_cluster_quality" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, i.i AS pos,
+        |    CAST(embedding[i.i + 1] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i),
+        |centroid AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM e GROUP BY label, pos),
+        |scat0 AS (
+        |  SELECT e.label, e.vec_id,
+        |    CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(28,6))) AS DOUBLE) AS d2
+        |  FROM e JOIN centroid c ON e.label = c.label AND e.pos = c.pos
+        |  GROUP BY e.label, e.vec_id),
+        |scatter AS (
+        |  SELECT label, COUNT(*) AS n,
+        |    (2 * SUM(CAST(round(sqrt(d2) * 1000000.0, 0) AS BIGINT)) + COUNT(*))
+        |      // (2 * COUNT(*)) AS s_u
+        |  FROM scat0 GROUP BY label),
+        |pairs AS (
+        |  SELECT a.label, b.label AS lj,
+        |    CAST(round(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+        |        AS DECIMAL(28,6))) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS dij_u
+        |  FROM centroid a JOIN centroid b
+        |    ON a.pos = b.pos AND a.label <> b.label
+        |  GROUP BY a.label, b.label),
+        |j AS (SELECT p.label, p.lj, p.dij_u, s.n, s.s_u, t.s_u AS sj_u,
+        |    (2 * (1000000 * (s.s_u + t.s_u)) + p.dij_u) // (2 * p.dij_u)
+        |      AS db_term_u
+        |  FROM pairs p JOIN scatter s ON p.label = s.label
+        |  JOIN scatter t ON p.lj = t.label),
+        |m AS (SELECT *, MIN(dij_u) OVER (PARTITION BY label) AS dmin FROM j)
+        |SELECT label, n, CAST(s_u AS BIGINT) AS s_u,
+        |  MIN(CASE WHEN dij_u = dmin THEN lj END) AS nearest_label,
+        |  MIN(dij_u) AS nearest_d_u,
+        |  CAST(MAX(db_term_u) AS BIGINT) AS db_u
+        |FROM m GROUP BY label, n, s_u ORDER BY label""".stripMargin
   )
 }

@@ -40,7 +40,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_logreg_gd",            // integer-rational sigmoid recurrence, driver loop
     "d_naive_bayes",          // token-level integer micros kill sum-order leaks
     "q_mad_outliers",         // positional medians immune to tie order
-    "q_holt_linear")          // ordered array fold, O(1) integer state
+    "q_holt_linear",          // ordered array fold, O(1) integer state
+    "t_bm25_rank",            // per-row fp ops off broadcast stats, rank tie-broken
+    "s_hard_negatives")       // round(6)-then-rank cosine, nid tie-break
     // (q_eager_agg deliberately NOT here: it builds a child session, so
     // the parent-session parallelism override would never reach it and
     // the invariance claim would be vacuous; XformRulesSpec proves its
