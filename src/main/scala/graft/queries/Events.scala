@@ -241,6 +241,30 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // NATIVE as-of join — the custom AsofJoinExec physical operator
+    // (plans/AsofJoin.scala: logical node + strategy + two-pointer
+    // in-partition merge exec) planned through Catalyst with declared
+    // distribution/ordering requirements, vs DuckDB's NATIVE ASOF LEFT
+    // JOIN. Same semantics as the union-trick q_asof_tolerance — the
+    // two formulations share an oracle, so the driver proves
+    // emulation == native operator == DuckDB native, three-way.
+    "q_asof_native" -> ((s, dir) => {
+      val errors = t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("e_us"))
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+          col("value").as("p_value"))
+      val gapUs = col("e_us") - col("p_us")
+      graft.plans.AsofJoin(errors, purchases,
+          Seq(("user_id", "p_user")), "e_us", "p_us")
+        .select(col("user_id"), col("event_id"),
+          when(gapUs <= 3600000000L, col("p_value")).as("asof_value_1h"),
+          when(gapUs <= 3600000000L, (gapUs / 1000000L).cast("long")).as("gap_s"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Holt double exponential smoothing (level + trend; the forecasting
     // step past q_events_ewma's single-state recurrence — the GP
     // timeseries-idiom niche): alpha=0.2, beta=0.3, state (l, t) folded
@@ -550,6 +574,20 @@ object Events extends QueryModule {
         |                // 2000000) AS ewma_u,
         |  list_max(vs) AS max_v_u
         |FROM g ORDER BY user_id""".stripMargin,
+
+    "q_asof_native" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id,
+        |  CASE WHEN date_diff('microsecond', p.ts, e.ts) <= 3600000000
+        |    THEN p.value END AS asof_value_1h,
+        |  CASE WHEN date_diff('microsecond', p.ts, e.ts) <= 3600000000
+        |    THEN date_diff('microsecond', p.ts, e.ts) // 1000000 END AS gap_s
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
 
     "q_holt_linear" ->
       """WITH g AS (SELECT user_id,
