@@ -67,6 +67,14 @@ case class AsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // surfaced by the EXPLAIN ANALYZE walk (plans/ExplainAnalyze.scala)
+  // exactly like built-in join execs
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
@@ -78,6 +86,8 @@ case class AsofJoinExec(
     val rKeys = rightKeys
     val lTime = leftTime
     val rTime = rightTime
+    val numOut = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -118,6 +128,8 @@ case class AsofJoinExec(
           } else advance = false // right is ahead; stop consuming
         }
         val matched = cand != null && keyOrd.compare(candKey, lk) == 0
+        numOut += 1
+        if (matched) numMatched += 1
         outProj(joined(lRow, if (matched) cand else nullRight))
       }
     }
