@@ -338,6 +338,37 @@ object ScalarFns extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // contrib/isn check-digit arithmetic (`/root/reference/contrib/isn/
+    // isn.c` weight_checkdig / EAN13 validation): a deterministic
+    // 12-digit EAN body derives from the part key, the check digit is
+    // the GS1 alternating 1/3-weighted sum mod 10, and validity is
+    // re-proven on the assembled 13-digit code (the weighted sum of a
+    // VALID EAN-13 is 0 mod 10 — asserted as an always-true column).
+    // Digits come from div/mod arithmetic, not string surgery, so both
+    // engines share the exact integer expression.
+    "q_isn_ean" -> ((s, dir) => {
+      // GS1 weights for a 12-digit body, rightmost digit weight 3:
+      // positions i (0 = rightmost) weigh 3 when i is even, 1 when odd
+      val sum12 = (0 until 12).map { i =>
+        val w = if (i % 2 == 0) 3 else 1
+        s"(CAST(ean12 AS BIGINT) div ${BigInt(10).pow(i)} % 10) * $w"
+      }.mkString(" + ")
+      t(s, dir, "part")
+        .filter(col("p_partkey") <= 300)
+        .withColumn("ean12", (lit(200000000000L) + col("p_partkey") * 37))
+        .withColumn("chk", expr(s"CAST((10 - ($sum12) % 10) % 10 AS INT)"))
+        .withColumn("ean13", concat(col("ean12"), col("chk")))
+        .select(col("p_partkey"), col("ean13"),
+          col("chk").as("check_digit"),
+          // a valid EAN-13's full weighted sum (check digit weight 1) is
+          // 0 mod 10 — re-proven on the assembled code, always true
+          expr(s"(($sum12) + chk) % 10 = 0").as("valid"),
+          concat(substring(col("ean13"), 1, 3), lit("-"),
+                 substring(col("ean13"), 4, 9), lit("-"),
+                 substring(col("ean13"), 13, 1)).as("hyphenated"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Name-based UUID v3 (uuid-ossp's uuid_generate_v3 / pgcrypto's
     // digest niche, `/root/reference/contrib/uuid-ossp/uuid-ossp.c`):
     // RFC 4122 layout assembled from the md5 of namespace:name — version
@@ -623,6 +654,27 @@ object ScalarFns extends QueryModule {
         |  sha256(n_name) AS sha256_name,
         |  CAST(length(md5(n_name)) AS INT) AS md5_len
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_isn_ean" -> {
+      val sum12 = (0 until 12).map { i =>
+        val w = if (i % 2 == 0) 3 else 1
+        s"(CAST(ean12 AS BIGINT) // ${BigInt(10).pow(i)} % 10) * $w"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT p_partkey,
+         |    200000000000 + p_partkey * 37 AS ean12
+         |  FROM part WHERE p_partkey <= 300),
+         |c AS (SELECT p_partkey, ean12,
+         |    CAST((10 - ($sum12) % 10) % 10 AS INT) AS chk
+         |  FROM b),
+         |e AS (SELECT p_partkey, ean12, chk,
+         |    CAST(ean12 AS VARCHAR) || CAST(chk AS VARCHAR) AS ean13
+         |  FROM c)
+         |SELECT p_partkey, ean13, chk AS check_digit,
+         |  (($sum12) + chk) % 10 = 0 AS valid,
+         |  substr(ean13, 1, 3) || '-' || substr(ean13, 4, 9) || '-' ||
+         |    substr(ean13, 13, 1) AS hyphenated
+         |FROM e ORDER BY p_partkey""".stripMargin
+    },
 
     "q_uuid_v3" ->
       """WITH h AS (SELECT c_custkey, md5('graft:' || c_name) AS h

@@ -300,6 +300,34 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // contrib/unaccent diacritic folding (`/root/reference/contrib/
+    // unaccent/unaccent.c` — an FTS filter dictionary that strips
+    // accents before later dictionaries run): the mapping is a shared
+    // translate() table (the unaccent.rules subset the injected fixture
+    // exercises), applied both standalone and as the FIRST stage in
+    // front of the lexize chain — matching the reference's filter-
+    // dictionary position. The corpus has no accents, so accented forms
+    // are injected doc_id-keyed (the PII/lexize fixture discipline).
+    "t_unaccent" -> ((s, dir) => {
+      val accented = "áéíóúñüçÁÉÍÓÚÑÜÇàèìòùâêîôû"
+      val folded = "aeiounucAEIOUNUCaeiouaeiou"
+      val inj = element_at(array(
+        lit("café récit"), lit("naïve señor"), lit("résumé Ñandú"),
+        lit("über façade"), lit("àpropos crème")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int"))
+      t(s, dir, "documents")
+        .withColumn("raw", inj)
+        .withColumn("un", translate(col("raw"), accented, folded))
+        .select(col("doc_id"), col("raw"), col("un"),
+          (col("un") =!= col("raw")).as("changed"),
+          // folding is idempotent: a second pass is a no-op
+          (translate(col("un"), accented, folded) === col("un"))
+            .as("idempotent"),
+          // first token of the folded text survives a later lexize stage
+          split(col("un"), " ").getItem(0).as("first_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // tsvector surgery (`tsvector_op.c`): CONCATENATION `||` shifts the
     // right operand's positions by the left's max position
     // (tsvector_concat), ts_delete removes a lexeme outright, ts_filter
@@ -947,6 +975,23 @@ object TextOps extends QueryModule {
         |  CAST(len([p for p in ph if list_contains(pj, p + 2)]) AS INT) AS n_dist2
         |FROM p WHERE len([p for p in ph if list_contains(pj, p + 2)]) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "t_unaccent" ->
+      """WITH inj AS (SELECT doc_id,
+        |    (['café récit', 'naïve señor', 'résumé Ñandú',
+        |      'über façade', 'àpropos crème'])[CAST(doc_id % 5 + 1 AS INT)]
+        |      AS raw
+        |  FROM documents),
+        |u AS (SELECT doc_id, raw,
+        |    translate(raw, 'áéíóúñüçÁÉÍÓÚÑÜÇàèìòùâêîôû',
+        |                   'aeiounucAEIOUNUCaeiouaeiou') AS un
+        |  FROM inj)
+        |SELECT doc_id, raw, un,
+        |  un <> raw AS changed,
+        |  translate(un, 'áéíóúñüçÁÉÍÓÚÑÜÇàèìòùâêîôû',
+        |               'aeiounucAEIOUNUCaeiouaeiou') = un AS idempotent,
+        |  string_split(un, ' ')[1] AS first_tok
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "t_tsvector_concat" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
