@@ -30,8 +30,9 @@ object Bench {
     "t_vocab_topk", "v_svec_dot_topk", "s_ann_pq_adc", "s_ann_pq_score",
     "s_ann_ivf_score",
     // r9: retrieval scoring (map-side + broadcast stats), vocab-built
-    // sketch, and the iterative driver-loop fit (4 relation passes)
-    "t_bm25_rank", "d_countmin_heavy", "q_logreg_gd")
+    // sketch, the iterative driver-loop fit (4 relation passes), and the
+    // custom AsofJoinExec physical operator
+    "t_bm25_rank", "d_countmin_heavy", "q_logreg_gd", "q_asof_native")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —
