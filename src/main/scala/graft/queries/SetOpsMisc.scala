@@ -221,6 +221,29 @@ object SetOpsMisc extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // TABLESAMPLE SYSTEM_ROWS(n) (contrib/tsm_system_rows): EXACTLY n
+    // rows regardless of table size — the contract rate-based sampling
+    // cannot give. Deterministic form: the n smallest rows by the md5 of
+    // the row key (the d_sample_mix hash-decision idiom as an ORDERING),
+    // so the sample is reproducible across engines and parallelism and
+    // plans as a bounded TakeOrderedAndProject — no global sort
+    // materializes, no RNG. Summarized so the exact-n contract is
+    // hash-checked alongside the content.
+    "q_sample_system_rows" -> ((s, dir) => {
+      val h = md5(concat(col("l_orderkey"), lit("-"), col("l_linenumber")))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity") * 1000000.0, 0).cast("long").as("q_u"),
+          h.as("h"))
+        .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .agg(count(lit(1)).as("n"),
+             sum(col("q_u")).as("sum_q_u"),
+             min(col("h")).as("h_min"),
+             max(col("h")).as("h_max"),
+             sum(col("l_orderkey")).as("key_sum"))
+    }),
+
     // PIVOT (reference pivot.c / groupBy().pivot()).
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -366,6 +389,18 @@ object SetOpsMisc extends QueryModule {
         |  WHERE r.lvl < 30)
         |SELECT CAST(node AS INT) AS node, CAST(MIN(lvl) AS INT) AS lvl
         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_sample_system_rows" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 1000000.0, 0) AS BIGINT) AS q_u,
+        |    md5(CAST(l_orderkey AS VARCHAR) || '-'
+        |        || CAST(l_linenumber AS VARCHAR)) AS h
+        |  FROM lineitem
+        |  ORDER BY h, l_orderkey, l_linenumber LIMIT 100)
+        |SELECT COUNT(*) AS n, CAST(SUM(q_u) AS BIGINT) AS sum_q_u,
+        |  MIN(h) AS h_min, MAX(h) AS h_max,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM s""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,
