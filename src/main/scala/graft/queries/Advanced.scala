@@ -437,6 +437,39 @@ object Advanced extends QueryModule {
         .orderBy(col("d"))
     }),
 
+    // Triangle count + global clustering coefficient over the same
+    // deterministic 3-regular graph (MADlib graph-measures niche,
+    // completing the pagerank / SSSP / CC family). Canonical a<b
+    // undirected edges; the ordered wedge join (a<b<c) counts each
+    // triangle exactly once. Scale shape: the standard ordered-
+    // orientation count — two edge-endpoint equi-joins whose
+    // intermediate is the wedge set anchored at the LOWEST id (bounded
+    // by per-node degree, never the adjacency cross product), plus one
+    // narrow degree groupBy for the wedge denominator. Coefficient
+    // 3T/W as half-up integer micros.
+    "q_triangle_count" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val und = docs.select(col("doc_id").as("src"), explode(array(
+          (1 to 3).map(k => (col("doc_id") * 31 + k * 17) % n): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("w"))
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("t"))
+      tri.crossJoin(wedges).crossJoin(und.agg(count(lit(1)).as("n_edges")))
+        .select(col("n_edges"), col("w").as("n_wedges"),
+          col("t").as("triangles"),
+          expr("(2 * 3000000 * t + w) div (2 * w)").as("clustering_u"))
+    }),
+
     "q_linreg_fit" -> ((s, dir) => {
       def s4(c: Column) =
         (sum(round(c * 10000.0, 0).cast("long")).cast("double") / 10000.0)
@@ -595,6 +628,25 @@ object Advanced extends QueryModule {
         |SELECT d, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
         |  MAX(doc_id) AS max_doc
         |FROM md GROUP BY d ORDER BY d""".stripMargin,
+
+    "q_triangle_count" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |raw AS (SELECT doc_id AS src, (doc_id * 31 + k.k * 17) % nn.n AS dst
+        |  FROM documents CROSS JOIN nn,
+        |       (SELECT unnest(range(1, 4)) AS k) k),
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |deg AS (SELECT v, COUNT(*) AS d FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+        |  GROUP BY v),
+        |wdg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg),
+        |tri AS (SELECT COUNT(*) AS t FROM und e1
+        |  JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM und)
+        |SELECT ne.n_edges, wdg.w AS n_wedges, tri.t AS triangles,
+        |  (2 * 3000000 * tri.t + wdg.w) // (2 * wdg.w) AS clustering_u
+        |FROM ne, wdg, tri""".stripMargin,
     "q_udaf_median" ->
       """SELECT c_mktsegment,
         |  ROUND(median(c_acctbal), 4) AS median_bal, COUNT(*) AS n

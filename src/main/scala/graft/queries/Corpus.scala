@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -341,6 +341,67 @@ object Corpus extends QueryModule {
         .limit(20)
     }),
 
+    // BPE tokenizer APPLICATION — the other half of d_bpe_merges: take
+    // the learned merge table (top-10 char pairs by the same weighted
+    // pair statistics) and encode the corpus with it, reporting per-doc
+    // token counts and chars-per-token compression. Merge application is
+    // the real BPE greedy: each pass folds a word's symbol sequence left
+    // to right, fusing adjacent (x_k, y_k) occurrences — expressed as a
+    // higher-order `aggregate` fold whose leftmost-first semantics are
+    // provably BPE's (the fused symbol can't re-match its own pair), and
+    // mirrored token-for-token by a DuckDB `list_reduce` chain in the
+    // oracle. Scale shape: the merge table stays in-plan (one wide row,
+    // broadcast — no driver collect, same discipline as the fit-once
+    // stores); encoding runs over the DISTINCT VOCABULARY, not the
+    // corpus (a word is encoded once, docs join the result back by
+    // word), so the fold cost is vocab-bounded and the per-doc pass is
+    // one broadcast join + one narrow aggregate.
+    "d_bpe_encode" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val ranked = words.filter(length(col("word")) > 1)
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .select(col("wc"), explode(
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => concat(col("word").substr(i, lit(1)), lit(" "),
+                        col("word").substr(i + 1, lit(1))))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("pair"))))
+        .filter(col("rk") <= 10)
+      val mergeCols = (1 to 10).flatMap { k =>
+        Seq(max(when(col("rk") === k, split(col("pair"), " ").getItem(0)))
+              .as(s"x$k"),
+            max(when(col("rk") === k, split(col("pair"), " ").getItem(1)))
+              .as(s"y$k"))
+      }
+      val mw = ranked.groupBy().agg(mergeCols.head, mergeCols.tail: _*)
+      // one merge pass: BPE leftmost-greedy fold over the symbol array
+      def fold(arr: Column, xk: Column, yk: Column): Column =
+        aggregate(arr, lit(""), (acc, x) =>
+          when(acc === "", x)
+            .otherwise(when(x === yk &&
+                (acc === xk || endswith(acc, concat(lit(" "), xk))),
+              concat(acc.substr(lit(1), length(acc) - length(xk)), xk, yk))
+              .otherwise(concat(acc, lit(" "), x))))
+      val vocab = words.select(col("word")).filter(col("word") =!= "")
+        .distinct().crossJoin(broadcast(mw))
+      var cur = fold(expr("filter(split(word, ''), c -> c <> '')"),
+        col("x1"), col("y1"))
+      for (k <- 2 to 10)
+        cur = fold(split(cur, " "), col(s"x$k"), col(s"y$k"))
+      val enc = vocab.select(col("word"),
+        size(split(cur, " ")).cast("long").as("tk"))
+      words.join(broadcast(enc), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+             sum(col("tk")).as("n_tokens"),
+             sum(length(col("word")).cast("long")).as("n_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
+          expr("(2000000 * n_tokens + n_chars) div (2 * n_chars)").as("ratio_u"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram LM likelihood scoring — the classic LM-quality filter shape
     // (score each document under a corpus-trained n-gram model; low
     // likelihood = boilerplate/garbled/OOD). Additive pipeline op, kept
@@ -465,6 +526,32 @@ object Corpus extends QueryModule {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // Weighted sampling WITHOUT replacement, exact k, reproducible —
+    // priority sampling (Duffield-Thorup): each doc draws a
+    // hash-uniform u in [1, 2^40] and competes with priority w/u (w =
+    // token count, so inclusion odds scale with document length); the
+    // k highest priorities win, i.e. the k SMALLEST u/w — carried as
+    // the half-up-free integer key (u * 1e6) div w so both engines
+    // rank identically (no transcendental exp/log keys, no RNG; ties
+    // broken by doc_id). Completes the sampling family: rate-based
+    // (d_sample_mix), exact-k-per-stratum (d_stratified_sample),
+    // exact-n uniform (q_sample_system_rows) — this one is exact-k
+    // probability-proportional-to-size. Scale shape: pure map-side
+    // keying + bounded top-k (plans as TakeOrderedAndProject — no
+    // global sort materializes at any corpus size).
+    "d_weighted_sample" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 10),
+        16, 10).cast("long") + 1
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("w_tok"),
+          u.as("u"))
+        .withColumn("key_u", expr("(u * 1000000) div w_tok"))
+        .orderBy(col("key_u"), col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("w_tok"), col("key_u"))
+    }),
+
     "d_gopher_repetition" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -581,6 +668,49 @@ object Corpus extends QueryModule {
         |  FROM v)
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "d_bpe_encode" -> {
+      // one merge pass k: the same leftmost-greedy fold, as list_reduce
+      // (2-arg: the accumulator seeds with the first symbol, exactly the
+      // Spark fold's acc="" bootstrap)
+      def pass(k: Int, src: String): String =
+        s"""e$k AS (SELECT word, list_reduce($src,
+           |    (acc, x) -> CASE WHEN x = y$k
+           |        AND (acc = x$k OR ends_with(acc, ' ' || x$k))
+           |      THEN substr(acc, 1, len(acc) - len(x$k)) || x$k || y$k
+           |      ELSE acc || ' ' || x END) AS s
+           |  FROM e${k - 1} CROSS JOIN m)""".stripMargin
+      s"""WITH words AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS word FROM documents),
+         |wv AS (SELECT word, COUNT(*) AS wc FROM words
+         |  WHERE len(word) > 1 GROUP BY word),
+         |pr AS (SELECT wc,
+         |    unnest([substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+         |            for i in range(1, len(word))]) AS pair
+         |  FROM wv),
+         |rk AS (SELECT pair,
+         |    row_number() OVER (ORDER BY n DESC, pair) AS rk
+         |  FROM (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+         |        FROM pr GROUP BY pair)),
+         |m AS (SELECT
+         |${(1 to 10).map(k =>
+              s"    MAX(CASE WHEN rk = $k THEN split_part(pair, ' ', 1) END) AS x$k,\n" +
+              s"    MAX(CASE WHEN rk = $k THEN split_part(pair, ' ', 2) END) AS y$k"
+            ).mkString(",\n")}
+         |  FROM rk WHERE rk <= 10),
+         |e0 AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+         |${pass(1, "[substr(word, i, 1) for i in range(1, len(word) + 1)]")},
+         |${(2 to 10).map(k => pass(k, "string_split(s, ' ')")).mkString(",\n")},
+         |enc AS (SELECT word,
+         |    CAST(len(string_split(s, ' ')) AS BIGINT) AS tk FROM e10)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(tk) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+         |  (2000000 * CAST(SUM(tk) AS BIGINT) + CAST(SUM(len(word)) AS BIGINT))
+         |    // (2 * CAST(SUM(len(word)) AS BIGINT)) AS ratio_u
+         |FROM words JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "d_bigram_likelihood" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -727,6 +857,15 @@ object Corpus extends QueryModule {
         |  CAST(SUM(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
         |    AS kept_id_sum
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w_tok,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)
+        |      AS BIGINT) + 1 AS u
+        |  FROM documents)
+        |SELECT doc_id, w_tok, (u * 1000000) // w_tok AS key_u
+        |FROM d ORDER BY key_u, doc_id LIMIT 10""".stripMargin,
 
     "d_pack_greedy" ->
       """WITH RECURSIVE t AS (SELECT source, doc_id,

@@ -247,13 +247,16 @@ object Similarity extends QueryModule {
     * bounded heaps, so the only shuffle carries 3 x queries x partitions
     * candidate rows — never every scored pair. */
   private def pqScoreTail(codesWide: DataFrame, qWide: DataFrame): DataFrame = {
+    // unrolled PqM-term sum (not a zip_with/aggregate fold: higher-order
+    // functions evaluate interpreted, this stays in whole-stage codegen)
+    val termSum = (0 until PqM).map { m =>
+      round(element_at(element_at(col("luts"), m + 1),
+        element_at(col("cds"), m + 1) + lit(1)) * 1000000.0, 0).cast("long")
+    }.reduce(_ + _)
     val scored = codesWide
       .join(broadcast(qWide), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        (aggregate(
-          zip_with(col("luts"), col("cds"), (l, c) =>
-            round(element_at(l, c + lit(1)) * 1000000.0, 0).cast("long")),
-          lit(0L), (a, x) => a + x).cast("double") / 1000000.0).as("adc"))
+        (termSum.cast("double") / 1000000.0).as("adc"))
     val top = graft.plans.TopKPerGroup(scored, Seq("qid"),
       order = Seq(("adc", false), ("nid", false)), k = 3)
     val w = org.apache.spark.sql.expressions.Window
@@ -277,7 +280,11 @@ object Similarity extends QueryModule {
   def pqEnsurePersisted(s: SparkSession, dir: String, outDir: String): Unit = {
     val marker = new org.apache.hadoop.fs.Path(outDir, "pq_codes/_SUCCESS")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return
+    // a store is valid only if it exists AND has the wide (vec_id, cds)
+    // layout — a pre-r9 store held (vec_id, m, code) rows and must be
+    // rebuilt, not trusted on the marker alone
+    if (fs.exists(marker) &&
+        s.read.parquet(s"$outDir/pq_codes").columns.contains("cds")) return
     graft.functions.VectorFns.register(s)
     val fitSub = pqSub(s, dir)
       .filter(col("vec_id") % PqSampleMod === 0).persist()
