@@ -508,6 +508,52 @@ object Corpus extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Mutual-information feature selection (the MADlib feature-selection
+    // niche; companion to q_chi2_independence's independence test and
+    // d_naive_bayes' classifier): MI between token PRESENCE and the
+    // binary en-label over the 2x2 doc-count contingency cells, in nats.
+    // Each of the four cell terms is (nij/N) ln(N nij / (ni nj)) rounded
+    // to integer micros — the ln calls are mirrored doubles (the
+    // naive-Bayes discipline) and the 4-term sum is a fixed-order
+    // integer expression, so no accumulation-order smear. A cell with
+    // nij = 0 contributes 0 (and nij > 0 forces its margins > 0, so one
+    // guard covers the family). Shape: one distinct (doc, token)
+    // explode, one vocab-keyed count shuffle with map-side partials, a
+    // two-long totals broadcast, and a bounded top-25 — no corpus-sized
+    // state anywhere.
+    "d_feature_mi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lab = docs.select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("y"))
+      val totals = lab.agg(count(lit(1)).as("n"), sum(col("y")).as("n_en"))
+      val cnt = docs
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w") =!= "")
+        .join(lab, "doc_id")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("y")).as("n11"))
+        .filter(col("df") >= 5)
+        .crossJoin(broadcast(totals))
+        .withColumn("n10", col("df") - col("n11"))
+        .withColumn("n01", col("n_en") - col("n11"))
+        .withColumn("n00", col("n") - col("n_en") - col("n10"))
+      def term(nij: Column, ni: Column, nj: Column): Column =
+        when(nij > 0,
+          round(lit(1000000.0) * (nij.cast("double") / col("n").cast("double")) *
+            log((col("n").cast("double") * nij.cast("double")) /
+                (ni.cast("double") * nj.cast("double"))), 0).cast("long"))
+          .otherwise(lit(0L))
+      cnt.select(col("w"), col("df"), col("n11"),
+          (term(col("n11"), col("df"), col("n_en")) +
+           term(col("n10"), col("df"), col("n") - col("n_en")) +
+           term(col("n01"), col("n") - col("df"), col("n_en")) +
+           term(col("n00"), col("n") - col("df"), col("n") - col("n_en")))
+            .as("mi_u"))
+        .orderBy(col("mi_u").desc, col("w"))
+        .limit(25)
+    }),
+
     // Stratified sampling with EXACT per-stratum counts (the reference's
     // TABLESAMPLE is rate-based and RNG-seeded; training-data curation
     // wants "exactly k per source", reproducibly): rank every doc inside
@@ -857,6 +903,43 @@ object Corpus extends QueryModule {
         |  CAST(SUM(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
         |    AS kept_id_sum
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_feature_mi" ->
+      """WITH lab AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_en
+        |  FROM lab),
+        |dt AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, COUNT(*) AS df, CAST(SUM(y) AS BIGINT) AS n11
+        |  FROM dt JOIN lab USING (doc_id) WHERE w <> ''
+        |  GROUP BY w HAVING COUNT(*) >= 5),
+        |c2 AS (SELECT w, df, n11, df - n11 AS n10, n_en - n11 AS n01,
+        |    n - n_en - (df - n11) AS n00, n, n_en
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT w, df, n11,
+        |  (CASE WHEN n11 > 0 THEN CAST(round(1000000.0 *
+        |      (CAST(n11 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln((CAST(n AS DOUBLE) * CAST(n11 AS DOUBLE)) /
+        |         (CAST(df AS DOUBLE) * CAST(n_en AS DOUBLE))), 0) AS BIGINT)
+        |    ELSE 0 END
+        |   + CASE WHEN n10 > 0 THEN CAST(round(1000000.0 *
+        |      (CAST(n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln((CAST(n AS DOUBLE) * CAST(n10 AS DOUBLE)) /
+        |         (CAST(df AS DOUBLE) * CAST(n - n_en AS DOUBLE))), 0) AS BIGINT)
+        |    ELSE 0 END
+        |   + CASE WHEN n01 > 0 THEN CAST(round(1000000.0 *
+        |      (CAST(n01 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln((CAST(n AS DOUBLE) * CAST(n01 AS DOUBLE)) /
+        |         (CAST(n - df AS DOUBLE) * CAST(n_en AS DOUBLE))), 0) AS BIGINT)
+        |    ELSE 0 END
+        |   + CASE WHEN n00 > 0 THEN CAST(round(1000000.0 *
+        |      (CAST(n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln((CAST(n AS DOUBLE) * CAST(n00 AS DOUBLE)) /
+        |         (CAST(n - df AS DOUBLE) * CAST(n - n_en AS DOUBLE))), 0) AS BIGINT)
+        |    ELSE 0 END) AS mi_u
+        |FROM c2 ORDER BY mi_u DESC, w LIMIT 25""".stripMargin,
 
     "d_weighted_sample" ->
       """WITH d AS (SELECT doc_id,
