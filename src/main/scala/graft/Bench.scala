@@ -32,7 +32,10 @@ object Bench {
     // r9: retrieval scoring (map-side + broadcast stats), vocab-built
     // sketch, the iterative driver-loop fit (4 relation passes), and the
     // custom AsofJoinExec physical operator
-    "t_bm25_rank", "d_countmin_heavy", "q_logreg_gd", "q_asof_native")
+    "t_bm25_rank", "d_countmin_heavy", "q_logreg_gd", "q_asof_native",
+    // r9b: graph wedge join, vocab-bounded BPE encode fold, MI feature
+    // selection (vocab shuffle + bounded top-k)
+    "q_triangle_count", "d_bpe_encode", "d_feature_mi")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -338,6 +338,37 @@ object ScalarFns extends QueryModule {
         .orderBy(col("n_nationkey"))
     }),
 
+    // pgcrypto hmac() (`/root/reference/contrib/pgcrypto/pgcrypto.c`
+    // pg_hmac): REAL RFC 2104 HMAC-MD5 and HMAC-SHA256, composed from
+    // Spark's own hash expressions — H(K^opad || H(K^ipad || m)) with
+    // the inner digest fed back as RAW BYTES (unhex of the hex digest),
+    // the padded key XORs precomputed into binary literals. DuckDB's
+    // md5/sha256 take VARCHAR only and cannot hash raw digest bytes, so
+    // the oracle is a known-answer table (vectors computed with an
+    // independent HMAC implementation) — a KAT check, which for a keyed
+    // MAC is the canonical correctness argument anyway. Messages cover
+    // empty input, the RFC 2202 phrases, block-straddling (>64-byte)
+    // input, and a corpus-shaped sentence; all pure per-row expressions.
+    "q_pgcrypto_hmac" -> ((s, dir) => {
+      import s.implicits._
+      val key = "graft-secret-key".getBytes("UTF-8")
+      val ipad = key.padTo(64, 0.toByte).map(b => (b ^ 0x36).toByte)
+      val opad = key.padTo(64, 0.toByte).map(b => (b ^ 0x5c).toByte)
+      def hmacMd5(m: Column): Column =
+        md5(concat(lit(opad), unhex(md5(concat(lit(ipad), m)))))
+      def hmacSha256(m: Column): Column =
+        sha2(concat(lit(opad), unhex(sha2(concat(lit(ipad), m), 256))), 256)
+      Seq((1, ""), (2, "Hi There"), (3, "what do ya want for nothing?"),
+          (4, "The quick brown fox jumps over the lazy dog"),
+          (5, "a" * 100),
+          (6, "warehouse-parity: hmac known-answer vector six"))
+        .toDF("msg_id", "msg")
+        .select(col("msg_id"),
+          hmacMd5(col("msg").cast("binary")).as("hmac_md5"),
+          hmacSha256(col("msg").cast("binary")).as("hmac_sha256"))
+        .orderBy(col("msg_id"))
+    }),
+
     // contrib/isn check-digit arithmetic (`/root/reference/contrib/isn/
     // isn.c` weight_checkdig / EAN13 validation): a deterministic
     // 12-digit EAN body derives from the part key, the check digit is
@@ -654,6 +685,26 @@ object ScalarFns extends QueryModule {
         |  sha256(n_name) AS sha256_name,
         |  CAST(length(md5(n_name)) AS INT) AS md5_len
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // known-answer vectors from an independent HMAC implementation
+    // (python hmac/hashlib) — see the Spark-side scaladoc for why DuckDB
+    // cannot recompute a keyed MAC over raw digest bytes itself
+    "q_pgcrypto_hmac" ->
+      """SELECT * FROM (VALUES
+        |  (1, '58ce5f1771733fc8f0c0004636203643',
+        |   '3b534564d305ccc170aae94b53d1ab5e52e72d96ab582aca2dee5abe3d09a395'),
+        |  (2, 'abe2cab46c99244350a704b968b94e72',
+        |   '4b85ae819a3d12ac752427514810ce5aca429a7110088db6ade36bed54ee225c'),
+        |  (3, '0272204dae1daabbfa147ac3166e3642',
+        |   'c878a6cb5b7f464fe6e0ac2f2459447c78c90341698f222eca7bd03555b90d84'),
+        |  (4, '398a2eac62886c3626008ad2083f69fe',
+        |   'a3f8dc9bd70741a5f77043be48fa216913abc5e17d675906e912123059bfd0e9'),
+        |  (5, 'cff6e8ea954f242c3b5db09a80b2b9d2',
+        |   'c5c799cfccb73c11b2620875c432f5eca81288a9a48fd02f891f0c5af39b9d22'),
+        |  (6, '766f95f5bcbc05b834b0d05c23f8df66',
+        |   'd09cd7bd2d4d3153424d2680c2ad92f8cd65e5933c86c628039b323b5f736485')
+        |) AS t(msg_id, hmac_md5, hmac_sha256)
+        |ORDER BY msg_id""".stripMargin,
 
     "q_isn_ean" -> {
       val sum12 = (0 until 12).map { i =>
