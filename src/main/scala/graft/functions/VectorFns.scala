@@ -118,5 +118,8 @@ object VectorFns {
       reg.createOrReplaceTempFunction(
         "vec_norm_sq", exprs => NormSq(exprs.head), "built-in")
     }
+    // the quantization kernels ride along: every vector lane that dots
+    // may also encode (PqFns has its own idempotence guard)
+    PqFns.register(spark)
   }
 }

@@ -65,20 +65,20 @@ object Similarity extends QueryModule {
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** Ranking-equivalent distance of the row's `v` to centroid c:
-    * |c|^2 - 2 v.c (|v|^2 is constant per row). call_function (not an
-    * expr string): array(lit...) is array<double> directly, where
-    * SQL-literal doubles would parse as decimals. */
-  private def ivfDistTo(c: Array[Double]): Column =
-    lit(c.map(x => x * x).sum) -
-      lit(2.0) * call_function("vec_dot", col("v"), array(c.map(lit(_)): _*))
+  /** Per-centroid ranking distances |c|^2 - 2 v.c (|v|^2 is constant per
+    * row and drops out of every ranking): the [[graft.functions
+    * .PqLutsExpr]] kernel with one subspace spanning the whole vector.
+    * The centroids ride as ONE flattened array literal — the unrolled
+    * per-centroid literal form paid ~600 expression nodes of plan
+    * overhead per fit iteration. */
+  private def ivfDists(cs: Array[Array[Double]]): Column =
+    element_at(call_function("pq_luts", col("v"),
+      typedLit(cs.flatten.toArray), lit(1), lit(cs.length), lit(dim)), 1)
 
-  /** argmin cell over centroid literals; ties -> lowest cell index, via
-    * lexicographic struct(dist, idx) min. */
+  /** argmin cell; ties -> lowest cell index (kernel contract). */
   private def ivfCellCol(cs: Array[Array[Double]]): Column =
-    array_min(array(cs.zipWithIndex.map { case (c, i) =>
-      struct(ivfDistTo(c).as("d"), lit(i).as("i"))
-    }: _*)).getField("i")
+    element_at(call_function("pq_encode", col("v"),
+      typedLit(cs.flatten.toArray), lit(1), lit(cs.length), lit(dim)), 1)
 
   /** Seeded 3-iteration Lloyd over `e` (vec_id, v) — seeds are the IvfK
     * lowest-vec_id vectors; the centroid mean is micros-sum / n / 1e6 so
@@ -107,10 +107,12 @@ object Similarity extends QueryModule {
     * driver round-trip). */
   private def ivfQueries(e: DataFrame,
                          cs: Array[Array[Double]]): DataFrame = {
-    val probeArr = array_sort(array(cs.zipWithIndex.map { case (c, i) =>
-      struct(ivfDistTo(c).as("d"), lit(i).as("i"))
-    }: _*))
+    // the kernel computes all centroid distances once into a real column;
+    // the sortable struct array is then built from cheap element_at reads
+    val probeArr = array_sort(array(cs.indices.map(i =>
+      struct(element_at(col("dists"), i + 1).as("d"), lit(i).as("i"))): _*))
     e.filter(col("vec_id") < 10)
+      .withColumn("dists", ivfDists(cs))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
               explode(slice(probeArr.getField("i"), 1, 2)).as("qcell"))
       .withColumn("qn", expr("vec_norm_sq(qv)"))
@@ -160,72 +162,50 @@ object Similarity extends QueryModule {
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** (vec_id, m, sv): the corpus exploded into PqM subvectors per row —
-    * the FIT shape only; encode and scoring run wide off [[pqE]]. */
-  private def pqSub(s: SparkSession, dir: String): DataFrame = {
-    val subCol = array((0 until PqM).map(m =>
-      struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
-    pqE(s, dir).select(col("vec_id"), explode(subCol).as("p"))
-      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
-  }
-
-  /** Ranking-equivalent distance of subvector `sv` to centroid c:
-    * `|c|^2 - 2 sv.c` — the row's own |sv|^2 is constant per row and
-    * drops out of every argmin/ranking this is used in. */
-  private def pqSubDistAt(sv: Column, c: Array[Double]): Column =
-    lit(c.map(x => x * x).sum) -
-      lit(2.0) * call_function("vec_dot", sv, array(c.map(lit(_)): _*))
-
-  /** Argmin code of `sv` within subspace codebook `cbm` (ties -> lowest
-    * code). */
-  private def pqCodeAt(sv: Column, cbm: Array[Array[Double]]): Column =
-    array_min(array((0 until PqK).map(k =>
-      struct(pqSubDistAt(sv, cbm(k)).as("d"), lit(k).as("i"))): _*))
-      .getField("i")
-
-  /** Per-row argmin code over exploded (m, sv) rows — the fit shape. */
-  private def pqCodeCol(cb: Array[Array[Array[Double]]]): Column =
-    (0 until PqM).foldLeft(lit(-1): Column) { case (acc, m) =>
-      when(col("m") === m, pqCodeAt(col("sv"), cb(m))).otherwise(acc)
-    }
-
-  /** All-subspace code array straight off the embedding row `v` — the
-    * ENCODE shape: no explode, no shuffle, PqM argmins per row inside
-    * one whole-stage-codegen projection. */
+  /** All-subspace code array off the embedding row `v` — the ENCODE
+    * shape: no explode, no shuffle, one [[graft.functions.PqEncodeExpr]]
+    * kernel call per row inside whole-stage codegen. The codebook rides
+    * as ONE flattened array literal, not unrolled literal trees (the
+    * unrolled form's ~2k expression nodes made plan analysis + codegen
+    * dominate wall time at any corpus size — the r9 bench regression). */
   private def pqCodesWideCol(cb: Array[Array[Array[Double]]]): Column =
-    array((0 until PqM).map(m =>
-      pqCodeAt(slice(col("v"), m * PqSubDim + 1, PqSubDim), cb(m))): _*)
+    call_function("pq_encode", col("v"), typedLit(cb.flatten.flatten),
+      lit(PqM), lit(PqK), lit(PqSubDim))
 
   /** All-subspace asymmetric-distance LUTs off the query row `v`:
     * PqM arrays of PqK ranking terms `|c|^2 - 2 q_m . c` (the constant
-    * |q_m|^2 drops out of ranking). */
+    * |q_m|^2 drops out of ranking). Same kernel-literal shape. */
   private def pqLutsWideCol(cb: Array[Array[Array[Double]]]): Column =
-    array((0 until PqM).map(m =>
-      array((0 until PqK).map(k =>
-        pqSubDistAt(slice(col("v"), m * PqSubDim + 1, PqSubDim),
-          cb(m)(k))): _*)): _*)
+    call_function("pq_luts", col("v"), typedLit(cb.flatten.flatten),
+      lit(PqM), lit(PqK), lit(PqSubDim))
 
-  /** Seeded 2-iteration per-subspace Lloyd over `sub` rows (vec_id, m,
-    * sv) — bit-reproducible (micros-stabilized means, ties to lowest
-    * code, seeds = the PqK lowest vec_ids present) so the DuckDB oracle
-    * can unroll the identical fit. Codebook state: PqM x PqK x PqSubDim
-    * = 1024 doubles of driver memory, regardless of corpus size. */
-  private def pqFit(sub: DataFrame): Array[Array[Array[Double]]] = {
-    val seedIds = sub.select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(PqK).collect().map(_.getLong(0))
-    val rankOf = seedIds.sorted.zipWithIndex.toMap
+  /** Seeded 2-iteration per-subspace Lloyd over the WIDE corpus
+    * (vec_id, v) — bit-reproducible (micros-stabilized means, ties to
+    * lowest code, seeds = the PqK lowest vec_ids present) so the DuckDB
+    * oracle can unroll the identical fit. Codebook state: PqM x PqK x
+    * PqSubDim = 1024 doubles of driver memory, regardless of corpus
+    * size. Each iteration is one corpus pass: encode all subspaces with
+    * the kernel, explode positions, and fold (m, k, pos) micros means
+    * map-side (order-free long sums). */
+  private def pqFit(e: DataFrame): Array[Array[Array[Double]]] = {
     var cb: Array[Array[Array[Double]]] = {
       val arr = Array.ofDim[Array[Double]](PqM, PqK)
-      sub.filter(col("vec_id").isin(seedIds: _*)).collect().foreach { r =>
-        arr(r.getInt(1))(rankOf(r.getLong(0))) = r.getSeq[Double](2).toArray
+      e.orderBy(col("vec_id")).limit(PqK).collect().zipWithIndex.foreach {
+        case (r, rank) =>
+          val v = r.getSeq[Double](1).toArray
+          (0 until PqM).foreach(m =>
+            arr(m)(rank) = v.slice(m * PqSubDim, (m + 1) * PqSubDim))
       }
       arr
     }
     for (_ <- 1 to 2) {
-      val upd = sub
-        .select(col("m"), pqCodeCol(cb).as("k"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("m"), col("k"), col("pos"))
+      val upd = e
+        .select(pqCodesWideCol(cb).as("cds"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .select(expr(s"CAST(pos div $PqSubDim AS INT)").as("m"),
+          expr(s"element_at(cds, CAST(pos div $PqSubDim AS INT) + 1)").as("k"),
+          expr(s"CAST(pos % $PqSubDim AS INT)").as("p"), col("x"))
+        .groupBy(col("m"), col("k"), col("p"))
         .agg((sum(round(col("x") * 1000000.0, 0).cast("long")).cast("double")
           / count(lit(1)) / 1000000.0).as("mn"))
         .collect()  // M x K x SubDim = 1024 rows — codebook state only
@@ -269,6 +249,23 @@ object Similarity extends QueryModule {
   /** Conf naming the directory that holds fit-once PQ artifacts. */
   val PqDirConf = "spark.graft.pq.codebookDir"
 
+  /** Profiling hook ([[graft.tools.PqProfile]]): the adc lane split into
+    * its fit and scoring stages so a bench movement can be attributed to
+    * a stage instead of guessed at. Mirrors `s_ann_pq_adc` exactly. */
+  def pqAdcStaged(s: SparkSession, dir: String): PqAdcStages =
+    new PqAdcStages(s, dir)
+
+  final class PqAdcStages(s: SparkSession, dir: String) {
+    private var cb: Array[Array[Array[Double]]] = _
+    def fit(): Unit = { cb = pqFit(pqE(s, dir)) }
+    def score(): DataFrame = {
+      val codes = pqE(s, dir).select(col("vec_id"), pqCodesWideCol(cb).as("cds"))
+      val q = pqE(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), pqLutsWideCol(cb).as("luts"))
+      pqScoreTail(codes, q)
+    }
+  }
+
   /** Fit-once production lane (the r7 verdict's "persist the codebook"
     * item): train codebooks on the deterministic sample, encode the WHOLE
     * corpus, store both as parquet tables — `pq_codebooks` (m, k, pos,
@@ -286,10 +283,7 @@ object Similarity extends QueryModule {
     if (fs.exists(marker) &&
         s.read.parquet(s"$outDir/pq_codes").columns.contains("cds")) return
     graft.functions.VectorFns.register(s)
-    val fitSub = pqSub(s, dir)
-      .filter(col("vec_id") % PqSampleMod === 0).persist()
-    val cb = pqFit(fitSub)
-    fitSub.unpersist()
+    val cb = pqFit(pqE(s, dir).filter(col("vec_id") % PqSampleMod === 0))
     import s.implicits._
     val rows = for { m <- 0 until PqM; k <- 0 until PqK; p <- 0 until PqSubDim }
       yield (m, k, p, cb(m)(k)(p))
@@ -571,16 +565,13 @@ object Similarity extends QueryModule {
     // queries broadcast; one narrow (qid, nid) shuffle.
     "s_ann_pq_adc" -> ((s, dir) => {
       graft.functions.VectorFns.register(s)
-      // persisted for the FIT only: the 2 Lloyd iterations re-read the
-      // 8x-exploded (vec_id, m, sv) rows; codebook state is 1024 doubles
-      // on the driver. Encode and query-LUT then run WIDE straight off
-      // the embeddings scan (pqCodesWideCol — no explode, no shuffle).
-      // This is the oracle-parity lane (the DuckDB SQL unrolls this
-      // exact full-corpus fit); the shape you RUN at scale is
-      // s_ann_pq_score below, which never fits at query time.
-      val sub = pqSub(s, dir).persist()
-      val cb = pqFit(sub)
-      sub.unpersist()
+      // The 2 Lloyd iterations, encode, and query-LUT each scan the
+      // (vec_id, v) corpus once — 4 cheap columnar scans, no persisted
+      // copy; codebook state is 1024 doubles on the driver. This is the
+      // oracle-parity lane (the DuckDB SQL unrolls this exact
+      // full-corpus fit); the shape you RUN at scale is s_ann_pq_score
+      // below, which never fits at query time.
+      val cb = pqFit(pqE(s, dir))
       val codes = pqE(s, dir).select(col("vec_id"), pqCodesWideCol(cb).as("cds"))
       val q = pqE(s, dir).filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), pqLutsWideCol(cb).as("luts"))
@@ -603,10 +594,7 @@ object Similarity extends QueryModule {
         if (store.nonEmpty)
           (pqLoadCodebooks(s, store), s.read.parquet(s"$store/pq_codes"))
         else {
-          val fitSub = pqSub(s, dir)
-            .filter(col("vec_id") % PqSampleMod === 0).persist()
-          val cb0 = pqFit(fitSub)
-          fitSub.unpersist()
+          val cb0 = pqFit(pqE(s, dir).filter(col("vec_id") % PqSampleMod === 0))
           (cb0, pqE(s, dir).select(col("vec_id"), pqCodesWideCol(cb0).as("cds")))
         }
       val q = pqE(s, dir).filter(col("vec_id") < 8)
