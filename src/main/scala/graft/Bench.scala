@@ -109,6 +109,19 @@ object Bench {
       java.security.MessageDigest.getInstance("MD5")
         .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
+    // Content-version stamp for a dataset dir: the Spark-written _SUCCESS
+    // mtime when present, else the max mtime across the table files/dirs
+    // (the driver's fixtures are plain parquet files with no _SUCCESS).
+    // Folded into every derived-cache key (sf1 replica, ANN stores) so a
+    // regenerated fixture at the same path invalidates its derivatives
+    // instead of silently benching stale data.
+    def sourceVersion(abs: String): Long = {
+      val emb = new java.io.File(abs, "embeddings.parquet/_SUCCESS")
+      if (emb.exists()) emb.lastModified()
+      else Option(new java.io.File(abs).listFiles())
+        .map(_.map(_.lastModified()).foldLeft(0L)(math.max)).getOrElse(0L)
+    }
+
     // SPARK_GRAFT_BENCH_ONLY=comma,list restricts the set (local iteration).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -126,8 +139,7 @@ object Bench {
     // is a ControlThrowable the catch-all would swallow as a "skip"
     def preparePq(dir: String): Unit = if (qs.exists(scoringLanes)) try {
       val abs = new java.io.File(dir.stripSuffix("/")).getAbsolutePath
-      val emb = new java.io.File(abs, "embeddings.parquet/_SUCCESS")
-      val ver = if (emb.exists()) emb.lastModified() else 0L
+      val ver = sourceVersion(abs)
       val key = pathKey(s"$abs:$ver")
       val storeRoot = sys.env.getOrElse("SPARK_GRAFT_PQ_STORE_DIR",
         "/root/repo/.scale")
@@ -154,11 +166,13 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) Nil
       else try {
         // cache dir is keyed on source basename + a hash of the FULL
-        // absolute source path: two base datasets whose paths share a
-        // final segment (/a/sf0.1 vs /b/sf0.1) get distinct replicas
+        // absolute source path AND the source's content version (mtime):
+        // two base datasets whose paths share a final segment get distinct
+        // replicas, and a REGENERATED fixture at the same path gets a fresh
+        // replica instead of benching the old corpus (r10 post-mortem).
         val srcAbs = new java.io.File(sfDir.stripSuffix("/")).getAbsolutePath
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
-          s"/root/repo/.scale/${srcAbs.split('/').last}_${pathKey(srcAbs)}_x10")
+          s"/root/repo/.scale/${srcAbs.split('/').last}_${pathKey(s"$srcAbs:${sourceVersion(srcAbs)}")}_x10")
         val marker = new org.apache.hadoop.fs.Path(sf1Dir, "embeddings.parquet/_SUCCESS")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // embeddings is the last table GenScale writes: its _SUCCESS marks

@@ -16,24 +16,73 @@ object Tables {
   /** Load one test table. Column pruning + predicate pushdown reach the
     * Parquet scan automatically because we never materialize.
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright; read it as nanos-since-epoch and rebuild a microsecond
-    * timestamp (matches DuckDB's behavior on any µs-granularity operation).
+    * `events.ts` has shipped as both TIMESTAMP(MICROS) (reads natively) and
+    * TIMESTAMP(NANOS) (Spark 4 rejects outright) across fixture
+    * generations, so the reader PROBES the file instead of assuming a unit:
+    * if a plain read infers `ts: timestamp` we take it as-is; if schema
+    * inference rejects the footer (the NANOS case) we fall back to a raw
+    * INT64 read and rebuild a microsecond timestamp (matches DuckDB's
+    * behavior on any µs-granularity operation). The probe result is cached
+    * per path — one footer read per fixture per session.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") readEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Explicit per-read schema for `events` (ts as plain INT64 nanos) — NOT
-    * the session-global legacy nanosAsLong flag, which would silently turn
-    * every later TIMESTAMP(NANOS) read in the session into longs. Shared
-    * with the streaming file source. */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[DataType]]()
+
+  /** Inferred type of `path`'s `ts` column, or None when schema inference
+    * rejects the footer (Spark 4 on TIMESTAMP(NANOS)). One footer read per
+    * path per session. */
+  def probeEventsTsType(spark: SparkSession, path: String): Option[DataType] =
+    tsTypeCache.computeIfAbsent(path, _ =>
+      scala.util.Try(spark.read.parquet(path).schema("ts").dataType).toOption)
+
+  /** True when `path`'s `ts` column needs the raw-nanos fallback (plain
+    * read fails, or infers a non-timestamp type). A DuckDB-written
+    * `timestamp[us]` column carries isAdjustedToUTC=false and infers as
+    * TimestampNTZType — that's the native lane, not the fallback. Shared
+    * with the streaming file source so batch and stream can never disagree
+    * on the unit. */
+  def eventsNeedsNanosFallback(spark: SparkSession, path: String): Boolean =
+    !probeEventsTsType(spark, path)
+      .exists(t => t == TimestampType || t == TimestampNTZType)
+
+  private def readEvents(spark: SparkSession, path: String): DataFrame =
+    if (eventsNeedsNanosFallback(spark, path)) {
+      spark.read.schema(eventsRawSchema).parquet(path)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      val df = spark.read.parquet(path)
+      // normalize NTZ to session-zoned timestamp: identity under the UTC
+      // session every entry point pins, and keeps every downstream query
+      // (window(), date arithmetic, oracle compares) on one ts type
+      if (df.schema("ts").dataType == TimestampNTZType)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      else df
+    }
+
+  /** Explicit per-read schema for `events` with ts as plain INT64 — the
+    * TIMESTAMP(NANOS) fallback lane only (NOT the session-global legacy
+    * nanosAsLong flag, which would silently turn every later
+    * TIMESTAMP(NANOS) read in the session into longs). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),  // TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Schema for the native-micros lane (streaming file source needs an
+    * explicit schema) — `ts` takes the PROBED type so the explicit schema
+    * matches the file exactly (a TIMESTAMP(MICROS, NTZ) file must be read
+    * as TimestampNTZType, then cast). */
+  def eventsMicrosSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

@@ -369,6 +369,42 @@ object ScalarFns extends QueryModule {
         .orderBy(col("msg_id"))
     }),
 
+    // pgcrypto symmetric ciphers (`/root/reference/contrib/pgcrypto/
+    // pgp-encrypt.c`, `px.c` — raw encrypt()/decrypt() and the rijndael
+    // cipher the regress suite pins in `contrib/pgcrypto/sql/rijndael.sql`):
+    // AES-128-ECB and AES-256-CBC (fixed IV, PKCS padding) via Spark's
+    // codegen aes_encrypt/aes_decrypt. Spark's CBC output is IV-prepended
+    // (iv || ct), matching the KAT layout. DuckDB has no AES, so — exactly
+    // like q_pgcrypto_hmac — the oracle is a known-answer table whose
+    // vectors come from an independent implementation (openssl enc), plus
+    // in-engine decrypt-roundtrip proofs that must come back true. Messages
+    // reuse the HMAC corpus: empty, RFC-phrase, block-straddling, long.
+    "q_pgcrypto_aes" -> ((s, dir) => {
+      import s.implicits._
+      val key16 = "graft-aes-key-01"                  // 16 bytes
+      val key32 = "graft-aes-key-governs-32-bytes!!"  // 32 bytes
+      val ivHex = "000102030405060708090a0b0c0d0e0f"
+      Seq((1, ""), (2, "Hi There"), (3, "what do ya want for nothing?"),
+          (4, "The quick brown fox jumps over the lazy dog"),
+          (5, "a" * 100),
+          (6, "warehouse-parity: aes known-answer vector six"))
+        .toDF("msg_id", "msg")
+        .select(col("msg_id"),
+          lower(hex(expr(
+            s"aes_encrypt(cast(msg as binary), '$key16', 'ECB', 'PKCS')")))
+            .as("aes128_ecb"),
+          lower(hex(expr(
+            s"aes_encrypt(cast(msg as binary), '$key32', 'CBC', 'PKCS', unhex('$ivHex'))")))
+            .as("aes256_cbc"),
+          expr(s"cast(aes_decrypt(aes_encrypt(cast(msg as binary), " +
+               s"'$key16', 'ECB'), '$key16', 'ECB') as string) = msg")
+            .as("ecb_roundtrip"),
+          expr(s"cast(aes_decrypt(aes_encrypt(cast(msg as binary), " +
+               s"'$key32', 'CBC'), '$key32', 'CBC') as string) = msg")
+            .as("cbc_roundtrip"))
+        .orderBy(col("msg_id"))
+    }),
+
     // contrib/isn check-digit arithmetic (`/root/reference/contrib/isn/
     // isn.c` weight_checkdig / EAN13 validation): a deterministic
     // 12-digit EAN body derives from the part key, the check digit is
@@ -704,6 +740,32 @@ object ScalarFns extends QueryModule {
         |  (6, '766f95f5bcbc05b834b0d05c23f8df66',
         |   'd09cd7bd2d4d3153424d2680c2ad92f8cd65e5933c86c628039b323b5f736485')
         |) AS t(msg_id, hmac_md5, hmac_sha256)
+        |ORDER BY msg_id""".stripMargin,
+
+    // known-answer vectors from openssl enc (aes-128-ecb / aes-256-cbc
+    // with the fixed IV 000102..0e0f, PKCS padding); the CBC column is
+    // iv || ciphertext to match Spark's IV-prepended output layout
+    "q_pgcrypto_aes" ->
+      """SELECT * FROM (VALUES
+        |  (1, '92568d1bfc8faf7af0a7eb017d12a800',
+        |   '000102030405060708090a0b0c0d0e0fa4e03559d8dbd9e504a5e22813095f48',
+        |   true, true),
+        |  (2, '9dcbcc45ad32d4cf3990145847139240',
+        |   '000102030405060708090a0b0c0d0e0f31571657ab5748c1ce68dc7d2e1dfe9b',
+        |   true, true),
+        |  (3, 'b872367407cab7c4c2e66f7059da6b7e06bb1b48a1f9ba75703412984abb29d4',
+        |   '000102030405060708090a0b0c0d0e0f3c71d6607828dac872b2a36d5680939771de076af42b379cd62bf4399013c67b',
+        |   true, true),
+        |  (4, '00d37206f69d41daa494c2d5c0d9f560059bfaf945b136811d9f38c60da55f7f27a807e9d54a1b1a7ab3f4d7b736ff9d',
+        |   '000102030405060708090a0b0c0d0e0fcc542db7e89823d22f62d74b29b290d7be7cb2d64ce9a15ee8e2b9819589ede9588b61da98d615726c9b3469bfd4921d',
+        |   true, true),
+        |  (5, 'fdd1b28e29184239ef09014466a7fabafdd1b28e29184239ef09014466a7fabafdd1b28e29184239ef09014466a7fabafdd1b28e29184239ef09014466a7fabafdd1b28e29184239ef09014466a7fabafdd1b28e29184239ef09014466a7faba484a8f614ce70a0db2e85aa5f4a20498',
+        |   '000102030405060708090a0b0c0d0e0f5438de87df41365b99a089e28217f9832bedb1067a0e244676f895ea9027a9ceb4213f64454705c3edaff672b10d34b508d49170230c53d7e4f941db9fd60fbf4d53705a83c035249626dfa71d2e06165048e0c462ba9636f322747798851bb1df8b0348b89711238d8a7df894ade04c',
+        |   true, true),
+        |  (6, '662e89f7719e10da0530b53ad3f8f543372b6aed945c64166070ced38c07d94feb2480930705e8bd35e3907a3fd59743',
+        |   '000102030405060708090a0b0c0d0e0f680f04aa92d1d5bcd95c83771a42d557dbe15f04826118bf1d351037cf8cfa9ee5b76053dbb887c96241809047ea06e8',
+        |   true, true)
+        |) AS t(msg_id, aes128_ecb, aes256_cbc, ecb_roundtrip, cbc_roundtrip)
         |ORDER BY msg_id""".stripMargin,
 
     "q_isn_ean" -> {

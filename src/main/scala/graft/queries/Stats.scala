@@ -54,15 +54,46 @@ object Stats extends QueryModule {
         when(col("event_type") === "view", 1L).otherwise(0L).as("g1"))
 
   /** Distinct-value spine with per-value and cumulative counts — the
-    * bounded structure every rank/ECDF statistic reads. The ordered
-    * window runs over the spine (value-domain-bounded), not the rows. */
+    * bounded structure every rank/ECDF statistic reads.
+    *
+    * The cumulative sums are TWO-LEVEL: values hash into B range buckets
+    * (width_bucket over the broadcast min/max), each bucket cumsums
+    * independently under `Window.partitionBy(bkt)`, and the per-bucket
+    * offsets come from a B×B triangular self-join — so there is NO
+    * single-partition Exchange anywhere (asserted in PlanSpec), and the
+    * spine stays parallel even if someone points these statistics at a
+    * continuous column with millions of distinct values instead of the
+    * documented ≤49k-point money domain. Answers are bit-identical to
+    * the global-window formulation. */
   private def spine(two: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("x_u"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    two.groupBy(col("x_u"))
+    val B = 32
+    val agg = two.groupBy(col("x_u"))
       .agg(count(lit(1)).as("cnt"), sum(col("g1")).as("c1"))
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("cc1", sum(col("c1")).over(w))
+    val bounds = agg.agg(min(col("x_u")).as("lo"), max(col("x_u")).as("hi"))
+    // range bucket in [1, B]; decimal keeps (x-lo)*B exact at any scale
+    val bucketed = agg.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(1)).otherwise(
+          least(lit(B),
+            ((col("x_u") - col("lo")).cast("decimal(38,0)") * B /
+             (col("hi") - col("lo") + 1).cast("decimal(38,0)")).cast("int") + 1)))
+      .drop("lo", "hi")
+    val w = Window.partitionBy(col("bkt")).orderBy(col("x_u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed
+      .withColumn("cum_l", sum(col("cnt")).over(w))
+      .withColumn("cc1_l", sum(col("c1")).over(w))
+    val btot = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("cnt")).as("t_cnt"), sum(col("c1")).as("t_c1"))
+    val offs = btot.as("a")
+      .join(btot.as("b"), col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.t_cnt")), lit(0L)).as("off_cnt"),
+           coalesce(sum(col("b.t_c1")), lit(0L)).as("off_c1"))
+    local.join(broadcast(offs), "bkt")
+      .select(col("x_u"), col("cnt"), col("c1"),
+        (col("cum_l") + col("off_cnt")).as("cum"),
+        (col("cc1_l") + col("off_c1")).as("cc1"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -96,12 +127,14 @@ object Stats extends QueryModule {
     "q_ks_test" -> ((s, dir) => {
       val sp = spine(twoSample(s, dir)).withColumn("cc2", col("cum") - col("cc1"))
       val tot = sp.agg(max(col("cc1")).as("n1"), max(col("cc2")).as("n2"))
-      val wAll = Window.partitionBy(lit(1))
-      sp.crossJoin(broadcast(tot))
+      val diffed = sp.crossJoin(broadcast(tot))
         .withColumn("diff",
           abs(col("cc1").cast("decimal(38,0)") * col("n2") -
               col("cc2").cast("decimal(38,0)") * col("n1")))
-        .withColumn("dmax", max(col("diff")).over(wAll))
+      // global argmax WITHOUT a single-partition window: the max is a
+      // parallel aggregate, broadcast back as a one-row frame
+      val mx = diffed.agg(max(col("diff")).as("dmax"))
+      diffed.crossJoin(broadcast(mx))
         .filter(col("diff") === col("dmax"))
         .groupBy(col("n1"), col("n2"))
         .agg(max(col("dmax")).cast("long").as("d_scaled"),

@@ -42,6 +42,76 @@ object Ingest {
     (good, bad)
   }
 
+  /** Fixed-width external-table READ formatter
+    * (`/root/reference/contrib/formatter_fixedwidth/fixedwidth.c`
+    * fixedwidth_in / extract_field): each line carries the columns at
+    * fixed byte offsets in declaration order. Spark-first: one `text`
+    * scan, per-field `substring` slices (pure codegen — no UDF), trailing
+    * blanks trimmed unless `preserveBlanks` (extract_field:91-110), a
+    * field equal to `nullValue` after extraction reads as NULL
+    * (make_null_val_with_blanks:243), and malformed lines — wrong total
+    * length or an unparseable typed field — land in the reject table
+    * under the same SEGMENT REJECT LIMIT contract as
+    * [[readCsvPermissive]] (cdbsreh parity).
+    *
+    * `fields` = (name, width, typeDDL) in file order. Returns (good,
+    * rejects); throws once rejects exceed `rejectLimit`.
+    */
+  def readFixedWidth(spark: SparkSession, path: String,
+                     fields: Seq[(String, Int, String)],
+                     rejectLimit: Int,
+                     preserveBlanks: Boolean = false,
+                     nullValue: String = ""): (DataFrame, DataFrame) = {
+    val totalWidth = fields.map(_._2).sum
+    val raw = spark.read.text(path)
+    // slice first, then validate: a field is BAD when its trimmed text is
+    // neither empty, the null marker, nor castable to the declared type
+    val offsets = fields.scanLeft(1)((acc, f) => acc + f._2)
+    val sliced = fields.zip(offsets).foldLeft(raw) {
+      case (df, ((name, width, _), off)) =>
+        val cut = substring(col("value"), off, width)
+        val v = if (preserveBlanks) cut else rtrim(cut)
+        df.withColumn(s"_raw_$name",
+          when(v === lit(nullValue), lit(null).cast("string")).otherwise(v))
+    }
+    val castFails = fields.map { case (name, _, ddl) =>
+      col(s"_raw_$name").isNotNull &&
+        expr(s"try_cast(trim(_raw_$name) as $ddl)").isNull
+    }.reduce(_ || _)
+    val isBad = length(col("value")) =!= totalWidth || castFails
+    val tagged = sliced.withColumn("_bad", isBad).cache()
+    val bad = tagged.filter(col("_bad")).select(col("value").as("_rejected_record"))
+    val good = tagged.filter(!col("_bad"))
+      .select(fields.map { case (name, _, ddl) =>
+        expr(s"try_cast(trim(_raw_$name) as $ddl)").as(name)
+      }: _*)
+    val nBad = bad.count()
+    if (nBad > rejectLimit)
+      throw new IllegalStateException(
+        s"segment reject limit reached: $nBad > $rejectLimit")
+    (good, bad)
+  }
+
+  /** Fixed-width WRITE formatter (fixedwidth_out / make_val_with_blanks:
+    * every value blank-padded to its declared width, NULLs rendered as
+    * `nullValue` padded to the field size). Values wider than the declared
+    * field width are a formatter error in the reference
+    * (fixedwidth.c:283-300) — surfaced here via `raise_error`, the same
+    * fail-the-load behavior. Returns the written line count. */
+  def writeFixedWidth(spark: SparkSession, df: DataFrame, path: String,
+                      fields: Seq[(String, Int)],
+                      nullValue: String = ""): Long = {
+    val line = concat(fields.map { case (name, width) =>
+      val s = coalesce(col(name).cast("string"), lit(nullValue))
+      when(length(s) > width,
+           expr(s"raise_error(concat('fixedwidth: value too wide for $name: ', `$name`))"))
+        .otherwise(rpad(s, width, " "))
+    }: _*)
+    val out = df.select(line.as("value"))
+    out.write.mode(SaveMode.Overwrite).text(path)
+    spark.read.text(path).count()
+  }
+
   /** CTAS into a partitioned Parquet table (multi-level partitioning
     * analogue; partition pruning comes from the directory layout). */
   def ctasPartitioned(spark: SparkSession, df: DataFrame, path: String,

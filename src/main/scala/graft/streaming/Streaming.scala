@@ -22,13 +22,25 @@ import graft.Tables
 object Streaming {
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // file source needs an explicit schema; reuse the batch reader's
-    // pre-conversion schema (ts as raw INT64 nanos — same per-read schema
-    // trick as Tables.t, no session-global legacy flag)
-    spark.readStream.schema(Tables.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // file source needs an explicit schema; probe the fixture's actual
+    // timestamp unit via the batch reader's shared detector so batch and
+    // stream can never disagree (no session-global legacy flag either way)
+    val path = s"$dir/events.parquet"
+    if (Tables.eventsNeedsNanosFallback(spark, path)) {
+      spark.readStream.schema(Tables.eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      val tsType = Tables.probeEventsTsType(spark, path).get
+      val df = spark.readStream.schema(Tables.eventsMicrosSchema(tsType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      // same NTZ -> session-zoned normalization as the batch reader
+      if (tsType == org.apache.spark.sql.types.TimestampNTZType)
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      else df
+    }
   }
 
   /** Watermarked tumbling-window counts; complete-mode memory sink. */

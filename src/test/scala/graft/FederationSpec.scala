@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Federation (FDW) + fixed-width formatter specs — the last two §2.1
+  * source categories. The "remote" database is embedded Derby (in Spark's
+  * classpath already), exercising exactly the JDBCRelation code path a
+  * networked PostgreSQL URL would.
+  */
+class FederationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  private def tmp(suffix: String): String =
+    Files.createTempDirectory(s"graft_$suffix").toString
+
+  private lazy val url = {
+    val u = s"jdbc:derby:memory:graftfdw;create=true"
+    // materialize the DB once
+    graft.sources.Federation.execute(u, "CREATE SCHEMA graft")
+    u
+  }
+
+  test("foreign scan round-trips rows and pushes filters into the remote query") {
+    val nation = Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+              col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+    graft.sources.Federation.publish(nation, url, "graft.nation_fdw")
+
+    val remote = graft.sources.Federation.foreignTable(spark, url, "graft.nation_fdw")
+    // row parity with the local read
+    assert(remote.count() == nation.count())
+
+    val filtered = remote.filter(col("n_regionkey") === 2).select("n_nationkey", "n_name")
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the predicate must appear in the JDBC scan's pushed filters — the
+    // deparse.c contract: the remote side evaluates the WHERE clause
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"), plan)
+    // and the projection must prune to the selected columns remotely
+    assert(plan.contains("ReadSchema") || plan.contains("n_name"), plan)
+    val expected = nation.filter(col("n_regionkey") === 2).count()
+    assert(filtered.count() == expected && expected > 0)
+  }
+
+  test("partitioned foreign scan splits the remote table into parallel range queries") {
+    val cust = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+              col("c_name"), col("c_acctbal"))
+    graft.sources.Federation.publish(cust, url, "graft.customer_fdw")
+    val maxKey = cust.agg(max("c_custkey")).head().getLong(0)
+
+    val remote = graft.sources.Federation.foreignTablePartitioned(
+      spark, url, "graft.customer_fdw", "c_custkey", 1L, maxKey + 1, numPartitions = 4)
+    assert(remote.rdd.getNumPartitions == 4)
+    assert(remote.count() == cust.count())
+    // no row lost or duplicated across the range split
+    assert(remote.select(countDistinct("c_custkey")).head().getLong(0) == cust.count())
+  }
+
+  test("dblink-style remote execute + foreign scan sees remote-side mutations") {
+    graft.sources.Federation.execute(url,
+      "CREATE TABLE graft.kv (k INT PRIMARY KEY, v VARCHAR(20))")
+    graft.sources.Federation.execute(url, "INSERT INTO graft.kv VALUES (1, 'one'), (2, 'two')")
+    val r1 = graft.sources.Federation.foreignTable(spark, url, "graft.kv")
+    assert(r1.count() == 2)
+    graft.sources.Federation.execute(url, "INSERT INTO graft.kv VALUES (3, 'three')")
+    val r2 = graft.sources.Federation.foreignTable(spark, url, "graft.kv")
+    assert(r2.count() == 3)
+    assert(r2.filter(col("k") === 3).select("v").head().getString(0) == "three")
+  }
+
+  test("fixed-width read: slicing, trailing-blank trim, NULL marker, typed casts") {
+    val dir = tmp("fw")
+    // layout: id(4) name(8) qty(6) — reference fixedwidth_in semantics
+    Files.writeString(java.nio.file.Path.of(dir, "data.txt"),
+      "1   alpha   10    " + "\n" +
+      "22  beta    200   " + "\n" +
+      "333 gamma-x 3000  " + "\n" +
+      "4   NULL    40    " + "\n")
+    val fields = Seq(("id", 4, "INT"), ("name", 8, "STRING"), ("qty", 6, "INT"))
+    val (good, bad) = graft.sources.Ingest.readFixedWidth(
+      spark, s"$dir/data.txt", fields, rejectLimit = 0, nullValue = "NULL")
+    assert(bad.count() == 0)
+    val rows = good.orderBy("id").collect()  // ids sort 1, 4, 22, 333
+    assert(rows.length == 4)
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "alpha" && rows(0).getInt(2) == 10)
+    assert(rows(3).getString(1) == "gamma-x" && rows(3).getInt(2) == 3000)
+    // the NULL marker reads as SQL NULL, not the string
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("fixed-width read: malformed lines land in the reject table under the limit") {
+    val dir = tmp("fwrej")
+    Files.writeString(java.nio.file.Path.of(dir, "data.txt"),
+      "1   alpha   10    " + "\n" +
+      "bad line too short" + "!!\n" +        // wrong total width
+      "xx  delta   50    " + "\n" +          // id not an int
+      "5   epsilon 99    " + "\n")
+    val fields = Seq(("id", 4, "INT"), ("name", 8, "STRING"), ("qty", 6, "INT"))
+    val (good, bad) = graft.sources.Ingest.readFixedWidth(
+      spark, s"$dir/data.txt", fields, rejectLimit = 2, nullValue = "NULL")
+    assert(good.count() == 2)
+    assert(bad.count() == 2)
+    assertThrows[IllegalStateException] {
+      graft.sources.Ingest.readFixedWidth(
+        spark, s"$dir/data.txt", fields, rejectLimit = 1, nullValue = "NULL")
+    }
+  }
+
+  test("fixed-width write/read round-trip; overflow value fails the load") {
+    val dir = tmp("fwrt")
+    import spark.implicits._
+    val df = Seq((1, "alpha", 10), (22, "beta", 200), (333, null: String, 3000))
+      .toDF("id", "name", "qty")
+    val n = graft.sources.Ingest.writeFixedWidth(
+      spark, df, s"$dir/out", Seq(("id", 4), ("name", 8), ("qty", 6)), nullValue = "NULL")
+    assert(n == 3)
+    val (back, bad) = graft.sources.Ingest.readFixedWidth(
+      spark, s"$dir/out", Seq(("id", 4, "INT"), ("name", 8, "STRING"), ("qty", 6, "INT")),
+      rejectLimit = 0, nullValue = "NULL")
+    assert(bad.count() == 0)
+    val got = back.orderBy("id").collect().map(r =>
+      (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1, "alpha", 10), (22, "beta", 200), (333, null, 3000)))
+    // a value wider than its declared field is a formatter error
+    val wide = Seq((1, "name-way-too-long-for-field", 1)).toDF("id", "name", "qty")
+    assertThrows[Exception] {
+      graft.sources.Ingest.writeFixedWidth(
+        spark, wide, s"$dir/bad", Seq(("id", 4), ("name", 8), ("qty", 6)))
+    }
+  }
+}

@@ -306,6 +306,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("rank/ECDF spine has no partition-less window or global sort") {
+    // q_mannwhitney_u / q_ks_test cumsum over a bucket-partitioned spine
+    // with triangular-join offsets — safe even on a continuous column
+    // where the spine is no longer value-domain-bounded. (The one
+    // remaining SinglePartition exchange is the final scalar aggregate
+    // over ~32 partial rows — bounded by partition count, not data.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort, Window => LWindow}
+    for (n <- Seq("q_mannwhitney_u", "q_ks_test")) {
+      val lp = SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan
+      val badWin = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(badWin.isEmpty, s"$n plans a partition-less window:\n$lp")
+      val badSort = lp.collect { case s: LSort if s.global => s }
+      assert(badSort.isEmpty, s"$n plans a global sort:\n$lp")
+    }
+  }
+
   test("multirange canonicalization shuffles once on the grouping key") {
     // window partition-by user_id; both downstream groupBys cluster on
     // supersets/subsets served by the same HashPartitioning — one
