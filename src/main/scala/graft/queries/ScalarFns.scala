@@ -405,6 +405,34 @@ object ScalarFns extends QueryModule {
         .orderBy(col("msg_id"))
     }),
 
+    // Name-based UUID v5 (uuid-ossp's uuid_generate_v5,
+    // `/root/reference/contrib/uuid-ossp/uuid-ossp.c`): RFC 4122 layout
+    // from sha1(namespace_bytes || name) — version nibble 5, variant
+    // (x & 3) | 8 — over the DNS namespace UUID, same string surgery as
+    // q_uuid_v3. DuckDB has no sha1, so like hmac/aes the oracle is a
+    // known-answer table (vectors from an independent RFC 4122
+    // implementation); names cover domains, single char, empty, paths.
+    "q_uuid_v5" -> ((s, dir) => {
+      import s.implicits._
+      val nsHex = "6ba7b8109dad11d180b400c04fd430c8"  // RFC 4122 DNS ns
+      Seq((1, "graft.example.com"), (2, "warehouse.example.com"),
+          (3, "spark.apache.org"), (4, "a"), (5, "docs/readme.md"),
+          (6, "pipeline-7"), (7, ""), (8, "ns:check"))
+        .toDF("name_id", "name")
+        .withColumn("h",
+          expr(s"sha1(concat(unhex('$nsHex'), cast(name as binary)))"))
+        .select(col("name_id"),
+          concat(
+            substring(col("h"), 1, 8), lit("-"),
+            substring(col("h"), 9, 4), lit("-5"),
+            substring(col("h"), 14, 3), lit("-"),
+            expr("element_at(array('8','9','a','b')," +
+                 " CAST(conv(substring(h, 17, 1), 16, 10) % 4 + 1 AS INT))"),
+            substring(col("h"), 18, 3), lit("-"),
+            substring(col("h"), 21, 12)).as("uuid5"))
+        .orderBy(col("name_id"))
+    }),
+
     // contrib/isn check-digit arithmetic (`/root/reference/contrib/isn/
     // isn.c` weight_checkdig / EAN13 validation): a deterministic
     // 12-digit EAN body derives from the part key, the check digit is
@@ -767,6 +795,21 @@ object ScalarFns extends QueryModule {
         |   true, true)
         |) AS t(msg_id, aes128_ecb, aes256_cbc, ecb_roundtrip, cbc_roundtrip)
         |ORDER BY msg_id""".stripMargin,
+
+    // known-answer vectors from an independent RFC 4122 v5 implementation
+    // (python uuid.uuid5 over the DNS namespace)
+    "q_uuid_v5" ->
+      """SELECT * FROM (VALUES
+        |  (1, '7fd2fab0-a77a-53b4-b4ad-ba846128e6ac'),
+        |  (2, '490d0738-5dd0-546d-840b-51cdc6f2352c'),
+        |  (3, '08f52643-f056-50c4-ada7-981a39f7b553'),
+        |  (4, '4f3f2898-69e3-5a0d-820a-c4e87987dbce'),
+        |  (5, '54bf5729-1ea9-5db5-b18a-027d39f24f4c'),
+        |  (6, '176856a6-8ddf-5c49-8981-99d50c81a3f4'),
+        |  (7, '4ebd0208-8328-5d69-8c44-ec50939c0967'),
+        |  (8, 'c42ee911-c18d-5088-99cd-8d554491b141')
+        |) AS t(name_id, uuid5)
+        |ORDER BY name_id""".stripMargin,
 
     "q_isn_ean" -> {
       val sum12 = (0 until 12).map { i =>
