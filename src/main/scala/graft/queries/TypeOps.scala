@@ -157,6 +157,55 @@ object TypeOps extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // contrib/fuzzystrmatch soundex() + difference()
+    // (`/root/reference/contrib/fuzzystrmatch/fuzzystrmatch.c:725-771,
+    // 773-798`): PG's SIMPLE soundex variant — first letter kept, then
+    // the code of every alpha char is appended when it differs from the
+    // PREVIOUS CHARACTER's code and is non-zero (h/w and vowels code to
+    // '0', so they separate but never emit; Ashcraft -> A226, NOT the
+    // h/w-transparent A261 of the "standard" algorithm). Implemented as
+    // the exact algorithm in pure codegen expressions (translate + one
+    // higher-order pass over positions) rather than Spark's builtin
+    // soundex, which implements the other variant. difference() counts
+    // positionally equal soundex chars (0-4). Oracle = known-answer
+    // vectors from an independent port of the C, covering the PG regress
+    // names (Anne/Ann, leading blanks, apostrophes, h/w clusters).
+    "q_fuzzy_soundex" -> ((s, dir) => {
+      import s.implicits._
+      val tbl = "01230120022455012623010202"
+      def sdx(src: Column): Column = {
+        val u = upper(regexp_replace(src, "^[^A-Za-z]+", ""))
+        val cs = translate(u, ('A' to 'Z').mkString, tbl)
+        // digits at positions 2..len whose code differs from the previous
+        // CHARACTER's code and is non-zero; first 3 survive (the C stops
+        // at 4 total), zero-padded
+        val digits = array_join(
+          filter(
+            transform(sequence(lit(2), greatest(length(u), lit(2))),
+              i => when(i <= length(u) &&
+                        u.substr(i, lit(1)).rlike("[A-Z]") &&
+                        cs.substr(i, lit(1)) =!= cs.substr(i - 1, lit(1)) &&
+                        cs.substr(i, lit(1)) =!= "0",
+                        cs.substr(i, lit(1))).otherwise(lit(""))),
+            x => x =!= ""), "")
+        when(length(u) === 0, lit(""))
+          .otherwise(rpad(concat(u.substr(lit(1), lit(1)),
+                                 substring(digits, 1, 3)), 4, "0"))
+      }
+      def diff(a: Column, b: Column): Column =
+        size(filter(sequence(lit(1), lit(4)),
+          i => a.substr(i, lit(1)) === b.substr(i, lit(1))))
+      Seq((1, "Robert"), (2, "Rupert"), (3, "Ashcraft"), (4, "Ashcroft"),
+          (5, "Tymczak"), (6, "Pfister"), (7, "Washington"), (8, "Lee"),
+          (9, "Gutierrez"), (10, "Jackson"), (11, "Anne"), (12, "Ann"),
+          (13, "  Smith"), (14, "O'Brien"))
+        .toDF("name_id", "name")
+        .select(col("name_id"),
+          sdx(col("name")).as("sdx"),
+          diff(sdx(col("name")), sdx(lit("Robert"))).as("diff_robert"))
+        .orderBy(col("name_id"))
+    }),
+
     // IPv4-as-uint32 inet family: dotted text, /24 network + broadcast,
     // subnet membership, and a same-subnet self-join aggregated per /24.
     "q_inet_ops" -> ((s, dir) => {
@@ -334,6 +383,17 @@ object TypeOps extends QueryModule {
          |    TIMESTAMP '2024-01-01 00:30:00') AS bin_start,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY bin_start ORDER BY bin_start""".stripMargin,
+
+    // known-answer vectors from an independent port of PG's _soundex C
+    // (simple variant; difference vs 'Robert' = R163)
+    "q_fuzzy_soundex" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'R163', 4), (2, 'R163', 4), (3, 'A226', 0), (4, 'A226', 0),
+        |  (5, 'T522', 0), (6, 'P236', 0), (7, 'W252', 0), (8, 'L000', 0),
+        |  (9, 'G362', 1), (10, 'J250', 0), (11, 'A500', 0), (12, 'A500', 0),
+        |  (13, 'S530', 0), (14, 'O165', 2)
+        |) AS t(name_id, sdx, diff_robert)
+        |ORDER BY name_id""".stripMargin,
 
     // the same pg_trgm trigram construction (pad "  w ", distinct char
     // 3-grams per non-alnum-split word) with the same micros rational
