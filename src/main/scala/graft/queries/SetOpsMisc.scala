@@ -213,6 +213,40 @@ object SetOpsMisc extends QueryModule {
         .orderBy(col("node"))
     }),
 
+    // contrib/tablefunc connectby() (`/root/reference/contrib/tablefunc/
+    // tablefunc.c` build_tuplestore_recursively; regress
+    // `contrib/tablefunc/expected/tablefunc.out:284-293`): hierarchical
+    // expansion from a start key — root at level 0 with NULL parent and
+    // branch = its own key, children extend the '~'-delimited branch
+    // path. Hierarchy derived from part (keyid 2..80, parent = keyid div
+    // 3, root 1 — acyclic by construction); driver-side BFS fixpoint
+    // exactly like q_recursive_cte, one equi-join per level carrying
+    // (parent, level, branch). Ordered by branch = the depth-first
+    // presentation, deterministic in both engines.
+    "q_connectby" -> ((s, dir) => {
+      val edges = t(s, dir, "part")
+        .filter(col("p_partkey").between(2, 80))
+        .select(col("p_partkey").cast("int").as("k"),
+                expr("CAST(p_partkey div 3 AS INT)").as("pk"))
+      var frontier = s.range(1)
+        .select(lit(1).as("keyid"), lit(null).cast("int").as("parent_keyid"),
+                lit(0).as("level"), lit("1").as("branch"))
+      var acc = frontier
+      var iter = 0
+      while (iter < 10 && !frontier.isEmpty) {
+        val next = frontier
+          .select(col("keyid").as("fk"), col("level"), col("branch"))
+          .join(edges, col("fk") === col("pk"))
+          .select(col("k").as("keyid"), col("fk").as("parent_keyid"),
+                  (col("level") + 1).as("level"),
+                  concat(col("branch"), lit("~"), col("k")).as("branch"))
+        frontier = next.localCheckpoint()
+        acc = acc.unionAll(frontier).localCheckpoint()
+        iter += 1
+      }
+      acc.orderBy(col("branch"))
+    }),
+
     // TABLESAMPLE (nodeSamplescan.c) — engine-specific RNG, so rows-only:
     // assert the sampled aggregate is present, no oracle.
     "q_sample_bernoulli" -> ((s, dir) => {
@@ -389,6 +423,22 @@ object SetOpsMisc extends QueryModule {
         |  WHERE r.lvl < 30)
         |SELECT CAST(node AS INT) AS node, CAST(MIN(lvl) AS INT) AS lvl
         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_connectby" ->
+      """WITH RECURSIVE tree(keyid, parent_keyid, level, branch) AS (
+        |  SELECT 1, CAST(NULL AS INT), 0, '1'
+        |  UNION ALL
+        |  SELECT e.k, t.keyid, t.level + 1,
+        |         t.branch || '~' || CAST(e.k AS VARCHAR)
+        |  FROM tree t JOIN (
+        |    SELECT CAST(p_partkey AS INT) AS k,
+        |           CAST(p_partkey // 3 AS INT) AS pk
+        |    FROM part WHERE p_partkey BETWEEN 2 AND 80) e
+        |  ON t.keyid = e.pk)
+        |SELECT CAST(keyid AS INT) AS keyid,
+        |  CAST(parent_keyid AS INT) AS parent_keyid,
+        |  CAST(level AS INT) AS level, branch
+        |FROM tree ORDER BY branch""".stripMargin,
 
     "q_sample_system_rows" ->
       """WITH s AS (SELECT l_orderkey, l_linenumber,

@@ -70,6 +70,38 @@ class FederationSpec extends AnyFunSuite {
     assert(r2.filter(col("k") === 3).select("v").head().getString(0) == "three")
   }
 
+  test("DSv2 JDBC catalog pushes aggregates into the remote query") {
+    val cust = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+              col("c_nationkey").cast("int").as("c_nationkey"))
+    graft.sources.Federation.publish(cust, url, "graft.cust_agg_fdw")
+    // the V2 catalog path is what enables aggregate pushdown (the
+    // DataFrame-reader V1 path stops at filters); postgres_fdw grew the
+    // same capability in its aggregate_pushdown deparse support
+    spark.conf.set("spark.sql.catalog.graftjdbc",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.graftjdbc.url", url)
+    spark.conf.set("spark.sql.catalog.graftjdbc.pushDownAggregate", "true")
+    try {
+      // Derby folds unquoted identifiers to UPPER; the V2 catalog passes
+      // identifiers through verbatim, so quote them uppercase
+      val agg = spark.sql(
+        "SELECT c_nationkey, count(*) AS n, max(c_custkey) AS mx " +
+        "FROM graftjdbc.`GRAFT`.`CUST_AGG_FDW` GROUP BY c_nationkey")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregates"), plan)
+      val expected = cust.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), max("c_custkey").as("mx"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val got = agg.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftjdbc")
+      spark.conf.unset("spark.sql.catalog.graftjdbc.url")
+      spark.conf.unset("spark.sql.catalog.graftjdbc.pushDownAggregate")
+    }
+  }
+
   test("fixed-width read: slicing, trailing-blank trim, NULL marker, typed casts") {
     val dir = tmp("fw")
     // layout: id(4) name(8) qty(6) — reference fixedwidth_in semantics
