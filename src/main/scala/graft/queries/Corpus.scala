@@ -651,6 +651,39 @@ object Corpus extends QueryModule {
           expr("(2000000 * n_dup + n_chunks) div (2 * n_chunks)")
             .as("dup_frac_u"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Boilerplate-span REMOVAL — the transform d_dedup_chunks only
+    // measures (CCNet/C4 strip repeated spans before training): 8-word
+    // chunks, a chunk appearing in more than one DISTINCT document is
+    // corpus boilerplate, and each document is REASSEMBLED in original
+    // order from its surviving chunks. The hot set (repeated digests) is
+    // vocabulary-bounded and BROADCAST back onto the chunk stream; the
+    // corpus-sized shuffle carries (digest, doc, idx) pairs; the text
+    // itself only moves once, into the per-doc reassembly groupBy. The
+    // cleaned text is the hash-checked output, so the oracle proves the
+    // transform, not just a statistic.
+    "d_boilerplate_strip" -> ((s, dir) => {
+      val C = 8
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(w) - 1) div $C), " +
+            s"i -> concat_ws(' ', slice(w, i * $C + 1, $C)))"))
+          .as(Seq("idx", "chunk")))
+        .withColumn("dg", md5(col("chunk")))
+      val hot = chunks.groupBy(col("dg"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("dg"), lit(1).as("bp"))
+      chunks.join(broadcast(hot), Seq("dg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          expr("concat_ws(' ', transform(array_sort(collect_list(" +
+               "case when bp is null then struct(idx, chunk) end)), " +
+               "x -> x.chunk))").as("clean_text"),
+          count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("bp"), lit(0))).cast("long").as("n_removed"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -886,6 +919,22 @@ object Corpus extends QueryModule {
         |  (2000000 * CAST(COUNT(dup.chunk) AS BIGINT) + COUNT(*))
         |    // (2 * COUNT(*)) AS dup_frac_u
         |FROM ck LEFT JOIN dup USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_boilerplate_strip" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ck AS (SELECT doc_id, i AS idx,
+        |    array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ') AS chunk
+        |  FROM d, UNNEST(range(0, (len(w) - 1) // 8 + 1)) AS t(i)),
+        |hot AS (SELECT chunk FROM ck GROUP BY chunk
+        |  HAVING COUNT(DISTINCT doc_id) > 1)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(list(CASE WHEN hot.chunk IS NULL
+        |                                THEN ck.chunk END
+        |                       ORDER BY idx), ' '), '') AS clean_text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(hot.chunk) AS BIGINT) AS n_removed
+        |FROM ck LEFT JOIN hot USING (chunk)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_sample_mix" ->

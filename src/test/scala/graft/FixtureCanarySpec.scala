@@ -33,6 +33,49 @@ class FixtureCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("every fixture table keeps its column names and type families") {
+    import org.apache.spark.sql.types._
+    // family letters: i=integral, f=floating, s=string, t=timestamp/date,
+    // v=array<float>. A driver-side fixture regen that flips a family
+    // (double -> decimal, timestamp -> string, ...) fails HERE with the
+    // table+column named, instead of as dozens of opaque hash mismatches.
+    def family(dt: DataType): String = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "i"
+      case _: FloatType | _: DoubleType => "f"
+      case _: StringType => "s"
+      case _: TimestampType | _: TimestampNTZType | _: DateType => "t"
+      case ArrayType(_: FloatType | _: DoubleType, _) => "v"
+      case other => other.simpleString
+    }
+    val expected = Map(
+      "region" -> Seq("r_regionkey" -> "i", "r_name" -> "s"),
+      "nation" -> Seq("n_nationkey" -> "i", "n_name" -> "s", "n_regionkey" -> "i"),
+      "customer" -> Seq("c_custkey" -> "i", "c_name" -> "s", "c_nationkey" -> "i",
+                        "c_acctbal" -> "f", "c_mktsegment" -> "s"),
+      "supplier" -> Seq("s_suppkey" -> "i", "s_name" -> "s", "s_nationkey" -> "i",
+                        "s_acctbal" -> "f"),
+      "part" -> Seq("p_partkey" -> "i", "p_name" -> "s", "p_brand" -> "s",
+                    "p_type" -> "s", "p_size" -> "i", "p_retailprice" -> "f"),
+      "orders" -> Seq("o_orderkey" -> "i", "o_custkey" -> "i", "o_orderstatus" -> "s",
+                      "o_totalprice" -> "f", "o_orderdate" -> "t", "o_orderpriority" -> "s"),
+      "lineitem" -> Seq("l_orderkey" -> "i", "l_partkey" -> "i", "l_suppkey" -> "i",
+                        "l_linenumber" -> "i", "l_quantity" -> "f", "l_extendedprice" -> "f",
+                        "l_discount" -> "f", "l_tax" -> "f", "l_returnflag" -> "s",
+                        "l_linestatus" -> "s", "l_shipdate" -> "t"),
+      "events" -> Seq("event_id" -> "i", "ts" -> "t", "user_id" -> "i",
+                      "event_type" -> "s", "value" -> "f", "props" -> "s"),
+      "documents" -> Seq("doc_id" -> "i", "text" -> "s", "lang" -> "s",
+                         "source" -> "s", "n_chars" -> "i"),
+      "embeddings" -> Seq("vec_id" -> "i", "embedding" -> "v", "label" -> "i"))
+    for ((table, cols) <- expected) {
+      val got = Tables.t(spark, SparkTestSession.sf, table)
+        .schema.fields.map(f => f.name -> family(f.dataType)).toSeq
+      assert(got == cols,
+        s"fixture schema drifted for '$table': read $got, expected $cols — " +
+          "a driver-side regen changed column names or type families")
+    }
+  }
+
   test("batch and streaming readers agree on the events timestamp axis") {
     val dir = SparkTestSession.sf
     val batchMin = Tables.t(spark, dir, "events").agg(min(col("ts"))).head().getTimestamp(0)
