@@ -443,6 +443,56 @@ object Ingest {
     replaceTable(spark, spark.read.parquet(path).repartition(nFiles), path)
   }
 
+  /** Storage introspection — the pgstattuple / pg_freespacemap role
+    * (`/root/reference/contrib/pgstattuple/pgstattuple.c` pgstat_heap:
+    * table_len, tuple_count/len, dead-tuple accounting). Parquet mapping:
+    * one row per COLUMN aggregated over every row group's footer
+    * metadata — rows, row groups, files, compressed/uncompressed bytes
+    * (compression ratio = the dead-space analogue), null counts, and
+    * min/max-statistics coverage (what the planner can prune on).
+    *
+    * Footer reads are DISTRIBUTED — the file list fans out as a Dataset
+    * and each task opens only its own footers (metadata-only I/O), so the
+    * sweep scales to a 100 TB table's file count instead of serializing
+    * through the driver. */
+  def statTable(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, path)
+    val files = fs.listStatus(new Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
+    val perColumn = files.toDS().flatMap { f =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(f), new org.apache.hadoop.conf.Configuration()))
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+          b.getColumns.asScala.toSeq.map { c =>
+            val st = Option(c.getStatistics)
+            (f, c.getPath.toDotString, b.getRowCount,
+             c.getTotalSize, c.getTotalUncompressedSize,
+             st.filter(_.isNumNullsSet).map(_.getNumNulls).getOrElse(-1L),
+             st.exists(s => s.hasNonNullValue))
+          }
+        }
+      } finally reader.close()
+    }.toDF("file", "column", "rg_rows", "comp_bytes", "uncomp_bytes",
+           "n_nulls", "has_minmax")
+    perColumn.groupBy(col("column"))
+      .agg(countDistinct(col("file")).as("n_files"),
+           count(lit(1)).as("n_row_groups"),
+           sum(col("rg_rows")).as("n_rows"),
+           sum(col("comp_bytes")).as("comp_bytes"),
+           sum(col("uncomp_bytes")).as("uncomp_bytes"),
+           sum(when(col("n_nulls") >= 0, col("n_nulls"))).as("n_nulls"),
+           avg(col("has_minmax").cast("int")).as("minmax_coverage"))
+      .withColumn("compression_ratio",
+        round(col("uncomp_bytes") / greatest(col("comp_bytes"), lit(1L)), 3))
+      .orderBy(col("column"))
+  }
+
   /** Parquet BLOOM-FILTER indexing for point lookups on non-sort keys —
     * the lakehouse analogue of the reference's secondary index AMs
     * (`/root/reference/src/backend/access/brin/`, bitmap/btree indexes;

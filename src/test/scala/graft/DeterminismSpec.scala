@@ -43,7 +43,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_holt_linear",          // ordered array fold, O(1) integer state
     "t_bm25_rank",            // per-row fp ops off broadcast stats, rank tie-broken
     "s_hard_negatives",       // round(6)-then-rank cosine, nid tie-break
-    "q_asof_native")          // custom exec: merge result is sort-determined
+    "q_asof_native",          // custom exec: merge result is sort-determined
+    // r11 additions:
+    "q_ks_test",              // two-level bucketed cumsum spine + exact argmax
+    "q_connectby",            // BFS fixpoint carrying branch paths
+    "d_boilerplate_strip")    // broadcast hot set + idx-sorted reassembly
     // (q_eager_agg deliberately NOT here: it builds a child session, so
     // the parent-session parallelism override would never reach it and
     // the invariance claim would be vacuous; XformRulesSpec proves its

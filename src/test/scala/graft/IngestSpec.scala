@@ -419,6 +419,32 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).count() == src.count())
   }
 
+  test("statTable reports footer-exact rows, nulls, and compression per column") {
+    val dir = tmp("stat") + "/t"
+    val src = Tables.t(spark, sf, "orders")
+      .withColumn("maybe_null",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice")))
+    src.repartition(3).write.parquet(dir)
+    val stats = graft.sources.Ingest.statTable(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val nRows = src.count()
+    val nNullsExpected = src.filter(col("maybe_null").isNull).count()
+    for ((_, r) <- stats) {
+      assert(r.getLong(3) == nRows, s"n_rows mismatch: $r")       // n_rows
+      assert(r.getLong(1) == 3, s"n_files mismatch: $r")          // n_files
+      assert(r.getLong(2) >= 3, s"row groups < files: $r")        // n_row_groups
+    }
+    assert(stats("maybe_null").getLong(6) == nNullsExpected)      // n_nulls
+    assert(stats("o_orderkey").getLong(6) == 0)
+    // stats coverage lets min/max pruning work on every column here
+    assert(stats.values.forall(_.getDouble(7) == 1.0), stats)     // minmax_coverage
+    // ratio sanity only: parquet's "uncompressed" size is post-encoding
+    // (dictionary already applied), so codec overhead can leave any
+    // column slightly under 1.0 — the ratio's job is flagging gross
+    // misconfiguration, not re-proving codec math
+    assert(stats.values.forall(r => r.getDouble(8) > 0.5), stats) // compression_ratio
+  }
+
   test("bloom-filter columns are written into the parquet footers and reads stay exact") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
