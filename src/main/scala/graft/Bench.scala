@@ -35,7 +35,10 @@ object Bench {
     "t_bm25_rank", "d_countmin_heavy", "q_logreg_gd", "q_asof_native",
     // r9b: graph wedge join, vocab-bounded BPE encode fold, MI feature
     // selection (vocab shuffle + bounded top-k)
-    "q_triangle_count", "d_bpe_encode", "d_feature_mi")
+    "q_triangle_count", "d_bpe_encode", "d_feature_mi",
+    // r11: boilerplate-span removal — corpus chunk shuffle + broadcast
+    // hot set + per-doc reassembly, the heaviest new text transform
+    "d_boilerplate_strip")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —

@@ -79,4 +79,51 @@ object StatStatements {
     import scala.jdk.CollectionConverters._
     stats.values.asScala.toSeq
   }
+
+  // ---- auto_explain ----------------------------------------------------
+
+  final case class SlowQuery(queryId: String, ms: Double, plan: String)
+
+  private val slowLog = new java.util.concurrent.ConcurrentLinkedQueue[SlowQuery]()
+  @volatile private var autoExplain: Option[QueryExecutionListener] = None
+
+  /** auto_explain analogue (`/root/reference/contrib/auto_explain/
+    * auto_explain.c`: ExecutorEnd hook logging the plan of any statement
+    * over `log_min_duration`): queries slower than `thresholdMs` get
+    * their EXECUTED plan captured into a bounded in-memory log (most
+    * recent `keep` entries — the reference bounds by log rotation). The
+    * captured text is the physical plan actually run, AQE-final, which
+    * is what a 100 TB slow-query post-mortem needs. */
+  def installAutoExplain(spark: SparkSession, thresholdMs: Double,
+                         keep: Int = 100): Unit = synchronized {
+    if (autoExplain.isEmpty) {
+      val l = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit = {
+          val ms = durationNs / 1e6
+          if (ms >= thresholdMs) {
+            val id = try fingerprint(qe) catch { case _: Throwable => "unfingerprintable" }
+            slowLog.add(SlowQuery(id, ms,
+              try qe.executedPlan.toString catch { case _: Throwable => "<unavailable>" }))
+            while (slowLog.size > keep) slowLog.poll()
+          }
+        }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      autoExplain = Some(l)
+    }
+  }
+
+  def uninstallAutoExplain(spark: SparkSession): Unit = synchronized {
+    autoExplain.foreach(spark.listenerManager.unregister)
+    autoExplain = None
+    slowLog.clear()
+  }
+
+  def slowQueries(): Seq[SlowQuery] = {
+    import scala.jdk.CollectionConverters._
+    slowLog.asScala.toSeq
+  }
 }

@@ -53,4 +53,31 @@ class StatStatementsSpec extends AnyFunSuite {
       StatStatements.reset()
     }
   }
+
+  test("auto_explain captures executed plans only for queries over threshold") {
+    StatStatements.installAutoExplain(spark, thresholdMs = 0.0)
+    try {
+      val q = Tables.t(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      q.collect()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (StatStatements.slowQueries().isEmpty &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      val slow = StatStatements.slowQueries()
+      assert(slow.nonEmpty)
+      // the captured text is the EXECUTED physical plan (AQE-final) —
+      // what a slow-query post-mortem reads
+      assert(slow.exists(s => s.plan.contains("HashAggregate") ||
+                              s.plan.contains("AdaptiveSparkPlan")), slow.map(_.plan.take(80)))
+      assert(slow.forall(_.ms >= 0.0))
+    } finally StatStatements.uninstallAutoExplain(spark)
+
+    // with an impossible threshold nothing is captured
+    StatStatements.installAutoExplain(spark, thresholdMs = 1e12)
+    try {
+      Tables.t(spark, sf, "nation").count()
+      Thread.sleep(500)
+      assert(StatStatements.slowQueries().isEmpty)
+    } finally StatStatements.uninstallAutoExplain(spark)
+  }
 }
