@@ -157,6 +157,37 @@ object TypeOps extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // Collation-aware comparison/grouping/ordering (the reference's
+    // per-column collations, `/root/reference/src/backend/utils/adt/
+    // varlena.c` varstr_cmp + pg_collation catalog; citext is the
+    // degenerate case): Spark 4's native collation machinery —
+    // `collate(s, 'UTF8_LCASE')` makes equality, GROUP BY, ORDER BY and
+    // predicates case-insensitive WITHOUT rewriting values through
+    // lower() (the collation travels in the type, exactly like a PG
+    // column collation). Mixed-case variants are derived
+    // deterministically from the key; groups/aggregates are reported
+    // via case-stable representatives so the oracle (which recomputes
+    // with lower()) hash-matches.
+    "q_collation" -> ((s, dir) => {
+      val base = t(s, dir, "customer").filter(col("c_custkey") <= 300)
+        .withColumn("seg_mixed",
+          when(col("c_custkey") % 3 === 0, lower(col("c_mktsegment")))
+            .when(col("c_custkey") % 3 === 1, initcap(lower(col("c_mktsegment"))))
+            .otherwise(col("c_mktsegment")))
+      base
+        .withColumn("seg_ci", expr("collate(seg_mixed, 'UTF8_LCASE')"))
+        .groupBy(col("seg_ci"))
+        .agg(count(lit(1)).as("n"),
+             min(col("seg_mixed")).as("first_variant"),
+             countDistinct(col("seg_mixed")).as("n_case_variants"),
+             sum(when(expr("seg_ci = collate('building', 'UTF8_LCASE')"), 1L)
+                   .otherwise(0L)).as("n_eq_building"))
+        .select(upper(col("seg_ci")).as("seg"), col("n"),
+                col("first_variant"), col("n_case_variants"),
+                col("n_eq_building"))
+        .orderBy(col("seg"))
+    }),
+
     // contrib/fuzzystrmatch soundex() + difference()
     // (`/root/reference/contrib/fuzzystrmatch/fuzzystrmatch.c:725-771,
     // 773-798`): PG's SIMPLE soundex variant — first letter kept, then
@@ -383,6 +414,24 @@ object TypeOps extends QueryModule {
          |    TIMESTAMP '2024-01-01 00:30:00') AS bin_start,
          |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY bin_start ORDER BY bin_start""".stripMargin,
+
+    // the oracle recomputes the case-insensitive semantics with lower();
+    // the Spark side exercises the real collation machinery
+    "q_collation" ->
+      """WITH b AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+        |         WHEN c_custkey % 3 = 1 THEN
+        |           upper(substr(lower(c_mktsegment), 1, 1))
+        |             || substr(lower(c_mktsegment), 2)
+        |         ELSE c_mktsegment END AS seg_mixed
+        |  FROM customer WHERE c_custkey <= 300)
+        |SELECT upper(lower(seg_mixed)) AS seg,
+        |  COUNT(*) AS n,
+        |  MIN(seg_mixed) AS first_variant,
+        |  CAST(COUNT(DISTINCT seg_mixed) AS BIGINT) AS n_case_variants,
+        |  CAST(SUM(CASE WHEN lower(seg_mixed) = 'building' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_eq_building
+        |FROM b GROUP BY lower(seg_mixed) ORDER BY seg""".stripMargin,
 
     // known-answer vectors from an independent port of PG's _soundex C
     // (simple variant; difference vs 'Robert' = R163)
