@@ -52,4 +52,27 @@ class SamplingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Sampling.tablesampleSystem(t, 101, seed = 1))
   }
+
+  test("SYSTEM_TIME analogue: budget bounds files read, seed-reproducible, all-or-nothing") {
+    val t = spark.read.parquet(dir)
+    // budget affords exactly 5 whole files at 10ms per file
+    val s1 = Sampling.tablesampleSystemTime(t, budgetMs = 50, perFileMs = 10, seed = 7)
+    val files1 = s1.select(input_file_name()).distinct().count()
+    assert(files1 == 5, s"expected 5 files, read $files1")
+    // repeatable: same seed -> identical sample; different seed diverges
+    val s1b = Sampling.tablesampleSystemTime(t, 50, 10, seed = 7)
+    assert(s1.orderBy("o_orderkey").collect().toSeq ==
+           s1b.orderBy("o_orderkey").collect().toSeq)
+    val s2 = Sampling.tablesampleSystemTime(t, 50, 10, seed = 8)
+    assert(s2.select(input_file_name()).distinct().collect().toSet !=
+           s1.select(input_file_name()).distinct().collect().toSet)
+    // all-or-nothing per file (block semantics preserved)
+    val perFull = t.groupBy(input_file_name().as("f")).agg(count(lit(1)).as("nf"))
+    val perSample = s1.groupBy(input_file_name().as("f")).agg(count(lit(1)).as("ns"))
+    assert(perSample.join(perFull, "f")
+      .filter(col("ns") =!= col("nf")).count() == 0)
+    // a zero budget reads nothing; a huge budget reads everything
+    assert(Sampling.tablesampleSystemTime(t, 0, 10, seed = 1).count() == 0)
+    assert(Sampling.tablesampleSystemTime(t, 1L << 40, 10, seed = 1).count() == t.count())
+  }
 }
