@@ -1,0 +1,150 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2 connector for fixed-width files — the pluggable
+  * external-table PROTOCOL extension point
+  * (`/root/reference/contrib/extprotocol/gpextprotocol.c`: user-written
+  * protocol + formatter plugged into the external-table framework;
+  * formatter semantics from `contrib/formatter_fixedwidth/fixedwidth.c`).
+  *
+  * Where `Ingest.readFixedWidth` composes the formatter from built-in
+  * expressions, this class exercises the ENGINE extension surface the
+  * reference reserves for C plugins: TableProvider → Table → ScanBuilder
+  * → Batch → PartitionReader, with
+  *  - one input partition per file (the per-segment protocol read),
+  *  - COLUMN PRUNING pushed into the reader via
+  *    SupportsPushDownRequiredColumns — unrequested fields are never
+  *    sliced, decoded, or allocated (at 100 TB a 2-column projection of
+  *    a 40-field layout touches 2 substrings per line, not 40),
+  *  - PERMISSIVE nulls on unparseable numerics (cdbsreh's drop-the-cell
+  *    degraded mode; the expression-composed reader keeps the full
+  *    reject-table contract).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.v2.FixedWidthSource")
+  *     .schema("id INT, name STRING, qty INT")
+  *     .option("widths", "4,8,6")
+  *     .load(path)
+  * }}}
+  */
+class FixedWidthSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "fixedwidth source requires a user-specified schema (.schema(...))")
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val widths = properties.get("widths")
+    require(widths != null, "option 'widths' (comma-separated) is required")
+    val w = widths.split(",").map(_.trim.toInt).toSeq
+    require(w.length == schema.length,
+      s"widths count ${w.length} != schema fields ${schema.length}")
+    new FixedWidthTable(schema, properties.get("path"), w)
+  }
+}
+
+private[v2] class FixedWidthTable(tableSchema: StructType, path: String,
+                                  widths: Seq[Int])
+    extends Table with SupportsRead {
+  override def name(): String = s"fixedwidth($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FixedWidthScanBuilder(tableSchema, path, widths)
+}
+
+private[v2] class FixedWidthScanBuilder(fullSchema: StructType, path: String,
+                                        widths: Seq[Int])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new FixedWidthScan(fullSchema, required, path, widths)
+}
+
+private[v2] case class FixedWidthFilePartition(file: String) extends InputPartition
+
+private[v2] class FixedWidthScan(fullSchema: StructType, required: StructType,
+                                 path: String, widths: Seq[Int])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FixedWidthScan(required=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val files =
+      if (fs.getFileStatus(p).isFile) Array(p.toString)
+      else fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+    files.sorted.map(FixedWidthFilePartition(_): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // precompute (offset, width, type) for the REQUIRED fields only —
+    // the pruning contract: unrequested columns cost nothing per line
+    val offsets = widths.scanLeft(0)(_ + _)
+    val byName = fullSchema.fieldNames.zipWithIndex.toMap
+    val slices = required.fields.map { f =>
+      val i = byName(f.name)
+      (offsets(i), widths(i), f.dataType)
+    }
+    new FixedWidthReaderFactory(slices)
+  }
+}
+
+private[v2] class FixedWidthReaderFactory(
+    slices: Array[(Int, Int, DataType)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[FixedWidthFilePartition].file
+    new FixedWidthPartitionReader(file, slices)
+  }
+}
+
+private[v2] class FixedWidthPartitionReader(
+    file: String, slices: Array[(Int, Int, DataType)])
+    extends PartitionReader[InternalRow] {
+  private val p = new Path(file)
+  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+    p.getFileSystem(new Configuration()).open(p), "UTF-8"))
+  private var line: String = _
+
+  override def next(): Boolean = { line = in.readLine(); line != null }
+
+  override def get(): InternalRow = {
+    val values = slices.map { case (off, w, dt) =>
+      val end = math.min(off + w, line.length)
+      val cut = if (off >= line.length) "" else line.substring(off, end)
+      val trimmed = cut.replaceAll("\\s+$", "")
+      dt match {
+        case StringType =>
+          if (trimmed.isEmpty) null else UTF8String.fromString(trimmed)
+        case IntegerType => trimmed.trim.toIntOption.map(Int.box).orNull
+        case LongType => trimmed.trim.toLongOption.map(Long.box).orNull
+        case DoubleType => trimmed.trim.toDoubleOption.map(Double.box).orNull
+        case other =>
+          throw new IllegalArgumentException(s"unsupported fixedwidth type: $other")
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = in.close()
+}

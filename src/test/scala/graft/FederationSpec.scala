@@ -140,6 +140,41 @@ class FederationSpec extends AnyFunSuite {
     }
   }
 
+  test("custom DSv2 fixed-width connector: reads, prunes columns, distributes per file") {
+    val dir = tmp("fwv2")
+    Files.writeString(java.nio.file.Path.of(dir, "a.txt"),
+      "1   alpha   10    " + "\n" + "22  beta    200   " + "\n")
+    Files.writeString(java.nio.file.Path.of(dir, "b.txt"),
+      "333 gamma-x 3000  " + "\n")
+    val df = spark.read.format("graft.sources.v2.FixedWidthSource")
+      .schema("id INT, name STRING, qty INT")
+      .option("widths", "4,8,6")
+      .load(dir)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1, "alpha", 10), (22, "beta", 200), (333, "gamma-x", 3000)))
+    // one input partition per file — the per-segment protocol read
+    assert(df.rdd.getNumPartitions == 2)
+    // column pruning reaches the custom scan: a single-column projection
+    // plans a BatchScan whose output (and reader slices) carry ONLY qty
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val pruned = df.select("qty")
+    val scan = pruned.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b }.get
+    assert(scan.output.map(_.name) == Seq("qty"), scan.output)
+    assert(scan.scan.description().contains("required=qty"), scan.scan.description())
+    assert(pruned.collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 200, 3000))
+    // PERMISSIVE degraded cell: unparseable int reads as NULL via the
+    // connector (the reject-table contract stays with Ingest.readFixedWidth)
+    Files.writeString(java.nio.file.Path.of(dir, "c.txt"),
+      "xx  delta   50    " + "\n")
+    val withBad = spark.read.format("graft.sources.v2.FixedWidthSource")
+      .schema("id INT, name STRING, qty INT")
+      .option("widths", "4,8,6")
+      .load(dir)
+    assert(withBad.filter(col("id").isNull).count() == 1)
+  }
+
   test("fixed-width write/read round-trip; overflow value fails the load") {
     val dir = tmp("fwrt")
     import spark.implicits._
