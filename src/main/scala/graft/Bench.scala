@@ -118,11 +118,15 @@ object Bench {
     // Folded into every derived-cache key (sf1 replica, ANN stores) so a
     // regenerated fixture at the same path invalidates its derivatives
     // instead of silently benching stale data.
+    // max over _SUCCESS AND the top-level entries: regenerating any
+    // single table (not just embeddings) at the same path bumps the
+    // stamp, so no derived cache survives a partial fixture refresh
     def sourceVersion(abs: String): Long = {
       val emb = new java.io.File(abs, "embeddings.parquet/_SUCCESS")
-      if (emb.exists()) emb.lastModified()
-      else Option(new java.io.File(abs).listFiles())
+      val success = if (emb.exists()) emb.lastModified() else 0L
+      val topLevel = Option(new java.io.File(abs).listFiles())
         .map(_.map(_.lastModified()).foldLeft(0L)(math.max)).getOrElse(0L)
+      math.max(success, topLevel)
     }
 
     // SPARK_GRAFT_BENCH_ONLY=comma,list restricts the set (local iteration).
@@ -186,6 +190,14 @@ object Bench {
         }
         Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
           .foreach(n => Tables.t(spark, sf1Dir, n).limit(1).collect())
+        // replica canary (r11 post-mortem): a mis-typed events replica —
+        // raw int64 micros routed through the div-1000 nanos lane —
+        // collapses the time axis to ~1970; fail the leg loudly instead
+        // of publishing numbers benched on corrupted timestamps
+        val yr = Tables.t(spark, sf1Dir, "events")
+          .selectExpr("year(min(ts)) AS y").head().getInt(0)
+        require(yr > 1990,
+          s"x10 replica events.ts collapsed (min year $yr) — delete $sf1Dir and regenerate")
         preparePq(sf1Dir)
         runSuite(spark, qs, sf1Dir, runs = 2)
       } catch { case e: Throwable =>

@@ -125,7 +125,12 @@ object Stats extends QueryModule {
     // value attaining the maximum. No floats anywhere; the argmax window
     // runs over the same bounded spine as the cumulants.
     "q_ks_test" -> ((s, dir) => {
+      // localCheckpoint: the spine is value-domain-bounded (<= ~49k rows),
+      // and three consumers follow (totals, global max, final filter) —
+      // materializing it once replaces three full event-scan lineages
+      // (the q_recursive_cte pattern)
       val sp = spine(twoSample(s, dir)).withColumn("cc2", col("cum") - col("cc1"))
+        .localCheckpoint()
       val tot = sp.agg(max(col("cc1")).as("n1"), max(col("cc2")).as("n2"))
       val diffed = sp.crossJoin(broadcast(tot))
         .withColumn("diff",

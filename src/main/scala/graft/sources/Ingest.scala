@@ -74,16 +74,23 @@ object Ingest {
         df.withColumn(s"_raw_$name",
           when(v === lit(nullValue), lit(null).cast("string")).otherwise(v))
     }
-    val castFails = fields.map { case (name, _, ddl) =>
-      col(s"_raw_$name").isNotNull &&
-        expr(s"try_cast(trim(_raw_$name) as $ddl)").isNull
-    }.reduce(_ || _)
+    def isStringField(ddl: String) = ddl.trim.equalsIgnoreCase("STRING")
+    val castFails = fields.filterNot(f => isStringField(f._3)).map {
+      case (name, _, ddl) =>
+        col(s"_raw_$name").isNotNull &&
+          expr(s"try_cast(trim(_raw_$name) as $ddl)").isNull
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val isBad = length(col("value")) =!= totalWidth || castFails
     val tagged = sliced.withColumn("_bad", isBad).cache()
     val bad = tagged.filter(col("_bad")).select(col("value").as("_rejected_record"))
+    // string fields keep the extracted bytes verbatim (leading blanks are
+    // significant in right-aligned fixed-width data; only TRAILING blanks
+    // are formatter padding, already handled by the preserveBlanks slice);
+    // numeric fields trim both sides before the cast
     val good = tagged.filter(!col("_bad"))
       .select(fields.map { case (name, _, ddl) =>
-        expr(s"try_cast(trim(_raw_$name) as $ddl)").as(name)
+        if (isStringField(ddl)) col(s"_raw_$name").as(name)
+        else expr(s"try_cast(trim(_raw_$name) as $ddl)").as(name)
       }: _*)
     val nBad = bad.count()
     if (nBad > rejectLimit)
@@ -458,15 +465,29 @@ object Ingest {
   def statTable(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, path)
-    val files = fs.listStatus(new Path(path))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toSeq
+    // RECURSIVE listing so partitioned layouts (path/col=v/part-*.parquet)
+    // report their leaves, not an empty frame
+    val files = {
+      val it = fs.listFiles(new Path(path), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath.toString
+      }
+      b.result()
+    }
+    // session Hadoop conf shipped as a Map (the CopyBinary mechanism —
+    // a bare new Configuration() on the executor would drop
+    // spark.hadoop.* auth/defaultFS settings on any non-local store)
+    val confMap = hadoopConfMap(spark)
     val perColumn = files.toDS().flatMap { f =>
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import scala.jdk.CollectionConverters._
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confMap.foreach { case (k, v) => conf.set(k, v) }
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new Path(f), new org.apache.hadoop.conf.Configuration()))
+        new Path(f), conf))
       try {
         reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
           b.getColumns.asScala.toSeq.map { c =>
@@ -491,6 +512,17 @@ object Ingest {
       .withColumn("compression_ratio",
         round(col("uncomp_bytes") / greatest(col("comp_bytes"), lit(1L)), 3))
       .orderBy(col("column"))
+  }
+
+  /** The session's Hadoop configuration as a serializable Map, for
+    * executor-side filesystem/footer access (Configuration itself is not
+    * serializable; see CopyBinary for the original rationale). */
+  private[sources] def hadoopConfMap(spark: SparkSession): Map[String, String] = {
+    val c = spark.sessionState.newHadoopConf()
+    val b = Map.newBuilder[String, String]
+    val it = c.iterator()
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
   }
 
   /** Parquet BLOOM-FILTER indexing for point lookups on non-sort keys —

@@ -50,6 +50,7 @@ object Sampling {
   def tablesampleSystemTime(df: DataFrame, budgetMs: Long, perFileMs: Long,
                             seed: Long): DataFrame = {
     require(perFileMs > 0, "perFileMs must be positive")
+    require(budgetMs >= 0, s"budgetMs must be non-negative: $budgetMs")
     val nFiles = math.min(budgetMs / perFileMs, Int.MaxValue).toInt
     if (nFiles == 0) return df.filter(lit(false))
     // the chosen-granule list is driver state bounded by the BUDGET

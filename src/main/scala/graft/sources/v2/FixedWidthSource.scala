@@ -88,9 +88,14 @@ private[v2] class FixedWidthScan(fullSchema: StructType, required: StructType,
   override def description(): String =
     s"FixedWidthScan(required=${required.fieldNames.mkString(",")})"
 
+  // planInputPartitions runs on the DRIVER: the active session's Hadoop
+  // conf is the right one for listing (spark.hadoop.* auth/defaultFS).
+  // The readers run on EXECUTORS, so the same conf ships to them as a
+  // serializable Map (Configuration itself is not).
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val files =
       if (fs.getFileStatus(p).isFile) Array(p.toString)
       else fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
@@ -106,24 +111,33 @@ private[v2] class FixedWidthScan(fullSchema: StructType, required: StructType,
       val i = byName(f.name)
       (offsets(i), widths(i), f.dataType)
     }
-    new FixedWidthReaderFactory(slices)
+    val confMap = graft.sources.Ingest.hadoopConfMap(
+      org.apache.spark.sql.SparkSession.active)
+    new FixedWidthReaderFactory(slices, confMap)
   }
 }
 
 private[v2] class FixedWidthReaderFactory(
-    slices: Array[(Int, Int, DataType)]) extends PartitionReaderFactory {
+    slices: Array[(Int, Int, DataType)],
+    confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[FixedWidthFilePartition].file
-    new FixedWidthPartitionReader(file, slices)
+    new FixedWidthPartitionReader(file, slices, confMap)
   }
 }
 
 private[v2] class FixedWidthPartitionReader(
-    file: String, slices: Array[(Int, Int, DataType)])
+    file: String, slices: Array[(Int, Int, DataType)],
+    confMap: Map[String, String])
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
+  private val conf = {
+    val c = new Configuration(false)
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    p.getFileSystem(new Configuration()).open(p), "UTF-8"))
+    p.getFileSystem(conf).open(p), "UTF-8"))
   private var line: String = _
 
   override def next(): Boolean = { line = in.readLine(); line != null }

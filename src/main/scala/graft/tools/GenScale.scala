@@ -45,10 +45,16 @@ object GenScale {
 
   /** Callable form (Bench uses it to materialize the scale leg once). */
   def generate(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+    // events goes through Tables.t — the probe-aware reader that handles
+    // BOTH fixture timestamp units (raw-nanos fallback vs native micros)
+    // and always yields a true TimestampType ts, so the replica is
+    // written as TIMESTAMP(MICROS) and round-trips through the same
+    // probe. Forcing eventsRawSchema here on a micros fixture would
+    // write raw int64 micros, which the replica-side probe would then
+    // misroute through the div-1000 nanos lane — collapsing the x10
+    // leg's time axis 1000x (caught by r11 self-review).
     def rd(name: String): DataFrame =
-      if (name == "events")
-        spark.read.schema(graft.Tables.eventsRawSchema)
-          .parquet(s"$src/$name.parquet")
+      if (name == "events") graft.Tables.t(spark, src, name)
       else spark.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")

@@ -122,6 +122,21 @@ class FederationSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1))
   }
 
+  test("fixed-width read preserves leading blanks in string fields") {
+    val dir = tmp("fwlead")
+    // name field (8 wide) holds '  ind   ' — leading blanks are DATA in
+    // right-aligned layouts; only trailing blanks are formatter padding
+    Files.writeString(java.nio.file.Path.of(dir, "data.txt"),
+      "7     ind   77    " + "\n")
+    val (good, bad) = graft.sources.Ingest.readFixedWidth(
+      spark, s"$dir/data.txt", Seq(("id", 4, "INT"), ("name", 8, "STRING"), ("qty", 6, "INT")),
+      rejectLimit = 0, nullValue = "NULL")
+    assert(bad.count() == 0)
+    val r = good.head()
+    assert(r.getInt(0) == 7 && r.getInt(2) == 77)
+    assert(r.getString(1) == "  ind", s"got '${r.getString(1)}'")
+  }
+
   test("fixed-width read: malformed lines land in the reject table under the limit") {
     val dir = tmp("fwrej")
     Files.writeString(java.nio.file.Path.of(dir, "data.txt"),
