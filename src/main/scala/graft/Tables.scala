@@ -35,10 +35,19 @@ object Tables {
 
   /** Inferred type of `path`'s `ts` column, or None when schema inference
     * rejects the footer (Spark 4 on TIMESTAMP(NANOS)). One footer read per
-    * path per session. */
-  def probeEventsTsType(spark: SparkSession, path: String): Option[DataType] =
-    tsTypeCache.computeIfAbsent(path, _ =>
+    * fixture VERSION per session: the cache key folds in the file/dir
+    * mtime, so a fixture regenerated at the same path MID-SESSION (the
+    * r10 driver behavior) re-probes instead of serving the old unit's
+    * lane. Non-local paths fall back to mtime 0 (stable key). */
+  def probeEventsTsType(spark: SparkSession, path: String): Option[DataType] = {
+    val ver = scala.util.Try(new java.io.File(
+      java.net.URI.create(path).getPath match {
+        case null | "" => path
+        case p => p
+      }).lastModified()).getOrElse(0L)
+    tsTypeCache.computeIfAbsent(s"$path@$ver", _ =>
       scala.util.Try(spark.read.parquet(path).schema("ts").dataType).toOption)
+  }
 
   /** True when `path`'s `ts` column needs the raw-nanos fallback (plain
     * read fails, or infers a non-timestamp type). A DuckDB-written
