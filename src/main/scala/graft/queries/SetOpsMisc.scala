@@ -288,6 +288,30 @@ object SetOpsMisc extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // contrib/tablefunc crosstab(source_sql, category_sql)
+    // (`/root/reference/contrib/tablefunc/tablefunc.c:50-145`
+    // get_crosstab_tuplestore): one output row per row_name, one column
+    // per category from an EXPLICIT category list, each cell carrying
+    // the FIRST value for that (row, category) in input order — not an
+    // aggregate, which is what separates crosstab from PIVOT (q_pivot).
+    // "First in input order" = min_by over the o_orderkey the reference
+    // query would ORDER BY; absent categories stay NULL and n_cats
+    // counts the filled cells (the reference's sparse-row behavior).
+    "q_crosstab" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("row_name"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(min_by(col("o_totalprice"), col("o_orderkey")))
+        .withColumnRenamed("F", "cat_f")
+        .withColumnRenamed("O", "cat_o")
+        .withColumnRenamed("P", "cat_p")
+        .withColumn("n_cats",
+          (col("cat_f").isNotNull.cast("int") +
+           col("cat_o").isNotNull.cast("int") +
+           col("cat_p").isNotNull.cast("int")))
+        .orderBy(col("row_name"))
+    }),
+
     // Unpivot / stack (reference: unnest of row values).
     "q_unpivot" -> ((s, dir) => {
       t(s, dir, "part")
@@ -457,6 +481,24 @@ object SetOpsMisc extends QueryModule {
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // first-value-per-cell crosstab: arg_min = "first in the source
+    // query's ORDER BY o_orderkey"; no float summation, so cells
+    // compare exactly
+    "q_crosstab" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS row_name,
+        |    arg_min(o_totalprice, o_orderkey)
+        |      FILTER (WHERE o_orderstatus = 'F') AS cat_f,
+        |    arg_min(o_totalprice, o_orderkey)
+        |      FILTER (WHERE o_orderstatus = 'O') AS cat_o,
+        |    arg_min(o_totalprice, o_orderkey)
+        |      FILTER (WHERE o_orderstatus = 'P') AS cat_p
+        |  FROM orders GROUP BY 1)
+        |SELECT row_name, cat_f, cat_o, cat_p,
+        |  CAST((cat_f IS NOT NULL) AS INT) + CAST((cat_o IS NOT NULL) AS INT)
+        |    + CAST((cat_p IS NOT NULL) AS INT) AS n_cats
+        |FROM c ORDER BY row_name""".stripMargin,
 
     "q_unpivot" ->
       """WITH agg AS (

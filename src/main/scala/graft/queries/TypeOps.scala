@@ -237,6 +237,72 @@ object TypeOps extends QueryModule {
         .orderBy(col("name_id"))
     }),
 
+    // contrib/fuzzystrmatch levenshtein_less_equal + levenshtein with
+    // costs (`/root/reference/contrib/fuzzystrmatch/fuzzystrmatch.c:146-249`
+    // → varstr_levenshtein[_less_equal]). Two lanes in one relation:
+    //  - real data (adjacent part names): Spark's BUILTIN banded
+    //    `levenshtein(a, b, k)` (codegen, O(k·min(m,n)) like the
+    //    reference's less_equal early-exit band); its -1-over-threshold
+    //    is remapped to k+1 — the value PG's regress pins
+    //    (('extensive','exhaustive',2) → 3);
+    //  - known-answer vectors for the WEIGHTED form (ins/del/sub
+    //    costs), evaluated by a nested higher-order-`aggregate`
+    //    Wagner-Fischer DP — the full recurrence as one expression
+    //    tree, no UDF. Per-row cost columns; expected values from an
+    //    independent Python DP (regress anchor: GUMBO→GAMBOL with
+    //    ins=2,del=1,sub=1 → 3). The real lane runs the SAME DP at
+    //    unit costs, so DP ≡ builtin is also proven on fixture data.
+    "q_fuzzy_levenshtein" -> ((s, dir) => {
+      import s.implicits._
+      def emptyInts = array().cast("array<int>")
+      // dp row i over target prefixes; state = array<int> of n+1 cells
+      def wlev(a: Column, b: Column, iC: Column, dC: Column,
+               sC: Column): Column = {
+        val n = length(b)
+        val outer = when(length(a) > 0, sequence(lit(1), length(a)))
+          .otherwise(emptyInts)
+        val inner = when(n > 0, sequence(lit(1), n)).otherwise(emptyInts)
+        aggregate(
+          outer,
+          transform(sequence(lit(0), n), j => j * iC),
+          (prev, i) => aggregate(
+            inner,
+            array(i * dC),
+            (row, j) => concat(row, array(least(
+              element_at(prev, j + 1) + dC,
+              element_at(row, j) + iC,
+              element_at(prev, j) +
+                when(a.substr(i, lit(1)) === b.substr(j, lit(1)), lit(0))
+                  .otherwise(sC))))),
+          row => element_at(row, n + 1))
+      }
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val real = p.as("a").filter(col("p_partkey") <= 120)
+        .join(p.as("b"), col("b.p_partkey") === col("a.p_partkey") + 1)
+        .select(col("a.p_partkey").cast("int").as("pair_id"),
+          col("a.p_name").as("src"), col("b.p_name").as("tgt"),
+          lit(1).as("ins_c"), lit(1).as("del_c"), lit(1).as("sub_c"))
+      val vecs = Seq(
+        (1001, "GUMBO", "GAMBOL", 2, 1, 1), (1002, "GUMBO", "GAMBOL", 1, 1, 1),
+        (1003, "extensive", "exhaustive", 1, 1, 1),
+        (1004, "kitten", "sitting", 1, 1, 1), (1005, "kitten", "sitting", 3, 2, 5),
+        (1006, "Saturday", "Sunday", 1, 1, 1), (1007, "Saturday", "Sunday", 2, 3, 4),
+        (1008, "levenshtein", "frankenstein", 1, 1, 1),
+        (1009, "levenshtein", "frankenstein", 5, 2, 3),
+        (1010, "", "abc", 4, 7, 2), (1011, "abc", "", 4, 7, 2),
+        (1012, "flaw", "lawn", 1, 1, 2))
+        .toDF("pair_id", "src", "tgt", "ins_c", "del_c", "sub_c")
+      val lv3 = levenshtein(col("src"), col("tgt"), 3)
+      real.unionByName(vecs)
+        .select(col("pair_id"), col("src"), col("tgt"),
+          col("ins_c"), col("del_c"), col("sub_c"),
+          levenshtein(col("src"), col("tgt")).as("lev"),
+          when(lv3 < 0, lit(4)).otherwise(lv3).as("lev_le3"),
+          wlev(col("src"), col("tgt"), col("ins_c"), col("del_c"),
+               col("sub_c")).as("lev_w"))
+        .orderBy(col("pair_id"))
+    }),
+
     // IPv4-as-uint32 inet family: dotted text, /24 network + broadcast,
     // subnet membership, and a same-subnet self-join aggregated per /24.
     "q_inet_ops" -> ((s, dir) => {
@@ -443,6 +509,38 @@ object TypeOps extends QueryModule {
         |  (13, 'S530', 0), (14, 'O165', 2)
         |) AS t(name_id, sdx, diff_robert)
         |ORDER BY name_id""".stripMargin,
+
+    // real lane: DuckDB's native levenshtein (+ least(d, k+1) for the
+    // less_equal contract); weighted lane: expected values from an
+    // independent Python Wagner-Fischer DP (unit-cost rows fall back to
+    // native levenshtein via coalesce)
+    "q_fuzzy_levenshtein" ->
+      """WITH pairs AS (
+        |  SELECT CAST(p1.p_partkey AS INT) AS pair_id, p1.p_name AS src,
+        |         p2.p_name AS tgt, 1 AS ins_c, 1 AS del_c, 1 AS sub_c,
+        |         CAST(NULL AS INT) AS exp_w
+        |  FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1
+        |  WHERE p1.p_partkey <= 120
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (1001, 'GUMBO', 'GAMBOL', 2, 1, 1, 3),
+        |    (1002, 'GUMBO', 'GAMBOL', 1, 1, 1, 2),
+        |    (1003, 'extensive', 'exhaustive', 1, 1, 1, 4),
+        |    (1004, 'kitten', 'sitting', 1, 1, 1, 3),
+        |    (1005, 'kitten', 'sitting', 3, 2, 5, 13),
+        |    (1006, 'Saturday', 'Sunday', 1, 1, 1, 3),
+        |    (1007, 'Saturday', 'Sunday', 2, 3, 4, 10),
+        |    (1008, 'levenshtein', 'frankenstein', 1, 1, 1, 6),
+        |    (1009, 'levenshtein', 'frankenstein', 5, 2, 3, 21),
+        |    (1010, '', 'abc', 4, 7, 2, 12),
+        |    (1011, 'abc', '', 4, 7, 2, 21),
+        |    (1012, 'flaw', 'lawn', 1, 1, 2, 2)
+        |  ) v(pair_id, src, tgt, ins_c, del_c, sub_c, exp_w))
+        |SELECT pair_id, src, tgt, ins_c, del_c, sub_c,
+        |  CAST(levenshtein(src, tgt) AS INT) AS lev,
+        |  CAST(least(levenshtein(src, tgt), 4) AS INT) AS lev_le3,
+        |  CAST(coalesce(exp_w, levenshtein(src, tgt)) AS INT) AS lev_w
+        |FROM pairs ORDER BY pair_id""".stripMargin,
 
     // the same pg_trgm trigram construction (pad "  w ", distinct char
     // 3-grams per non-alnum-split word) with the same micros rational
