@@ -303,6 +303,38 @@ object TypeOps extends QueryModule {
         .orderBy(col("pair_id"))
     }),
 
+    // contrib/fuzzystrmatch metaphone()
+    // (`/root/reference/contrib/fuzzystrmatch/fuzzystrmatch.c:344-700`):
+    // the [[graft.functions.MetaphoneKernel]] codegen kernel at two
+    // output lengths, over vectors covering every rule branch (digraphs,
+    // GH/GN silencing, SCHW, CIA/TIA/SIO, initial-letter specials,
+    // duplicate drop, non-alpha skip). Oracle = known-answer values from
+    // an independent Python port of the C, anchored on the reference's
+    // own regress vector metaphone('GUMBO',4)='KM'.
+    "q_fuzzy_metaphone" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.MetaphoneFns.register(s)
+      Seq((1, "GUMBO"), (2, "Thompson"), (3, "Thomas"), (4, "school"),
+          (5, "Christ"), (6, "Schwartz"), (7, "knight"), (8, "gnome"),
+          (9, "gnat"), (10, "light"), (11, "laughter"), (12, "rough"),
+          (13, "through"), (14, "science"), (15, "scene"),
+          (16, "discipline"), (17, "special"), (18, "ambition"),
+          (19, "nation"), (20, "judge"), (21, "pledge"), (22, "magic"),
+          (23, "wright"), (24, "whale"), (25, "where"), (26, "xylophone"),
+          (27, "axiom"), (28, "box"), (29, "quick"), (30, "phone"),
+          (31, "vision"), (32, "session"), (33, "asia"), (34, "pizza"),
+          (35, "jazz"), (36, "czar"), (37, "ache"), (38, "aeon"),
+          (39, "Anne"), (40, "ocean"), (41, "resigned"), (42, "signature"),
+          (43, "bomb"), (44, "lamb"), (45, "psychology"),
+          (46, "aggressive"), (47, "WAter"), (48, "  42nd-street"),
+          (49, "McCarthy"), (50, "O'Brien"))
+        .toDF("word_id", "word")
+        .select(col("word_id"), col("word"),
+          expr("metaphone(word, 4)").as("mp4"),
+          expr("metaphone(word, 10)").as("mp10"))
+        .orderBy(col("word_id"))
+    }),
+
     // IPv4-as-uint32 inet family: dotted text, /24 network + broadcast,
     // subnet membership, and a same-subnet self-join aggregated per /24.
     "q_inet_ops" -> ((s, dir) => {
@@ -541,6 +573,39 @@ object TypeOps extends QueryModule {
         |  CAST(least(levenshtein(src, tgt), 4) AS INT) AS lev_le3,
         |  CAST(coalesce(exp_w, levenshtein(src, tgt)) AS INT) AS lev_w
         |FROM pairs ORDER BY pair_id""".stripMargin,
+
+    // known-answer vectors from an independent Python port of the
+    // reference's _metaphone (anchor: regress metaphone('GUMBO',4)='KM')
+    "q_fuzzy_metaphone" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'GUMBO', 'KM', 'KM'), (2, 'Thompson', '0MPS', '0MPSN'),
+        |  (3, 'Thomas', '0MS', '0MS'), (4, 'school', 'SKL', 'SKL'),
+        |  (5, 'Christ', 'KRST', 'KRST'), (6, 'Schwartz', 'XWRT', 'XWRTS'),
+        |  (7, 'knight', 'NFT', 'NFT'), (8, 'gnome', 'NM', 'NM'),
+        |  (9, 'gnat', 'NT', 'NT'), (10, 'light', 'LFT', 'LFT'),
+        |  (11, 'laughter', 'LFTR', 'LFTR'), (12, 'rough', 'RF', 'RF'),
+        |  (13, 'through', '0R', '0R'), (14, 'science', 'SNS', 'SNS'),
+        |  (15, 'scene', 'SN', 'SN'), (16, 'discipline', 'TSPL', 'TSPLN'),
+        |  (17, 'special', 'SPXL', 'SPXL'), (18, 'ambition', 'AMXN', 'AMXN'),
+        |  (19, 'nation', 'NXN', 'NXN'), (20, 'judge', 'JJ', 'JJ'),
+        |  (21, 'pledge', 'PLJ', 'PLJ'), (22, 'magic', 'MJK', 'MJK'),
+        |  (23, 'wright', 'RFT', 'RFT'), (24, 'whale', 'HL', 'HL'),
+        |  (25, 'where', 'HR', 'HR'), (26, 'xylophone', 'SLFN', 'SLFN'),
+        |  (27, 'axiom', 'AKSM', 'AKSM'), (28, 'box', 'BKS', 'BKS'),
+        |  (29, 'quick', 'KK', 'KK'), (30, 'phone', 'FN', 'FN'),
+        |  (31, 'vision', 'FXN', 'FXN'), (32, 'session', 'SSN', 'SSN'),
+        |  (33, 'asia', 'AX', 'AX'), (34, 'pizza', 'PS', 'PS'),
+        |  (35, 'jazz', 'JS', 'JS'), (36, 'czar', 'KSR', 'KSR'),
+        |  (37, 'ache', 'AX', 'AX'), (38, 'aeon', 'EN', 'EN'),
+        |  (39, 'Anne', 'AN', 'AN'), (40, 'ocean', 'OSN', 'OSN'),
+        |  (41, 'resigned', 'RSNT', 'RSNT'),
+        |  (42, 'signature', 'SKNT', 'SKNTR'), (43, 'bomb', 'BM', 'BM'),
+        |  (44, 'lamb', 'LM', 'LM'), (45, 'psychology', 'PSXL', 'PSXLJ'),
+        |  (46, 'aggressive', 'AKRS', 'AKRSF'), (47, 'WAter', 'WTR', 'WTR'),
+        |  (48, '  42nd-street', 'NTST', 'NTSTRT'),
+        |  (49, 'McCarthy', 'MKKR', 'MKKR0'), (50, 'O''Brien', 'OBRN', 'OBRN')
+        |) AS t(word_id, word, mp4, mp10)
+        |ORDER BY word_id""".stripMargin,
 
     // the same pg_trgm trigram construction (pad "  w ", distinct char
     // 3-grams per non-alnum-split word) with the same micros rational
