@@ -102,6 +102,38 @@ object Similarity extends QueryModule {
     centroids
   }
 
+  /** SemDeDup threshold: within-cell cosine at or above this marks a
+    * near-duplicate (the production knob; 0.4 yields a realistic ~5%
+    * drop rate on the synthetic corpus). */
+  private[graft] val SemTau = 0.4
+
+  /** Per-vector SemDeDup detail (cell, vec_id, v, nrm, is_drop): the
+    * corpus clustered by [[ivfFit]]'s seeded Lloyd, is_drop = 1 iff a
+    * lower-vec_id vector of the same cell sits at cosine >= [[SemTau]].
+    * The kept rows (is_drop null) are the production survivor set; the
+    * d_semdedup query aggregates this to the hash-checked per-cell
+    * summary and SimilaritySpec asserts the independent-set/witness
+    * properties on it. */
+  private[graft] def semdedupDetail(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    val e = ivfE(s, dir)
+    val cs = ivfFit(e)
+    val assigned = e.withColumn("cell", ivfCellCol(cs))
+      .withColumn("nrm", expr("vec_norm_sq(v)"))
+    val a = assigned.select(col("cell"), col("vec_id").as("aid"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = assigned.select(col("cell"), col("vec_id").as("bid"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("aid") < col("bid") &&
+        round(expr("vec_dot(av, bv)") / sqrt(col("an") * col("bn")), 6)
+          >= SemTau)
+      .select(col("cell"), col("bid")).distinct()
+    assigned.join(drops.withColumnRenamed("bid", "vec_id")
+                    .withColumn("is_drop", lit(1)),
+                  Seq("cell", "vec_id"), "left")
+  }
+
   /** Per-query probe rows (qid, qv, qcell, qn): top-2 nearest cells per
     * query vector, computed in-plan (sorted struct(dist, idx) array; no
     * driver round-trip). */
@@ -506,6 +538,43 @@ object Similarity extends QueryModule {
       ivfScoreTail(assigned, ivfQueries(e, centroids))
     }),
 
+    // SemDeDup semantic deduplication (Abbas et al. 2023,
+    // arXiv:2303.09540 — the embedding-space member of the Dedup family
+    // in queries/Dedup.scala): cluster the corpus with the SAME seeded
+    // micros-stabilized Lloyd as the IVF lane, then drop, within each
+    // cluster, every vector that has a LOWER-id near-duplicate at
+    // cosine >= 0.4. The paper keeps one representative per semantic-dup
+    // group; "drop iff a lower-id near-dup exists" is the deterministic,
+    // SQL-expressible policy: the kept set is exactly the id-minimal
+    // elements of the within-cell near-dup relation — mutually non-dup
+    // (a kept pair at cos >= tau is impossible: the higher id would have
+    // a lower-id witness) and containing each chain's minimum id; both
+    // properties are asserted in SimilaritySpec. Output is per-cluster
+    // (n, dropped, kept) plus an
+    // md5 digest of the numerically-sorted dropped-id list, so the hash
+    // compare proves the exact drop SET, not just its size.
+    //
+    // Scale design: this is WHY SemDeDup clusters first — the quadratic
+    // pair search runs within a cell, never across the corpus, and K
+    // grows with n (the paper uses K ~ sqrt(n)) so cell sizes stay
+    // bounded; the pair join shuffles (cell, id, v) once on cell, drops
+    // carry only (cell, id), and centroid state on the driver is K x dim
+    // doubles. The exact all-pairs audit lane (d_dedup_embedding) is the
+    // unclustered contrast with the O(n^2) misuse guard.
+    "d_semdedup" -> ((s, dir) => {
+      semdedupDetail(s, dir)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          count(col("is_drop")).as("dropped"),
+          (count(lit(1)) - count(col("is_drop"))).as("kept"),
+          md5(concat_ws(",",
+            transform(
+              sort_array(collect_list(when(col("is_drop") === 1,
+                col("vec_id")))),
+              _.cast("string")))).as("dropped_digest"))
+        .orderBy(col("cell"))
+    }),
+
     // Binary quantization + Hamming ANN — the most aggressive vector
     // compression tier (sign-bit per dimension: 64 dims -> 8 bytes, 64x
     // vs float32, 512x vs the double working form; the standard
@@ -889,6 +958,40 @@ object Similarity extends QueryModule {
          |  FROM scored)
          |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // same unrolled Lloyd as s_ann_ivf_topk, then the within-cell
+    // lower-id-witness drop predicate replicated literally
+    "d_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |${ivfIterSql("c0", "c1")},
+         |${ivfIterSql("c1", "c2")},
+         |${ivfIterSql("c2", "c3")},
+         |assigned AS (
+         |  SELECT vec_id, v, cell,
+         |    list_reduce(list_prepend(0.0, v), (acc, x) -> acc + x * x) AS nrm
+         |  FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${ivfDistSql("e.v", "c.c")}, c.cell) AS rk
+         |    FROM e, c3 c) WHERE rk = 1),
+         |drops AS (
+         |  SELECT DISTINCT a.cell, b.vec_id AS bid
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6)
+         |    >= 0.4)
+         |SELECT s.cell, COUNT(*) AS n, COUNT(d.bid) AS dropped,
+         |  COUNT(*) - COUNT(d.bid) AS kept,
+         |  md5(coalesce(string_agg(CAST(d.bid AS VARCHAR), ','
+         |    ORDER BY d.bid), '')) AS dropped_digest
+         |FROM assigned s LEFT JOIN drops d
+         |  ON s.cell = d.cell AND s.vec_id = d.bid
+         |GROUP BY s.cell ORDER BY s.cell""".stripMargin,
 
     // the sampled-fit lane of the fit-once IVF query, unrolled: identical
     // Lloyd but trained only on the deterministic 1/16 sample; assignment,

@@ -142,4 +142,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(exact.nonEmpty && lsh.nonEmpty)
   }
+
+  test("semdedup kept set is an id-minimal independent set per cell") {
+    val detail = graft.queries.Similarity.semdedupDetail(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3), !r.isNullAt(4)))
+    assert(detail.nonEmpty)
+    def cos(a: (Int, Long, Array[Double], Double, Boolean),
+            b: (Int, Long, Array[Double], Double, Boolean)): Double = {
+      val dot = a._3.zip(b._3).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / math.sqrt(a._4 * b._4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCell = detail.groupBy(_._1)
+    // (1) no two KEPT vectors of a cell are near-duplicates
+    byCell.values.foreach { rows =>
+      val kept = rows.filter(!_._5)
+      for (i <- kept.indices; j <- i + 1 until kept.length)
+        assert(cos(kept(i), kept(j)) < graft.queries.Similarity.SemTau,
+          s"kept pair ${kept(i)._2}/${kept(j)._2} is a near-dup")
+    }
+    // (2) every DROPPED vector has a lower-id near-dup witness in-cell
+    byCell.values.foreach { rows =>
+      rows.filter(_._5).foreach { d =>
+        assert(rows.exists(w => w._2 < d._2 && cos(w, d) >= graft.queries.Similarity.SemTau),
+          s"dropped ${d._2} has no lower-id witness")
+      }
+    }
+    // (3) something was actually dropped and something kept
+    assert(detail.exists(_._5) && detail.exists(!_._5))
+  }
 }
