@@ -322,6 +322,27 @@ object SetOpsMisc extends QueryModule {
                  Array(col("sum_price"), col("n_parts")),
                  "metric", "val")
         .orderBy(col("p_brand"), col("metric"))
+    }),
+
+    // Logical-decoding change stream (contrib/test_decoding; replication/
+    // logical/decode.c): two per-customer order snapshots over shifted
+    // date windows diffed into the op-tagged I/U/D stream with
+    // before/after images — unchanged keys omitted per the change-only
+    // contract. [[graft.sources.Cdc]] holds the diff/replay pair; CdcSpec
+    // proves replay(old, diff) == new. One full-outer key join; the
+    // stream size tracks the change volume, not the table.
+    "q_cdc_diff" -> ((s, dir) => {
+      def snap(lo: String, hi: String): DataFrame =
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+                  col("o_orderdate") < lit(hi).cast("timestamp"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+               dsum(col("o_totalprice")).as("total"))
+      graft.sources.Cdc.diff(
+          snap("1995-01-01", "1998-01-01"),
+          snap("1996-01-01", "1999-01-01"), Seq("o_custkey"))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -510,6 +531,34 @@ object SetOpsMisc extends QueryModule {
         |  SELECT p_brand, 'sum_price' AS metric, sum_price AS val FROM agg
         |  UNION ALL
         |  SELECT p_brand, 'n_parts', n_parts FROM agg)
-        |ORDER BY p_brand, metric""".stripMargin
+        |ORDER BY p_brand, metric""".stripMargin,
+
+    "q_cdc_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT o_custkey, COUNT(*) AS n_orders,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY o_custkey),
+         |v2 AS (
+         |  SELECT o_custkey, COUNT(*) AS n_orders,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1999-01-01'
+         |  GROUP BY o_custkey),
+         |j AS (
+         |  SELECT COALESCE(v1.o_custkey, v2.o_custkey) AS o_custkey,
+         |    CASE WHEN v1.o_custkey IS NULL THEN 'I'
+         |         WHEN v2.o_custkey IS NULL THEN 'D'
+         |         WHEN v1.n_orders IS DISTINCT FROM v2.n_orders
+         |           OR v1.total IS DISTINCT FROM v2.total THEN 'U' END AS op,
+         |    v1.n_orders AS old_n_orders, v2.n_orders AS new_n_orders,
+         |    v1.total AS old_total, v2.total AS new_total
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey)
+         |SELECT o_custkey, op, old_n_orders, new_n_orders, old_total,
+         |  new_total
+         |FROM j WHERE op IS NOT NULL ORDER BY o_custkey""".stripMargin
   )
 }
