@@ -84,6 +84,18 @@ object Lexize {
     "big" -> "large", "huge" -> "large",
     "tiny" -> "small", "little" -> "small")
 
+  /** Extended-synonym groups (`/root/reference/contrib/dict_xsyn/
+    * dict_xsyn.c`; sample rule file `xsyn_sample.rules`): a group HEAD
+    * expands to multiple lexemes so a document containing only the head
+    * is findable by any synonym. Heads are real corpus-vocabulary words;
+    * targets are out-of-vocabulary by construction so a synonym match
+    * can only come from the expansion. */
+  val XsynGroups: Seq[(String, Seq[String])] = Seq(
+    "agg"  -> Seq("aggregate", "aggregation"),
+    "scan" -> Seq("seqscan", "tablescan"),
+    "dup"  -> Seq("duplicate", "redundant"),
+    "sort" -> Seq("orderby"))
+
   /** English stop list — the high-frequency subset of the reference's
     * `english.stop` (`src/backend/snowball/stopwords/`). */
   val StopWords: Seq[String] = Seq(
@@ -148,6 +160,20 @@ object Lexize {
     transform(s2, w => mapCol(w, Synonyms, w))
   }
 
+  private def xsynCol(w: Column, keepOrig: Boolean): Column =
+    XsynGroups.foldRight(array(w)) { case ((h, syns), els) =>
+      when(w === h,
+        array((if (keepOrig) h +: syns else syns).map(lit): _*)).otherwise(els)
+    }
+
+  /** dict_xsyn expansion over a lexeme array: every group head becomes
+    * its synonym set (`keepOrig` = the dictionary's keeporig option —
+    * true keeps the head in the output, dict_xsyn's default; false
+    * replaces it). Non-head lexemes pass through unchanged. Pure
+    * map-side flatten, like every other lexize stage. */
+  def xsynExpand(words: Column, keepOrig: Boolean): Column =
+    flatten(transform(words, w => xsynCol(w, keepOrig)))
+
   // ---- DuckDB SQL form (generated from the same tables) ------------------
 
   private def stemSql(v: String, r: Rule): String =
@@ -191,4 +217,13 @@ object Lexize {
 
   /** DuckDB chain stage 3: thesaurus folding. */
   def duckSynonym(v: String): String = mapSql(v, Synonyms, v)
+
+  /** DuckDB CASE mirroring [[xsynExpand]]'s per-lexeme expansion —
+    * generated from the same [[XsynGroups]] table. */
+  def duckXsyn(v: String, keepOrig: Boolean): String =
+    XsynGroups.map { case (h, syns) =>
+      val lst = (if (keepOrig) h +: syns else syns)
+        .map("'" + _ + "'").mkString("[", ", ", "]")
+      s"WHEN $v = '$h' THEN $lst"
+    }.mkString("CASE ", " ", s" ELSE [$v] END")
 }

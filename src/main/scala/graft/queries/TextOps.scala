@@ -606,6 +606,35 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // dict_xsyn extended-synonym dictionary (contrib/dict_xsyn/
+    // dict_xsyn.c): group heads expand ONE-TO-MANY — a doc containing
+    // only "agg" emits aggregate/aggregation lexemes and becomes
+    // findable by either synonym (the reverse of the thesaurus's
+    // many-to-one folding above). Both keeporig modes are exercised:
+    // keeporig=true (the contrib default) keeps the head alongside the
+    // synonyms; keeporig=false replaces it — orig_dropped proves the
+    // head vanished from the replaced vector exactly when the doc had
+    // it. Synonym targets are out-of-vocabulary words, so m_aggregate/
+    // m_seqscan can only be true via the expansion. Pure map-side
+    // flatten fused into the scan, like the rest of the lexize chain.
+    "t_fts_xsyn" -> ((s, dir) => {
+      import graft.functions.Lexize
+      t(s, dir, "documents")
+        .withColumn("lex", Lexize.tsvector(split(col("text"), " ")))
+        .withColumn("expanded", Lexize.xsynExpand(col("lex"), keepOrig = true))
+        .withColumn("replaced", Lexize.xsynExpand(col("lex"), keepOrig = false))
+        .select(col("doc_id"),
+          size(col("lex")).as("n_lex"),
+          size(col("expanded")).as("n_expanded"),
+          size(col("replaced")).as("n_replaced"),
+          array_contains(col("expanded"), "aggregate").as("m_aggregate"),
+          array_contains(col("expanded"), "seqscan").as("m_seqscan"),
+          (array_contains(col("lex"), "agg") &&
+            !array_contains(col("replaced"), "agg")).as("orig_dropped"),
+          array_join(slice(col("expanded"), 1, 8), " ").as("first8"))
+        .orderBy(col("doc_id"))
+    }),
+
     // t_fts_rank over LEXIZED tokens — the reference's actual @@ + ts_rank
     // semantics, where the query term 'hash' matches "hashes"/"hashing" in
     // the document: same tf-saturation + rational length-normalization
@@ -802,6 +831,38 @@ object TextOps extends QueryModule {
          |  len(list_filter(lex, x -> x IN ('mouse', 'goose', 'index'))) > 0
          |    AS matches_lookup
          |FROM c3 ORDER BY doc_id""".stripMargin,
+
+    "t_fts_xsyn" -> {
+      import graft.functions.Lexize
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w0
+         |  FROM documents),
+         |k AS (SELECT doc_id,
+         |    list_filter(list_transform(w0, x -> lower(x)),
+         |      x -> len(x) > 0 AND x NOT IN ${Lexize.duckStopList}) AS wk
+         |  FROM d),
+         |s1 AS (SELECT doc_id,
+         |    list_transform(wk, x -> ${Lexize.duckStemPlural("x")}) AS ws
+         |  FROM k),
+         |s2 AS (SELECT doc_id,
+         |    list_transform(ws, x -> ${Lexize.duckStemSuffix("x")}) AS lex
+         |  FROM s1),
+         |x AS (SELECT doc_id, lex,
+         |    flatten(list_transform(lex, x -> ${Lexize.duckXsyn("x", true)}))
+         |      AS expanded,
+         |    flatten(list_transform(lex, x -> ${Lexize.duckXsyn("x", false)}))
+         |      AS replaced
+         |  FROM s2)
+         |SELECT doc_id,
+         |  CAST(len(lex) AS INT) AS n_lex,
+         |  CAST(len(expanded) AS INT) AS n_expanded,
+         |  CAST(len(replaced) AS INT) AS n_replaced,
+         |  list_contains(expanded, 'aggregate') AS m_aggregate,
+         |  list_contains(expanded, 'seqscan') AS m_seqscan,
+         |  list_contains(lex, 'agg') AND NOT list_contains(replaced, 'agg')
+         |    AS orig_dropped,
+         |  array_to_string(expanded[1:8], ' ') AS first8
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
 
     "t_fts_lexize" ->
       s"""$lexPipelineSql

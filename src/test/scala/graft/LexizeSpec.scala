@@ -89,6 +89,21 @@ class LexizeSpec extends AnyFunSuite {
     assert(out == Seq("mouse", "run", "fast", "past", "large", "wolf"))
   }
 
+  test("xsyn expansion: keeporig keeps the head, replace drops it") {
+    val sp = spark; import sp.implicits._
+    def run(keep: Boolean): Seq[String] =
+      Seq(Seq("agg", "join", "scan")).toDF("lex")
+        .select(Lexize.xsynExpand(col("lex"), keep).as("v"))
+        .collect()(0).getSeq[String](0)
+    assert(run(true) == Seq("agg", "aggregate", "aggregation", "join",
+      "scan", "seqscan", "tablescan"))
+    assert(run(false) == Seq("aggregate", "aggregation", "join",
+      "seqscan", "tablescan"))
+    // synonym targets are out-of-vocabulary: no target is itself a head
+    val heads = Lexize.XsynGroups.map(_._1).toSet
+    assert(Lexize.XsynGroups.flatMap(_._2).forall(t => !heads.contains(t)))
+  }
+
   test("the generated DuckDB CASE mirrors the rule tables textually") {
     // one clause per rule, in order — the cross-engine value parity is
     // proven by the t_fts_lexize oracle; this guards the generator shape
