@@ -98,6 +98,39 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Readability scoring (Flesch reading ease + Flesch-Kincaid grade) —
+    // the classic quality gate next to t_quality_score's ratio gates.
+    // Deterministic syllable model: vowel-group count per word
+    // (max(1, matches of [aeiouy]+)) — the standard approximation, exact
+    // and engine-portable. The corpus carries no punctuation, so
+    // sentence segmentation is fixed 12-word spans (n_sentences =
+    // ceil(words/12)); the formula surface is the point. Both scores
+    // are EXACT half-up integer micros staged like t_quality_score
+    // (each rational term rounds independently, the staging IS the
+    // metric definition), so the hash compare is bit-deterministic.
+    // Pure map-side pass fused into the scan.
+    "t_readability" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      t(s, dir, "documents")
+        .withColumn("nw", size(words).cast("long"))
+        .withColumn("ns", ceil(size(words) / lit(12.0)).cast("long"))
+        .withColumn("sy", aggregate(
+          transform(words, w => greatest(lit(1),
+            size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))
+            .cast("long")),
+          lit(0L), (acc, x) => acc + x))
+        .select(col("doc_id"),
+          col("nw").cast("int").as("n_words"),
+          col("ns").cast("int").as("n_sentences"),
+          col("sy").cast("int").as("n_syllables"),
+          (lit(206835000L) - expr("(2*1015000*nw + ns) div (2*ns)") -
+            expr("(2*84600000*sy + nw) div (2*nw)")).as("flesch_u"),
+          (expr("(2*390000*nw + ns) div (2*ns)") +
+            expr("(2*11800000*sy + nw) div (2*nw)") -
+            lit(15590000L)).as("fk_u"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID: stopword-hit scores per language, deterministic argmax
     // (score desc, language asc). Compared against the labeled column.
     "t_langid" -> ((s, dir) => {
@@ -916,6 +949,26 @@ object TextOps extends QueryModule {
          |    (800000 * dc + nw) // (2 * nw) +
          |    least((50000 * (ch - nw + 1) + nw) // (2 * nw), 200000) AS quality_u
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t_readability" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS nw,
+        |    CAST(ceil(len(w) / 12.0) AS BIGINT) AS ns,
+        |    CAST(list_reduce(list_prepend(0, list_transform(w, x ->
+        |        greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+'))))),
+        |      (a, x) -> a + x) AS BIGINT) AS sy
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(nw AS INT) AS n_words,
+        |  CAST(ns AS INT) AS n_sentences,
+        |  CAST(sy AS INT) AS n_syllables,
+        |  206835000 - (2*1015000*nw + ns) // (2*ns)
+        |    - (2*84600000*sy + nw) // (2*nw) AS flesch_u,
+        |  (2*390000*nw + ns) // (2*ns)
+        |    + (2*11800000*sy + nw) // (2*nw) - 15590000 AS fk_u
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "t_langid" ->
       s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
