@@ -77,6 +77,49 @@ object TypeOps extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // contrib/seg float segments (`/root/reference/contrib/seg/seg.c`,
+    // regress `contrib/seg/sql/seg.sql`): CLOSED intervals built with
+    // the +/- uncertainty form (value ± delta), vs the half-open range
+    // family above — endpoints are inclusive, so touching segments
+    // OVERLAP here, a degenerate point segment is legal, and seg's
+    // directional operator set (<< strictly-left, >> strictly-right,
+    // &< over-left, &> over-right) has no range-type counterpart.
+    // seg1 = retail price ± 2%, seg2 = the part's brand-average price
+    // ± 5% (broadcast agg join). All endpoint math stays in exact
+    // integer micros (price 2dp x 2dp factors), so every comparison is
+    // integer-exact; the rendered seg text is the '..' display form.
+    "q_seg_ops" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val brandAvg = p.groupBy(col("p_brand"))
+        .agg(davg(col("p_retailprice")).as("b_avg"))
+      val a_lo = round(col("p_retailprice") * 980000.0, 0).cast("long")
+      val a_hi = round(col("p_retailprice") * 1020000.0, 0).cast("long")
+      val b_lo = round(col("b_avg") * 950000.0, 0).cast("long")
+      val b_hi = round(col("b_avg") * 1050000.0, 0).cast("long")
+      p.filter(col("p_partkey") <= 400)
+        .join(broadcast(brandAvg), Seq("p_brand"))
+        .select(col("p_partkey"),
+          (a_lo.cast("double") / 1000000.0).as("a_lo"),
+          (a_hi.cast("double") / 1000000.0).as("a_hi"),
+          (b_lo.cast("double") / 1000000.0).as("b_lo"),
+          (b_hi.cast("double") / 1000000.0).as("b_hi"),
+          (a_lo <= b_hi && b_lo <= a_hi).as("overlaps"),
+          (a_hi < b_lo).as("strictly_left"),
+          (a_lo > b_hi).as("strictly_right"),
+          (a_hi <= b_hi).as("over_left"),
+          (a_lo >= b_lo).as("over_right"),
+          (a_lo <= b_lo && a_hi >= b_hi).as("contains_b"),
+          when(a_lo <= b_hi && b_lo <= a_hi,
+            greatest(a_lo, b_lo).cast("double") / 1000000.0).as("ix_lo"),
+          when(a_lo <= b_hi && b_lo <= a_hi,
+            least(a_hi, b_hi).cast("double") / 1000000.0).as("ix_hi"),
+          concat(format_string("%.6f", a_lo.cast("double") / 1000000.0),
+            lit(" .. "),
+            format_string("%.6f", a_hi.cast("double") / 1000000.0))
+            .as("seg_text"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Multirange types + range_agg (`/root/reference/src/backend/utils/
     // adt/multirangetypes.c`; range_agg in `rangetypes_*`): each event
     // contributes a 5-minute activity interval [minute, minute+5); per
@@ -665,6 +708,34 @@ object TypeOps extends QueryModule {
         |  covered_min < last_hi - first_lo AS has_gap,
         |  to_json(mr[1:4]) AS mr_head
         |FROM m ORDER BY user_id""".stripMargin,
+
+    "q_seg_ops" ->
+      s"""WITH ba AS (SELECT p_brand, ${sqlDavg("p_retailprice")} AS b_avg
+         |  FROM part GROUP BY p_brand),
+         |j AS (SELECT p.p_partkey,
+         |    CAST(round(p.p_retailprice * 980000.0, 0) AS BIGINT) AS alo,
+         |    CAST(round(p.p_retailprice * 1020000.0, 0) AS BIGINT) AS ahi,
+         |    CAST(round(ba.b_avg * 950000.0, 0) AS BIGINT) AS blo,
+         |    CAST(round(ba.b_avg * 1050000.0, 0) AS BIGINT) AS bhi
+         |  FROM part p JOIN ba USING (p_brand) WHERE p.p_partkey <= 400)
+         |SELECT p_partkey,
+         |  CAST(alo AS DOUBLE) / 1000000.0 AS a_lo,
+         |  CAST(ahi AS DOUBLE) / 1000000.0 AS a_hi,
+         |  CAST(blo AS DOUBLE) / 1000000.0 AS b_lo,
+         |  CAST(bhi AS DOUBLE) / 1000000.0 AS b_hi,
+         |  alo <= bhi AND blo <= ahi AS overlaps,
+         |  ahi < blo AS strictly_left,
+         |  alo > bhi AS strictly_right,
+         |  ahi <= bhi AS over_left,
+         |  alo >= blo AS over_right,
+         |  alo <= blo AND ahi >= bhi AS contains_b,
+         |  CASE WHEN alo <= bhi AND blo <= ahi
+         |    THEN CAST(greatest(alo, blo) AS DOUBLE) / 1000000.0 END AS ix_lo,
+         |  CASE WHEN alo <= bhi AND blo <= ahi
+         |    THEN CAST(least(ahi, bhi) AS DOUBLE) / 1000000.0 END AS ix_hi,
+         |  printf('%.6f', CAST(alo AS DOUBLE) / 1000000.0) || ' .. ' ||
+         |    printf('%.6f', CAST(ahi AS DOUBLE) / 1000000.0) AS seg_text
+         |FROM j ORDER BY p_partkey""".stripMargin,
 
     "q_range_ops" ->
       """SELECT o_orderkey,
