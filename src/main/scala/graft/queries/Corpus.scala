@@ -34,6 +34,34 @@ import graft.Tables._
   */
 object Corpus extends QueryModule {
 
+  /** Content-defined chunk decomposition of (doc_id, text) rows —
+    * the d_chunk_cdc engine, exposed so CorpusSpec can prove the
+    * shift-resistance property on constructed documents. Returns
+    * (doc_id, n, bpos, chunks): boundary positions are the word indexes
+    * i (4 <= i < n) where the 4-word rolling hash (word hashes per
+    * t_fingerprint's char fold, window folded with powers of 131, all
+    * mod 1e9+7) is divisible by 8 — expected chunk length 8 words;
+    * chunks are the word spans between cuts. All map-side HOFs. */
+  private[graft] def cdcChunkDetail(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")))
+      .withColumn("wh", expr(
+        "transform(w, wd -> aggregate(split(wd, ''), 0L, " +
+          "(a, c) -> (a * 31 + ascii(c)) % 1000000007L))"))
+      .withColumn("bpos", expr(
+        "CASE WHEN n >= 4 THEN filter(sequence(4, n), i -> " +
+          "(element_at(wh, i - 3) * 2248091L + " +
+          "element_at(wh, i - 2) * 17161L + " +
+          "element_at(wh, i - 1) * 131L + element_at(wh, i)) " +
+          "% 1000000007L % 8 = 0 AND i < n) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END"))
+      .withColumn("chunks", expr(
+        "zip_with(concat(array(1), transform(bpos, x -> x + 1)), " +
+          "concat(bpos, array(n)), " +
+          "(s1, e1) -> concat_ws(' ', slice(w, s1, e1 - s1 + 1)))"))
+      .select(col("doc_id"), col("n"), col("bpos"), col("chunks"))
+
   /** Min-label connected components. `vertices`: one `id` column;
     * `edges`: (src, dst), read as undirected. Returns (id, lbl) where
     * lbl is the minimum vertex id reachable — deterministic. */
@@ -628,6 +656,43 @@ object Corpus extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // CONTENT-DEFINED chunking (FastCDC/rsync family; the shift-resistant
+    // complement of d_dedup_chunks' fixed 16-word grid): chunk boundaries
+    // fall where a 4-word rolling hash ≡ 0 (mod 8), so an insertion near
+    // the head of a document moves only the boundaries up to the first
+    // post-edit cut — every later chunk digest is unchanged and still
+    // dedupes against the corpus (fixed-grid chunking shifts EVERY chunk
+    // after an edit; CorpusSpec proves the resilience property on a
+    // constructed shifted pair). Per-word hashes and the 4-word window
+    // fold reuse t_fingerprint's integer formula (everything mod 1e9+7,
+    // intermediates < 2^63, bit-identical across engines). All chunking
+    // is map-side HOFs fused into the scan; the corpus-wide dup count
+    // shuffles (digest, doc) pairs only, like d_dedup_chunks. The
+    // boundary-position digest hash-checks the exact CUT SET per doc.
+    "d_chunk_cdc" -> ((s, dir) => {
+      val chunked = cdcChunkDetail(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      val ck = chunked.select(col("doc_id"),
+        explode(col("chunks")).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("dg"))
+      val dup = ck.groupBy(col("dg")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("dg"), lit(1).as("isdup"))
+      val perDoc = ck.join(dup, Seq("dg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup"))
+      chunked
+        .select(col("doc_id"),
+          md5(concat_ws(",", transform(col("bpos"), _.cast("string"))))
+            .as("bounds_digest"))
+        .join(perDoc, Seq("doc_id"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          expr("(2000000 * n_dup + n_chunks) div (2 * n_chunks)")
+            .as("dup_frac_u"),
+          col("bounds_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact duplicated-span removal primitive (RefinedWeb/C4-style):
     // 16-word chunks, corpus-wide exact dedup on the chunk digest,
     // per-document duplicated-chunk fraction. The shuffle carries
@@ -906,6 +971,49 @@ object Corpus extends QueryModule {
         |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
         |  JOIN mr ON s2.doc_id = mr.doc_id
         |ORDER BY s2.doc_id""".stripMargin,
+
+    "d_chunk_cdc" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, w, len(w) AS n,
+        |    list_transform(w, word -> list_reduce(list_prepend(
+        |      CAST(0 AS BIGINT),
+        |      list_transform(string_split(word, ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007)) AS wh
+        |  FROM d),
+        |b AS (SELECT doc_id, w, n,
+        |    CASE WHEN n >= 4 THEN list_filter(range(4, n + 1), i ->
+        |      (wh[i - 3] * 2248091 + wh[i - 2] * 17161
+        |        + wh[i - 1] * 131 + wh[i]) % 1000000007 % 8 = 0
+        |      AND i < n)
+        |    ELSE [] END AS bpos
+        |  FROM h),
+        |c AS (SELECT doc_id, w, n, bpos,
+        |    list_prepend(1, list_transform(bpos, x -> x + 1)) AS starts,
+        |    list_append(bpos, CAST(n AS BIGINT)) AS ends
+        |  FROM b),
+        |ck0 AS (SELECT doc_id, bpos,
+        |    list_transform(range(1, len(starts) + 1), j ->
+        |      array_to_string(w[starts[j] : ends[j]], ' ')) AS chunks
+        |  FROM c),
+        |ck AS (SELECT doc_id, unnest(chunks) AS chunk FROM ck0),
+        |ckd AS (SELECT doc_id, md5(chunk) AS dg FROM ck),
+        |dup AS (SELECT dg FROM ckd GROUP BY dg HAVING COUNT(*) > 1),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(COUNT(dup.dg) AS BIGINT) AS n_dup
+        |  FROM ckd LEFT JOIN dup USING (dg) GROUP BY doc_id),
+        |bd AS (SELECT doc_id,
+        |    -- DuckDB's array_to_string is NULL on [] (Spark's concat_ws
+        |    -- is ''): coalesce pins the zero-boundary doc to md5('')
+        |    md5(coalesce(array_to_string(list_transform(bpos,
+        |      x -> CAST(x AS VARCHAR)), ','), '')) AS bounds_digest
+        |  FROM ck0)
+        |SELECT pd.doc_id, n_chunks, n_dup,
+        |  (2000000 * n_dup + n_chunks) // (2 * n_chunks) AS dup_frac_u,
+        |  bounds_digest
+        |FROM pd JOIN bd ON pd.doc_id = bd.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
 
     "d_dedup_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -132,4 +132,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(900002L) == ((2L, 1L)), s"doc2: ${out(900002L)}")
     assert(out(900003L) == ((1L, 0L)), s"doc3: ${out(900003L)}")
   }
+
+  test("content-defined chunking is shift-resistant; fixed grid is not") {
+    val sp = spark; import sp.implicits._
+    // long synthetic doc with enough hash variety to cut ~every 8 words
+    val words = (1 to 120).map(i => s"w${i % 23}x${(i * 7) % 19}")
+    val base = words.mkString(" ")
+    val shifted = "inserted " + base // one-word insertion at the head
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val out = Corpus.cdcChunkDetail(df).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](r.fieldIndex("chunks")).toSet).toMap
+    val (a, b) = (out(1L), out(2L))
+    assert(a.size >= 5, s"expected several cuts, got ${a.size} chunks")
+    // every chunk after the first post-edit cut is byte-identical: at
+    // most the head chunk differs between the two decompositions
+    assert(a.intersect(b).size >= a.size - 1,
+      s"shared ${a.intersect(b).size} of ${a.size}")
+    // the fixed-grid contrast: a 1-word shift misaligns every 16-word
+    // window, so grid chunks share (nearly) nothing
+    def grid(ws: Seq[String]): Set[String] =
+      ws.grouped(16).map(_.mkString(" ")).toSet
+    assert(grid(words).intersect(grid("inserted" +: words)).size <= 1)
+  }
 }
