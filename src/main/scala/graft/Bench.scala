@@ -38,7 +38,11 @@ object Bench {
     "q_triangle_count", "d_bpe_encode", "d_feature_mi",
     // r11: boilerplate-span removal — corpus chunk shuffle + broadcast
     // hot set + per-doc reassembly, the heaviest new text transform
-    "d_boilerplate_strip")
+    "d_boilerplate_strip",
+    // r11b: cluster-then-prune semantic dedup (in-cell pair join — the
+    // one new quadratic-within-cell shape, worth watching at x10) and
+    // content-defined chunking (map-side HOF chain + digest shuffle)
+    "d_semdedup", "d_chunk_cdc")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —
@@ -128,6 +132,12 @@ object Bench {
         .map(_.map(_.lastModified()).foldLeft(0L)(math.max)).getOrElse(0L)
       math.max(success, topLevel)
     }
+
+    // SemDeDup benches its PRODUCTION lane: K = ceil(sqrt(n)) clusters
+    // (per-cell pair search ~n^1.5 total), not the K=8 oracle-parity
+    // lane whose fixed K is quadratic-per-cell by construction. Verify
+    // never sets this, so the hash-checked lane stays K=8.
+    spark.conf.set("spark.graft.semdedup.k", "auto")
 
     // SPARK_GRAFT_BENCH_ONLY=comma,list restricts the set (local iteration).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

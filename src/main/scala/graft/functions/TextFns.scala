@@ -76,14 +76,83 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Content-defined chunk boundaries (`cdc_bounds(text)` -> array<int>):
+  * the word indexes i (1-based, 4 <= i < #words) where the 4-word rolling
+  * hash is divisible by 8 — the boundary rule of `d_chunk_cdc`
+  * (FastCDC/rsync family). Word hashes fold code points exactly like
+  * [[RollingFingerprint]] ((a*31 + cp) mod 1e9+7, `split(text,' ')`
+  * word-boundary semantics incl. empty words); the window folds the last
+  * four word hashes with powers of 131 mod 1e9+7. One zero-allocation
+  * pass with a 4-slot ring buffer — the HOF formulation
+  * (transform/aggregate over split arrays) is CodegenFallback and was
+  * measured ~60 s per bench run at sf0.1; this kernel replaces it, and
+  * TextFnsSpec proves bit-equality against the HOF chain corpus-wide.
+  * Codegen follows the PqFns pattern: one reference object + one virtual
+  * call per row, the loop itself JIT-compiled Scala. */
+case class CdcBounds(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_bounds"
+
+  /** The per-row kernel (public: codegen calls it via reference obj). */
+  def kernel(s: UTF8String): GenericArrayData = {
+    val str = s.toString
+    val M = 1000000007L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ring = new Array[Long](4)
+    var words = 0
+    var w = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp == ' ') {
+        ring(words % 4) = w; words += 1; w = 0L
+        if (words >= 4) {
+          val h = (ring((words - 4) % 4) * 2248091L +
+            ring((words - 3) % 4) * 17161L +
+            ring((words - 2) % 4) * 131L + ring((words - 1) % 4)) % M
+          if (h % 8 == 0) out += words
+        }
+      } else w = (w * 31L + cp) % M
+      i += Character.charCount(cp)
+    }
+    // final word: may close a window but can never be a boundary (i < n)
+    words += 1
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("cdcBounds", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $refName.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFns {
-  /** Register `rolling_fp` for SQL + `expr(...)` use. Idempotent. */
+  /** Register `rolling_fp` + `cdc_bounds` for SQL + `expr(...)` use.
+    * Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fp"))) {
       reg.createOrReplaceTempFunction(
         "rolling_fp", exprs => RollingFingerprint(exprs.head), "built-in")
+    }
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_bounds"))) {
+      reg.createOrReplaceTempFunction(
+        "cdc_bounds", exprs => CdcBounds(exprs.head), "built-in")
     }
   }
 }

@@ -41,26 +41,23 @@ object Corpus extends QueryModule {
     * i (4 <= i < n) where the 4-word rolling hash (word hashes per
     * t_fingerprint's char fold, window folded with powers of 131, all
     * mod 1e9+7) is divisible by 8 — expected chunk length 8 words;
-    * chunks are the word spans between cuts. All map-side HOFs. */
-  private[graft] def cdcChunkDetail(docs: DataFrame): DataFrame =
+    * chunks are the word spans between cuts. Boundary detection is the
+    * [[graft.functions.CdcBounds]] codegen kernel (the HOF
+    * transform/aggregate formulation is CodegenFallback and cost ~60 s
+    * per sf0.1 bench run; TextFnsSpec proves the kernel bit-equal to
+    * it); span assembly stays a small HOF over ~n/8 cuts per doc. */
+  private[graft] def cdcChunkDetail(docs: DataFrame): DataFrame = {
+    graft.functions.TextFns.register(docs.sparkSession)
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("n", size(col("w")))
-      .withColumn("wh", expr(
-        "transform(w, wd -> aggregate(split(wd, ''), 0L, " +
-          "(a, c) -> (a * 31 + ascii(c)) % 1000000007L))"))
-      .withColumn("bpos", expr(
-        "CASE WHEN n >= 4 THEN filter(sequence(4, n), i -> " +
-          "(element_at(wh, i - 3) * 2248091L + " +
-          "element_at(wh, i - 2) * 17161L + " +
-          "element_at(wh, i - 1) * 131L + element_at(wh, i)) " +
-          "% 1000000007L % 8 = 0 AND i < n) " +
-          "ELSE CAST(array() AS ARRAY<INT>) END"))
+      .withColumn("bpos", expr("cdc_bounds(text)"))
       .withColumn("chunks", expr(
         "zip_with(concat(array(1), transform(bpos, x -> x + 1)), " +
           "concat(bpos, array(n)), " +
           "(s1, e1) -> concat_ws(' ', slice(w, s1, e1 - s1 + 1)))"))
       .select(col("doc_id"), col("n"), col("bpos"), col("chunks"))
+  }
 
   /** Min-label connected components. `vertices`: one `id` column;
     * `edges`: (src, dst), read as undirected. Returns (id, lbl) where

@@ -84,9 +84,10 @@ object Similarity extends QueryModule {
     * lowest-vec_id vectors; the centroid mean is micros-sum / n / 1e6 so
     * the update is bit-reproducible across engines and executions. Only
     * the K x dim centroid state (512 doubles) touches the driver. */
-  private def ivfFit(e: DataFrame): Array[Array[Double]] = {
+  private def ivfFit(e: DataFrame,
+                     k: Int = IvfK): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] =
-      e.orderBy(col("vec_id")).limit(IvfK).collect()
+      e.orderBy(col("vec_id")).limit(k).collect()
         .map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to 3) {
       val upd = e.select(ivfCellCol(centroids).as("cell"),
@@ -113,11 +114,23 @@ object Similarity extends QueryModule {
     * The kept rows (is_drop null) are the production survivor set; the
     * d_semdedup query aggregates this to the hash-checked per-cell
     * summary and SimilaritySpec asserts the independent-set/witness
-    * properties on it. */
+    * properties on it.
+    *
+    * Cluster count: `spark.graft.semdedup.k` — default 8 (the
+    * oracle-parity lane, mirrored by the unrolled DuckDB Lloyd), or
+    * "auto" = ceil(sqrt(n)) (the production scaling the paper
+    * prescribes: per-cell size ~sqrt(n), so the within-cell pair search
+    * stays ~n^1.5 total instead of n^2/K at fixed K; Bench runs this
+    * lane). The properties SimilaritySpec proves hold for any K. */
   private[graft] def semdedupDetail(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFns.register(s)
     val e = ivfE(s, dir)
-    val cs = ivfFit(e)
+    val k = s.conf.get("spark.graft.semdedup.k", "8") match {
+      case "auto" => math.max(8,
+        math.ceil(math.sqrt(e.count().toDouble)).toInt)
+      case v => v.toInt
+    }
+    val cs = ivfFit(e, k)
     val assigned = e.withColumn("cell", ivfCellCol(cs))
       .withColumn("nrm", expr("vec_norm_sq(v)"))
     val a = assigned.select(col("cell"), col("vec_id").as("aid"),

@@ -37,6 +37,44 @@ class TextFnsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString(", "))
   }
 
+  /** The HOF formulation of cdc_bounds — the spec-only reference the
+    * kernel must match bit-for-bit (same shape as hofExpr above). */
+  private val cdcHofExpr =
+    "CASE WHEN size(split(text, ' ')) >= 4 THEN " +
+      "filter(sequence(4, size(split(text, ' '))), i -> (" +
+      "element_at(wh, i - 3) * 2248091L + element_at(wh, i - 2) * 17161L + " +
+      "element_at(wh, i - 1) * 131L + element_at(wh, i)) % 1000000007L % 8 = 0" +
+      " AND i < size(split(text, ' '))) " +
+      "ELSE CAST(array() AS ARRAY<INT>) END"
+  private val whExpr =
+    "transform(split(text, ' '), wd -> aggregate(split(wd, ''), 0L, " +
+      "(a, c) -> (a * 31 + ascii(c)) % 1000000007L))"
+
+  test("cdc_bounds equals the HOF window-filter chain corpus-wide") {
+    graft.functions.TextFns.register(spark)
+    val d = Tables.t(spark, sf, "documents")
+      .withColumn("wh", expr(whExpr))
+      .select(col("doc_id"),
+        expr(cdcHofExpr).as("hof"),
+        call_function("cdc_bounds", col("text")).as("native"))
+    assert(d.filter(col("hof") =!= col("native")).count() == 0)
+    assert(d.count() > 0)
+  }
+
+  test("cdc_bounds boundary shapes: short docs, empty words, edges") {
+    graft.functions.TextFns.register(spark)
+    val sp = spark; import sp.implicits._
+    val cases = Seq("", " ", "a", "a b c", "a b c d", "a b c d e",
+      "a  b   c d e f", "x y z w x y z w x y z w",
+      (1 to 40).map(i => s"t${i % 7}").mkString(" "))
+    val d = cases.toDF("text")
+      .withColumn("wh", expr(whExpr))
+      .select(col("text"), expr(cdcHofExpr).as("hof"),
+        call_function("cdc_bounds", col("text")).as("native"))
+    val bad = d.filter(col("hof") =!= col("native")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
   test("rolling_fp participates in whole-stage codegen") {
     graft.functions.TextFns.register(spark)
     val p = Tables.t(spark, sf, "documents")
