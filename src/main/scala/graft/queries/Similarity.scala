@@ -588,6 +588,71 @@ object Similarity extends QueryModule {
         .orderBy(col("cell"))
     }),
 
+    // DBSCAN density clustering (MADlib-clustering niche alongside the
+    // Lloyd lanes; Ester et al. 1996): eps-neighborhoods over the first
+    // two embedding dims in exact integer micros, core points (>= 4
+    // points in the closed eps-ball incl. self), clusters = connected
+    // components of the core-core eps-graph labeled by min core id
+    // (Corpus.connectedComponents, the d_dedup_cluster_assign_near
+    // machinery), border points adopt the min cluster among their core
+    // neighbors, the rest are noise. Scale shape: candidate pairs come
+    // from an eps-sized GRID — each point explodes to its 3x3 neighbor
+    // cells (a 9-row broadcast) and pairs equi-join on the cell, so the
+    // join cost is sum of cell-occupancy products, never n^2; the
+    // DuckDB oracle runs the NAIVE theta join, so the hash compare
+    // proves the grid decomposition lossless (the q_geo_grid_join
+    // discipline). All distances are integer micros^2 — bit-exact.
+    "q_dbscan" -> ((s, dir) => {
+      val epsU = 50000L
+      val eps2 = epsU * epsU
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        (round(element_at(col("embedding"), 1).cast("double") * 1000000.0, 0)
+          .cast("long") + 1000000L).as("x"),
+        (round(element_at(col("embedding"), 2).cast("double") * 1000000.0, 0)
+          .cast("long") + 1000000L).as("y"))
+      val cells = pts
+        .withColumn("cx", expr(s"x div $epsU"))
+        .withColumn("cy", expr(s"y div $epsU"))
+      val offs = s.range(0, 9)
+        .selectExpr("id % 3 - 1 AS dx", "id div 3 - 1 AS dy")
+      val aExp = cells.crossJoin(broadcast(offs))
+        .select(col("vec_id").as("aid"), col("x").as("ax"),
+          col("y").as("ay"),
+          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      val b = cells.select(col("vec_id").as("bid"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy"))
+      val pairs = aExp.join(b, Seq("cx", "cy"))
+        .filter(col("aid") =!= col("bid") &&
+          ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+            (col("ay") - col("by")) * (col("ay") - col("by"))) <= eps2)
+        .select(col("aid"), col("bid"))
+      val core = pairs.groupBy(col("aid")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3).select(col("aid").as("vec_id"))
+      val coreEdges = pairs
+        .join(core.select(col("vec_id").as("aid")), "aid")
+        .join(core.select(col("vec_id").as("bid")), "bid")
+      val clab = Corpus.connectedComponents(
+          core.select(col("vec_id").as("id")),
+          coreEdges.select(col("aid").as("src"), col("bid").as("dst")))
+        .select(col("id").as("vec_id"), col("lbl").as("core_cluster"))
+      val blab = pairs
+        .join(clab.select(col("vec_id").as("bid"),
+          col("core_cluster").as("bcl")), "bid")
+        .join(core.select(col("vec_id").as("aid"), lit(1).as("ac")),
+          Seq("aid"), "left_anti")
+        .groupBy(col("aid")).agg(min(col("bcl")).as("border_cluster"))
+        .select(col("aid").as("vec_id"), col("border_cluster"))
+      pts.join(clab, Seq("vec_id"), "left")
+        .join(blab, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("core_cluster").isNotNull, lit("core"))
+            .when(col("border_cluster").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("core_cluster"), col("border_cluster"))
+            .as("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Binary quantization + Hamming ANN — the most aggressive vector
     // compression tier (sign-bit per dimension: 64 dims -> 8 bytes, 64x
     // vs float32, 512x vs the double working form; the standard
@@ -971,6 +1036,42 @@ object Similarity extends QueryModule {
          |  FROM scored)
          |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // NAIVE theta-join neighborhood (no grid): the hash compare against
+    // the grid-decomposed Spark plan proves the decomposition lossless
+    "q_dbscan" ->
+      """WITH RECURSIVE p AS (SELECT vec_id,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) + 1000000 AS x,
+        |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) + 1000000 AS y
+        |  FROM embeddings),
+        |e AS (SELECT a.vec_id AS aid, b.vec_id AS bid
+        |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+        |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 2500000000),
+        |core AS (SELECT aid AS vec_id FROM e GROUP BY aid
+        |  HAVING COUNT(*) >= 3),
+        |ce AS (SELECT aid AS src, bid AS dst FROM e
+        |  WHERE aid IN (SELECT vec_id FROM core)
+        |    AND bid IN (SELECT vec_id FROM core)),
+        |reach(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM core
+        |  UNION
+        |  SELECT ce.dst, r.lbl FROM reach r JOIN ce ON ce.src = r.id),
+        |clab AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+        |blab AS (SELECT e.aid AS id, MIN(c.cluster_id) AS cluster_id
+        |  FROM e JOIN clab c ON e.bid = c.id
+        |  WHERE e.aid NOT IN (SELECT vec_id FROM core)
+        |  GROUP BY e.aid)
+        |SELECT p.vec_id,
+        |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |       WHEN bl.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(cl.cluster_id, bl.cluster_id) AS cluster_id
+        |FROM p LEFT JOIN clab cl ON p.vec_id = cl.id
+        |  LEFT JOIN blab bl ON p.vec_id = bl.id
+        |ORDER BY p.vec_id""".stripMargin,
 
     // same unrolled Lloyd as s_ann_ivf_topk, then the within-cell
     // lower-id-witness drop predicate replicated literally
