@@ -30,10 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ORCA-xform analogues, each gated behind its own conf (see the
     // rule's scaladoc): spark.graft.eagerAgg.enabled,
     // spark.graft.pushJoinBelowUnionAll.enabled,
-    // spark.graft.orExpansion.enabled
+    // spark.graft.orExpansion.enabled, spark.graft.rangeJoin.binSize
     e.injectOptimizerRule(_ => EagerAggRule)
     e.injectOptimizerRule(_ => PushJoinBelowUnionAllRule)
     e.injectOptimizerRule(_ => OrExpansionRule)
+    e.injectOptimizerRule(_ => RangeBinJoinRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.plans.{EagerAggRule, OrExpansionRule, PushJoinBelowUnionAllRule}
+import graft.plans.{EagerAggRule, OrExpansionRule, PushJoinBelowUnionAllRule, RangeBinJoinRule}
 
 /** Optimizer-xform demonstrations: the three ORCA exploration transforms
   * the engine re-expresses as Catalyst rules (SURVEY §7.3 "optional /
@@ -92,6 +92,31 @@ object Xforms extends QueryModule {
         .agg(count(lit(1)).as("n_orders"),
              dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("src")
+    }),
+
+    // Equality-free band join -> bin equi join (RangeBinJoinRule): parts
+    // against their brand's DERIVED average-price band (non-literal
+    // bounds, so nothing broadcasts a precomputed band list); without
+    // the rule Spark nested-loops this, with it the manufactured
+    // floor(x/w) key hash-joins and the preserved original predicate
+    // discards false bin candidates. XformRulesSpec proves the plan
+    // transform + any-width safety; this oracle proves semantics.
+    "q_range_bin_join" -> ((s0, dir) => {
+      val s = s0.newSession()
+      RangeBinJoinRule.install(s)
+      s.conf.set(RangeBinJoinRule.ConfKey, "25.0")
+      val p = t(s, dir, "part")
+      val bands = p.groupBy(col("p_brand"))
+        .agg(davg(col("p_retailprice")).as("mid"))
+        .select(col("p_brand"), (col("mid") - 25.0).as("lo"),
+          (col("mid") + 25.0).as("hi"))
+      p.select(col("p_partkey"), col("p_retailprice"))
+        .join(bands, col("p_retailprice") >= col("lo") &&
+          col("p_retailprice") < col("hi"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_in_band"),
+             dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -127,6 +152,18 @@ object Xforms extends QueryModule {
          |       ${sqlDsum("o_totalprice")} AS sum_price
          |FROM u JOIN orders ON c_custkey = o_custkey
          |GROUP BY src
-         |ORDER BY src""".stripMargin
+         |ORDER BY src""".stripMargin,
+
+    "q_range_bin_join" ->
+      s"""WITH bands AS (
+         |  SELECT p_brand, ${sqlDavg("p_retailprice")} AS mid
+         |  FROM part GROUP BY p_brand),
+         |b2 AS (SELECT p_brand, mid - 25.0 AS lo, mid + 25.0 AS hi
+         |  FROM bands)
+         |SELECT b2.p_brand, COUNT(*) AS n_in_band,
+         |  ${sqlDsum("p.p_retailprice")} AS sum_price
+         |FROM part p JOIN b2
+         |  ON p.p_retailprice >= b2.lo AND p.p_retailprice < b2.hi
+         |GROUP BY b2.p_brand ORDER BY b2.p_brand""".stripMargin
   )
 }

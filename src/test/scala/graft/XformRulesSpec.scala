@@ -309,4 +309,70 @@ class XformRulesSpec extends AnyFunSuite {
       assert(rows.getLong(0) >= rows.getLong(1))
     }
   }
+
+  // ---- RangeBinJoinRule ------------------------------------------------
+
+  /** Band join with derived (non-literal) bounds: parts against their
+    * brand's average-price band. No equi key -> stock Spark nested-loops. */
+  private def bandShape(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val p = Tables.t(s, sf, "part")
+    val bands = p.groupBy(col("p_brand"))
+      .agg(Tables.davg(col("p_retailprice")).as("mid"))
+      .select(col("p_brand"), (col("mid") - 25.0).as("lo"),
+        (col("mid") + 25.0).as("hi"))
+    p.select(col("p_partkey"), col("p_retailprice"))
+      .join(bands, col("p_retailprice") >= col("lo") &&
+        col("p_retailprice") < col("hi"))
+  }
+
+  private def withRangeRule[A](w: String)(
+      f: org.apache.spark.sql.SparkSession => A): A = {
+    val s = SparkTestSession.spark.newSession()
+    graft.plans.RangeBinJoinRule.install(s)
+    s.conf.set(graft.plans.RangeBinJoinRule.ConfKey, w)
+    f(s)
+  }
+
+  test("range-bin join turns the inequality nested loop into an equi join") {
+    withRangeRule("25.0") { s =>
+      val physical = bandShape(s).queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+      assert(physical.contains("SortMergeJoin") ||
+        physical.contains("ShuffledHashJoin") ||
+        physical.contains("BroadcastHashJoin"), physical)
+    }
+    val off = SparkTestSession.spark.newSession()
+    assert(bandShape(off).queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "without the rule the band join must nested-loop (test premise)")
+  }
+
+  test("range-bin join preserves results exactly") {
+    val expected = sortedRows(bandShape(SparkTestSession.spark.newSession()))
+    for (w <- Seq("5.0", "25.0", "500.0")) { // any width is semantics-safe
+      val got = withRangeRule(w)(s => sortedRows(bandShape(s)))
+      assert(got == expected, s"width $w changed results")
+    }
+    assert(expected.nonEmpty)
+  }
+
+  test("range-bin join guards: equi-keyed and outer joins do not fire") {
+    withRangeRule("25.0") { s =>
+      val p = Tables.t(s, sf, "part")
+      val bands = p.groupBy(col("p_brand"))
+        .agg(Tables.davg(col("p_retailprice")).as("mid"))
+      // cross-side equality present: binning would be pure overhead
+      val equi = p.join(bands,
+        p("p_brand") === bands("p_brand") &&
+          p("p_retailprice") >= bands("mid"))
+      assert(joinsInPlan(equi.queryExecution.optimizedPlan)
+        .forall(_.condition.forall(!_.toString.contains("graft_bin"))),
+        "equi-keyed join must not be binned")
+      // no conf -> off
+      val s2 = SparkTestSession.spark.newSession()
+      graft.plans.RangeBinJoinRule.install(s2)
+      assert(bandShape(s2).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+  }
 }
