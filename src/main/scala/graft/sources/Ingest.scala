@@ -514,6 +514,85 @@ object Ingest {
       .orderBy(col("column"))
   }
 
+  /** amcheck analogue (`/root/reference/contrib/amcheck/verify_nbtree.c`
+    * — index-order and bound-invariant verification; amcheck's contract
+    * is "empty result = invariants hold"): verify the PHYSICAL-LAYOUT
+    * invariants the engine's index analogues rely on, as a violations
+    * report with one row per breach:
+    *
+    *   - `overlap`: two files' [min, max] ranges of the layout key
+    *     overlap — breaks the CLUSTER/`rewriteSorted` premise that a
+    *     selective predicate prunes to few files (the analogue of a
+    *     btree page whose keys stray outside its parent's bounds);
+    *   - `rowcount`: a file's parquet-footer row count disagrees with
+    *     its scanned row count (metadata/data divergence — amcheck's
+    *     heap/index disagreement class).
+    *
+    * One distributed data scan (per-file extremes via input_file_name)
+    * plus one distributed footer sweep; the overlap check joins per-FILE
+    * summaries — one row per file — never data, so verification scales
+    * with file count like the statTable sweep. */
+  def checkTable(spark: SparkSession, path: String,
+                 keyCol: String): DataFrame = {
+    import spark.implicits._
+    val norm = (c: Column) => regexp_replace(c, "^file:/+", "file:/")
+    val perFile = spark.read.parquet(path)
+      .groupBy(norm(input_file_name()).as("file"))
+      .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"),
+           count(lit(1)).as("actual_rows"))
+    val fs = fsOf(spark, path)
+    val files = {
+      val it = fs.listFiles(new Path(path), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath.toString
+      }
+      b.result()
+    }
+    val confMap = hadoopConfMap(spark)
+    val footer = files.toDS().map { f =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confMap.foreach { case (k, v) => conf.set(k, v) }
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(f), conf))
+      try (f, reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally reader.close()
+    }.toDF("file", "footer_rows")
+      .withColumn("file", norm(col("file")))
+    val a = perFile.select(col("file").as("fa"), col("kmin").as("amin"),
+      col("kmax").as("amax"))
+    val b = perFile.select(col("file").as("fb"), col("kmin").as("bmin"),
+      col("kmax").as("bmax"))
+    val overlaps = a.join(b, col("fa") < col("fb") &&
+        col("amin") <= col("bmax") && col("bmin") <= col("amax"))
+      .select(lit("overlap").as("check"), col("fa").as("file"),
+        col("fb").as("other_file"),
+        concat(lit("key ranges ["), col("amin"), lit(", "), col("amax"),
+          lit("] and ["), col("bmin"), lit(", "), col("bmax"),
+          lit("] overlap")).as("detail"))
+    val badCounts = perFile.join(footer, Seq("file"))
+      .filter(col("actual_rows") =!= col("footer_rows"))
+      .select(lit("rowcount").as("check"), col("file"),
+        lit(null).cast("string").as("other_file"),
+        concat(lit("scanned "), col("actual_rows"), lit(" rows, footer says "),
+          col("footer_rows")).as("detail"))
+    overlaps.unionByName(badCounts)
+  }
+
+  /** pg_prewarm analogue (`/root/reference/contrib/pg_prewarm/
+    * pg_prewarm.c` — eagerly populate the buffer cache): materialize the
+    * frame into the executor block-manager cache and return the rows
+    * warmed. Subsequent actions on the RETURNED frame read
+    * InMemoryTableScan, not parquet (asserted in IngestSpec). */
+  def prewarm(df: DataFrame): (DataFrame, Long) = {
+    val cached = df.persist()
+    (cached, cached.count())
+  }
+
   /** The session's Hadoop configuration as a serializable Map, for
     * executor-side filesystem/footer access (Configuration itself is not
     * serializable; see CopyBinary for the original rationale). */

@@ -481,4 +481,35 @@ class IngestSpec extends AnyFunSuite {
     val want = src.filter(col("l_partkey") === key).count()
     assert(got == want && want > 0)
   }
+
+  test("checkTable: clean CLUSTER layout verifies empty; overlap is reported") {
+    val dir = java.nio.file.Files.createTempDirectory("amchk").toString
+    Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(dir)
+    graft.sources.Ingest.rewriteSorted(spark, dir, numFiles = 4, "o_orderkey")
+    assert(graft.sources.Ingest.checkTable(spark, dir, "o_orderkey").isEmpty,
+      "clean clustered layout must verify empty")
+
+    // corrupt the invariant: append a file whose key range spans the rest
+    Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(50)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val viol = graft.sources.Ingest.checkTable(spark, dir, "o_orderkey")
+      .collect()
+    assert(viol.nonEmpty && viol.forall(_.getString(0) == "overlap"),
+      viol.mkString(", "))
+  }
+
+  test("prewarm caches: post-warm reads hit InMemoryTableScan") {
+    val (warm, n) = graft.sources.Ingest.prewarm(
+      Tables.t(spark, sf, "part").select(col("p_partkey"), col("p_brand")))
+    try {
+      assert(n > 0)
+      val plan = warm.filter(col("p_partkey") > 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan)
+    } finally warm.unpersist()
+  }
 }
