@@ -324,6 +324,29 @@ object SetOpsMisc extends QueryModule {
         .orderBy(col("p_brand"), col("metric"))
     }),
 
+    // normal_rand SRF (contrib/tablefunc/tablefunc.c normal_rand): the
+    // reference draws from the backend PRNG; this engine's deterministic
+    // discipline replaces the RNG with md5-derived uniforms and the
+    // Irwin-Hall construction — z = (sum of 12 uniform[0,1] draws) - 6,
+    // a classical N(0,1) approximation that stays EXACT in integer
+    // micros (no Box-Muller ln/cos, whose last-ulp divergence across
+    // engines would break the hash compare). value = mean + stddev*z,
+    // staged in micros with truncating div mirrored on both engines.
+    // Reproducible across engines, partitionings, and reruns — the same
+    // md5-keyed determinism policy as d_sample_mix.
+    "q_normal_rand" -> ((s, dir) => {
+      def u(j: Int) = // uniform micros in [0, 1e6] from md5(i_j)
+        expr("CAST(conv(substring(md5(concat(CAST(i AS STRING), '_', " +
+          s"'$j')), 1, 6), 16, 10) AS BIGINT) % 1000001")
+      s.range(1, 501).select(col("id").as("i"))
+        .withColumn("z_u", (1 to 12).map(u).reduce(_ + _) - lit(6000000L))
+        .withColumn("value",
+          (lit(100000000L) + expr("(15000000 * z_u) div 1000000"))
+            .cast("double") / 1000000.0)
+        .select(col("i"), col("z_u"), col("value"))
+        .orderBy(col("i"))
+    }),
+
     // Logical-decoding change stream (contrib/test_decoding; replication/
     // logical/decode.c): two per-customer order snapshots over shifted
     // date windows diffed into the op-tagged I/U/D stream with
@@ -532,6 +555,18 @@ object SetOpsMisc extends QueryModule {
         |  UNION ALL
         |  SELECT p_brand, 'n_parts', n_parts FROM agg)
         |ORDER BY p_brand, metric""".stripMargin,
+
+    "q_normal_rand" -> {
+      val terms = (1 to 12).map(j =>
+        s"(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || '$j'), 1, 6) " +
+          s"AS BIGINT) % 1000001)").mkString(" + ")
+      s"""WITH g AS (SELECT unnest(range(1, 501)) AS i),
+         |u AS (SELECT i, $terms - 6000000 AS z_u FROM g)
+         |SELECT i, z_u,
+         |  CAST(100000000 + (15000000 * z_u) // 1000000 AS DOUBLE)
+         |    / 1000000.0 AS value
+         |FROM u ORDER BY i""".stripMargin
+    },
 
     "q_cdc_diff" ->
       s"""WITH v1 AS (
