@@ -166,6 +166,35 @@ object Lexize {
         array((if (keepOrig) h +: syns else syns).map(lit): _*)).otherwise(els)
     }
 
+  /** dict_int dictionary (`/root/reference/contrib/dict_int/dict_int.c`):
+    * integer tokens are normalized — `absval` strips the sign, tokens
+    * longer than `maxLen` digits are truncated to their first `maxLen`
+    * digits, or REJECTED (null -> filtered) when `rejectLong` is set;
+    * non-integer tokens pass through to the rest of the chain untouched.
+    * The reference's defaults are maxlen=6, rejectlong=false. */
+  def dictInt(w: Column, maxLen: Int, rejectLong: Boolean,
+              absVal: Boolean): Column = {
+    val digits = if (absVal) regexp_replace(w, "^-", "") else w
+    when(w.rlike("^-?[0-9]+$"),
+      when(length(digits) > maxLen,
+        if (rejectLong) lit(null).cast("string")
+        else digits.substr(lit(1), lit(maxLen)))
+        .otherwise(digits))
+      .otherwise(w)
+  }
+
+  /** DuckDB CASE mirroring [[dictInt]], generated from the same options. */
+  def duckDictInt(v: String, maxLen: Int, rejectLong: Boolean,
+                  absVal: Boolean): String = {
+    val digits = if (absVal) s"regexp_replace($v, '^-', '')" else v
+    val long =
+      if (rejectLong) "NULL"
+      else s"substr($digits, 1, $maxLen)"
+    s"CASE WHEN regexp_matches($v, '^-?[0-9]+$$') THEN " +
+      s"(CASE WHEN len($digits) > $maxLen THEN $long ELSE $digits END) " +
+      s"ELSE $v END"
+  }
+
   /** dict_xsyn expansion over a lexeme array: every group head becomes
     * its synonym set (`keepOrig` = the dictionary's keeporig option —
     * true keeps the head in the output, dict_xsyn's default; false

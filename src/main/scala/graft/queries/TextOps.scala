@@ -98,6 +98,37 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // dict_int dictionary (contrib/dict_int): integer tokens normalized
+    // BEFORE the standard chain — absval strips signs, >6-digit tokens
+    // truncate to their first 6 digits (default mode) or are rejected
+    // outright (rejectlong mode); words pass through to lower/stop/stem
+    // untouched. Injected numeric tokens prove every option branch:
+    // 1234567890 -> 123456, -987654321 -> 987654 (absval then truncate),
+    // 42 and 007 unchanged, and the reject lane drops both long ones
+    // (n_reject_mode = n_trunc_mode - 2). Map-side like every lexize
+    // stage; Spark Column and DuckDB CASE generated from one option set.
+    "t_fts_dict_int" -> ((s, dir) => {
+      import graft.functions.Lexize
+      val withNums = concat_ws(" ", col("text"),
+        lit("1234567890 42 -987654321 007"))
+      def lexWith(reject: Boolean) =
+        Lexize.tsvector(filter(
+          transform(split(withNums, " "),
+            w => Lexize.dictInt(w, 6, reject, absVal = true)),
+          w => w.isNotNull))
+      t(s, dir, "documents")
+        .withColumn("lex_t", lexWith(false))
+        .withColumn("lex_r", lexWith(true))
+        .select(col("doc_id"),
+          size(col("lex_t")).as("n_trunc_mode"),
+          size(col("lex_r")).as("n_reject_mode"),
+          size(filter(col("lex_t"), w => w === "123456")).as("tf_123456"),
+          size(filter(col("lex_t"), w => w === "987654")).as("tf_987654"),
+          size(filter(col("lex_t"), w => w === "007")).as("tf_007"),
+          exists(col("lex_t"), w => w.startsWith("-")).as("any_negative"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Readability scoring (Flesch reading ease + Flesch-Kincaid grade) —
     // the classic quality gate next to t_quality_score's ratio gates.
     // Deterministic syllable model: vowel-group count per word
@@ -949,6 +980,46 @@ object TextOps extends QueryModule {
          |    (800000 * dc + nw) // (2 * nw) +
          |    least((50000 * (ch - nw + 1) + nw) // (2 * nw), 200000) AS quality_u
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t_fts_dict_int" -> {
+      import graft.functions.Lexize
+      def stagesFor(src: String, out: String): String =
+        s"""k_$out AS (SELECT doc_id,
+           |    list_filter(list_transform($src, x -> lower(x)),
+           |      x -> len(x) > 0 AND x NOT IN ${Lexize.duckStopList}) AS wk
+           |  FROM m),
+           |p_$out AS (SELECT doc_id,
+           |    list_transform(wk, x -> ${Lexize.duckStemPlural("x")}) AS wp
+           |  FROM k_$out),
+           |$out AS (SELECT doc_id,
+           |    list_transform(wp, x -> ${Lexize.duckStemSuffix("x")}) AS lex
+           |  FROM p_$out)""".stripMargin
+      s"""WITH d AS (SELECT doc_id,
+         |    string_split(text || ' 1234567890 42 -987654321 007', ' ')
+         |      AS w0
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    list_filter(list_transform(w0,
+         |      x -> ${Lexize.duckDictInt("x", 6, rejectLong = false, absVal = true)}),
+         |      x -> x IS NOT NULL) AS dt,
+         |    list_filter(list_transform(w0,
+         |      x -> ${Lexize.duckDictInt("x", 6, rejectLong = true, absVal = true)}),
+         |      x -> x IS NOT NULL) AS dr
+         |  FROM d),
+         |${stagesFor("dt", "lt")},
+         |${stagesFor("dr", "lr")}
+         |SELECT lt.doc_id,
+         |  CAST(len(lt.lex) AS INT) AS n_trunc_mode,
+         |  CAST(len(lr.lex) AS INT) AS n_reject_mode,
+         |  CAST(len(list_filter(lt.lex, x -> x = '123456')) AS INT)
+         |    AS tf_123456,
+         |  CAST(len(list_filter(lt.lex, x -> x = '987654')) AS INT)
+         |    AS tf_987654,
+         |  CAST(len(list_filter(lt.lex, x -> x = '007')) AS INT) AS tf_007,
+         |  len(list_filter(lt.lex, x -> x LIKE '-%')) > 0 AS any_negative
+         |FROM lt JOIN lr ON lt.doc_id = lr.doc_id
+         |ORDER BY lt.doc_id""".stripMargin
+    },
 
     "t_readability" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
