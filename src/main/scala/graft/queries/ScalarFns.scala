@@ -405,6 +405,35 @@ object ScalarFns extends QueryModule {
         .orderBy(col("msg_id"))
     }),
 
+    // pgcrypto crypt()/md5-crypt (`/root/reference/contrib/pgcrypto/
+    // crypt-md5.c`, regress sql/crypt-md5.sql): the FreeBSD $1$ password
+    // scheme — 1000-iteration MD5 stretching with the magic/salt
+    // interleave — as the functions/CryptFns.scala codegen kernel.
+    // Vectors 1-2 are the reference regress's OWN expected outputs;
+    // 3-7 come from an independent implementation (incl. 8-char salt
+    // truncation, a short salt, a 40-char password, and a salt with a
+    // trailing $section that must be ignored). `verified` is the
+    // reference's own regress idiom: crypt(pw, crypt(pw, salt)) must
+    // re-derive the stored hash, because the salt parser reads at most
+    // 8 chars after $1$ and stops at '$'.
+    "q_pgcrypto_crypt" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.CryptFns.register(s)
+      Seq((1, "", "$1$Szzz0yzz"),
+          (2, "foox", "$1$Szzz0yzz"),
+          (3, "password", "$1$abcdefgh"),
+          (4, "trno", "$1$X9"),
+          (5, "a" * 40, "$1$longpass"),
+          (6, "Customer#000000007", "$1$graftsal"),
+          (7, "hello world", "$1$12345678$extra"))
+        .toDF("vec_id", "pw", "salt")
+        .select(col("vec_id"),
+          expr("crypt_md5(pw, salt)").as("hash"),
+          expr("crypt_md5(pw, crypt_md5(pw, salt)) = crypt_md5(pw, salt)")
+            .as("verified"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Name-based UUID v5 (uuid-ossp's uuid_generate_v5,
     // `/root/reference/contrib/uuid-ossp/uuid-ossp.c`): RFC 4122 layout
     // from sha1(namespace_bytes || name) — version nibble 5, variant
@@ -769,6 +798,20 @@ object ScalarFns extends QueryModule {
         |   'd09cd7bd2d4d3153424d2680c2ad92f8cd65e5933c86c628039b323b5f736485')
         |) AS t(msg_id, hmac_md5, hmac_sha256)
         |ORDER BY msg_id""".stripMargin,
+
+    // vectors 1-2 from the reference's crypt-md5 regress expected file;
+    // 3-7 from an independent md5-crypt implementation
+    "q_pgcrypto_crypt" ->
+      """SELECT * FROM (VALUES
+        |  (1, '$1$Szzz0yzz$To38XrR3BsbXQW2ZpfKjF1', true),
+        |  (2, '$1$Szzz0yzz$IYL49cd3t9bllsA7Jmz1M1', true),
+        |  (3, '$1$abcdefgh$G//4keteveJp0qb8z2DxG/', true),
+        |  (4, '$1$X9$C0mOzJvgmuS18qkn1UTt51', true),
+        |  (5, '$1$longpass$6BDKFkMHy4UUIa3IYQ9sV/', true),
+        |  (6, '$1$graftsal$WGrCMgRiKgnmg1HXTIHdV1', true),
+        |  (7, '$1$12345678$lo0TMwpURU6MI/a/.iXrK.', true)
+        |) AS t(vec_id, hash, verified)
+        |ORDER BY vec_id""".stripMargin,
 
     // known-answer vectors from openssl enc (aes-128-ecb / aes-256-cbc
     // with the fixed IV 000102..0e0f, PKCS padding); the CBC column is
