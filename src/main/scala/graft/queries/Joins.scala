@@ -126,6 +126,23 @@ object Joins extends QueryModule {
         .orderBy(col("c_nationkey"))
     }),
 
+    // refint referential-integrity audit (contrib/spi/refint.c enforces
+    // FK constraints trigger-side; at warehouse scale the idiom is the
+    // batch ORPHAN SCAN instead — find fact keys with no dimension row).
+    // The dimension is deliberately holed (custkeys divisible by 7
+    // removed) so the audit has real findings: per orphaned key, its
+    // order count and value at stake; bounded top-20 by exposure.
+    "q_refint_orphans" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0)
+      t(s, dir, "orders")
+        .join(dim, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("value_at_stake"))
+        .orderBy(col("value_at_stake").desc, col("o_custkey"))
+        .limit(20)
+    }),
+
     // Null-aware anti join: NOT IN over a *nullable* inner (GP's
     // LeftAntiSemiJoinNotIn; Spark plans a null-aware anti join). The
     // CASE never actually yields NULL so the result is non-empty, but the
@@ -353,6 +370,15 @@ object Joins extends QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_refint_orphans" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS value_at_stake
+         |FROM orders
+         |WHERE NOT EXISTS (SELECT 1 FROM customer
+         |  WHERE c_custkey = o_custkey AND c_custkey % 7 <> 0)
+         |GROUP BY o_custkey
+         |ORDER BY value_at_stake DESC, o_custkey LIMIT 20""".stripMargin,
 
     "q_join_notin_nullaware" ->
       """SELECT c_mktsegment, COUNT(*) AS n FROM customer

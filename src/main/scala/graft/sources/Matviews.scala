@@ -98,14 +98,55 @@ object Matviews {
     * (streaming delta refresh) and own the compute. Same crash-safe
     * protocol: a marker-less write is invisible, the previous current
     * version survives one more cycle for in-flight readers. */
-  def writeSnapshot(spark: SparkSession, path: String, df: DataFrame): Unit = {
+  def writeSnapshot(spark: SparkSession, path: String, df: DataFrame): Unit =
+    writeSnapshot(spark, path, df, keepVersions = 2)
+
+  /** As [[writeSnapshot]], retaining the last `keepVersions` committed
+    * versions instead of the default 2 — the retention knob that turns
+    * the MVCC protocol into TIME TRAVEL (`contrib/spi/timetravel.c`
+    * keeps superseded row versions for as-of queries; here superseded
+    * SNAPSHOT versions stay readable via [[readVersion]]/[[readAsOf]]).
+    * Marker-less (crashed) writes below the retention horizon are
+    * swept with the expired versions. */
+  def writeSnapshot(spark: SparkSession, path: String, df: DataFrame,
+                    keepVersions: Int): Unit = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
     val fs = fsOf(spark, path)
     fs.mkdirs(new Path(path))
-    val cur = currentVersion(fs, path)
     val next = versions(fs, path).maxOption.getOrElse(0) + 1
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/v$next")
-    cur.foreach(c => versions(fs, path).filter(_ < c)
-      .foreach(v => fs.delete(new Path(s"$path/v$v"), true)))
+    val committed = versions(fs, path)
+      .filter(v => fs.exists(new Path(s"$path/v$v/_SUCCESS")))
+    committed.sorted.takeRight(keepVersions).headOption.foreach(cutoff =>
+      versions(fs, path).filter(_ < cutoff)
+        .foreach(v => fs.delete(new Path(s"$path/v$v"), true)))
+  }
+
+  /** Committed (marker-bearing) versions with their commit times,
+    * oldest first — the time-travel catalog. */
+  def listVersions(spark: SparkSession, path: String): Seq[(Int, Long)] = {
+    val fs = fsOf(spark, path)
+    versions(fs, path)
+      .filter(v => fs.exists(new Path(s"$path/v$v/_SUCCESS")))
+      .map(v => v -> fs.getFileStatus(new Path(s"$path/v$v/_SUCCESS"))
+        .getModificationTime)
+  }
+
+  /** SELECT from a specific retained version. */
+  def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val fs = fsOf(spark, path)
+    require(fs.exists(new Path(s"$path/v$version/_SUCCESS")),
+      s"version $version of $path is not committed or was pruned")
+    spark.read.parquet(s"$path/v$version")
+  }
+
+  /** AS OF read: the newest version committed at or before `tsMillis`
+    * (spi/timetravel's as-of query over snapshot versions). */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame = {
+    val eligible = listVersions(spark, path).filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version of $path committed at or before $tsMillis")
+    readVersion(spark, path, eligible.map(_._1).max)
   }
 
   /** Whether the view has any committed snapshot yet. */

@@ -165,4 +165,36 @@ class MatviewSpec extends AnyFunSuite {
       "an ineligible parent must trigger a correct full rebuild, " +
         "never double-counting")
   }
+
+  test("time travel: retained versions stay readable, as-of picks by commit time") {
+    val sp = spark; import sp.implicits._
+    val mv = java.nio.file.Files.createTempDirectory("tt").toString + "/t"
+    def snap(n: Int) = Seq.tabulate(n)(i => (i.toLong, s"v$n")).toDF("k", "tag")
+    for (n <- Seq(1, 2, 3)) {
+      Matviews.writeSnapshot(spark, mv, snap(n), keepVersions = 4)
+      Thread.sleep(20) // distinct commit mtimes for the as-of boundary
+    }
+    val vs = Matviews.listVersions(spark, mv)
+    assert(vs.map(_._1) == Seq(1, 2, 3))
+    assert(vs.map(_._2) == vs.map(_._2).sorted)
+    // every retained version readable and distinct
+    for ((v, _) <- vs)
+      assert(Matviews.readVersion(spark, mv, v).count() == v)
+    // as-of between v2's and v3's commits reads v2; as-of now reads v3
+    val midTs = (vs(1)._2 + vs(2)._2) / 2
+    assert(Matviews.readAsOf(spark, mv, midTs)
+      .select("tag").distinct().collect()(0).getString(0) == "v2")
+    assert(Matviews.readAsOf(spark, mv, vs(2)._2)
+      .select("tag").distinct().collect()(0).getString(0) == "v3")
+    // before the first commit: no eligible version
+    intercept[IllegalArgumentException] {
+      Matviews.readAsOf(spark, mv, vs(0)._2 - 1000)
+    }
+    // default retention still prunes to 2: a 4th default write drops v1/v2
+    Matviews.writeSnapshot(spark, mv, snap(4))
+    assert(Matviews.listVersions(spark, mv).map(_._1) == Seq(3, 4))
+    intercept[IllegalArgumentException] {
+      Matviews.readVersion(spark, mv, 1)
+    }
+  }
 }
