@@ -27,14 +27,14 @@ import graft.Tables._
   */
 object Sketches extends QueryModule {
 
-  private val CmDepth = 3
-  private val CmWidth = 256
+  private[graft] val CmDepth = 3
+  private[graft] val CmWidth = 256
   private val BloomK = 3
   private val BloomM = 2048
 
   /** md5-derived bucket for (salt j, key col), mirrored in the oracle as
     * CAST('0x' || substr(md5(j || ':' || w), 1, 6) AS BIGINT) % width. */
-  private def bucket(j: Int, c: Column, width: Int): Column =
+  private[graft] def bucket(j: Int, c: Column, width: Int): Column =
     pmod(conv(substring(md5(concat(lit(s"$j:"), c)), 1, 6), 16, 10)
       .cast("long"), lit(width))
 

@@ -419,6 +419,59 @@ object Streaming {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming count-min sketch maintenance — the streaming face of
+    * d_countmin_heavy (`queries/Sketches.scala`, same depth-3 x
+    * width-256 md5 hash family): each micro-batch of documents explodes
+    * to per-(row, bucket) token counts and folds ADDITIVELY into the
+    * stored counter table under the snapshot protocol (applied-batch id
+    * atomic with the counters, so restarts are exactly-once — the
+    * streamingMatviewCounts discipline). Count-min is a LINEAR sketch:
+    * merge is cell-wise addition, so the streamed-and-merged counters
+    * are BIT-EQUAL to a batch build over the union of all batches —
+    * CdcSpec-style parity asserted in StreamingSketchSpec, not just
+    * approximated. State is 768 cells regardless of stream volume; the
+    * per-batch shuffle carries (j, b) cell partials, never tokens. */
+  def streamingCountMin(spark: SparkSession, srcDir: String,
+                        sketchPath: String, checkpointDir: String): Unit = {
+    import graft.queries.Sketches
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val existing =
+          if (graft.sources.Matviews.exists(sess, sketchPath))
+            Some(graft.sources.Matviews.read(sess, sketchPath))
+          else None
+        val applied = existing.exists(
+          _.agg(coalesce(max(col("_applied_batch")), lit(-1L)))
+            .collect()(0).getLong(0) >= batchId)
+        if (!applied) {
+          val delta = batch
+            .select(explode(split(col("text"), " ")).as("w"))
+            .select(explode(array((1 to Sketches.CmDepth).map(j =>
+              struct(lit(j).as("j"),
+                Sketches.bucket(j, col("w"), Sketches.CmWidth).as("b"))): _*))
+              .as("jb"))
+            .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+            .agg(count(lit(1)).as("c"))
+          val merged = existing match {
+            case None => delta
+            case Some(cur) => cur.select(col("j"), col("b"), col("c"))
+              .unionByName(delta)
+              .groupBy(col("j"), col("b"))
+              .agg(sum(col("c")).as("c"))
+          }
+          graft.sources.Matviews.writeSnapshot(sess, sketchPath,
+            merged.withColumn("_applied_batch", lit(batchId)))
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming CDC apply — the logical-replication APPLY WORKER
     * (`/root/reference/src/backend/replication/logical/worker.c` apply
     * loop; `contrib/test_decoding` emits what this consumes): a stream
