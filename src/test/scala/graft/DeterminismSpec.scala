@@ -47,7 +47,12 @@ class DeterminismSpec extends AnyFunSuite {
     // r11 additions:
     "q_ks_test",              // two-level bucketed cumsum spine + exact argmax
     "q_connectby",            // BFS fixpoint carrying branch paths
-    "d_boilerplate_strip")    // broadcast hot set + idx-sorted reassembly
+    "d_boilerplate_strip",    // broadcast hot set + idx-sorted reassembly
+    // r11 session-3 additions:
+    "d_semdedup",             // Lloyd cells + lower-id witness + sorted digest
+    "d_chunk_cdc",            // codegen boundary kernel + digest-keyed dup count
+    "q_dbscan",               // grid pairs + min-label CC + min border labels
+    "q_cdc_diff")             // full-outer snapshot diff, op by null-safe compare
     // (q_eager_agg deliberately NOT here: it builds a child session, so
     // the parent-session parallelism override would never reach it and
     // the invariance claim would be vacuous; XformRulesSpec proves its
