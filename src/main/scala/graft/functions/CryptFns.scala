@@ -102,14 +102,199 @@ case class CryptMd5(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `crypt_des(password, salt)` — classic crypt(3): DES with the 12-bit
+  * salt perturbing the E-expansion (bit i set swaps E rows i and i+24),
+  * 25 iterations over the zero block, 2-char salt + 11-char MSB-first
+  * base64 output (`/root/reference/contrib/pgcrypto/crypt-des.c`;
+  * regress `sql/crypt-des.sql`, both expected outputs pinned in
+  * CryptFnsSpec). Only the first 8 password characters participate
+  * (7 bits each), the documented crypt(3) truncation. FIPS 46-3 tables;
+  * same reference-object codegen as [[CryptMd5]]. */
+case class CryptDes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import CryptFns._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got $other")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "crypt_des"
+
+  /** The per-row kernel (public: codegen calls it via reference obj). */
+  def kernel(pwS: UTF8String, saltS: UTF8String): UTF8String = {
+    val pw = pwS.toString
+    val salt = saltS.toString
+    require(salt.length >= 2 &&
+      salt.take(2).forall(Itoa64Str.indexOf(_) >= 0), "invalid salt")
+    def perm(bits: Array[Int], table: Array[Int]): Array[Int] =
+      table.map(t => bits(t - 1))
+    val key = new Array[Int](64)
+    var i = 0
+    while (i < math.min(pw.length, 8)) {
+      val c = pw.charAt(i).toInt
+      var b = 0
+      while (b < 7) { key(i * 8 + b) = (c >> (6 - b)) & 1; b += 1 }
+      i += 1
+    }
+    val k56 = perm(key, PC1)
+    var c28 = k56.slice(0, 28)
+    var d28 = k56.slice(28, 56)
+    val subkeys = Shifts.map { s =>
+      c28 = c28.drop(s) ++ c28.take(s)
+      d28 = d28.drop(s) ++ d28.take(s)
+      perm(c28 ++ d28, PC2)
+    }
+    val e = ETab.clone()
+    val saltval = Itoa64Str.indexOf(salt(0)) |
+      (Itoa64Str.indexOf(salt(1)) << 6)
+    i = 0
+    while (i < 12) {
+      if ((saltval & (1 << i)) != 0) {
+        val t = e(i); e(i) = e(i + 24); e(i + 24) = t
+      }
+      i += 1
+    }
+    var block = new Array[Int](64)
+    var iter = 0
+    while (iter < 25) {
+      val b = perm(block, IP)
+      var l = b.slice(0, 32)
+      var r = b.slice(32, 64)
+      subkeys.foreach { k =>
+        val x = new Array[Int](48)
+        var j = 0
+        while (j < 48) { x(j) = r(e(j) - 1) ^ k(j); j += 1 }
+        val sOut = new Array[Int](32)
+        var si = 0
+        while (si < 8) {
+          val o = si * 6
+          val row = (x(o) << 1) | x(o + 5)
+          val colv = (x(o + 1) << 3) | (x(o + 2) << 2) |
+            (x(o + 3) << 1) | x(o + 4)
+          val v = Sbox(si)(row)(colv)
+          sOut(si * 4) = (v >> 3) & 1; sOut(si * 4 + 1) = (v >> 2) & 1
+          sOut(si * 4 + 2) = (v >> 1) & 1; sOut(si * 4 + 3) = v & 1
+          si += 1
+        }
+        val f = perm(sOut, PTab)
+        val nr = new Array[Int](32)
+        var m = 0
+        while (m < 32) { nr(m) = l(m) ^ f(m); m += 1 }
+        l = r; r = nr
+      }
+      block = perm(r ++ l, FP)
+      iter += 1
+    }
+    val out = new StringBuilder(salt.take(2))
+    val bits = block ++ Array(0, 0)
+    i = 0
+    while (i < 11) {
+      var v = 0
+      var j = 0
+      while (j < 6) { v = (v << 1) | bits(i * 6 + j); j += 1 }
+      out.append(Itoa64Str.charAt(v))
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("cryptDes", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $refName.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CryptFns {
-  /** Register `crypt_md5` for SQL + `expr(...)` use. Idempotent. */
+  private[functions] val Itoa64Str =
+    "./0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+  // FIPS 46-3 DES tables (public standard)
+  private[functions] val IP = Array(
+    58,50,42,34,26,18,10,2,60,52,44,36,28,20,12,4,
+    62,54,46,38,30,22,14,6,64,56,48,40,32,24,16,8,
+    57,49,41,33,25,17,9,1,59,51,43,35,27,19,11,3,
+    61,53,45,37,29,21,13,5,63,55,47,39,31,23,15,7)
+  private[functions] val FP = Array(
+    40,8,48,16,56,24,64,32,39,7,47,15,55,23,63,31,
+    38,6,46,14,54,22,62,30,37,5,45,13,53,21,61,29,
+    36,4,44,12,52,20,60,28,35,3,43,11,51,19,59,27,
+    34,2,42,10,50,18,58,26,33,1,41,9,49,17,57,25)
+  private[functions] val ETab = Array(
+    32,1,2,3,4,5,4,5,6,7,8,9,8,9,10,11,12,13,
+    12,13,14,15,16,17,16,17,18,19,20,21,20,21,22,23,24,25,
+    24,25,26,27,28,29,28,29,30,31,32,1)
+  private[functions] val PTab = Array(
+    16,7,20,21,29,12,28,17,1,15,23,26,5,18,31,10,
+    2,8,24,14,32,27,3,9,19,13,30,6,22,11,4,25)
+  private[functions] val PC1 = Array(
+    57,49,41,33,25,17,9,1,58,50,42,34,26,18,
+    10,2,59,51,43,35,27,19,11,3,60,52,44,36,
+    63,55,47,39,31,23,15,7,62,54,46,38,30,22,
+    14,6,61,53,45,37,29,21,13,5,28,20,12,4)
+  private[functions] val PC2 = Array(
+    14,17,11,24,1,5,3,28,15,6,21,10,
+    23,19,12,4,26,8,16,7,27,20,13,2,
+    41,52,31,37,47,55,30,40,51,45,33,48,
+    44,49,39,56,34,53,46,42,50,36,29,32)
+  private[functions] val Shifts =
+    Array(1,1,2,2,2,2,2,2,1,2,2,2,2,2,2,1)
+  private[functions] val Sbox: Array[Array[Array[Int]]] = Array(
+    Array(Array(14,4,13,1,2,15,11,8,3,10,6,12,5,9,0,7),
+      Array(0,15,7,4,14,2,13,1,10,6,12,11,9,5,3,8),
+      Array(4,1,14,8,13,6,2,11,15,12,9,7,3,10,5,0),
+      Array(15,12,8,2,4,9,1,7,5,11,3,14,10,0,6,13)),
+    Array(Array(15,1,8,14,6,11,3,4,9,7,2,13,12,0,5,10),
+      Array(3,13,4,7,15,2,8,14,12,0,1,10,6,9,11,5),
+      Array(0,14,7,11,10,4,13,1,5,8,12,6,9,3,2,15),
+      Array(13,8,10,1,3,15,4,2,11,6,7,12,0,5,14,9)),
+    Array(Array(10,0,9,14,6,3,15,5,1,13,12,7,11,4,2,8),
+      Array(13,7,0,9,3,4,6,10,2,8,5,14,12,11,15,1),
+      Array(13,6,4,9,8,15,3,0,11,1,2,12,5,10,14,7),
+      Array(1,10,13,0,6,9,8,7,4,15,14,3,11,5,2,12)),
+    Array(Array(7,13,14,3,0,6,9,10,1,2,8,5,11,12,4,15),
+      Array(13,8,11,5,6,15,0,3,4,7,2,12,1,10,14,9),
+      Array(10,6,9,0,12,11,7,13,15,1,3,14,5,2,8,4),
+      Array(3,15,0,6,10,1,13,8,9,4,5,11,12,7,2,14)),
+    Array(Array(2,12,4,1,7,10,11,6,8,5,3,15,13,0,14,9),
+      Array(14,11,2,12,4,7,13,1,5,0,15,10,3,9,8,6),
+      Array(4,2,1,11,10,13,7,8,15,9,12,5,6,3,0,14),
+      Array(11,8,12,7,1,14,2,13,6,15,0,9,10,4,5,3)),
+    Array(Array(12,1,10,15,9,2,6,8,0,13,3,4,14,7,5,11),
+      Array(10,15,4,2,7,12,9,5,6,1,13,14,0,11,3,8),
+      Array(9,14,15,5,2,8,12,3,7,0,4,10,1,13,11,6),
+      Array(4,3,2,12,9,5,15,10,11,14,1,7,6,0,8,13)),
+    Array(Array(4,11,2,14,15,0,8,13,3,12,9,7,5,10,6,1),
+      Array(13,0,11,7,4,9,1,10,14,3,5,12,2,15,8,6),
+      Array(1,4,11,13,12,3,7,14,10,15,6,8,0,5,9,2),
+      Array(6,11,13,8,1,4,10,7,9,5,0,15,14,2,3,12)),
+    Array(Array(13,2,8,4,6,15,11,1,10,9,3,14,5,0,12,7),
+      Array(1,15,13,8,10,3,7,4,12,5,6,11,0,14,9,2),
+      Array(7,11,4,1,9,12,14,2,0,6,10,13,15,3,5,8),
+      Array(2,1,14,7,4,10,8,13,15,12,9,0,3,5,6,11)))
+  /** Register `crypt_md5` + `crypt_des` for SQL + `expr(...)` use.
+    * Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("crypt_md5"))) {
       reg.createOrReplaceTempFunction(
         "crypt_md5", exprs => CryptMd5(exprs(0), exprs(1)), "built-in")
+    }
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("crypt_des"))) {
+      reg.createOrReplaceTempFunction(
+        "crypt_des", exprs => CryptDes(exprs(0), exprs(1)), "built-in")
     }
   }
 }

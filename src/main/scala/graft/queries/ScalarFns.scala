@@ -434,6 +434,34 @@ object ScalarFns extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // pgcrypto crypt()/DES — the classic crypt(3) scheme
+    // (`/root/reference/contrib/pgcrypto/crypt-des.c`, regress
+    // sql/crypt-des.sql): full FIPS DES with the 12-bit salt perturbing
+    // the E-expansion, 25 iterations over the zero block, as the
+    // crypt_des codegen kernel. Vectors 1-2 are the reference regress's
+    // expected outputs; 3-6 from an independent implementation.
+    // `verified` = the regress's crypt(pw, hash) == hash idiom (the
+    // hash's first 2 chars ARE the salt); `trunc8` pins crypt(3)'s
+    // documented 8-character password truncation.
+    "q_pgcrypto_crypt_des" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.CryptFns.register(s)
+      Seq((1, "", "NB"),
+          (2, "foox", "NB"),
+          (3, "password", "aa"),
+          (4, "8charpwd", "./"),
+          (5, "longerthan8chars", "Gr"),
+          (6, "Customer", "42"))
+        .toDF("vec_id", "pw", "salt")
+        .select(col("vec_id"),
+          expr("crypt_des(pw, salt)").as("hash"),
+          expr("crypt_des(pw, crypt_des(pw, salt)) = crypt_des(pw, salt)")
+            .as("verified"),
+          expr("crypt_des(substring(pw, 1, 8), salt) = crypt_des(pw, salt)")
+            .as("trunc8"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Name-based UUID v5 (uuid-ossp's uuid_generate_v5,
     // `/root/reference/contrib/uuid-ossp/uuid-ossp.c`): RFC 4122 layout
     // from sha1(namespace_bytes || name) — version nibble 5, variant
@@ -798,6 +826,19 @@ object ScalarFns extends QueryModule {
         |   'd09cd7bd2d4d3153424d2680c2ad92f8cd65e5933c86c628039b323b5f736485')
         |) AS t(msg_id, hmac_md5, hmac_sha256)
         |ORDER BY msg_id""".stripMargin,
+
+    // vectors 1-2 from the reference's crypt-des regress expected file;
+    // 3-6 from an independent implementation validated against them
+    "q_pgcrypto_crypt_des" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'NBPx/38Y48kHg', true, true),
+        |  (2, 'NB53EGGqrrb5E', true, true),
+        |  (3, 'aajfMKNH1hTm2', true, true),
+        |  (4, './jkm1BcQiwLw', true, true),
+        |  (5, 'Gr/Y6WgvpXW.2', true, true),
+        |  (6, '42hlbQCwoBWCY', true, true)
+        |) AS t(vec_id, hash, verified, trunc8)
+        |ORDER BY vec_id""".stripMargin,
 
     // vectors 1-2 from the reference's crypt-md5 regress expected file;
     // 3-7 from an independent md5-crypt implementation

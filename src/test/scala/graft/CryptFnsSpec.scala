@@ -30,6 +30,22 @@ class CryptFnsSpec extends AnyFunSuite {
     assert(crypt("pw", "Szzz0yzz") == crypt("pw", "$1$Szzz0yzz"))
   }
 
+  private def cryptDes(pw: String, salt: String): String =
+    graft.functions.CryptDes(null, null)
+      .kernel(UTF8String.fromString(pw), UTF8String.fromString(salt))
+      .toString
+
+  test("DES: reference regress vectors (expected/crypt-des.out)") {
+    assert(cryptDes("", "NB") == "NBPx/38Y48kHg")
+    assert(cryptDes("foox", "NB") == "NB53EGGqrrb5E")
+    // regress: a 1-char salt is invalid
+    intercept[IllegalArgumentException] { cryptDes("password", "a") }
+    // 8-char truncation + hash-as-salt re-derivation
+    assert(cryptDes("longerthan8chars", "Gr") == cryptDes("longerth", "Gr"))
+    val h = cryptDes("password", "aa")
+    assert(cryptDes("password", h) == h)
+  }
+
   test("codegen and interpreted paths agree over a real column") {
     graft.functions.CryptFns.register(spark)
     val sp = spark; import sp.implicits._
