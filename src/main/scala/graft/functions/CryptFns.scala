@@ -129,8 +129,6 @@ case class CryptDes(left: Expression, right: Expression)
     val salt = saltS.toString
     require(salt.length >= 2 &&
       salt.take(2).forall(Itoa64Str.indexOf(_) >= 0), "invalid salt")
-    def perm(bits: Array[Int], table: Array[Int]): Array[Int] =
-      table.map(t => bits(t - 1))
     val key = new Array[Int](64)
     var i = 0
     while (i < math.min(pw.length, 8)) {
@@ -139,27 +137,143 @@ case class CryptDes(left: Expression, right: Expression)
       while (b < 7) { key(i * 8 + b) = (c >> (6 - b)) & 1; b += 1 }
       i += 1
     }
+    val saltval = Itoa64Str.indexOf(salt(0)) |
+      (Itoa64Str.indexOf(salt(1)) << 6)
+    val block = desCipher(new Array[Int](64), subkeysOf(key), saltval, 25)
+    UTF8String.fromString(encode11(block, salt.take(2)))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("cryptDes", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $refName.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `crypt_xdes(password, setting)` — BSDi extended DES (`_`-prefixed
+  * settings: 4-char iteration count + 4-char salt, both LSB-first
+  * base64): passwords beyond 8 characters fold into the key by
+  * encrypt-then-XOR rounds (the reference regress explicitly tests
+  * >8-char keys), then `count` DES iterations over the zero block with
+  * the 24-bit salt perturbing the E-expansion
+  * (`/root/reference/contrib/pgcrypto/crypt-des.c` xdes branch; regress
+  * `sql/crypt-xdes.sql`, all three expected outputs pinned in
+  * CryptFnsSpec). */
+case class CryptXdes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import CryptFns._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got $other")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "crypt_xdes"
+
+  /** The per-row kernel (public: codegen calls it via reference obj). */
+  def kernel(pwS: UTF8String, settingS: UTF8String): UTF8String = {
+    val setting = settingS.toString
+    require(setting.length >= 9 && setting(0) == '_' &&
+      setting.substring(1, 9).forall(Itoa64Str.indexOf(_) >= 0),
+      "invalid salt")
+    def dec4(off: Int): Int =
+      (0 until 4).map(i => Itoa64Str.indexOf(setting(off + i)) << (6 * i)).sum
+    val count = dec4(1)
+    require(count > 0, "invalid salt")
+    val saltval = dec4(5)
+    val pwb = pwS.toString.getBytes("UTF-8")
+    val keybuf = new Array[Int](8)
+    var i = 0
+    while (i < 8) {
+      keybuf(i) = if (i < pwb.length) ((pwb(i) & 0xff) << 1) & 0xff else 0
+      i += 1
+    }
+    def bufBits: Array[Int] =
+      Array.tabulate(64)(j => (keybuf(j / 8) >> (7 - j % 8)) & 1)
+    var rest = pwb.drop(8)
+    while (rest.nonEmpty) {
+      val enc = desCipher(bufBits, subkeysOf(bufBits), 0, 1)
+      i = 0
+      while (i < 8) {
+        var v = 0
+        var b = 0
+        while (b < 8) { v = (v << 1) | enc(i * 8 + b); b += 1 }
+        keybuf(i) = v
+        i += 1
+      }
+      val chunk = rest.take(8)
+      rest = rest.drop(8)
+      i = 0
+      while (i < 8) {
+        if (i < chunk.length)
+          keybuf(i) = keybuf(i) ^ (((chunk(i) & 0xff) << 1) & 0xff)
+        i += 1
+      }
+    }
+    val block = desCipher(new Array[Int](64), subkeysOf(bufBits),
+      saltval, count)
+    UTF8String.fromString(encode11(block, setting.take(9)))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("cryptXdes", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $refName.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CryptFns {
+  /** 28-bit-halves key schedule from a 64-bit key bit array. */
+  private[functions] def subkeysOf(key: Array[Int]): Array[Array[Int]] = {
+    def perm(bits: Array[Int], table: Array[Int]): Array[Int] =
+      table.map(t => bits(t - 1))
     val k56 = perm(key, PC1)
     var c28 = k56.slice(0, 28)
     var d28 = k56.slice(28, 56)
-    val subkeys = Shifts.map { s =>
+    Shifts.map { s =>
       c28 = c28.drop(s) ++ c28.take(s)
       d28 = d28.drop(s) ++ d28.take(s)
       perm(c28 ++ d28, PC2)
     }
+  }
+
+  /** `count` DES iterations over `block0` with the salt-perturbed
+    * E-expansion (bit i of `saltval`, i < 24, swaps E rows i and i+24 —
+    * classic crypt uses 12 salt bits, xdes all 24). */
+  private[functions] def desCipher(block0: Array[Int],
+                                   subkeys: Array[Array[Int]],
+                                   saltval: Int, count: Int): Array[Int] = {
+    def perm(bits: Array[Int], table: Array[Int]): Array[Int] =
+      table.map(t => bits(t - 1))
     val e = ETab.clone()
-    val saltval = Itoa64Str.indexOf(salt(0)) |
-      (Itoa64Str.indexOf(salt(1)) << 6)
-    i = 0
-    while (i < 12) {
+    var i = 0
+    while (i < 24) {
       if ((saltval & (1 << i)) != 0) {
         val t = e(i); e(i) = e(i + 24); e(i + 24) = t
       }
       i += 1
     }
-    var block = new Array[Int](64)
+    var block = block0
     var iter = 0
-    while (iter < 25) {
+    while (iter < count) {
       val b = perm(block, IP)
       var l = b.slice(0, 32)
       var r = b.slice(32, 64)
@@ -188,9 +302,15 @@ case class CryptDes(left: Expression, right: Expression)
       block = perm(r ++ l, FP)
       iter += 1
     }
-    val out = new StringBuilder(salt.take(2))
+    block
+  }
+
+  /** crypt(3) output tail: 64 block bits + 2 pad bits as 11 MSB-first
+    * base64 chars, appended to `prefix` (the setting echo). */
+  private[functions] def encode11(block: Array[Int], prefix: String): String = {
+    val out = new StringBuilder(prefix)
     val bits = block ++ Array(0, 0)
-    i = 0
+    var i = 0
     while (i < 11) {
       var v = 0
       var j = 0
@@ -198,25 +318,9 @@ case class CryptDes(left: Expression, right: Expression)
       out.append(Itoa64Str.charAt(v))
       i += 1
     }
-    UTF8String.fromString(out.toString)
+    out.toString
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode = {
-    val refName = ctx.addReferenceObj("cryptDes", this, getClass.getName)
-    nullSafeCodeGen(ctx, ev,
-      (a, b) => s"${ev.value} = $refName.kernel($a, $b);")
-  }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-object CryptFns {
   private[functions] val Itoa64Str =
     "./0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
   // FIPS 46-3 DES tables (public standard)
@@ -295,6 +399,11 @@ object CryptFns {
         org.apache.spark.sql.catalyst.FunctionIdentifier("crypt_des"))) {
       reg.createOrReplaceTempFunction(
         "crypt_des", exprs => CryptDes(exprs(0), exprs(1)), "built-in")
+    }
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("crypt_xdes"))) {
+      reg.createOrReplaceTempFunction(
+        "crypt_xdes", exprs => CryptXdes(exprs(0), exprs(1)), "built-in")
     }
   }
 }

@@ -462,6 +462,27 @@ object ScalarFns extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // pgcrypto crypt()/extended DES (crypt-des.c xdes branch, regress
+    // sql/crypt-xdes.sql): `_`-prefixed settings carry a 4-char
+    // iteration count and 4-char salt (24 bits); >8-char passwords fold
+    // into the key via encrypt-then-XOR rounds — `folds8` proves the
+    // fold is live (the long password's hash DIFFERS from its 8-char
+    // prefix's, the opposite of classic DES's truncation). All three
+    // regress expected outputs are the oracle.
+    "q_pgcrypto_crypt_xdes" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.CryptFns.register(s)
+      Seq((1, ""), (2, "foox"), (3, "longlongpassword"))
+        .toDF("vec_id", "pw")
+        .select(col("vec_id"),
+          expr("crypt_xdes(pw, '_J9..j2zz')").as("hash"),
+          expr("crypt_xdes(pw, crypt_xdes(pw, '_J9..j2zz')) = " +
+            "crypt_xdes(pw, '_J9..j2zz')").as("verified"),
+          expr("crypt_xdes(substring(pw, 1, 8), '_J9..j2zz') <> " +
+            "crypt_xdes(pw, '_J9..j2zz') OR length(pw) <= 8").as("folds8"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Name-based UUID v5 (uuid-ossp's uuid_generate_v5,
     // `/root/reference/contrib/uuid-ossp/uuid-ossp.c`): RFC 4122 layout
     // from sha1(namespace_bytes || name) — version nibble 5, variant
@@ -826,6 +847,15 @@ object ScalarFns extends QueryModule {
         |   'd09cd7bd2d4d3153424d2680c2ad92f8cd65e5933c86c628039b323b5f736485')
         |) AS t(msg_id, hmac_md5, hmac_sha256)
         |ORDER BY msg_id""".stripMargin,
+
+    // all three vectors are the reference's crypt-xdes regress outputs
+    "q_pgcrypto_crypt_xdes" ->
+      """SELECT * FROM (VALUES
+        |  (1, '_J9..j2zzR/nIRDK3pPc', true, true),
+        |  (2, '_J9..j2zzAYKMvO2BYRY', true, true),
+        |  (3, '_J9..j2zz4BeseiQNwUg', true, true)
+        |) AS t(vec_id, hash, verified, folds8)
+        |ORDER BY vec_id""".stripMargin,
 
     // vectors 1-2 from the reference's crypt-des regress expected file;
     // 3-6 from an independent implementation validated against them

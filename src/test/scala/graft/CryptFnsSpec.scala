@@ -46,6 +46,25 @@ class CryptFnsSpec extends AnyFunSuite {
     assert(cryptDes("password", h) == h)
   }
 
+  private def cryptXdes(pw: String, setting: String): String =
+    graft.functions.CryptXdes(null, null)
+      .kernel(UTF8String.fromString(pw), UTF8String.fromString(setting))
+      .toString
+
+  test("XDES: reference regress vectors (expected/crypt-xdes.out)") {
+    assert(cryptXdes("", "_J9..j2zz") == "_J9..j2zzR/nIRDK3pPc")
+    assert(cryptXdes("foox", "_J9..j2zz") == "_J9..j2zzAYKMvO2BYRY")
+    assert(cryptXdes("longlongpassword", "_J9..j2zz") ==
+      "_J9..j2zz4BeseiQNwUg")
+    // the >8-char fold is live: prefix hash differs
+    assert(cryptXdes("longlongpassword", "_J9..j2zz") !=
+      cryptXdes("longlong", "_J9..j2zz"))
+    // hash-as-setting re-derivation
+    val h = cryptXdes("secret", "_J9..j2zz")
+    assert(cryptXdes("secret", h) == h)
+    intercept[IllegalArgumentException] { cryptXdes("pw", "_J9..") }
+  }
+
   test("codegen and interpreted paths agree over a real column") {
     graft.functions.CryptFns.register(spark)
     val sp = spark; import sp.implicits._
