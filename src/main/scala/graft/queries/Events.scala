@@ -396,6 +396,30 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // Top event PATHS (the path-analysis staple next to the funnel
+    // above): each user's full event sequence (ordered by (ts,
+    // event_id) — unique, so the order is total), sliding 3-step
+    // windows over it, global top-10 paths by occurrences with distinct
+    // users alongside. Sequences build with one user-keyed shuffle
+    // (collect_list + array_sort); the 3-gram explode is map-side and
+    // the path-keyed count is vocabulary-bounded (#event_types^3).
+    "q_events_paths" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(col("user_id"),
+          expr("transform(evs, x -> x.event_type)").as("seq"))
+        .select(col("user_id"), explode(expr(
+          "CASE WHEN size(seq) >= 3 THEN transform(sequence(1, size(seq) - 2), " +
+            "i -> concat_ws('>', slice(seq, i, 3))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
+
     // Cohort retention (the warehouse-analytics staple): users bucketed
     // by first-activity week, distinct-user counts per weeks-since-cohort
     // offset. Both engines truncate weeks to Monday; offsets are exact
@@ -680,6 +704,19 @@ object Events extends QueryModule {
         |  SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         |ON fs.user_id = p.user_id AND p.ts > fs.signup_ts
         |GROUP BY fs.user_id ORDER BY fs.user_id""".stripMargin,
+
+    "q_events_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id,
+        |    unnest([array_to_string(seq[i : i + 2], '>')
+        |            for i in range(1, len(seq) - 1)]) AS path
+        |  FROM s WHERE len(seq) >= 3)
+        |SELECT path, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM g GROUP BY path
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "q_events_gapfill_zero" ->
       """WITH days AS (

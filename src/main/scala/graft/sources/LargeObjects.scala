@@ -66,6 +66,15 @@ object LargeObjects {
         expr(s"substring(data, ${skip + 1}, $len)").as("data"))
   }
 
+  /** vacuumlo (`/root/reference/contrib/vacuumlo/vacuumlo.c`): drop the
+    * pages of large objects no row references any more — one semi join
+    * of the page table against the distinct referenced ids (vacuumlo
+    * scans lo-typed columns for the same set). Returns the surviving
+    * page relation; callers rewrite the store with it. */
+  def vacuumLo(pages: DataFrame, referenced: DataFrame): DataFrame =
+    pages.join(referenced.select(col("loid")).distinct(),
+      Seq("loid"), "left_semi")
+
   /** Page-level overwrite (lo_write at a page boundary): pages of
     * `replacement` (an (loid, pageno, data) frame) win over `pages` on
     * the (loid, pageno) key — the reference's per-page UPDATE, expressed

@@ -85,6 +85,19 @@ class LargeObjectsSpec extends AnyFunSuite {
       orig.slice(2 * Page, orig.length).toSeq)
   }
 
+  test("vacuumlo keeps exactly the referenced objects' pages") {
+    val sp = spark; import sp.implicits._
+    val pages = LargeObjects.loStore(objects, "loid", "b", Page)
+    val referenced = Seq(3L, 7L).toDF("loid")
+    val kept = LargeObjects.vacuumLo(pages, referenced)
+    assert(kept.select("loid").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(3L, 7L))
+    // surviving objects are byte-intact
+    assert(md5Of(LargeObjects.loRead(kept), "data") ==
+      md5Of(LargeObjects.loRead(
+        pages.filter(col("loid").isin(3L, 7L))), "data"))
+  }
+
   test("empty and null binaries store zero pages") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, Array.emptyByteArray), (2L, null: Array[Byte]),
