@@ -483,6 +483,25 @@ object ScalarFns extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // pgcrypto crypt()/bcrypt ($2a$ Eksblowfish, crypt-blowfish.c,
+    // regress sql/crypt-blowfish.sql): cost-parameterized Blowfish key
+    // stretching whose P/S boxes are pi's hex digits — GENERATED by a
+    // Machin fixed-point computation in functions/CryptFns.scala, not
+    // transcribed. Both regress expected outputs are the oracle;
+    // `verified` is the regress's crypt(pw, hash) == hash idiom. This
+    // completes pgcrypto's crypt() scheme set (des/xdes/md5/bf).
+    "q_pgcrypto_crypt_bf" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.CryptFns.register(s)
+      Seq((1, ""), (2, "foox"), (3, "password"))
+        .toDF("vec_id", "pw")
+        .select(col("vec_id"),
+          expr("crypt_bf(pw, '$2a$06$RQiOJ.3ELirrXwxIZY8q0O')").as("hash"),
+          expr("crypt_bf(pw, crypt_bf(pw, '$2a$06$RQiOJ.3ELirrXwxIZY8q0O')) " +
+            "= crypt_bf(pw, '$2a$06$RQiOJ.3ELirrXwxIZY8q0O')").as("verified"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Name-based UUID v5 (uuid-ossp's uuid_generate_v5,
     // `/root/reference/contrib/uuid-ossp/uuid-ossp.c`): RFC 4122 layout
     // from sha1(namespace_bytes || name) — version nibble 5, variant
@@ -847,6 +866,16 @@ object ScalarFns extends QueryModule {
         |   'd09cd7bd2d4d3153424d2680c2ad92f8cd65e5933c86c628039b323b5f736485')
         |) AS t(msg_id, hmac_md5, hmac_sha256)
         |ORDER BY msg_id""".stripMargin,
+
+    // vectors 1-2 from the reference's crypt-blowfish regress expected
+    // file; 3 from an independent implementation validated against them
+    "q_pgcrypto_crypt_bf" ->
+      """SELECT * FROM (VALUES
+        |  (1, '$2a$06$RQiOJ.3ELirrXwxIZY8q0OlGbBEpDmx7IRZlNYvGJ1SHXwNi2cEKK', true),
+        |  (2, '$2a$06$RQiOJ.3ELirrXwxIZY8q0OR3CVJrAfda1z26CCHPnB6mmVZD8p0/C', true),
+        |  (3, '$2a$06$RQiOJ.3ELirrXwxIZY8q0Opor.9oUAL1MojNiw3NUwpUDdI7wuxEa', true)
+        |) AS t(vec_id, hash, verified)
+        |ORDER BY vec_id""".stripMargin,
 
     // all three vectors are the reference's crypt-xdes regress outputs
     "q_pgcrypto_crypt_xdes" ->

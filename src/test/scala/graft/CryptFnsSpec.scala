@@ -65,6 +65,36 @@ class CryptFnsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { cryptXdes("pw", "_J9..") }
   }
 
+  private def cryptBf(pw: String, setting: String): String =
+    graft.functions.CryptBf(null, null)
+      .kernel(UTF8String.fromString(pw), UTF8String.fromString(setting))
+      .toString
+
+  test("bcrypt: generated pi boxes match the published constants") {
+    import graft.functions.CryptFns
+    assert(CryptFns.PiWords(0) == 0x243f6a88L)
+    assert(CryptFns.PiWords(1) == 0x85a308d3L)
+    assert(CryptFns.PiWords(18) == 0xd1310ba6L) // S0[0]
+  }
+
+  test("bcrypt: reference regress vectors (expected/crypt-blowfish.out)") {
+    assert(cryptBf("", "$2a$06$RQiOJ.3ELirrXwxIZY8q0O") ==
+      "$2a$06$RQiOJ.3ELirrXwxIZY8q0OlGbBEpDmx7IRZlNYvGJ1SHXwNi2cEKK")
+    assert(cryptBf("foox", "$2a$06$RQiOJ.3ELirrXwxIZY8q0O") ==
+      "$2a$06$RQiOJ.3ELirrXwxIZY8q0OR3CVJrAfda1z26CCHPnB6mmVZD8p0/C")
+    // the regress's three invalid-salt rejections
+    intercept[IllegalArgumentException] { cryptBf("foox", "$2a$") }
+    intercept[IllegalArgumentException] {
+      cryptBf("foox", "$2a$40$RQiOJ.3ELirrXwxIZY8q0O")
+    }
+    intercept[IllegalArgumentException] {
+      cryptBf("foox", "$2a$00$RQiOJ.3ELirrXwxIZY8q0O")
+    }
+    // hash-as-setting re-derivation (the regress's worked idiom)
+    val h = cryptBf("password", "$2a$06$RQiOJ.3ELirrXwxIZY8q0O")
+    assert(cryptBf("password", h) == h)
+  }
+
   test("codegen and interpreted paths agree over a real column") {
     graft.functions.CryptFns.register(spark)
     val sp = spark; import sp.implicits._
