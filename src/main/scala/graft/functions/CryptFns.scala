@@ -400,7 +400,111 @@ case class CryptBf(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `pgp_armor(bytea)` — OpenPGP ASCII armor (`/root/reference/contrib/
+  * pgcrypto/pgp-armor.c`; RFC 4880 §6): BEGIN/END PGP MESSAGE envelope,
+  * RFC base64 wrapped at 76 columns, `=`-prefixed CRC-24 trailer
+  * (init 0xB704CE, poly 0x1864CFB). Regress `sql/pgp-armor.sql` expected
+  * outputs pinned in CryptFnsSpec and the q_pgp_armor oracle. */
+case class PgpArmor(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "pgp_armor"
+
+  def kernel(data: Array[Byte]): UTF8String = {
+    val b64 = java.util.Base64.getEncoder.encodeToString(data)
+    val body = b64.grouped(76).map(_ + "\n").mkString
+    val crc = CryptFns.crc24(data)
+    val crcB64 = java.util.Base64.getEncoder.encodeToString(
+      Array(((crc >> 16) & 0xff).toByte, ((crc >> 8) & 0xff).toByte,
+        (crc & 0xff).toByte))
+    UTF8String.fromString(
+      "-----BEGIN PGP MESSAGE-----\n\n" + body + "=" + crcB64 +
+        "\n-----END PGP MESSAGE-----\n")
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("pgpArmor", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $refName.kernel($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pgp_dearmor(text)` — the tolerant inverse (pgp-armor.c dearmor):
+  * pre-envelope garbage skipped, armor headers (Comment: ...) skipped to
+  * the blank line, whitespace/blank lines inside the base64 body
+  * ignored, and the CRC-24 trailer VERIFIED — a corrupted body throws,
+  * like the reference's "Corrupt ascii-armor". */
+case class PgpDearmor(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pgp_dearmor"
+
+  def kernel(s: UTF8String): Array[Byte] = {
+    val lines = s.toString.split("\n", -1)
+    var i = 0
+    while (i < lines.length && !lines(i).startsWith("-----BEGIN PGP"))
+      i += 1
+    require(i < lines.length, "Corrupt ascii-armor")
+    i += 1
+    // armor headers run to the first blank line
+    while (i < lines.length && lines(i).trim.nonEmpty) i += 1
+    val body = new StringBuilder
+    var crcStr: String = null
+    while (i < lines.length && crcStr == null &&
+        !lines(i).startsWith("-----END")) {
+      val t = lines(i).trim
+      if (t.startsWith("=")) crcStr = t.substring(1)
+      else body.append(t.filterNot(_.isWhitespace))
+      i += 1
+    }
+    require(crcStr != null && crcStr.length == 4, "Corrupt ascii-armor")
+    val data = java.util.Base64.getDecoder.decode(body.toString)
+    val crcBytes = java.util.Base64.getDecoder.decode(crcStr)
+    val want = ((crcBytes(0) & 0xff) << 16) | ((crcBytes(1) & 0xff) << 8) |
+      (crcBytes(2) & 0xff)
+    require(CryptFns.crc24(data) == want, "Corrupt ascii-armor")
+    data
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("pgpDearmor", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $refName.kernel($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CryptFns {
+  /** OpenPGP CRC-24 (RFC 4880 §6.1). */
+  private[graft] def crc24(data: Array[Byte]): Int = {
+    var crc = 0xb704ce
+    data.foreach { b =>
+      crc ^= (b & 0xff) << 16
+      var i = 0
+      while (i < 8) {
+        crc <<= 1
+        if ((crc & 0x1000000) != 0) crc ^= 0x1864cfb
+        i += 1
+      }
+    }
+    crc & 0xffffff
+  }
+
   /** bcrypt's own base64 alphabet (NOT RFC 4648). */
   private[functions] val BcryptB64 =
     "./ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
@@ -638,6 +742,13 @@ object CryptFns {
         org.apache.spark.sql.catalyst.FunctionIdentifier("crypt_bf"))) {
       reg.createOrReplaceTempFunction(
         "crypt_bf", exprs => CryptBf(exprs(0), exprs(1)), "built-in")
+    }
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("pgp_armor"))) {
+      reg.createOrReplaceTempFunction(
+        "pgp_armor", exprs => PgpArmor(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "pgp_dearmor", exprs => PgpDearmor(exprs.head), "built-in")
     }
   }
 }

@@ -502,6 +502,35 @@ object ScalarFns extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // PGP ASCII armor (pgcrypto pgp-armor.c, RFC 4880 §6; regress
+    // sql/pgp-armor.sql): BEGIN/END envelope, 76-column base64, CRC-24
+    // trailer — armor vectors (incl. the multi-line 96-byte payload and
+    // the empty message's bare =twTO trailer) are the regress's own
+    // expected outputs, newlines rendered as '|' so the oracle literal
+    // stays single-line. Row 4 is the regress's junk-tolerant dearmor:
+    // leading garbage, Comment: armor headers, blank lines and indented
+    // CRC all parse to 'zooka'. roundtrip = dearmor(armor(x)) == x with
+    // the CRC VERIFIED on the way back in.
+    "q_pgp_armor" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.CryptFns.register(s)
+      val line = "0123456789abcdef" * 3
+      val junk = " a pgp msg:\n\n-----BEGIN PGP MESSAGE-----\n" +
+        "Comment: Some junk\n\nem9va2E=\n\n  =D5cR\n" +
+        "-----END PGP MESSAGE-----\n"
+      Seq((1, "", null), (2, "test", null), (3, line + "\n" + line, null),
+          (4, null, junk))
+        .toDF("vec_id", "payload", "junk")
+        .select(col("vec_id"),
+          translate(expr("pgp_armor(cast(payload AS BINARY))"),
+            "\n", "|").as("armored"),
+          expr("cast(pgp_dearmor(junk) AS STRING)").as("dearmored"),
+          coalesce(expr(
+            "cast(pgp_dearmor(pgp_armor(cast(payload AS BINARY))) AS STRING)" +
+              " = payload"), lit(true)).as("roundtrip"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Name-based UUID v5 (uuid-ossp's uuid_generate_v5,
     // `/root/reference/contrib/uuid-ossp/uuid-ossp.c`): RFC 4122 layout
     // from sha1(namespace_bytes || name) — version nibble 5, variant
@@ -866,6 +895,20 @@ object ScalarFns extends QueryModule {
         |   'd09cd7bd2d4d3153424d2680c2ad92f8cd65e5933c86c628039b323b5f736485')
         |) AS t(msg_id, hmac_md5, hmac_sha256)
         |ORDER BY msg_id""".stripMargin,
+
+    // armor strings are the pgp-armor regress's own expected outputs
+    // (newlines as '|'); the junk-dearmor row likewise
+    "q_pgp_armor" ->
+      """SELECT * FROM (VALUES
+        |  (1, '-----BEGIN PGP MESSAGE-----||=twTO|-----END PGP MESSAGE-----|',
+        |   CAST(NULL AS VARCHAR), true),
+        |  (2, '-----BEGIN PGP MESSAGE-----||dGVzdA==|=+G7Q|-----END PGP MESSAGE-----|',
+        |   CAST(NULL AS VARCHAR), true),
+        |  (3, '-----BEGIN PGP MESSAGE-----||MDEyMzQ1Njc4OWFiY2RlZjAxMjM0NTY3ODlhYmNkZWYwMTIzNDU2Nzg5YWJjZGVmCjAxMjM0NTY3|ODlhYmNkZWYwMTIzNDU2Nzg5YWJjZGVmMDEyMzQ1Njc4OWFiY2RlZg==|=JFw5|-----END PGP MESSAGE-----|',
+        |   CAST(NULL AS VARCHAR), true),
+        |  (4, CAST(NULL AS VARCHAR), 'zooka', true)
+        |) AS t(vec_id, armored, dearmored, roundtrip)
+        |ORDER BY vec_id""".stripMargin,
 
     // vectors 1-2 from the reference's crypt-blowfish regress expected
     // file; 3 from an independent implementation validated against them

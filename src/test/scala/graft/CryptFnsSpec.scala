@@ -95,6 +95,25 @@ class CryptFnsSpec extends AnyFunSuite {
     assert(cryptBf("password", h) == h)
   }
 
+  test("pgp armor: regress vectors, junk-tolerant dearmor, CRC verification") {
+    import graft.functions.{PgpArmor, PgpDearmor}
+    def armor(s: String): String =
+      PgpArmor(null).kernel(s.getBytes("UTF-8")).toString
+    def dearmor(s: String): String =
+      new String(PgpDearmor(null).kernel(UTF8String.fromString(s)), "UTF-8")
+    assert(armor("") ==
+      "-----BEGIN PGP MESSAGE-----\n\n=twTO\n-----END PGP MESSAGE-----\n")
+    assert(armor("test") ==
+      "-----BEGIN PGP MESSAGE-----\n\ndGVzdA==\n=+G7Q\n" +
+        "-----END PGP MESSAGE-----\n")
+    assert(dearmor(armor("zooka")) == "zooka")
+    // a flipped body character must fail the CRC check ('v' -> 'w'
+    // changes decoded bytes; a padding-bit flip would be ignored by the
+    // lenient base64 decoder and never reach the CRC)
+    val bad = armor("zooka").replace("em9va2E=", "em9wa2E=")
+    intercept[IllegalArgumentException] { dearmor(bad) }
+  }
+
   test("codegen and interpreted paths agree over a real column") {
     graft.functions.CryptFns.register(spark)
     val sp = spark; import sp.implicits._
