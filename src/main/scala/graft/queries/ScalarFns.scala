@@ -502,6 +502,43 @@ object ScalarFns extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // gen_salt (pgcrypto px-crypt.c gen_salt) under the engine's
+    // determinism policy: the reference draws salt entropy from the
+    // PRNG; here it derives from md5(seed) — hex chars TRANSLATEd into
+    // each scheme's salt alphabet (the first 16 itoa64 / bcrypt-b64
+    // chars), so both engines construct bit-identical settings:
+    // 2-char des, '_J9..'+4 xdes, '$1$'+8 md5, '$2a$06$'+22 bf. The
+    // settings are hash-checked AGAINST DuckDB building them the same
+    // way; the verified_* columns prove in-engine that every generated
+    // setting is accepted by its crypt scheme and re-derives (the
+    // regress's gen_salt->crypt->re-crypt flow, made reproducible).
+    "q_pgcrypto_gensalt" -> ((s, dir) => {
+      graft.functions.CryptFns.register(s)
+      val toItoa = "translate(%s, '0123456789abcdef', './0123456789ABCD')"
+      def md5Part(tag: String, from: Int, len: Int) =
+        toItoa.format(
+          s"substring(md5(concat('gs$tag:', seed)), $from, $len)")
+      s.range(1, 6).select(col("id").as("seed"))
+        .withColumn("salt_des", expr(md5Part("d", 1, 2)))
+        .withColumn("salt_xdes", expr(s"concat('_J9..', ${md5Part("x", 1, 4)})"))
+        .withColumn("salt_md5", expr(s"concat('$$1$$', ${md5Part("m", 1, 8)})"))
+        .withColumn("salt_bf", expr("concat('$2a$06$', " +
+          toItoa.format("substring(concat(md5(concat('gsb:', seed)), " +
+            "md5(concat('gsb2:', seed))), 1, 22)") + ")"))
+        .withColumn("pw", expr("concat('secret', seed)"))
+        .select(col("seed"), col("salt_des"), col("salt_xdes"),
+          col("salt_md5"), col("salt_bf"),
+          expr("crypt_des(pw, crypt_des(pw, salt_des)) = " +
+            "crypt_des(pw, salt_des)").as("verified_des"),
+          expr("crypt_xdes(pw, crypt_xdes(pw, salt_xdes)) = " +
+            "crypt_xdes(pw, salt_xdes)").as("verified_xdes"),
+          expr("crypt_md5(pw, crypt_md5(pw, salt_md5)) = " +
+            "crypt_md5(pw, salt_md5)").as("verified_md5"),
+          expr("crypt_bf(pw, crypt_bf(pw, salt_bf)) = " +
+            "crypt_bf(pw, salt_bf)").as("verified_bf"))
+        .orderBy(col("seed"))
+    }),
+
     // PGP ASCII armor (pgcrypto pgp-armor.c, RFC 4880 §6; regress
     // sql/pgp-armor.sql): BEGIN/END envelope, 76-column base64, CRC-24
     // trailer — armor vectors (incl. the multi-line 96-byte payload and
@@ -895,6 +932,28 @@ object ScalarFns extends QueryModule {
         |   'd09cd7bd2d4d3153424d2680c2ad92f8cd65e5933c86c628039b323b5f736485')
         |) AS t(msg_id, hmac_md5, hmac_sha256)
         |ORDER BY msg_id""".stripMargin,
+
+    // the salt constructions mirror exactly; the verified_* columns are
+    // computable only by the engine's crypt kernels (DuckDB has none),
+    // so the oracle pins them true — the cross-check is the regress
+    // re-derivation idiom run in-engine
+    "q_pgcrypto_gensalt" ->
+      """WITH g AS (SELECT unnest(range(1, 6)) AS seed),
+        |s AS (SELECT seed,
+        |  translate(substr(md5('gsd:' || seed), 1, 2),
+        |    '0123456789abcdef', './0123456789ABCD') AS salt_des,
+        |  '_J9..' || translate(substr(md5('gsx:' || seed), 1, 4),
+        |    '0123456789abcdef', './0123456789ABCD') AS salt_xdes,
+        |  '$1$' || translate(substr(md5('gsm:' || seed), 1, 8),
+        |    '0123456789abcdef', './0123456789ABCD') AS salt_md5,
+        |  '$2a$06$' || translate(substr(md5('gsb:' || seed) ||
+        |      md5('gsb2:' || seed), 1, 22),
+        |    '0123456789abcdef', './0123456789ABCD') AS salt_bf
+        |  FROM g)
+        |SELECT seed, salt_des, salt_xdes, salt_md5, salt_bf,
+        |  true AS verified_des, true AS verified_xdes,
+        |  true AS verified_md5, true AS verified_bf
+        |FROM s ORDER BY seed""".stripMargin,
 
     // armor strings are the pgp-armor regress's own expected outputs
     // (newlines as '|'); the junk-dearmor row likewise
