@@ -330,4 +330,33 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles == 1, s"expected a single hash exchange, got $shuffles:\n$p")
   }
+
+  test("DBSCAN candidate pairs come from a cell equi-join, never a cartesian") {
+    val p = planOf("q_dbscan")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the broadcast of the 9-row
+    // offsets relation; every point-point pairing is keyed on (cx, cy)
+    assert(p.contains("cx") && p.contains("cy"), p)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+  }
+
+  test("semdedup pair search joins on the cluster cell, never all-pairs") {
+    val detail = graft.queries.Similarity.semdedupDetail(spark, sf)
+    val p = detail.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("content-defined chunking runs the boundary kernel inside codegen") {
+    val chunked = graft.queries.Corpus.cdcChunkDetail(
+      Tables.t(spark, sf, "documents").select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")))
+    val p = chunked.queryExecution.executedPlan.toString
+    // the kernel projects within a whole-stage-codegen span ("*(n)"),
+    // unlike the CodegenFallback HOF chain it replaced
+    assert(p.contains("*(1) Project"), p)
+    assert(p.contains("cdc_bounds"), p)
+  }
 }
