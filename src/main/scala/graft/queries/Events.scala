@@ -396,6 +396,51 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // Multi-touch LINEAR attribution (the marketing-analytics staple
+    // the as-of join's single-nearest-touch is the degenerate case of):
+    // each purchase's revenue splits EXACTLY across its clicks of the
+    // preceding 24h — integer micros, base = rev div n per click, the
+    // most recent click absorbs the remainder (rev - base*(n-1)), so
+    // per-purchase attribution sums are conserved to the micro by
+    // construction and the whole computation is order-free. Purchases
+    // with no qualifying click are counted as orphans (unattributable
+    // revenue). One user-keyed equi join + per-purchase windows.
+    "q_events_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"),
+          round(col("value") * 1000000.0, 0).cast("long").as("rev_u"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      val pairs = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_ts") < col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+      val wAll = Window.partitionBy(col("p_id"))
+      val wOrd = wAll.orderBy(col("c_ts").desc, col("c_id"))
+      val attr = pairs
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("attr_u", when(col("rk") === 1,
+          col("rev_u") - expr("(rev_u div n) * (n - 1)"))
+          .otherwise(expr("rev_u div n")))
+      val agg = attr.groupBy(col("user_id"))
+        .agg(countDistinct(col("p_id")).as("n_attr"),
+             sum(col("attr_u")).as("attr_u"))
+      val orphans = purchases
+        .join(pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_orphan"), sum(col("rev_u")).as("orphan_u"))
+      agg.join(orphans, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_attr"), lit(0L)).as("n_attr"),
+          coalesce(col("attr_u"), lit(0L)).as("attr_u"),
+          coalesce(col("n_orphan"), lit(0L)).as("n_orphan"),
+          coalesce(col("orphan_u"), lit(0L)).as("orphan_u"))
+        .orderBy(col("user_id"))
+    }),
+
     // Top event PATHS (the path-analysis staple next to the funnel
     // above): each user's full event sequence (ordered by (ts,
     // event_id) — unique, so the order is total), sliding 3-step
@@ -704,6 +749,47 @@ object Events extends QueryModule {
         |  SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         |ON fs.user_id = p.user_id AND p.ts > fs.signup_ts
         |GROUP BY fs.user_id ORDER BY fs.user_id""".stripMargin,
+
+    "q_events_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts,
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS rev_u
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS c_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.user_id, p.p_id, p.rev_u, c.c_id, c.c_ts
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts < p.p_ts
+        |    AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR),
+        |x AS (
+        |  SELECT user_id, p_id, rev_u,
+        |    COUNT(*) OVER (PARTITION BY p_id) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY p_id
+        |      ORDER BY c_ts DESC, c_id) AS rk
+        |  FROM pairs),
+        |a AS (
+        |  SELECT user_id, p_id,
+        |    CASE WHEN rk = 1 THEN rev_u - (rev_u // n) * (n - 1)
+        |         ELSE rev_u // n END AS attr_u
+        |  FROM x),
+        |agg AS (
+        |  SELECT user_id, COUNT(DISTINCT p_id) AS n_attr,
+        |    CAST(SUM(attr_u) AS BIGINT) AS attr_u
+        |  FROM a GROUP BY user_id),
+        |orph AS (
+        |  SELECT user_id, COUNT(*) AS n_orphan,
+        |    CAST(SUM(rev_u) AS BIGINT) AS orphan_u
+        |  FROM p WHERE p_id NOT IN (SELECT p_id FROM pairs)
+        |  GROUP BY user_id)
+        |SELECT COALESCE(agg.user_id, orph.user_id) AS user_id,
+        |  COALESCE(n_attr, 0) AS n_attr,
+        |  COALESCE(attr_u, 0) AS attr_u,
+        |  COALESCE(n_orphan, 0) AS n_orphan,
+        |  COALESCE(orphan_u, 0) AS orphan_u
+        |FROM agg FULL OUTER JOIN orph ON agg.user_id = orph.user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_events_paths" ->
       """WITH s AS (
