@@ -437,6 +437,33 @@ object Advanced extends QueryModule {
         .orderBy(col("d"))
     }),
 
+    // WEIGHTED single-source shortest paths (MADlib graph_sssp proper —
+    // q_shortest_hops is its unit-weight case): deterministic integer
+    // edge weights on the same 3-regular graph, 4 Bellman-Ford rounds
+    // (relax-all + dst-keyed min), so a longer-hop cheaper path beats a
+    // shorter-hop expensive one within the horizon. Same Pregel shape:
+    // one frontier equi-join + one min aggregation per round, costs all
+    // integer. The oracle enumerates bounded walks in a recursive CTE
+    // and takes MIN(cost) — pinning iterative relaxation == bounded
+    // walk closure.
+    "q_shortest_cost" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"), explode(array(
+          (1 to 3).map(k => (col("doc_id") * 31 + k * 17) % n): _*)).as("dst"))
+        .withColumn("w", (col("src") * 7 + col("dst") * 13) % 100 + 1)
+      var dist = docs.filter(col("doc_id") === 0)
+        .select(col("doc_id"), lit(0L).as("cost"))
+      for (_ <- 1 to 4) {
+        val next = dist.join(edges, dist("doc_id") === edges("src"))
+          .select(col("dst").as("doc_id"),
+            (col("cost") + col("w")).as("cost"))
+        dist = dist.union(next).groupBy(col("doc_id"))
+          .agg(min(col("cost")).as("cost"))
+      }
+      dist.filter(col("doc_id") < 100).orderBy(col("doc_id"))
+    }),
+
     // Triangle count + global clustering coefficient over the same
     // deterministic 3-regular graph (MADlib graph-measures niche,
     // completing the pagerank / SSSP / CC family). Canonical a<b
@@ -610,6 +637,25 @@ object Advanced extends QueryModule {
          |${prIterSql("r2", "r3")}
          |SELECT doc_id, CAST(pr AS BIGINT) AS pr_u FROM r3
          |ORDER BY pr_u DESC, doc_id LIMIT 20""".stripMargin,
+
+    // bounded-walk enumeration + MIN(cost): the closure form of the
+    // Spark side's iterative relaxation
+    "q_shortest_cost" ->
+      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + k.k * 17) % nn.n AS dst
+        |  FROM documents CROSS JOIN nn,
+        |       (SELECT unnest(range(1, 4)) AS k) k),
+        |e2 AS (SELECT src, dst, (src * 7 + dst * 13) % 100 + 1 AS w
+        |  FROM edges),
+        |walk(doc_id, cost, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, w.cost + e.w, w.depth + 1
+        |  FROM walk w JOIN e2 e ON e.src = w.doc_id WHERE w.depth < 4)
+        |SELECT doc_id, CAST(MIN(cost) AS BIGINT) AS cost
+        |FROM walk WHERE doc_id < 100
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // independent transitive-closure derivation: path-enumerating
     // recursive CTE bounded at 4 hops, then MIN(d) per node — vs the
