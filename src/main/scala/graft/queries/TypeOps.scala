@@ -497,6 +497,40 @@ object TypeOps extends QueryModule {
     //  - two lquery patterns compiled to anchored regexes (shared
     //    verbatim with the oracle): 'root.*.n5.*' (any depth between)
     //    and 'root.r1|r2.*' (level alternation).
+    // ltree lca() (`/root/reference/contrib/ltree/ltree_op.c` lca —
+    // longest common ancestor of label paths): per customer pair (a
+    // customer's hierarchy leaf vs its successor's), the longest common
+    // prefix of the label arrays. Prefix equality is monotone in the
+    // prefix length, so lca depth = COUNT of i with a[1..i] == b[1..i]
+    // — a per-row array fold both engines express identically; lca ''
+    // (no common root) renders NULL like the reference's lca on
+    // disjoint trees (cannot happen here: all paths share 'root', also
+    // asserted by min_depth >= 1).
+    "q_ltree_lca" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val leaves = t(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          concat(lit("root.r"), col("n_regionkey"),
+            lit(".n"), col("c_nationkey"),
+            lit(".c"), col("c_custkey")).as("leaf"))
+        .filter(col("c_custkey") <= 200)
+      val b = leaves.select((col("c_custkey") - 1).as("c_custkey"),
+        col("leaf").as("leaf_b"))
+      leaves.join(b, "c_custkey")
+        .withColumn("pa", split(col("leaf"), "\\."))
+        .withColumn("pb", split(col("leaf_b"), "\\."))
+        .withColumn("depth", expr(
+          "size(filter(sequence(1, least(size(pa), size(pb))), " +
+            "i -> slice(pa, 1, i) = slice(pb, 1, i)))"))
+        .select(col("c_custkey"),
+          array_join(slice(col("pa"), lit(1), col("depth").cast("int")), ".")
+            .as("lca"),
+          col("depth").cast("int").as("lca_depth"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_ltree_paths" -> ((s, dir) => {
       val nat = t(s, dir, "nation")
         .select(col("n_nationkey"), col("n_regionkey"))
@@ -826,6 +860,26 @@ object TypeOps extends QueryModule {
         |  regexp_full_match('100%_' || p_type, '100%_.*') AS sim_escaped,
         |  regexp_full_match(p_name, '.*\..*') AS sim_literal_dot
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+
+    "q_ltree_lca" ->
+      """WITH leaves AS (
+        |  SELECT c_custkey,
+        |    'root.r' || n_regionkey || '.n' || c_nationkey ||
+        |      '.c' || c_custkey AS leaf
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_custkey <= 200),
+        |p AS (
+        |  SELECT a.c_custkey,
+        |    string_split(a.leaf, '.') AS pa, string_split(b.leaf, '.') AS pb
+        |  FROM leaves a JOIN leaves b ON b.c_custkey = a.c_custkey + 1),
+        |d AS (
+        |  SELECT c_custkey, pa,
+        |    len(list_filter(range(1, least(len(pa), len(pb)) + 1),
+        |      i -> pa[1 : i] = pb[1 : i])) AS depth
+        |  FROM p)
+        |SELECT c_custkey, array_to_string(pa[1 : depth], '.') AS lca,
+        |  CAST(depth AS INT) AS lca_depth
+        |FROM d ORDER BY c_custkey""".stripMargin,
 
     // the NAIVE ancestor definition (leaf LIKE prefix || '.%') — the
     // Spark side runs the extracted-subpath equi-join instead, so the
