@@ -441,6 +441,43 @@ object Events extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // TIME-DECAY attribution — the weighted companion to the linear
+    // split above, kept transcendental-free: a click's weight halves
+    // every 6 hours of age (w = 1e6 >> (age_h div 6), exact integers —
+    // no exp()), shares are floor((rev * w) / sum_w) with the most
+    // recent click absorbing rev - sum(floors), so conservation holds
+    // to the micro exactly like the linear lane. Same join shape.
+    "q_events_attribution_decay" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"),
+          round(col("value") * 1000000.0, 0).cast("long").as("rev_u"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      val pairs = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_ts") < col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+        .withColumn("age_h", expr(
+          "(unix_micros(p_ts) - unix_micros(c_ts)) div 3600000000"))
+        .withColumn("w", expr(
+          "1000000 div shiftleft(1, cast(age_h div 6 AS INT))"))
+      val wAll = Window.partitionBy(col("p_id"))
+      val wOrd = wAll.orderBy(col("c_ts").desc, col("c_id"))
+      pairs
+        .withColumn("sw", sum(col("w")).over(wAll))
+        .withColumn("f", expr("(rev_u * w) div sw"))
+        .withColumn("fsum", sum(col("f")).over(wAll))
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("attr_u", col("f") +
+          when(col("rk") === 1, col("rev_u") - col("fsum")).otherwise(lit(0L)))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("p_id")).as("n_attr"),
+             sum(col("attr_u")).as("attr_u"))
+        .orderBy(col("user_id"))
+    }),
+
     // Top event PATHS (the path-analysis staple next to the funnel
     // above): each user's full event sequence (ordered by (ts,
     // event_id) — unique, so the order is total), sliding 3-step
@@ -749,6 +786,42 @@ object Events extends QueryModule {
         |  SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         |ON fs.user_id = p.user_id AND p.ts > fs.signup_ts
         |GROUP BY fs.user_id ORDER BY fs.user_id""".stripMargin,
+
+    "q_events_attribution_decay" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts,
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS rev_u
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS c_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.user_id, p.p_id, p.rev_u, c.c_id, c.c_ts,
+        |    1000000 // (1 << CAST(
+        |      ((epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 3600000000) // 6
+        |      AS INT)) AS w
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts < p.p_ts
+        |    AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR),
+        |x AS (
+        |  SELECT user_id, p_id, rev_u, c_id, c_ts, w,
+        |    CAST(SUM(w) OVER (PARTITION BY p_id) AS BIGINT) AS sw,
+        |    ROW_NUMBER() OVER (PARTITION BY p_id
+        |      ORDER BY c_ts DESC, c_id) AS rk
+        |  FROM pairs),
+        |y AS (
+        |  SELECT user_id, p_id, rev_u, rk,
+        |    (rev_u * w) // sw AS f,
+        |    CAST(SUM((rev_u * w) // sw) OVER (PARTITION BY p_id)
+        |      AS BIGINT) AS fsum
+        |  FROM x),
+        |a AS (
+        |  SELECT user_id, p_id,
+        |    f + CASE WHEN rk = 1 THEN rev_u - fsum ELSE 0 END AS attr_u
+        |  FROM y)
+        |SELECT user_id, COUNT(DISTINCT p_id) AS n_attr,
+        |  CAST(SUM(attr_u) AS BIGINT) AS attr_u
+        |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_attribution" ->
       """WITH p AS (
