@@ -52,7 +52,11 @@ class DeterminismSpec extends AnyFunSuite {
     "d_semdedup",             // Lloyd cells + lower-id witness + sorted digest
     "d_chunk_cdc",            // codegen boundary kernel + digest-keyed dup count
     "q_dbscan",               // grid pairs + min-label CC + min border labels
-    "q_cdc_diff")             // full-outer snapshot diff, op by null-safe compare
+    "q_cdc_diff",             // full-outer snapshot diff, op by null-safe compare
+    "q_events_attribution",   // integer micros splits, remainder to pinned rank
+    "q_events_paths",         // sorted per-user sequences, bounded top-k
+    "q_shortest_cost",        // Bellman-Ford min relaxation, integer costs
+    "q_ltree_lca")            // per-row monotone prefix fold
     // (q_eager_agg deliberately NOT here: it builds a child session, so
     // the parent-session parallelism override would never reach it and
     // the invariance claim would be vacuous; XformRulesSpec proves its
