@@ -200,6 +200,36 @@ object TypeOps extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // pg_trgm's KNN face (trgm_op.c similarity_dist; the `<->` distance
+    // operator a GiST index serves for `ORDER BY name <-> query`
+    // nearest-neighbor): distance = 1 - similarity kept exact as
+    // 1e6 - sim_u, top-10 nearest names to the probe via bounded top-k
+    // (TakeOrderedAndProject — at scale the index analogue is the LSH
+    // banding the Dedup family uses; this is the exact-ranking lane).
+    // show_trgm's rendering (the sorted trigram list) rides along, so
+    // the hash compare pins the exact trigram SETS, not just counts.
+    "q_trgm_dist" -> ((s, dir) => {
+      def trgmSet(s0: Column): Column = {
+        val words = filter(split(lower(s0), "[^a-z0-9]+"), w => length(w) > 0)
+        array_distinct(flatten(transform(words, w => {
+          val p = concat(lit("  "), w, lit(" "))
+          transform(sequence(lit(1), length(p) - lit(2)),
+            i => p.substr(i, lit(3)))
+        })))
+      }
+      val probe = "Customer#000000042"
+      val own = trgmSet(col("c_name"))
+      val ref = trgmSet(lit(probe))
+      t(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .withColumn("inter", size(array_intersect(own, ref)).cast("long"))
+        .withColumn("uni", size(array_union(own, ref)).cast("long"))
+        .withColumn("sim_u", expr("(2000000 * inter + uni) div (2 * uni)"))
+        .select(col("c_custkey"),
+          (lit(1000000L) - col("sim_u")).as("dist_u"),
+          array_join(array_sort(own), " ").as("show_trgm"))
+        .orderBy(col("dist_u"), col("c_custkey")).limit(10)
+    }),
+
     // Collation-aware comparison/grouping/ordering (the reference's
     // per-column collations, `/root/reference/src/backend/utils/adt/
     // varlena.c` varstr_cmp + pg_collation catalog; citext is the
@@ -686,6 +716,31 @@ object TypeOps extends QueryModule {
 
     // the same pg_trgm trigram construction (pad "  w ", distinct char
     // 3-grams per non-alnum-split word) with the same micros rational
+    "q_trgm_dist" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey <= 500),
+        |t AS (SELECT c_custkey,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(string_split_regex(lower(c_name), '[^a-z0-9]+'),
+        |                  w -> len(w) > 0),
+        |      w -> [substr('  ' || w || ' ', i, 3)
+        |            for i in range(1, len(w) + 2)]))) AS own,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(string_split_regex(lower('Customer#000000042'),
+        |                                     '[^a-z0-9]+'),
+        |                  w -> len(w) > 0),
+        |      w -> [substr('  ' || w || ' ', i, 3)
+        |            for i in range(1, len(w) + 2)]))) AS ref
+        |  FROM c),
+        |m AS (SELECT c_custkey, own,
+        |    CAST(len(list_intersect(own, ref)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(own, ref))) AS BIGINT) AS uni
+        |  FROM t)
+        |SELECT c_custkey,
+        |  1000000 - (2000000 * inter + uni) // (2 * uni) AS dist_u,
+        |  array_to_string(list_sort(own), ' ') AS show_trgm
+        |FROM m ORDER BY dist_u, c_custkey LIMIT 10""".stripMargin,
+
     "q_trgm_fuzzy" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer
         |  WHERE c_custkey <= 200),
