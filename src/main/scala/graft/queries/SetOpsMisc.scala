@@ -324,6 +324,27 @@ object SetOpsMisc extends QueryModule {
         .orderBy(col("p_brand"), col("metric"))
     }),
 
+    // generate_subscripts SRF (`/root/reference/src/backend/utils/adt/
+    // arrayfuncs.c` generate_subscripts; sql/arrays.sql): subscripts of
+    // per-order quantity arrays, forward and REVERSE (the reverse flag),
+    // zipped with the element — posexplode is Spark's subscript
+    // generator, checked against DuckDB's NATIVE generate_subscripts.
+    "q_generate_subscripts" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 100)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(col("l_linenumber"),
+          col("l_quantity").cast("int").as("l_quantity")))).as("sq"))
+        .select(col("l_orderkey"),
+          expr("transform(sq, x -> x.l_quantity)").as("arr"))
+        .select(col("l_orderkey"), size(col("arr")).as("n"),
+          posexplode(col("arr")).as(Seq("pos0", "val")))
+        .select(col("l_orderkey"),
+          (col("pos0") + 1).as("subscript"),
+          (col("n") - col("pos0")).as("rsubscript"),
+          col("val"))
+        .orderBy(col("l_orderkey"), col("subscript"))
+    }),
+
     // normal_rand SRF (contrib/tablefunc/tablefunc.c normal_rand): the
     // reference draws from the backend PRNG; this engine's deterministic
     // discipline replaces the RNG with md5-derived uniforms and the
@@ -555,6 +576,23 @@ object SetOpsMisc extends QueryModule {
         |  UNION ALL
         |  SELECT p_brand, 'n_parts', n_parts FROM agg)
         |ORDER BY p_brand, metric""".stripMargin,
+
+    // DuckDB's NATIVE generate_subscripts is the oracle's generator
+    "q_generate_subscripts" ->
+      """WITH a AS (
+        |  SELECT l_orderkey,
+        |    -- l_linenumber DUPLICATES within orders in this fixture:
+        |    -- tie-break on the value, mirroring the struct sort
+        |    list(CAST(l_quantity AS INT)
+        |      ORDER BY l_linenumber, CAST(l_quantity AS INT)) AS arr
+        |  FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey),
+        |g AS (SELECT l_orderkey, arr,
+        |    generate_subscripts(arr, 1) AS s FROM a)
+        |SELECT l_orderkey,
+        |  CAST(s AS INT) AS subscript,
+        |  CAST(len(arr) - s + 1 AS INT) AS rsubscript,
+        |  arr[s] AS val
+        |FROM g ORDER BY l_orderkey, subscript""".stripMargin,
 
     "q_normal_rand" -> {
       val terms = (1 to 12).map(j =>
