@@ -127,8 +127,8 @@ case class CryptDes(left: Expression, right: Expression)
   def kernel(pwS: UTF8String, saltS: UTF8String): UTF8String = {
     val pw = pwS.toString
     val salt = saltS.toString
-    require(salt.length >= 2 &&
-      salt.take(2).forall(Itoa64Str.indexOf(_) >= 0), "invalid salt")
+    // out-of-alphabet chars decode to 0 per ascii_to_bin, not an error
+    require(salt.length >= 2, "invalid salt")
     val key = new Array[Int](64)
     var i = 0
     while (i < math.min(pw.length, 8)) {
@@ -137,8 +137,7 @@ case class CryptDes(left: Expression, right: Expression)
       while (b < 7) { key(i * 8 + b) = (c >> (6 - b)) & 1; b += 1 }
       i += 1
     }
-    val saltval = Itoa64Str.indexOf(salt(0)) |
-      (Itoa64Str.indexOf(salt(1)) << 6)
+    val saltval = asciiToBin(salt(0)) | (asciiToBin(salt(1)) << 6)
     val block = desCipher(new Array[Int](64), subkeysOf(key), saltval, 25)
     UTF8String.fromString(encode11(block, salt.take(2)))
   }
@@ -183,11 +182,12 @@ case class CryptXdes(left: Expression, right: Expression)
   /** The per-row kernel (public: codegen calls it via reference obj). */
   def kernel(pwS: UTF8String, settingS: UTF8String): UTF8String = {
     val setting = settingS.toString
-    require(setting.length >= 9 && setting(0) == '_' &&
-      setting.substring(1, 9).forall(Itoa64Str.indexOf(_) >= 0),
-      "invalid salt")
+    // length+prefix are the only hard requirements; out-of-alphabet
+    // count/salt chars decode to 0 per ascii_to_bin (reference regress
+    // pins crypt('password', '_/!!!!!!!') succeeding)
+    require(setting.length >= 9 && setting(0) == '_', "invalid salt")
     def dec4(off: Int): Int =
-      (0 until 4).map(i => Itoa64Str.indexOf(setting(off + i)) << (6 * i)).sum
+      (0 until 4).map(i => asciiToBin(setting(off + i)) << (6 * i)).sum
     val count = dec4(1)
     require(count > 0, "invalid salt")
     val saltval = dec4(5)
@@ -656,6 +656,20 @@ object CryptFns {
 
   private[functions] val Itoa64Str =
     "./0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+  /** crypt-des.c `ascii_to_bin`: decode a setting char to its 6-bit
+    * value, clamping anything outside the itoa64 alphabet to 0 — the
+    * reference accepts salts like `_/!!!!!!!` (regress
+    * expected/crypt-xdes.out) rather than erroring, so the kernels must
+    * tolerate out-of-alphabet setting characters the same way. */
+  private[functions] def asciiToBin(ch: Char): Int =
+    if (ch > 'z') 0
+    else if (ch >= 'a') ch - 'a' + 38
+    else if (ch > 'Z') 0
+    else if (ch >= 'A') ch - 'A' + 12
+    else if (ch > '9') 0
+    else if (ch >= '.') ch - '.'
+    else 0
   // FIPS 46-3 DES tables (public standard)
   private[functions] val IP = Array(
     58,50,42,34,26,18,10,2,60,52,44,36,28,20,12,4,

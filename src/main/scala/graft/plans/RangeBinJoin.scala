@@ -1,9 +1,12 @@
 package graft.plans
 
+import scala.util.Try
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, HintInfo, Join, JoinHint, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.NO_BROADCAST_HASH
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
@@ -32,8 +35,24 @@ import org.apache.spark.sql.types._
   * positive w is monotone: point in [lo, hi] implies floor(point/w) lies
   * in [floor(lo/w), floor(hi/w)] — no candidate is ever missed; empty or
   * null-bounded intervals explode to zero bins, matching the original
-  * predicate's null/empty semantics). The width trades duplication for
-  * selectivity exactly like the reference's btree range scan granularity
+  * predicate's null/empty semantics). Floating-point bounds need one
+  * extra care: a non-finite bound cannot be binned (an upper bound of
+  * +Infinity floors to Long.MaxValue and would make the covering
+  * `Sequence` unboundedly long, and NaN bounds — which DO match under
+  * Spark's NaN-ordering semantics, e.g. point=NaN, hi=NaN with <= —
+  * would floor to bin 0 and silently miss). So when any bound is
+  * float/double the bounds side is split into a finite lane (binned
+  * equi-join) and a non-finite lane (NaN/±Inf rows, kept on the
+  * original join shape — a tiny relation in any real dataset, planned
+  * as a nested loop broadcasting that remainder), unioned. A non-finite POINT needs no
+  * lane of its own: NaN/±Inf points only satisfy both bounds when a
+  * bound is itself non-finite (NaN point fails any finite upper bound,
+  * +Inf fails any finite upper, -Inf fails any finite lower), so every
+  * such match is already covered by the non-finite-bounds lane, and a
+  * non-finite point on the binned lane hashes to a junk bin whose
+  * candidates the preserved predicate discards. The width trades
+  * duplication for selectivity exactly like the reference's btree
+  * range scan granularity
   * — callers set it to the typical interval width via
   * `spark.graft.rangeJoin.binSize` (off when unset/0, the
   * conf-competition discipline of the other xform rules).
@@ -49,8 +68,10 @@ import org.apache.spark.sql.types._
 object RangeBinJoinRule extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.rangeJoin.binSize"
 
+  // A malformed conf value disables the rule instead of throwing
+  // NumberFormatException inside the optimizer for every query.
   private def binSize: Double =
-    SQLConf.get.getConfString(ConfKey, "0").toDouble
+    Try(SQLConf.get.getConfString(ConfKey, "0").toDouble).getOrElse(0.0)
 
   /** (point, lower, upper, pointOnLeft) for a two-comparison band. */
   private def matchBand(cond: Expression, l: LogicalPlan, r: LogicalPlan)
@@ -122,6 +143,18 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** The non-finite fallback lane marks its POINT side
+    * NO_BROADCAST_HASH — never broadcast the big side, so the planner's
+    * nested loop broadcasts the (tiny, usually empty) non-finite bounds
+    * remainder instead — and the hint doubles as the idempotence
+    * marker: the injected rule runs inside a fixpoint optimizer batch,
+    * so the fallback join (whose condition is still the 2-comparison
+    * band shape) must be recognizably ours or the rule would re-split
+    * it every iteration. */
+  private def isFallbackLane(hint: JoinHint): Boolean =
+    Seq(hint.leftHint, hint.rightHint).flatten
+      .exists(_.strategy.contains(NO_BROADCAST_HASH))
+
   private def eligible(l: LogicalPlan, r: LogicalPlan,
                        cond: Expression): Boolean =
     cond.deterministic && !SubqueryExpression.hasSubquery(cond) &&
@@ -132,14 +165,46 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
   private def binOf(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
+  private def isFloating(e: Expression): Boolean =
+    e.dataType == FloatType || e.dataType == DoubleType
+
+  // null-rejecting finiteness predicates (null in → null out → row is
+  // dropped from BOTH lanes, matching the inner join's null semantics);
+  // non-floating bounds are finite by type (nulls fall to the covering
+  // Sequence's IsNotNull guard).
+  private def finite(e: Expression): Expression =
+    if (!isFloating(e)) Literal.TrueLiteral
+    else {
+      val d = Cast(e, DoubleType) // float +-Inf casts to double +-Inf
+      And(Not(IsNaN(d)),
+        And(Not(EqualTo(d, Literal(Double.PositiveInfinity))),
+            Not(EqualTo(d, Literal(Double.NegativeInfinity)))))
+    }
+
+  private def nonFinite(e: Expression): Expression =
+    if (!isFloating(e)) Literal.FalseLiteral
+    else {
+      val d = Cast(e, DoubleType)
+      Or(IsNaN(d),
+        Or(EqualTo(d, Literal(Double.PositiveInfinity)),
+           EqualTo(d, Literal(Double.NegativeInfinity))))
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = binSize
     if (!(w > 0)) return plan
     plan.transformDown {
-      case j @ Join(l, r, Inner, Some(cond), hint) if eligible(l, r, cond) =>
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          if !isFallbackLane(hint) && eligible(l, r, cond) =>
         matchBand(cond, l, r) match {
           case Some((point, lo, hi, pointOnLeft)) =>
-            val (p, b) = if (pointOnLeft) (l, r) else (r, l)
+            val (p, b0) = if (pointOnLeft) (l, r) else (r, l)
+            // float/double bounds may be NaN/±Inf: bin only the finite
+            // rows; route non-finite-bounded rows through a preserved
+            // fallback join (see scaladoc).
+            val needSplit = isFloating(lo) || isFloating(hi)
+            val b = if (needSplit)
+              Filter(And(finite(lo), finite(hi)), b0) else b0
             val pBin = Alias(binOf(point, w), "graft_bin_p")()
             val pSide = Project(p.output :+ pBin, p)
             val binB =
@@ -160,7 +225,19 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
             val (nl, nr) =
               if (pointOnLeft) (pSide, bSide) else (bSide, pSide)
             val newCond = And(EqualTo(pBin.toAttribute, binB), cond)
-            Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+            val binned =
+              Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+            if (!needSplit) binned
+            else {
+              val bRest = Filter(Or(nonFinite(lo), nonFinite(hi)), b0)
+              val noBcast = Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
+              val (fl, fr) = if (pointOnLeft) (p, bRest) else (bRest, p)
+              val fHint = if (pointOnLeft) JoinHint(noBcast, None)
+                          else JoinHint(None, noBcast)
+              val fallback = Project(j.output,
+                Join(fl, fr, Inner, Some(cond), fHint))
+              Union(Seq(binned, fallback))
+            }
           case None => j
         }
     }

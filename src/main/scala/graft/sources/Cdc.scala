@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** The diff wire format claims the `op`, `old_*`/`new_*`, and
+    * `_old_present`/`_new_present` names; a snapshot whose own columns
+    * land in that namespace would collide with the generated ones and
+    * silently corrupt the diff/replay, so reject it up front. */
+  private def requireNoReservedNames(cols: Seq[String]): Unit = {
+    val clash = cols.filter(c => c == "op" || c.startsWith("old_") ||
+      c.startsWith("new_") || c == "_old_present" || c == "_new_present")
+    require(clash.isEmpty,
+      s"snapshot columns ${clash.mkString(", ")} collide with the CDC " +
+        "reserved namespace (op, old_*, new_*, _old_present, _new_present)")
+  }
+
   /** Op-tagged diff of two snapshots sharing a schema. Output columns:
     * `keys ++ op ('I'|'U'|'D') ++ (old_c, new_c)` per value column c.
     * Rows equal under null-safe comparison on every value column are
@@ -32,6 +44,7 @@ object Cdc {
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
       "snapshots must share a schema")
+    requireNoReservedNames(oldDf.columns.toSeq)
     val vals = oldDf.columns.filterNot(keys.contains).toSeq
     val o = oldDf.select(
       keys.map(col) ++ (lit(1).as("_old_present") +:
@@ -56,6 +69,7 @@ object Cdc {
     * construction — every touched key leaves base via the anti join and
     * I/U re-enter with new values. */
   def replay(base: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    requireNoReservedNames(base.columns.toSeq)
     val vals = base.columns.filterNot(keys.contains).toSeq
     val upserts = changes.filter(col("op").isin("I", "U"))
       .select(keys.map(col) ++ vals.map(c => col(s"new_$c").as(c)): _*)

@@ -52,6 +52,20 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.diff(v, v, Seq("o_custkey")).isEmpty)
   }
 
+  test("snapshots with columns in the reserved CDC namespace are rejected") {
+    val v = snap("1996-01-01", "1998-01-01")
+    for (bad <- Seq("op", "old_total", "new_total", "_old_present")) {
+      val renamed = v.withColumnRenamed("total", bad)
+      val e = intercept[IllegalArgumentException] {
+        Cdc.diff(renamed, renamed, Seq("o_custkey"))
+      }
+      assert(e.getMessage.contains(bad))
+      intercept[IllegalArgumentException] {
+        Cdc.replay(renamed, v, Seq("o_custkey"))
+      }
+    }
+  }
+
   test("streaming CDC apply converges each batch to its source snapshot") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("cdc_src").toString

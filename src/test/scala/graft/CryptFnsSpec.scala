@@ -63,6 +63,14 @@ class CryptFnsSpec extends AnyFunSuite {
     val h = cryptXdes("secret", "_J9..j2zz")
     assert(cryptXdes("secret", h) == h)
     intercept[IllegalArgumentException] { cryptXdes("pw", "_J9..") }
+    // out-of-alphabet setting chars decode to 0 via ascii_to_bin, not
+    // an error — the regress's '_/!!!!!!!' vector (count=1, salt=0)
+    assert(cryptXdes("password", "_/!!!!!!!") == "_/!!!!!!!zqM49hRzxko")
+    // ...but an all-zero count is still "crypt(3) returned NULL"
+    intercept[IllegalArgumentException] { cryptXdes("password", "_........") }
+    intercept[IllegalArgumentException] { cryptXdes("password", "_..!!!!!!") }
+    // old-style DES also tolerates out-of-alphabet salt chars
+    assert(cryptDes("password", "!!abc").startsWith("!!"))
   }
 
   private def cryptBf(pw: String, setting: String): String =

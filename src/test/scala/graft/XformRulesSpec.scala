@@ -336,15 +336,61 @@ class XformRulesSpec extends AnyFunSuite {
   test("range-bin join turns the inequality nested loop into an equi join") {
     withRangeRule("25.0") { s =>
       val physical = bandShape(s).queryExecution.executedPlan.toString
-      assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+      // the bulk lane is an equi join on the manufactured bin key
+      assert(physical.contains("graft_bin"), physical)
       assert(physical.contains("SortMergeJoin") ||
         physical.contains("ShuffledHashJoin") ||
         physical.contains("BroadcastHashJoin"), physical)
+      // double bounds -> a non-finite fallback lane exists, and any
+      // nested loop in it broadcasts the filtered remainder, never the
+      // point side (NO_BROADCAST_HASH on the point side)
+      assert(physical.contains("isnan"), physical)
     }
     val off = SparkTestSession.spark.newSession()
     assert(bandShape(off).queryExecution.executedPlan.toString
       .contains("BroadcastNestedLoopJoin"),
       "without the rule the band join must nested-loop (test premise)")
+  }
+
+  test("range-bin join: non-finite float bounds/points keep exact semantics") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def shape(s: org.apache.spark.sql.SparkSession): DataFrame = {
+      val pts = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(1, 10.0), Row(2, 250.0), Row(3, Double.NaN),
+          Row(4, Double.PositiveInfinity), Row(5, Double.NegativeInfinity),
+          Row(6, null)),
+        StructType(Seq(StructField("id", IntegerType, false),
+          StructField("x", DoubleType, true))))
+      val bands = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row("finite", 0.0, 100.0),
+          Row("open_hi", 200.0, Double.PositiveInfinity), // pre-fix: Sequence blow-up
+          Row("open_lo", Double.NegativeInfinity, 50.0),
+          Row("nan_hi", 0.0, Double.NaN), // NaN matches NaN point under Spark ordering
+          Row("null_hi", 0.0, null)),
+        StructType(Seq(StructField("b", StringType, false),
+          StructField("lo", DoubleType, true),
+          StructField("hi", DoubleType, true))))
+      pts.join(bands, col("x") >= col("lo") && col("x") <= col("hi"))
+    }
+    val expected = sortedRows(shape(SparkTestSession.spark.newSession()))
+    assert(expected.nonEmpty)
+    // NaN point must land in the NaN-bounded band (Spark: NaN <= NaN)
+    assert(expected.exists(r => r.toString.contains("nan_hi")))
+    assert(expected.exists(r => r.toString.contains("open_hi")))
+    for (w <- Seq("5.0", "50.0")) {
+      val got = withRangeRule(w)(s => sortedRows(shape(s)))
+      assert(got == expected, s"width $w changed results on non-finite data")
+    }
+  }
+
+  test("range-bin join: malformed binSize conf disables the rule, not planning") {
+    withRangeRule("not-a-number") { s =>
+      // must neither throw in the optimizer nor change results
+      assert(bandShape(s).count() > 0)
+    }
   }
 
   test("range-bin join preserves results exactly") {
