@@ -568,6 +568,48 @@ object ScalarFns extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // pgcrypto pgp_sym_encrypt/decrypt — the composed OpenPGP symmetric
+    // message format (`/root/reference/contrib/pgcrypto/pgp-encrypt.c`,
+    // pgp-decrypt.c, pgp-cfb.c, pgp-s2k.c; regress sql/pgp-decrypt.sql):
+    // tag-3 S2K session-key packet + tag-18 MDC-protected (or tag-9
+    // resync-CFB) data packet around a literal packet, via the PgpFns
+    // codegen kernels. Each lane is the regress's encrypt-then-decrypt
+    // idiom with expect-* wire-format checks, sweeping cipher, both
+    // compressions, no-MDC, separate session key, S2K mode and digest;
+    // `regress_dat1` decrypts the regress's OWN aes128 armored vector
+    // (reference-produced ciphertext, key 'foobar'), proving interop
+    // beyond self-roundtrip. PgpSpec carries the full vector matrix.
+    "q_pgp_sym" -> ((s, dir) => {
+      graft.functions.CryptFns.register(s)
+      graft.functions.PgpSymFns.register(s)
+      val dat1 = "-----BEGIN PGP MESSAGE-----\n\n" +
+        "jA0EBwMCci97v0Q6Z0Zg0kQBsVf5Oe3iC+FBzUmuMV9KxmAyOMyjCc/5i8f1Eest\n" +
+        "UTAsG35A1vYs02VARKzGz6xI2UHwFUirP+brPBg3Ee7muOx8pA==\n" +
+        "=XtrP\n-----END PGP MESSAGE-----\n"
+      def lane(opts: String, expect: String): String =
+        s"pgp_sym_decrypt(pgp_sym_encrypt(msg, pw, '$opts'), pw, '$expect') = msg"
+      t(s, dir, "customer").filter(col("c_custkey") <= 50)
+        .withColumn("msg",
+          concat(col("c_name"), lit(": "), col("c_mktsegment")))
+        .withColumn("pw", concat(lit("pw-"), col("c_custkey")))
+        .select(col("c_custkey").as("k"),
+          expr("pgp_sym_decrypt(pgp_sym_encrypt(msg, pw), pw)").as("dec_plain"),
+          expr(lane("cipher-algo=aes256", "expect-cipher-algo=aes256"))
+            .as("ok_aes256"),
+          expr(lane("cipher-algo=bf", "expect-cipher-algo=bf")).as("ok_bf"),
+          expr(lane("compress-algo=1", "expect-compress-algo=1")).as("ok_zip"),
+          expr(lane("compress-algo=2", "expect-compress-algo=2")).as("ok_zlib"),
+          expr(lane("disable-mdc=1", "expect-disable-mdc=1")).as("ok_nomdc"),
+          expr(lane("sess-key=1", "expect-sess-key=1")).as("ok_sesskey"),
+          expr(lane("s2k-mode=1", "expect-s2k-mode=1")).as("ok_s2k1"),
+          expr(lane("s2k-digest-algo=md5", "expect-s2k-digest-algo=md5"))
+            .as("ok_md5"),
+          call_function("pgp_sym_decrypt",
+            call_function("pgp_dearmor", lit(dat1)), lit("foobar"))
+            .as("regress_dat1"))
+        .orderBy(col("k"))
+    }),
+
     // Name-based UUID v5 (uuid-ossp's uuid_generate_v5,
     // `/root/reference/contrib/uuid-ossp/uuid-ossp.c`): RFC 4122 layout
     // from sha1(namespace_bytes || name) — version nibble 5, variant
@@ -957,6 +999,15 @@ object ScalarFns extends QueryModule {
 
     // armor strings are the pgp-armor regress's own expected outputs
     // (newlines as '|'); the junk-dearmor row likewise
+    "q_pgp_sym" ->
+      """SELECT c_custkey AS k,
+        |  c_name || ': ' || c_mktsegment AS dec_plain,
+        |  true AS ok_aes256, true AS ok_bf, true AS ok_zip,
+        |  true AS ok_zlib, true AS ok_nomdc, true AS ok_sesskey,
+        |  true AS ok_s2k1, true AS ok_md5,
+        |  'Secret message.' AS regress_dat1
+        |FROM customer WHERE c_custkey <= 50 ORDER BY k""".stripMargin,
+
     "q_pgp_armor" ->
       """SELECT * FROM (VALUES
         |  (1, '-----BEGIN PGP MESSAGE-----||=twTO|-----END PGP MESSAGE-----|',
