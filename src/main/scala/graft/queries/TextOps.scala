@@ -598,6 +598,65 @@ object TextOps extends QueryModule {
         .limit(30)
     }),
 
+    // The default text-search parser's 23 token classes
+    // (`/root/reference/src/backend/tsearch/wparser_def.c`; regress
+    // sql/tsearch.sql ts_parse/ts_debug): the reference's own vectors,
+    // token-for-token — email, protocol/url/host/url_path compounds,
+    // files, signed/scientific/version numbers, hyphenated-word part
+    // emission, tags with quoted attributes, entities, exact blank
+    // boundaries. The oracle VALUES table is transcribed from the
+    // reference's expected/tsearch.out (TsParserRegress), so the
+    // parser is judged against reference-produced output, not itself.
+    "t_fts_parser" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.FtsParserFns.register(s)
+      val aliasMap = typedLit(graft.functions.FtsDefaultParser.alias)
+      TsParserRegress.vectors.map { case (vid, input, _) => (vid, input) }
+        .toDF("vec_id", "txt")
+        .select(col("vec_id"), posexplode(expr("ts_parse_default(txt)")))
+        .select(col("vec_id"), col("pos").cast("int").as("ord"),
+          col("col.tokid").as("tokid"),
+          try_element_at(aliasMap, col("col.tokid")).as("tok_alias"),
+          col("col.token").as("token"))
+        .orderBy(col("vec_id"), col("ord"))
+    }),
+
+    // The parser feeding the production surface: documents text plus an
+    // injected web-shaped tail (url, email, version, file, hyphenated
+    // word keyed on doc_id), with asciiword tokens flowing into the
+    // EXISTING lexize chain — the ts_debug pipeline shape
+    // (parse -> token class -> dictionary chain). Pure map-side
+    // expression work; the oracle derives every output from the base
+    // columns and the shared Lexize rule-table SQL.
+    "t_fts_parser_docs" -> ((s, dir) => {
+      import graft.functions.Lexize
+      graft.functions.FtsParserFns.register(s)
+      val k = pmod(col("doc_id"), lit(7)).cast("int").cast("string")
+      val inj = concat(lit(" visit http://ex"), k,
+        lit(".example.org/doc?id="), k,
+        lit(" mail user"), k, lit("@ex"), k, lit(".example.org ver 1.2."), k,
+        lit(" note /usr/share/f"), k, lit(".txt go-fast"))
+      def toks(id: Int): Column =
+        transform(filter(col("p"), t => t("tokid") === id), t => t("token"))
+      t(s, dir, "documents").filter(col("doc_id") <= 300)
+        .withColumn("full_txt", concat(col("text"), inj))
+        .withColumn("p", expr("ts_parse_default(full_txt)"))
+        .withColumn("words", toks(1))
+        .select(col("doc_id"),
+          size(col("words")).as("n_word"),
+          get(toks(5), lit(0)).as("the_url"),
+          get(toks(6), lit(0)).as("the_host"),
+          get(toks(4), lit(0)).as("the_email"),
+          get(toks(8), lit(0)).as("the_version"),
+          get(toks(19), lit(0)).as("the_file"),
+          size(toks(14)).as("n_protocol"),
+          get(toks(16), lit(0)).as("the_hword"),
+          size(toks(11)).as("n_parts"),
+          array_join(slice(Lexize.tsvectorChain(col("words")), -3, 3), " ")
+            .as("lex_tail"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The lexize stage end-to-end (ts_lexize: dict_simple.c stop list +
     // snowball stemming; see [[graft.functions.Lexize]]): the corpus is
     // deterministically INFLECTED (plurals/gerunds/past — see inflect
@@ -880,7 +939,58 @@ object TextOps extends QueryModule {
        |  FROM c2)""".stripMargin
   }
 
+  /** VALUES rows for the t_fts_parser oracle, rendered from the
+    * regress-transcribed token table (reference-produced output). */
+  private def tsParserOracleRows: String =
+    TsParserRegress.vectors.flatMap { case (vid, _, exp) =>
+      exp.zipWithIndex.map { case ((tokid, tok), ord) =>
+        val alias = graft.functions.FtsDefaultParser.alias(tokid)
+        val esc = tok.replace("'", "''")
+        s"($vid, $ord, $tokid, '$alias', '$esc')"
+      }
+    }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "t_fts_parser" ->
+      s"""SELECT * FROM (VALUES
+         |$tsParserOracleRows
+         |) AS t(vec_id, ord, tokid, tok_alias, token)
+         |ORDER BY vec_id, ord""".stripMargin,
+
+    "t_fts_parser_docs" -> {
+      import graft.functions.Lexize
+      s"""WITH d AS (SELECT doc_id, text, CAST(doc_id % 7 AS VARCHAR) AS k
+         |    FROM documents WHERE doc_id <= 300),
+         |w0 AS (SELECT doc_id, k,
+         |    string_split(text, ' ') || ['visit','mail','ver','note'] AS words
+         |  FROM d),
+         |w AS (SELECT doc_id, k, words, list_filter(
+         |    list_transform(words, x -> lower(x)),
+         |    x -> len(x) > 0 AND x NOT IN ${Lexize.duckStopList}) AS f
+         |  FROM w0),
+         |c1 AS (SELECT doc_id, k, words,
+         |    list_transform(f, x -> ${Lexize.duckIrregularOrPlural("x")}) AS l
+         |  FROM w),
+         |c2 AS (SELECT doc_id, k, words,
+         |    list_transform(l, x -> ${Lexize.duckStemSuffix("x")}) AS l2
+         |  FROM c1),
+         |c3 AS (SELECT doc_id, k, words,
+         |    list_transform(l2, x -> ${Lexize.duckSynonym("x")}) AS lex
+         |  FROM c2)
+         |SELECT doc_id,
+         |  CAST(len(words) AS INT) AS n_word,
+         |  'ex' || k || '.example.org/doc?id=' || k AS the_url,
+         |  'ex' || k || '.example.org' AS the_host,
+         |  'user' || k || '@ex' || k || '.example.org' AS the_email,
+         |  '1.2.' || k AS the_version,
+         |  '/usr/share/f' || k || '.txt' AS the_file,
+         |  1 AS n_protocol,
+         |  'go-fast' AS the_hword,
+         |  2 AS n_parts,
+         |  array_to_string(lex[-3:], ' ') AS lex_tail
+         |FROM c3 ORDER BY doc_id""".stripMargin
+    },
+
     "t_fts_lexize_chain" ->
       s"""$chainPipelineSql
          |SELECT doc_id,
