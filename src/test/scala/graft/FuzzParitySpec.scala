@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+import org.scalacheck.rng.Seed
+
+/** Differential fuzzing (SURVEY §5(3)): a bounded SQL grammar —
+  * filters, grouping, HAVING, window frames, join shapes,
+  * null-handling, NaN/Inf, decimal edges — executed on TWO engine
+  * configurations and multiset-compared:
+  *
+  *  - lane A "stock": a plain Catalyst session, whole-stage codegen on,
+  *    32 shuffle partitions — the baseline engine;
+  *  - lane B "graft": every injected optimizer rule installed AND
+  *    enabled (EagerAgg, PushJoinBelowUnionAll, OrExpansion,
+  *    RangeBinJoin with a bin width), codegen forced OFF (interpreted
+  *    expression paths), and a different shuffle partitioning.
+  *
+  * Any divergence means a graft rule broke bag semantics, an
+  * expression's interpreted path disagrees with codegen, or a result
+  * silently depends on partitioning. The 312 fixed CORRECTNESS queries
+  * prove chosen paths; this hunts unchosen ones. Seeded (fixed initial
+  * seed → reproducible failures) with ScalaCheck shrinking on the
+  * generated case structure. 5 properties × 50 cases = 250 generated
+  * queries per run.
+  *
+  * Float discipline: double SUM/AVG group-aggregates are excluded from
+  * the grammar (addition order legitimately varies with partitioning);
+  * decimal sums, counts, min/max, and window aggregates (fixed
+  * intra-partition order) are exact and must match bit-for-bit.
+  */
+object FuzzParitySpec extends Properties("FuzzParity") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(50)
+      .withInitialSeed(Seed(20260814L))
+
+  // ---- the two engine lanes ----------------------------------------
+  private lazy val (stockLane, graftLane): (SparkSession, SparkSession) = {
+    val a = SparkTestSession.spark.newSession()
+    val b = SparkTestSession.spark.newSession()
+    graft.plans.EagerAggRule.install(b)
+    graft.plans.PushJoinBelowUnionAllRule.install(b)
+    graft.plans.OrExpansionRule.install(b)
+    graft.plans.RangeBinJoinRule.install(b)
+    b.conf.set("spark.graft.eagerAgg.enabled", "true")
+    b.conf.set("spark.graft.pushJoinBelowUnionAll.enabled", "true")
+    b.conf.set("spark.graft.orExpansion.enabled", "true")
+    b.conf.set(graft.plans.RangeBinJoinRule.ConfKey, "10.0")
+    b.conf.set("spark.sql.codegen.wholeStage", "false")
+    b.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    b.conf.set("spark.sql.shuffle.partitions", "5")
+    val rnd = new scala.util.Random(42)
+    def dbl(i: Int): java.lang.Double = (i % 19) match {
+      case 0 => Double.NaN
+      case 1 => Double.PositiveInfinity
+      case 2 => Double.NegativeInfinity
+      case 3 => null
+      case 4 => -0.0
+      case _ => math.round(rnd.nextDouble() * 2000 - 1000) / 10.0
+    }
+    def dec(i: Int): java.math.BigDecimal = (i % 13) match {
+      case 0 => null
+      case 1 => new java.math.BigDecimal("9999999999.99")
+      case 2 => new java.math.BigDecimal("-9999999999.99")
+      case 3 => java.math.BigDecimal.ZERO.setScale(2)
+      case 4 => new java.math.BigDecimal("-0.01")
+      case _ => new java.math.BigDecimal(rnd.nextInt(200000))
+        .movePointLeft(2)
+    }
+    def str(i: Int): String = (i % 11) match {
+      case 0 => null
+      case 1 => ""
+      case 2 => " "
+      case 3 => "café"
+      case 4 => "%_%"
+      case _ => "s" + rnd.nextInt(40)
+    }
+    val fact = (0 until 300).map { i =>
+      // k1 skewed: most rows share few keys
+      (i, if (i % 3 == 0) 7 else rnd.nextInt(25),
+        if (i % 29 == 0) null else Integer.valueOf(rnd.nextInt(12)),
+        dbl(i), dec(i), str(i))
+    }
+    val bands = (0 until 40).map { i =>
+      (rnd.nextInt(25),
+        dbl(i * 5 + 3), // lo reuses the edge-value cycle
+        dbl(i * 7 + 1),
+        dec(i))
+    }
+    def reg(s: SparkSession): Unit = {
+      import s.implicits._
+      fact.toDF("id", "k1", "k2", "v", "d", "s").createOrReplaceTempView("f")
+      bands.toDF("k", "lo", "hi", "w").createOrReplaceTempView("b")
+    }
+    reg(a); reg(b)
+    (a, b)
+  }
+
+  private def runBoth(sql: String): Prop = {
+    def rows(s: SparkSession): Seq[String] =
+      s.sql(sql).collect().map(_.toString).sorted.toSeq
+    val ra = rows(stockLane)
+    val rb = rows(graftLane)
+    (ra == rb) :| {
+      val diffA = ra.diff(rb).take(3)
+      val diffB = rb.diff(ra).take(3)
+      s"SQL: $sql\nstock-only: $diffA\ngraft-only: $diffB\n" +
+        s"sizes: ${ra.size} vs ${rb.size}"
+    }
+  }
+
+  // ---- grammar ------------------------------------------------------
+  private val numCol = Gen.oneOf("k1", "k2", "v", "d", "id")
+  private val numConst = Gen.oneOf("0", "7", "-1", "0.5", "9999999999.99",
+    "-0.01", "double('NaN')", "double('Infinity')", "double('-Infinity')",
+    "NULL")
+
+  private val cmp = Gen.oneOf("<", "<=", "=", ">=", ">", "<>", "<=>")
+
+  private def atom: Gen[String] = Gen.frequency(
+    5 -> (for { a <- numCol; op <- cmp; b <- numConst }
+      yield s"($a $op $b)"),
+    3 -> (for { a <- numCol; b <- numCol; op <- cmp }
+      yield s"($a $op $b)"),
+    2 -> numCol.map(c => s"($c IS NULL)"),
+    2 -> numCol.map(c => s"($c IS NOT NULL)"),
+    2 -> Gen.oneOf(s"(s LIKE 's1%')", "(s LIKE '%_%')", "(s = '')",
+      "(s <=> NULL)", "(s IN ('s1', 's2', 'café'))"),
+    2 -> (for { a <- numCol; xs <- Gen.listOfN(3, numConst) }
+      yield s"($a IN (${xs.mkString(", ")}))"))
+
+  private def pred(depth: Int): Gen[String] =
+    if (depth <= 0) atom
+    else Gen.frequency(
+      3 -> atom,
+      2 -> (for { l <- pred(depth - 1); r <- pred(depth - 1) }
+        yield s"($l AND $r)"),
+      2 -> (for { l <- pred(depth - 1); r <- pred(depth - 1) }
+        yield s"($l OR $r)"),
+      1 -> pred(depth - 1).map(p => s"(NOT $p)"))
+
+  property("filter/projection parity") = Prop.forAll(pred(2)) { p =>
+    runBoth(s"SELECT id, k1, k2, v, d, s FROM f WHERE $p")
+  }
+
+  private val groupExpr = Gen.oneOf("k1", "k2", "k1 % 5", "coalesce(k2, -1)",
+    "CASE WHEN v > 0 THEN 1 WHEN v <= 0 THEN 0 END", "s")
+
+  property("aggregate/having parity") = Prop.forAll(
+    for { g <- groupExpr; p <- pred(1); h <- Gen.chooseNum(0, 5) }
+      yield (g, p, h)) { case (g, p, h) =>
+    runBoth(
+      s"""SELECT $g AS g, count(*) AS n, sum(d) AS sd, min(v) AS mv,
+         |max(v) AS xv, count(DISTINCT k2) AS cd, min(s) AS ms
+         |FROM f WHERE $p GROUP BY g HAVING count(*) > $h""".stripMargin)
+  }
+
+  private val frame = Gen.oneOf(
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING")
+  private val winPart = Gen.oneOf("k1", "k2", "k1 % 3")
+  private val winOrd = Gen.oneOf("id", "v, id", "d, id")
+
+  property("window frame parity") = Prop.forAll(
+    for { fr <- frame; pt <- winPart; o <- winOrd; p <- pred(1) }
+      yield (fr, pt, o, p)) { case (fr, pt, o, p) =>
+    // RANGE frames need a single numeric sort key
+    val ord = if (fr.startsWith("RANGE")) "id" else o
+    runBoth(
+      s"""SELECT id, sum(v) OVER (PARTITION BY $pt ORDER BY $ord $fr) AS wv,
+         |count(*) OVER (PARTITION BY $pt ORDER BY $ord $fr) AS wn,
+         |rank() OVER (PARTITION BY $pt ORDER BY $ord) AS rk
+         |FROM f WHERE $p""".stripMargin)
+  }
+
+  property("join shapes parity (equi, or-expansion, eager agg)") =
+    Prop.forAll(for {
+      shape <- Gen.oneOf("equi", "or", "eageragg", "union")
+      p <- pred(1)
+    } yield (shape, p)) { case (shape, p) =>
+    val sql = shape match {
+      case "equi" =>
+        s"SELECT f.id, b.w FROM f JOIN b ON f.k1 = b.k WHERE $p"
+      case "or" =>
+        s"""SELECT count(*) AS n, sum(f.d) AS sd FROM f JOIN b
+           |ON f.k1 = b.k OR f.k2 = b.k WHERE $p""".stripMargin
+      case "eageragg" =>
+        s"""SELECT b.k, count(*) AS n, sum(f.d) AS sd
+           |FROM f JOIN b ON f.k1 = b.k WHERE $p GROUP BY b.k""".stripMargin
+      case "union" =>
+        s"""SELECT u.k, count(*) AS n FROM
+           |(SELECT k1 AS k FROM f WHERE $p UNION ALL SELECT k FROM b) u
+           |JOIN b ON u.k = b.k GROUP BY u.k""".stripMargin
+    }
+    runBoth(sql)
+  }
+
+  property("band join parity (range-bin rewrite incl. NaN/Inf bounds)") =
+    Prop.forAll(for {
+      loCmp <- Gen.oneOf(">=", ">")
+      hiCmp <- Gen.oneOf("<=", "<")
+      agg <- Gen.oneOf(true, false)
+    } yield (loCmp, hiCmp, agg)) { case (loCmp, hiCmp, agg) =>
+    val cond = s"f.v $loCmp b.lo AND f.v $hiCmp b.hi"
+    val sql =
+      if (agg) s"SELECT count(*) AS n, min(f.id) AS mi, max(f.id) AS mx " +
+        s"FROM f JOIN b ON $cond"
+      else s"SELECT f.id, b.k, b.w FROM f JOIN b ON $cond"
+    runBoth(sql)
+  }
+}
