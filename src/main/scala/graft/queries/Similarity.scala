@@ -80,6 +80,64 @@ object Similarity extends QueryModule {
     element_at(call_function("pq_encode", col("v"),
       typedLit(cs.flatten.toArray), lit(1), lit(cs.length), lit(dim)), 1)
 
+  /** Above this many centroids, assignment switches from the literal
+    * codebook kernel to the broadcast-relation lane (conf-overridable;
+    * the literal is the right shape up to K ~ 1e4 ≈ a 5 MB task
+    * constant, past which the flattened literal plus its per-task
+    * binary copies reach 100s of MB — the forward watch item from the
+    * r11 review). */
+  private[graft] val BroadcastKConf = "spark.graft.ivf.broadcastK"
+
+  /** Centroids as a relation (cell, c) — the shape
+    * [[ivfEnsurePersisted]] already writes; this builder covers the
+    * in-plan lanes and tests. */
+  private[graft] def centroidsDf(s: SparkSession,
+                                 cs: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "c")
+  }
+
+  /** Broadcast-relation cell assignment — the large-K lane: the
+    * centroid table collapses to ONE broadcast row holding a
+    * cell-sorted array of (cell, c) structs, a broadcast nested-loop
+    * join attaches it to every corpus row (no corpus shuffle, no
+    * K-per-row intermediate), and a single `aggregate()` fold computes
+    * the argmin with dist = vec_norm_sq(c) - 2 vec_dot(v, c) — the
+    * SAME left-to-right accumulation and strict-< lowest-cell tie rule
+    * as the PqEncodeExpr kernel, so the two lanes are bit-equal
+    * (IvfBroadcastSpec asserts per-vector parity and that this plan's
+    * size stays O(1) in K while the literal lane's grows). */
+  private[graft] def ivfAssignBroadcast(e: DataFrame,
+                                        centroids: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    graft.functions.VectorFns.register(s)
+    val cents = broadcast(centroids.agg(
+      sort_array(collect_list(struct(col("cell"), col("c")))).as("cents")))
+    val zero = struct(lit(Double.PositiveInfinity).as("best"),
+      lit(-1).as("cell"))
+    e.crossJoin(cents)
+      .withColumn("cell", aggregate(col("cents"), zero, (acc, x) => {
+        def d = call_function("vec_norm_sq", x("c")) -
+          lit(2.0) * call_function("vec_dot", col("v"), x("c"))
+        when(d < acc("best"), struct(d.as("best"), x("cell").as("cell")))
+          .otherwise(acc)
+      })("cell"))
+      .drop("cents")
+  }
+
+  /** Lane-choosing assignment: literal kernel up to the conf threshold,
+    * broadcast relation beyond it. Both lanes append a `cell` column to
+    * `e` and are bit-equal. */
+  private[graft] def ivfAssign(e: DataFrame,
+                               cs: Array[Array[Double]]): DataFrame = {
+    graft.functions.PqFns.register(e.sparkSession)
+    val thresh = scala.util.Try(
+      e.sparkSession.conf.get(BroadcastKConf, "10000").toInt).getOrElse(10000)
+    if (cs.length <= thresh) e.withColumn("cell", ivfCellCol(cs))
+    else ivfAssignBroadcast(e, centroidsDf(e.sparkSession, cs))
+  }
+
   /** Seeded 3-iteration Lloyd over `e` (vec_id, v) — seeds are the IvfK
     * lowest-vec_id vectors; the centroid mean is micros-sum / n / 1e6 so
     * the update is bit-reproducible across engines and executions. Only
@@ -131,7 +189,7 @@ object Similarity extends QueryModule {
       case v => v.toInt
     }
     val cs = ivfFit(e, k)
-    val assigned = e.withColumn("cell", ivfCellCol(cs))
+    val assigned = ivfAssign(e, cs)
       .withColumn("nrm", expr("vec_norm_sq(v)"))
     val a = assigned.select(col("cell"), col("vec_id").as("aid"),
       col("v").as("av"), col("nrm").as("an"))
