@@ -224,8 +224,114 @@ object ScalarParity extends QueryModule {
         .withColumn("jh_hours", pmod(col("th"), lit(24L)))
         .withColumn("jd_months", (col("th") / 24 / 30).cast("long"))
         .withColumn("jd_days", pmod((col("th") / 24).cast("long"), lit(30L)))
-        .drop("th")
+        // justify_interval (timestamp.c interval_justify_interval): the
+        // full month/day/time normalization INCLUDING the sign-borrow
+        // cascades, over a mixed-sign synthetic interval per user
+        // (months -2..2, days -3..3, hours -25..24) so every borrow
+        // branch fires across the 101 rows. Spark's `div`/`%` on longs
+        // are C-style truncating, matching TMODULO.
+        .withColumn("mon_in", (pmod(col("user_id"), lit(5)) - 2).cast("long"))
+        .withColumn("day_in", (pmod(col("user_id"), lit(7)) - 3).cast("long"))
+        .withColumn("us_in",
+          (pmod(col("user_id"), lit(50)) - 25) * lit(3600000000L))
+        .withColumn("t1j", expr("us_in % 86400000000"))
+        .withColumn("day1", expr("day_in + (us_in div 86400000000)"))
+        .withColumn("mon1", expr("mon_in + (day1 div 30)"))
+        .withColumn("day2", expr("day1 % 30"))
+        .withColumn("mon2", expr(
+          """CASE WHEN mon1 > 0 AND (day2 < 0 OR (day2 = 0 AND t1j < 0))
+            |  THEN mon1 - 1
+            |WHEN mon1 < 0 AND (day2 > 0 OR (day2 = 0 AND t1j > 0))
+            |  THEN mon1 + 1 ELSE mon1 END""".stripMargin))
+        .withColumn("day3", expr(
+          """CASE WHEN mon1 > 0 AND (day2 < 0 OR (day2 = 0 AND t1j < 0))
+            |  THEN day2 + 30
+            |WHEN mon1 < 0 AND (day2 > 0 OR (day2 = 0 AND t1j > 0))
+            |  THEN day2 - 30 ELSE day2 END""".stripMargin))
+        .withColumn("ji_months", col("mon2"))
+        .withColumn("ji_days", expr(
+          "CASE WHEN day3 > 0 AND t1j < 0 THEN day3 - 1 " +
+            "WHEN day3 < 0 AND t1j > 0 THEN day3 + 1 ELSE day3 END"))
+        .withColumn("ji_hours", expr(
+          "(CASE WHEN day3 > 0 AND t1j < 0 THEN t1j + 86400000000 " +
+            "WHEN day3 < 0 AND t1j > 0 THEN t1j - 86400000000 " +
+            "ELSE t1j END) div 3600000000"))
+        .drop("th", "mon_in", "day_in", "us_in", "t1j", "day1", "mon1",
+          "day2", "mon2", "day3")
         .orderBy(col("user_id"))
+    }),
+
+    // orafce Oracle-compat date functions
+    // (`/root/reference/gpcontrib/orafce/datefce.c`; regress
+    // sql/orafce.sql dates section): the distinctive edge semantics —
+    // add_months SNAPS to end-of-month when the input is the last day
+    // of its month (2008-02-29 + 1 = 2008-03-31, where plain clamping
+    // gives 03-29), months_between's same-day/both-last-days integer
+    // rule with the /31 fraction otherwise (Spark's builtin implements
+    // exactly Oracle's rule), next_day strictly-after weekday seek,
+    // last_day, trunc(date, fmt) for MM/Q/YEAR/IW, and round(date)
+    // rounding up from day 16 (month) / July (year). Oracle derives
+    // everything from its own date arithmetic.
+    "q_orafce_dates" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      val n = (pmod(col("o_orderkey"), lit(25)) - 12).cast("int")
+      val isLast = dayofmonth(d) === dayofmonth(last_day(d))
+      val dowName = element_at(
+        array(lit("Sun"), lit("Mon"), lit("Tue"), lit("Wed"), lit("Thu"),
+          lit("Fri"), lit("Sat")),
+        (pmod(col("o_orderkey"), lit(7)) + 1).cast("int"))
+      val d2 = date_sub(d, pmod(col("o_orderkey"), lit(100)).cast("int"))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey"), d.as("d"),
+          when(isLast, last_day(add_months(d, n)))
+            .otherwise(add_months(d, n)).as("am"),
+          last_day(d).as("lastd"),
+          next_day(d, dowName).as("nextd"),
+          round(months_between(d, d2, roundOff = false), 6).as("mb"),
+          trunc(d, "MM").as("tr_mm"),
+          trunc(d, "quarter").as("tr_q"),
+          trunc(d, "year").as("tr_yy"),
+          trunc(d, "week").as("tr_iw"),
+          when(dayofmonth(d) >= 16, trunc(add_months(d, 1), "MM"))
+            .otherwise(trunc(d, "MM")).as("rnd_mm"),
+          when(month(d) >= 7, trunc(add_months(d, 12), "year"))
+            .otherwise(trunc(d, "year")).as("rnd_yy"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // orafce instr(str, sub[, start[, nth]]) — Oracle's 4-arg position
+    // search including NEGATIVE start (search backward from position
+    // len+start+1) (`/root/reference/gpcontrib/orafce/others.c` plvstr
+    // instr; regress expected/orafce.out:1032-1056 pins every vector
+    // here). Computed as a pure higher-order-function composition:
+    // occurrence positions via filter(sequence(...)), then forward or
+    // reversed nth pick; 0 when absent, matching Oracle.
+    "q_orafce_instr" -> ((s, dir) => {
+      import s.implicits._
+      Seq( // (vec_id, s, sub, start, nth) — regress vectors then edges
+        (1, "Tech on the net", "e", 1, 1),   // = 2
+        (2, "Tech on the net", "e", 1, 2),   // = 11
+        (3, "Tech on the net", "e", 1, 3),   // = 14
+        (4, "Tech on the net", "e", -3, 2),  // = 2 (backward)
+        (5, "Tech on the net", "e", -1, 1),  // = 14
+        (6, "Tech on the net", "net", 1, 1), // = 13
+        (7, "Tech on the net", "z", 1, 1),   // = 0
+        (8, "Tech on the net", "e", 12, 1),  // = 14
+        (9, "aaaa", "aa", 1, 2),             // overlapping = 2
+        (10, "Tech on the net", "e", 0, 1))  // start 0 -> 0
+        .toDF("vec_id", "s", "sub", "st", "nth")
+        .withColumn("pos", expr(
+          "filter(sequence(1, greatest(length(s) - length(sub) + 1, 0)), " +
+            "i -> substring(s, i, length(sub)) = sub)"))
+        .select(col("vec_id"),
+          expr("""CASE WHEN st = 0 THEN 0
+                 |WHEN st > 0 THEN
+                 |  coalesce(try_element_at(filter(pos, p -> p >= st), nth), 0)
+                 |ELSE
+                 |  coalesce(try_element_at(
+                 |    reverse(filter(pos, p -> p <= length(s) + st + 1)),
+                 |    nth), 0) END""".stripMargin).cast("int").as("inst"))
+        .orderBy(col("vec_id"))
     }),
 
     // to_number / to_date: the parsing half of formatting.c. Strings are
@@ -862,7 +968,30 @@ object ScalarParity extends QueryModule {
         |         CAST(max(ts) AS TIMESTAMP) AS t2
         |  FROM events WHERE user_id <= 100 GROUP BY user_id),
         |j AS (SELECT *,
-        |    date_diff('microsecond', t1, t2) // 3600000000 AS th FROM p)
+        |    date_diff('microsecond', t1, t2) // 3600000000 AS th,
+        |    (user_id % 5) - 2 AS mon_in,
+        |    (user_id % 7) - 3 AS day_in,
+        |    ((user_id % 50) - 25) * 3600000000 AS us_in FROM p),
+        |j2 AS (SELECT *, us_in % 86400000000 AS t1j,
+        |    day_in + (us_in - us_in % 86400000000) // 86400000000 AS day1
+        |  FROM j),
+        |j3 AS (SELECT *, mon_in + (day1 - day1 % 30) // 30 AS mon1,
+        |    day1 % 30 AS day2 FROM j2),
+        |j4 AS (SELECT *,
+        |    CASE WHEN mon1 > 0 AND (day2 < 0 OR (day2 = 0 AND t1j < 0))
+        |        THEN mon1 - 1
+        |      WHEN mon1 < 0 AND (day2 > 0 OR (day2 = 0 AND t1j > 0))
+        |        THEN mon1 + 1 ELSE mon1 END AS mon2,
+        |    CASE WHEN mon1 > 0 AND (day2 < 0 OR (day2 = 0 AND t1j < 0))
+        |        THEN day2 + 30
+        |      WHEN mon1 < 0 AND (day2 > 0 OR (day2 = 0 AND t1j > 0))
+        |        THEN day2 - 30 ELSE day2 END AS day3 FROM j3),
+        |j5 AS (SELECT *,
+        |    CASE WHEN day3 > 0 AND t1j < 0 THEN day3 - 1
+        |      WHEN day3 < 0 AND t1j > 0 THEN day3 + 1 ELSE day3 END AS day4,
+        |    CASE WHEN day3 > 0 AND t1j < 0 THEN t1j + 86400000000
+        |      WHEN day3 < 0 AND t1j > 0 THEN t1j - 86400000000
+        |      ELSE t1j END AS time2 FROM j4)
         |SELECT user_id,
         |  CAST(date_part('year', age(t2, t1)) AS INT) AS years,
         |  CAST(date_part('month', age(t2, t1)) AS INT) AS months,
@@ -870,8 +999,49 @@ object ScalarParity extends QueryModule {
         |  CAST(date_part('hour', age(t2, t1)) AS INT) AS hours,
         |  CAST(date_part('minute', age(t2, t1)) AS INT) AS minutes,
         |  th // 24 AS jh_days, th % 24 AS jh_hours,
-        |  th // 24 // 30 AS jd_months, (th // 24) % 30 AS jd_days
-        |FROM j ORDER BY user_id""".stripMargin,
+        |  th // 24 // 30 AS jd_months, (th // 24) % 30 AS jd_days,
+        |  mon2 AS ji_months, day4 AS ji_days,
+        |  (time2 - time2 % 3600000000) // 3600000000 AS ji_hours
+        |FROM j5 ORDER BY user_id""".stripMargin,
+
+    "q_orafce_dates" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST((o_orderkey % 25) - 12 AS INT) AS n,
+        |    CAST(o_orderkey % 7 AS INT) AS t,
+        |    CAST(o_orderdate AS DATE) - CAST(o_orderkey % 100 AS INT) AS d2
+        |  FROM orders WHERE o_orderkey <= 400)
+        |SELECT o_orderkey, d,
+        |  CASE WHEN d = last_day(d)
+        |    THEN last_day(CAST(d + to_months(n) AS DATE))
+        |    ELSE CAST(d + to_months(n) AS DATE) END AS am,
+        |  last_day(d) AS lastd,
+        |  d + CAST(((t - dayofweek(d) + 6) % 7 + 7) % 7 + 1 AS INT) AS nextd,
+        |  round((year(d) - year(d2)) * 12 + (month(d) - month(d2)) +
+        |    CASE WHEN day(d) = day(d2)
+        |        OR (d = last_day(d) AND d2 = last_day(d2)) THEN 0
+        |      ELSE (day(d) - day(d2)) / 31.0 END, 6) AS mb,
+        |  CAST(date_trunc('month', d) AS DATE) AS tr_mm,
+        |  CAST(date_trunc('quarter', d) AS DATE) AS tr_q,
+        |  CAST(date_trunc('year', d) AS DATE) AS tr_yy,
+        |  CAST(date_trunc('week', d) AS DATE) AS tr_iw,
+        |  CASE WHEN day(d) >= 16
+        |    THEN CAST(date_trunc('month', d + to_months(1)) AS DATE)
+        |    ELSE CAST(date_trunc('month', d) AS DATE) END AS rnd_mm,
+        |  CASE WHEN month(d) >= 7
+        |    THEN CAST(date_trunc('year', d + to_months(12)) AS DATE)
+        |    ELSE CAST(date_trunc('year', d) AS DATE) END AS rnd_yy
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+
+    // known-answer oracle: every value is the reference regress's own
+    // expected output (expected/orafce.out) or follows directly from
+    // ora_instr's scan (overlapping occurrences counted; negative start
+    // caps the 1-based position at min(len+start+1, len-len_pat+1))
+    "q_orafce_instr" ->
+      """SELECT * FROM (VALUES
+        |  (1, 2), (2, 11), (3, 14), (4, 2), (5, 14),
+        |  (6, 13), (7, 0), (8, 14), (9, 2), (10, 0)
+        |) AS t(vec_id, inst) ORDER BY vec_id""".stripMargin,
 
     "q_to_number_roundtrip" ->
       s"""WITH r AS (
