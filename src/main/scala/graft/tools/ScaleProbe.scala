@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-decade scaling spot-check (the r11 review's "make the scaling
+  * claim empirical, not extrapolated" item): runs the two heaviest
+  * dedup lanes — `d_dedup_minhash_lsh` (banded LSH, expected ~linear
+  * in n + output) and `d_semdedup` (cluster-then-prune, inherently
+  * ~n^1.5 at K = sqrt(n), see SCALING.md) — at x1 / x10 / x100 of a
+  * base SF, with replicas synthesized once by [[GenScale]] (same
+  * generator as the bench's x10 leg). Prints one JSON line with the
+  * per-decade times and ratios.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [runs]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the semdedup production lane (K = ceil(sqrt(n)), the paper's knob)
+    spark.conf.set("spark.graft.semdedup.k", "auto")
+
+    val qs = Seq("d_dedup_minhash_lsh", "d_semdedup")
+    val baseName = base.replaceAll("/+$", "").split('/').last
+
+    def dirFor(factor: Int): String =
+      if (factor == 1) base
+      else {
+        val dst = s"/root/repo/.scale/probe_${baseName}_x$factor"
+        val marker = new org.apache.hadoop.fs.Path(
+          dst, "embeddings.parquet/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          System.err.println(s"[probe] generating x$factor replica -> $dst")
+          GenScale.generate(spark, base, dst, factor)
+        }
+        dst
+      }
+
+    val results = for (factor <- Seq(1, 10, 100)) yield {
+      val dir = dirFor(factor)
+      // warm the page cache / file listing once
+      graft.Tables.t(spark, dir, "documents").limit(1).collect()
+      graft.Tables.t(spark, dir, "embeddings").limit(1).collect()
+      val times = qs.map { q =>
+        val secs = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val n = graft.SparkEntry.queries(q)(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[probe] x$factor $q: $dt%.2f s ($n rows)")
+          dt
+        }.min
+        q -> secs
+      }
+      factor -> times.toMap
+    }
+
+    val m = results.toMap
+    def j(q: String): String = {
+      val t1 = m(1)(q); val t10 = m(10)(q); val t100 = m(100)(q)
+      f""""$q":{"x1":$t1%.2f,"x10":$t10%.2f,"x100":$t100%.2f,""" +
+        f""""r10":${t10 / t1}%.2f,"r100":${t100 / t10}%.2f}"""
+    }
+    println(s"""{"probe":"scale_decades","base":"$base",${qs.map(j).mkString(",")}}""")
+    spark.stop()
+  }
+}
