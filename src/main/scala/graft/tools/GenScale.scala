@@ -107,10 +107,15 @@ object GenScale {
     val oV = off("embeddings", "vec_id")
     val dim = rd("embeddings").select(size(col("embedding"))).head.getInt(0)
     wr(replicate(rd("embeddings")) { (d, i) =>
-      val rot = if (i == 0) d
+      // rotate by i mod dim: replica 65 of a 64-dim corpus must wrap,
+      // not ask slice() for a negative length (surfaced by the x100
+      // scale probe; identical to the old form for i < dim, so
+      // existing x10 replicas are unaffected)
+      val r = i % dim
+      val rot = if (r == 0) d
         else d.withColumn("embedding", concat(
-          expr(s"slice(embedding, ${i + 1}, ${dim - i})"),
-          expr(s"slice(embedding, 1, $i)")))
+          expr(s"slice(embedding, ${r + 1}, ${dim - r})"),
+          expr(s"slice(embedding, 1, $r)")))
       rot.withColumn("vec_id", col("vec_id") + i * oV)
     }, "embeddings")
 
