@@ -82,8 +82,10 @@ object HstoreOps extends QueryModule {
         hGet(h, lit("brand")).as("v_brand"),
         hGet(h, lit("zzz")).as("v_missing"),
         hGet(h, lit("note")).isNotNull.as("note_defined"), // defined()
-        transform(array(lit("size"), lit("brand"), lit("zzz")),
-          k => hGet(h, k)).as("vals_multi"), // -> text[]
+        // array-valued outputs render as json text (driver hash
+        // contract: nested columns are unhashable on the oracle side)
+        to_json(transform(array(lit("size"), lit("brand"), lit("zzz")),
+          k => hGet(h, k))).as("vals_multi"), // -> text[]
         map_contains_key(h, lit("type")).as("has_type"), // ?
         exists(array(lit("zzz"), lit("size")),
           k => map_contains_key(h, k)).as("has_any"), // ?|
@@ -102,8 +104,8 @@ object HstoreOps extends QueryModule {
           .as("minus_h_match"),
         hRender(hDeleteHstore(h, map(lit("size"), lit("-1"))))
           .as("minus_h_miss"),
-        map_keys(h).as("hkeys"),   // akeys: canonical order by parse
-        map_values(h).as("hvals"), // avals
+        to_json(map_keys(h)).as("hkeys"),   // akeys: canonical order by parse
+        to_json(map_values(h)).as("hvals"), // avals
         hRender(map_filter(h, (k, _) => array_contains(
           array(lit("brand"), lit("size"), lit("zzz")), k))).as("sliced"),
         hRender(h).as("roundtrip"))
@@ -134,7 +136,8 @@ object HstoreOps extends QueryModule {
         |  p_brand AS v_brand,
         |  CAST(NULL AS VARCHAR) AS v_missing,
         |  false AS note_defined,
-        |  [CAST(p_size AS VARCHAR), p_brand, NULL] AS vals_multi,
+        |  CAST(to_json([CAST(p_size AS VARCHAR), p_brand, NULL])
+        |    AS VARCHAR) AS vals_multi,
         |  true AS has_type, true AS has_any, true AS has_all,
         |  true AS contains_own, false AS contains_other,
         |  true AS contains_nullval,
@@ -149,8 +152,9 @@ object HstoreOps extends QueryModule {
         |  '"note"=>NULL, "size"=>"' || CAST(p_size AS VARCHAR) ||
         |    '", "type"=>"' || p_type ||
         |    '", "brand"=>"' || p_brand || '"' AS minus_h_miss,
-        |  ['note','size','type','brand'] AS hkeys,
-        |  [NULL, CAST(p_size AS VARCHAR), p_type, p_brand] AS hvals,
+        |  CAST(to_json(['note','size','type','brand']) AS VARCHAR) AS hkeys,
+        |  CAST(to_json([NULL, CAST(p_size AS VARCHAR), p_type, p_brand])
+        |    AS VARCHAR) AS hvals,
         |  '"size"=>"' || CAST(p_size AS VARCHAR) ||
         |    '", "brand"=>"' || p_brand || '"' AS sliced,
         |  '"note"=>NULL, "size"=>"' || CAST(p_size AS VARCHAR) ||
