@@ -7,6 +7,7 @@ import java.util.zip.{Deflater, Inflater}
 import javax.crypto.Cipher
 import javax.crypto.spec.SecretKeySpec
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -93,10 +94,12 @@ object PgpKernel {
   /** Stateful CFB engine; `resync` selects the old PGP_PKT_SYMENCRYPTED
     * _DATA mode where "block #2" is the 2-byte prefix tail and the
     * feedback register resynchronizes on the ciphertext boundary. */
-  final class Cfb(algo: Int, key: Array[Byte], resync: Boolean) {
+  final class Cfb(algo: Int, key: Array[Byte], resync: Boolean,
+                  iv: Array[Byte] = null) {
     private val ciph = blockCipher(algo, key)
     private val bs = cipherBlockLen(algo)
     private val fr = new Array[Byte](bs)
+    if (iv != null) System.arraycopy(iv, 0, fr, 0, math.min(bs, iv.length))
     private val fre = new Array[Byte](bs)
     private val encbuf = new Array[Byte](bs)
     private var pos = 0
@@ -182,6 +185,10 @@ object PgpKernel {
   private def mdInstance(digestAlgo: Int): MessageDigest = digestAlgo match {
     case 1 => MessageDigest.getInstance("MD5")
     case 2 => MessageDigest.getInstance("SHA-1")
+    case 8 => MessageDigest.getInstance("SHA-256")
+    case 9 => MessageDigest.getInstance("SHA-384")
+    case 10 => MessageDigest.getInstance("SHA-512")
+    case 11 => MessageDigest.getInstance("SHA-224")
     case _ => throw Malformed
   }
 
@@ -386,6 +393,39 @@ object PgpKernel {
     out.toByteArray
   }
 
+  // ---- shared packet builders / parsers ----------------------------
+  /** Literal packet, CRLF-converted and optionally compressed. */
+  private def literalPacket(data: Array[Byte], o: Opts,
+                            textMode: Boolean): Array[Byte] = {
+    val litType: Byte =
+      if (!textMode) 'b' else if (o.unicodeMode) 'u' else 't'
+    val body = if (textMode && o.convertCrlf) crlfEncode(data) else data
+    val lit = packet(11,
+      Array(litType, 0.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte) ++ body)
+    if (o.compressAlgo == 0 || o.compressLevel == 0) lit
+    else packet(8, Array(o.compressAlgo.toByte) ++
+      deflate(lit, o.compressAlgo, o.compressLevel))
+  }
+
+  /** Tag-18 (MDC) or tag-9 (resync) encrypted data packet. */
+  private def encryptedDataPacket(inner: Array[Byte], algo: Int,
+      msgKey: Array[Byte], disableMdc: Boolean, rng: Drbg): Array[Byte] = {
+    val bs = cipherBlockLen(algo)
+    val prefixBase = rng.next(bs)
+    val prefix = prefixBase ++ Array(prefixBase(bs - 2), prefixBase(bs - 1))
+    if (!disableMdc) {
+      val md = MessageDigest.getInstance("SHA-1")
+      md.update(prefix); md.update(inner)
+      md.update(Array(0xd3.toByte, 0x14.toByte))
+      val mdc = Array(0xd3.toByte, 0x14.toByte) ++ md.digest()
+      val cfb = new Cfb(algo, msgKey, resync = false)
+      packet(18, Array(1.toByte) ++ cfb.encrypt(prefix ++ inner ++ mdc))
+    } else {
+      val cfb = new Cfb(algo, msgKey, resync = true)
+      packet(9, cfb.encrypt(prefix ++ inner))
+    }
+  }
+
   // ---- encrypt ------------------------------------------------------
   def encrypt(data: Array[Byte], pw: Array[Byte], optStr: String,
               textMode: Boolean, seed: Array[Byte]): Array[Byte] = {
@@ -413,31 +453,9 @@ object PgpKernel {
       sk
     } else s2kKey
 
-    // literal packet (optionally CRLF-converted, optionally compressed)
-    val litType: Byte =
-      if (!textMode) 'b' else if (o.unicodeMode) 'u' else 't'
-    val body = if (textMode && o.convertCrlf) crlfEncode(data) else data
-    val lit = packet(11,
-      Array(litType, 0.toByte, 0.toByte, 0.toByte, 0.toByte, 0.toByte) ++ body)
-    val inner =
-      if (o.compressAlgo == 0 || o.compressLevel == 0) lit
-      else packet(8, Array(o.compressAlgo.toByte) ++
-        deflate(lit, o.compressAlgo, o.compressLevel))
-
-    // encrypted data packet
-    val prefixBase = rng.next(bs)
-    val prefix = prefixBase ++ Array(prefixBase(bs - 2), prefixBase(bs - 1))
-    val enc = if (!o.disableMdc) {
-      val md = MessageDigest.getInstance("SHA-1")
-      md.update(prefix); md.update(inner)
-      md.update(Array(0xd3.toByte, 0x14.toByte))
-      val mdc = Array(0xd3.toByte, 0x14.toByte) ++ md.digest()
-      val cfb = new Cfb(o.cipherAlgo, msgKey, resync = false)
-      packet(18, Array(1.toByte) ++ cfb.encrypt(prefix ++ inner ++ mdc))
-    } else {
-      val cfb = new Cfb(o.cipherAlgo, msgKey, resync = true)
-      packet(9, cfb.encrypt(prefix ++ inner))
-    }
+    val inner = literalPacket(data, o, textMode)
+    val enc = encryptedDataPacket(inner, o.cipherAlgo, msgKey,
+      o.disableMdc, rng)
     packet(3, tag3Body.toByteArray) ++ enc
   }
 
@@ -495,7 +513,16 @@ object PgpKernel {
       }
     }
     if (dataBody == null) throw Malformed
+    decryptPayload(dataTag, dataBody, keyAlgo, msgKey, o, textMode,
+      Map("sess-key" -> (if (sawSessKey) 1 else 0),
+        "s2k-mode" -> s2kModeSeen, "s2k-digest-algo" -> s2kDigestSeen))
+  }
 
+  /** Shared data-packet decryption tail (tag 18/9 -> inner packets ->
+    * literal), used by both the symmetric and public-key paths. */
+  private def decryptPayload(dataTag: Int, dataBody: Array[Byte],
+      keyAlgo: Int, msgKey: Array[Byte], o: Opts, textMode: Boolean,
+      extraExpect: Map[String, Int]): Array[Byte] = {
     val bs = cipherBlockLen(keyAlgo)
     val mdcUsed = dataTag == 18
     val plainAll = if (mdcUsed) {
@@ -557,16 +584,271 @@ object PgpKernel {
       val actual = k match {
         case "cipher-algo" => keyAlgo
         case "disable-mdc" => if (mdcUsed) 0 else 1
-        case "sess-key" => if (sawSessKey) 1 else 0
-        case "s2k-mode" => s2kModeSeen
-        case "s2k-digest-algo" => s2kDigestSeen
         case "compress-algo" => compressSeen
         case "unicode-mode" => if (litType == 'u') 1 else 0
-        case _ => throw Malformed
+        case other => extraExpect.getOrElse(other, throw Malformed)
       }
       if (actual != v) throw Malformed
     }
     out
+  }
+
+  // ---- public-key machinery (pgp-pubkey.c, pgp-pubdec.c, pgp-pubenc.c)
+  import java.math.BigInteger
+
+  /** Parsed key material; `sec` is empty for public-only keys. MPI raw
+    * bytes (2-byte bit-count header + body) are kept for the key-packet
+    * checksums and the v4 fingerprint. */
+  private[functions] final case class PubKey(algo: Int,
+      keyId: Array[Byte], pub: Vector[BigInteger],
+      sec: Vector[BigInteger]) {
+    def canEncrypt: Boolean = algo == 1 || algo == 2 || algo == 16
+  }
+
+  private final class ByteCursor(val b: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = {
+      if (pos >= b.length) throw Malformed
+      val x = b(pos) & 0xff; pos += 1; x
+    }
+    def take(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > b.length) throw Malformed
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + n)
+      pos += n; out
+    }
+    def atEnd: Boolean = pos >= b.length
+  }
+
+  /** (value, raw header+body bytes) — pgp_mpi_read. */
+  private def readMpi(c: ByteCursor): (BigInteger, Array[Byte]) = {
+    val start = c.pos
+    val bits = (c.u8() << 8) | c.u8()
+    val body = c.take((bits + 7) / 8)
+    (new BigInteger(1, body),
+      java.util.Arrays.copyOfRange(c.b, start, c.pos))
+  }
+
+  private def writeMpi(out: ByteArrayOutputStream, v: BigInteger): Unit = {
+    val bits = math.max(v.bitLength, 1)
+    out.write(bits >> 8); out.write(bits & 0xff)
+    val raw = v.toByteArray
+    val body = if (raw.length > 1 && raw(0) == 0)
+      java.util.Arrays.copyOfRange(raw, 1, raw.length) else raw
+    // left-pad to the byte length the bit count implies (never needed
+    // for positive minimal BigIntegers, but cheap to be exact)
+    val need = (bits + 7) / 8
+    (body.length until need).foreach(_ => out.write(0))
+    out.write(body)
+  }
+
+  private def mpiCount(algo: Int, secret: Boolean): Int = algo match {
+    case 1 | 2 | 3 => if (secret) 4 else 2 // rsa: n,e / d,p,q,u
+    case 16 => if (secret) 1 else 3        // elgamal: p,g,y / x
+    case 17 => if (secret) 1 else 4        // dsa: p,q,g,y / x
+    case _ => throw Malformed
+  }
+
+  /** _pgp_read_public_key + calc_key_id: returns the parsed public
+    * part and leaves the cursor after it. */
+  private def readPublicPart(c: ByteCursor): PubKey = {
+    val start = c.pos
+    if (c.u8() != 4) throw Malformed // v4 keys only, as the reference
+    c.take(4) // creation time
+    val algo = c.u8()
+    val mpis = Vector.fill(mpiCount(algo, secret = false))(readMpi(c))
+    val bodyLen = c.pos - start
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(Array(0x99.toByte, (bodyLen >> 8).toByte, (bodyLen & 0xff).toByte))
+    md.update(c.b, start, bodyLen)
+    val fp = md.digest()
+    PubKey(algo, java.util.Arrays.copyOfRange(fp, 12, 20),
+      mpis.map(_._1), Vector.empty)
+  }
+
+  /** process_secret_key: public part, then the (possibly CFB-encrypted)
+    * secret MPIs with their sha1/cksum trailer. */
+  private def readSecretKeyPacket(body: Array[Byte],
+                                  psw: Array[Byte]): PubKey = {
+    val c = new ByteCursor(body)
+    val pk = readPublicPart(c)
+    val usage = c.u8()
+    val secStream: ByteCursor = usage match {
+      case 254 | 255 =>
+        if (psw == null) throw Malformed // PXE_PGP_NEED_SECRET_PSW
+        val cipherAlgo = c.u8()
+        val mode = c.u8()
+        val digest = c.u8()
+        val salt = if (mode >= 1) c.take(8) else Array.empty[Byte]
+        val iter = if (mode == 3) c.u8() else 0
+        val key = s2k(mode, digest, salt, iter, psw, cipherKeyLen(cipherAlgo))
+        val iv = c.take(cipherBlockLen(cipherAlgo))
+        val cfb = new Cfb(cipherAlgo, key, resync = false, iv)
+        new ByteCursor(cfb.decrypt(c.take(body.length - c.pos)))
+      case 0 => c
+      case _ => throw Malformed
+    }
+    val mpis = Vector.fill(mpiCount(pk.algo, secret = true))(readMpi(secStream))
+    val rawAll = mpis.map(_._2).reduce(_ ++ _)
+    if (usage == 254) {
+      val got = secStream.take(20)
+      val md = MessageDigest.getInstance("SHA-1")
+      md.update(rawAll)
+      if (!java.util.Arrays.equals(md.digest(), got)) throw Malformed
+    } else {
+      val got = (secStream.u8() << 8) | secStream.u8()
+      val mine = rawAll.foldLeft(0)((a, b) => a + (b & 0xff)) & 0xffff
+      if (got != mine) throw Malformed
+    }
+    pk.copy(sec = mpis.map(_._1))
+  }
+
+  /** internal_read_key: ONLY encryption subkeys are usable (the main
+    * key packet is skipped), exactly one must be present. */
+  private[functions] def parseKey(keyBytes: Array[Byte], psw: Array[Byte],
+                                  wantSecret: Boolean): PubKey = {
+    val r = new PacketReader(keyBytes)
+    var encKey: PubKey = null
+    var gotMain = false
+    while (!r.atEnd) {
+      val (tag, body) = r.next()
+      tag match {
+        case 5 | 6 => // main key: skipped, second one is an error
+          if (gotMain) throw Malformed
+          gotMain = true
+        case 14 => // public subkey
+          if (wantSecret) throw Malformed // expected secret key
+          val pk = readPublicPart(new ByteCursor(body))
+          if (pk.canEncrypt) {
+            if (encKey != null) throw Malformed // multiple subkeys
+            encKey = pk
+          }
+        case 7 => // secret subkey
+          if (!wantSecret) throw Malformed // expected public key
+          val pk = readSecretKeyPacket(body, psw)
+          if (pk.canEncrypt) {
+            if (encKey != null) throw Malformed
+            encKey = pk
+          }
+        case 2 | 10 | 12 | 13 | 17 | 61 => // sig/marker/trust/uid/attr
+        case _ => throw Malformed
+      }
+    }
+    if (encKey == null) throw Malformed // no usable key
+    encKey
+  }
+
+  /** check_eme_pkcs1_v15 + control_cksum: unwrap the padded session-key
+    * message (leading 0x00 already dropped by MPI encoding). */
+  private def unwrapSessionKey(m: BigInteger): (Int, Array[Byte]) = {
+    val raw = m.toByteArray
+    val data = if (raw.length > 1 && raw(0) == 0)
+      java.util.Arrays.copyOfRange(raw, 1, raw.length) else raw
+    if (data.length < 10 || data(0) != 2) throw Malformed
+    var p = 1
+    while (p < data.length && data(p) != 0) p += 1
+    if (p >= data.length || p - 1 < 8) throw Malformed
+    val msg = java.util.Arrays.copyOfRange(data, p + 1, data.length)
+    if (msg.length < 3) throw Malformed
+    val myCk = msg.slice(1, msg.length - 2)
+      .foldLeft(0)((a, b) => a + (b & 0xff)) & 0xffff
+    val gotCk = ((msg(msg.length - 2) & 0xff) << 8) | (msg(msg.length - 1) & 0xff)
+    if (myCk != gotCk) throw Malformed
+    (msg(0) & 0xff, java.util.Arrays.copyOfRange(msg, 1, msg.length - 2))
+  }
+
+  /** pgp_pub_decrypt[_bytea]: tag-1 session key via ElGamal/RSA, then
+    * the shared data-packet tail. */
+  def pubDecrypt(msg: Array[Byte], keyBytes: Array[Byte], psw: Array[Byte],
+                 optStr: String, textMode: Boolean): Array[Byte] = {
+    val o = parseOpts(optStr)
+    val pk = parseKey(keyBytes, psw, wantSecret = true)
+    val r = new PacketReader(msg)
+    var keyAlgo = -1
+    var sessKey: Array[Byte] = null
+    var dataTag = -1
+    var dataBody: Array[Byte] = null
+    while (!r.atEnd && dataBody == null) {
+      val (tag, body) = r.next()
+      tag match {
+        case 1 => // pubkey-encrypted session key
+          val c = new ByteCursor(body)
+          if (c.u8() != 3) throw Malformed
+          val keyId = c.take(8)
+          if (!keyId.forall(_ == 0) &&
+              !java.util.Arrays.equals(keyId, pk.keyId)) throw Malformed
+          val algo = c.u8()
+          val m = algo match {
+            case 16 =>
+              if (pk.algo != 16) throw Malformed
+              val (c1, _) = readMpi(c)
+              val (c2, _) = readMpi(c)
+              val Vector(p, _, _) = pk.pub
+              val x = pk.sec(0)
+              c2.multiply(c1.modPow(x, p).modInverse(p)).mod(p)
+            case 1 | 2 =>
+              if (pk.algo != 1 && pk.algo != 2) throw Malformed
+              val (cc, _) = readMpi(c)
+              cc.modPow(pk.sec(0), pk.pub(0)) // m = c^d mod n
+            case _ => throw Malformed
+          }
+          val (sAlgo, sKey) = unwrapSessionKey(m)
+          if (sKey.length != cipherKeyLen(sAlgo)) throw Malformed
+          keyAlgo = sAlgo; sessKey = sKey
+        case 9 | 18 =>
+          if (sessKey == null) throw Malformed
+          dataTag = tag; dataBody = body
+        case 10 =>
+        case _ => throw Malformed
+      }
+    }
+    if (dataBody == null) throw Malformed
+    decryptPayload(dataTag, dataBody, keyAlgo, sessKey, o, textMode,
+      Map.empty)
+  }
+
+  /** pgp_pub_encrypt[_bytea]: EME-PKCS1-v1.5-padded session key under
+    * RSA or ElGamal, then the shared tag-18 data packet. Randomness
+    * from the seeded DRBG (divergence documented above). */
+  def pubEncrypt(data: Array[Byte], keyBytes: Array[Byte], optStr: String,
+                 textMode: Boolean, seed: Array[Byte]): Array[Byte] = {
+    val o = parseOpts(optStr)
+    val pk = parseKey(keyBytes, null, wantSecret = false)
+    val rng = new Drbg(seed)
+    val sessKey = rng.next(cipherKeyLen(o.cipherAlgo))
+    // secret message: algo byte + key + 16-bit checksum
+    val ck = sessKey.foldLeft(0)((a, b) => a + (b & 0xff)) & 0xffff
+    val secMsg = Array(o.cipherAlgo.toByte) ++ sessKey ++
+      Array((ck >> 8).toByte, (ck & 0xff).toByte)
+    val modulus = pk.pub(0) // n for rsa, p for elgamal
+    val resBytes = (modulus.bitLength + 7) / 8
+    val padLen = resBytes - 1 - 2 - secMsg.length
+    if (padLen < 8) throw Malformed
+    val pad = new Array[Byte](padLen)
+    var i = 0
+    while (i < padLen) { // nonzero random filler
+      val b = rng.next(1)(0)
+      if (b != 0) { pad(i) = b; i += 1 }
+    }
+    val em = Array(2.toByte) ++ pad ++ Array(0.toByte) ++ secMsg
+    val m = new BigInteger(1, em)
+    val tag1 = new ByteArrayOutputStream()
+    tag1.write(3); tag1.write(pk.keyId, 0, 8); tag1.write(pk.algo)
+    pk.algo match {
+      case 1 | 2 =>
+        val Vector(n, e) = pk.pub
+        writeMpi(tag1, m.modPow(e, n))
+      case 16 =>
+        val Vector(p, g, y) = pk.pub
+        // random k in [1, p-2]; DRBG-derived (see determinism note)
+        val k = new BigInteger(1, rng.next(resBytes))
+          .mod(p.subtract(BigInteger.TWO)).add(BigInteger.ONE)
+        writeMpi(tag1, g.modPow(k, p))
+        writeMpi(tag1, m.multiply(y.modPow(k, p)).mod(p))
+      case _ => throw Malformed
+    }
+    val inner = literalPacket(data, o, textMode)
+    packet(1, tag1.toByteArray) ++
+      encryptedDataPacket(inner, o.cipherAlgo, sessKey, o.disableMdc, rng)
   }
 
   /** text-mode convert-crlf on encrypt: \n -> \r\n. */
@@ -610,8 +892,9 @@ object PgpSymFns {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
       }
     import org.apache.spark.sql.catalyst.expressions.Literal
+    def emptyStr: Expression = Literal(UTF8String.fromString(""), StringType)
     def third(e: Seq[Expression]): Expression =
-      if (e.length >= 3) e(2) else Literal(UTF8String.fromString(""), StringType)
+      if (e.length >= 3) e(2) else emptyStr
     add("pgp_sym_encrypt",
       e => PgpSymEncrypt(e(0), e(1), third(e), textMode = true))
     add("pgp_sym_encrypt_bytea",
@@ -620,7 +903,127 @@ object PgpSymFns {
       e => PgpSymDecrypt(e(0), e(1), third(e), textMode = true))
     add("pgp_sym_decrypt_bytea",
       e => PgpSymDecrypt(e(0), e(1), third(e), textMode = false))
+    // public-key variants: (data, key[, opts]) / (msg, key[, psw[, opts]])
+    add("pgp_pub_encrypt",
+      e => PgpPubEncrypt(e(0), e(1), third(e), textMode = true))
+    add("pgp_pub_encrypt_bytea",
+      e => PgpPubEncrypt(e(0), e(1), third(e), textMode = false))
+    add("pgp_pub_decrypt", e => PgpPubDecrypt(e(0), e(1),
+      if (e.length >= 3) Some(e(2)) else None,
+      if (e.length >= 4) e(3) else emptyStr, textMode = true))
+    add("pgp_pub_decrypt_bytea", e => PgpPubDecrypt(e(0), e(1),
+      if (e.length >= 3) Some(e(2)) else None,
+      if (e.length >= 4) e(3) else emptyStr, textMode = false))
   }
+}
+
+/** `pgp_pub_encrypt[_bytea](data, pubkey[, options])` → bytea message
+  * (pgp-pubenc.c): EME-PKCS1-v1.5 session key under the key's
+  * encryption SUBKEY (RSA or ElGamal, exactly as the reference — the
+  * primary key is never used), then the standard tag-18 data packet.
+  * Seeded-DRBG determinism divergence as [[PgpKernel]] documents. */
+case class PgpPubEncrypt(first: Expression, second: Expression,
+                         third: Expression, textMode: Boolean)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType | BinaryType, BinaryType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string|binary, binary, string), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (textMode) "pgp_pub_encrypt" else "pgp_pub_encrypt_bytea"
+
+  /** The per-row kernel (public: codegen calls it via reference obj). */
+  def kernel(dataAny: Any, key: Array[Byte], optS: UTF8String): Array[Byte] = {
+    val data = dataAny match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    try PgpKernel.pubEncrypt(data, key, optS.toString, textMode,
+      PgpKernel.defaultSeed(data, key))
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    kernel(a, b.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("pgpPubEnc", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
+      ${ev.value} = $refName.kernel($a, $b, $c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+/** `pgp_pub_decrypt[_bytea](msg, seckey[, psw[, options]])`
+  * (pgp-pubdec.c): session key from the tag-1 packet via ElGamal or
+  * RSA under the secret encryption subkey (S2K-encrypted secret MPIs
+  * unlocked with `psw`), then the shared payload tail. Wrong key /
+  * missing password / corrupt data → SQL NULL. */
+case class PgpPubDecrypt(first: Expression, second: Expression,
+                         pswOpt: Option[Expression], fourth: Expression,
+                         textMode: Boolean)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  // CodegenFallback is deliberate here (the documented trap considered):
+  // the per-row work is one RSA/ElGamal modPow — milliseconds that dwarf
+  // any interpreted-dispatch overhead, unlike the HOF kernels the
+  // SCALING.md note is about.
+  override def children: Seq[Expression] =
+    Seq(first, second) ++ pswOpt.toSeq :+ fourth
+  override def foldable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType,
+      pswOpt.map(_.dataType).getOrElse(StringType), fourth.dataType) match {
+      case (BinaryType, BinaryType, StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, binary[, string[, string]]), got $other")
+    }
+  override def dataType: DataType = if (textMode) StringType else BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (textMode) "pgp_pub_decrypt" else "pgp_pub_decrypt_bytea"
+
+  /** The per-row kernel (public: codegen calls it via reference obj). */
+  def kernel(msg: Array[Byte], key: Array[Byte], psw: UTF8String,
+             optS: UTF8String): Any = {
+    try {
+      val out = PgpKernel.pubDecrypt(msg, key,
+        if (psw == null) null else psw.getBytes, optS.toString, textMode)
+      if (textMode) UTF8String.fromBytes(out) else out
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val m = first.eval(input)
+    val k = second.eval(input)
+    val o = fourth.eval(input)
+    if (m == null || k == null || o == null) return null
+    val p = pswOpt.map(_.eval(input)).orNull // absent OR SQL null -> no psw
+    kernel(m.asInstanceOf[Array[Byte]], k.asInstanceOf[Array[Byte]],
+      p.asInstanceOf[UTF8String], o.asInstanceOf[UTF8String])
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    if (pswOpt.isDefined)
+      copy(first = newChildren(0), second = newChildren(1),
+        pswOpt = Some(newChildren(2)), fourth = newChildren(3))
+    else
+      copy(first = newChildren(0), second = newChildren(1),
+        fourth = newChildren(2))
 }
 
 /** `pgp_sym_encrypt[_bytea](data, psw[, options])` → bytea message.

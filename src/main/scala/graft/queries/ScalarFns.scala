@@ -610,6 +610,48 @@ object ScalarFns extends QueryModule {
         .orderBy(col("k"))
     }),
 
+    // pgcrypto pgp_pub_encrypt/decrypt — public-key OpenPGP
+    // (`/root/reference/contrib/pgcrypto/pgp-pubkey.c`, pgp-pubdec.c,
+    // pgp-pubenc.c; regress sql/pgp-pubkey-decrypt.sql): armored key
+    // blocks (encryption SUBKEY selection, S2K-encrypted secret MPIs),
+    // tag-1 session-key packets under ElGamal and RSA with
+    // EME-PKCS1-v1.5, then the shared symmetric tail. The regress_*
+    // columns decrypt the regress's own gnupg-produced messages (incl.
+    // a password-protected secret key); rt_* are per-row
+    // encrypt-then-decrypt lanes; wrong-key and sign-only failures
+    // yield NULL (checked as booleans). PgpPubSpec carries the full
+    // regress outcome matrix.
+    "q_pgp_pub" -> ((s, dir) => {
+      graft.functions.CryptFns.register(s)
+      graft.functions.PgpSymFns.register(s)
+      import graft.queries.PgpRegressKeys._
+      def dearm(c: Column): Column = call_function("pgp_dearmor", c)
+      val base = t(s, dir, "customer").filter(col("c_custkey") <= 30)
+        .withColumn("msg", concat(col("c_name"), lit("#"), col("c_mktsegment")))
+      base.select(col("c_custkey").as("k"),
+          call_function("pgp_pub_decrypt",
+            dearm(lit(msg1)), dearm(lit(sec_elg1024))).as("regress_elg"),
+          call_function("pgp_pub_decrypt",
+            dearm(lit(msg4)), dearm(lit(sec_rsaenc2048))).as("regress_rsa"),
+          call_function("pgp_pub_decrypt", dearm(lit(msg1)),
+            dearm(lit(sec_psw_elg1024)), lit("parool")).as("regress_psw"),
+          call_function("pgp_pub_decrypt",
+            call_function("pgp_pub_encrypt", col("msg"),
+              dearm(lit(pub_elg1024))),
+            dearm(lit(sec_elg1024))).as("rt_elg"),
+          call_function("pgp_pub_decrypt",
+            call_function("pgp_pub_encrypt", col("msg"),
+              dearm(lit(pub_rsaenc2048)), lit("cipher-algo=aes256")),
+            dearm(lit(sec_rsaenc2048))).as("rt_rsa"),
+          call_function("pgp_pub_decrypt",
+            dearm(lit(msg4)), dearm(lit(sec_elg1024))).isNull
+            .as("wrong_key_null"),
+          call_function("pgp_pub_decrypt",
+            dearm(lit(msg1)), dearm(lit(sec_rsa2048))).isNull
+            .as("sign_only_null"))
+        .orderBy(col("k"))
+    }),
+
     // Name-based UUID v5 (uuid-ossp's uuid_generate_v5,
     // `/root/reference/contrib/uuid-ossp/uuid-ossp.c`): RFC 4122 layout
     // from sha1(namespace_bytes || name) — version nibble 5, variant
@@ -1007,6 +1049,16 @@ object ScalarFns extends QueryModule {
         |  true AS ok_s2k1, true AS ok_md5,
         |  'Secret message.' AS regress_dat1
         |FROM customer WHERE c_custkey <= 50 ORDER BY k""".stripMargin,
+
+    "q_pgp_pub" ->
+      """SELECT c_custkey AS k,
+        |  'Secret msg' AS regress_elg,
+        |  'Secret message.' AS regress_rsa,
+        |  'Secret msg' AS regress_psw,
+        |  c_name || '#' || c_mktsegment AS rt_elg,
+        |  c_name || '#' || c_mktsegment AS rt_rsa,
+        |  true AS wrong_key_null, true AS sign_only_null
+        |FROM customer WHERE c_custkey <= 30 ORDER BY k""".stripMargin,
 
     "q_pgp_armor" ->
       """SELECT * FROM (VALUES
