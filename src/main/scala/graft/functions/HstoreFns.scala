@@ -174,6 +174,43 @@ object HstoreKernel {
     sb.toString
   }
 
+  /** hstore_to_json[_loose] (hstore_io.c): `{"k": "v", ...}` in
+    * canonical order with PG's `": "` / `", "` spacing; loose mode maps
+    * t/f/true/false to booleans and emits values that satisfy the JSON
+    * number grammar VERBATIM (so `2.345e+4` stays `2.345e+4` and the
+    * leading-zero `012345` stays a string — the regress's own cases). */
+  def toJson(pairs: Seq[(String, String)], loose: Boolean): String = {
+    val num = "-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?".r
+    val sb = new java.lang.StringBuilder("{")
+    var first = true
+    canonicalize(pairs).foreach { case (k, v) =>
+      if (!first) sb.append(", ")
+      first = false
+      appendJsonString(sb, k)
+      sb.append(": ")
+      if (v == null) sb.append("null")
+      else if (loose && (v == "t" || v == "true")) sb.append("true")
+      else if (loose && (v == "f" || v == "false")) sb.append("false")
+      else if (loose && num.matches(v)) sb.append(v)
+      else appendJsonString(sb, v)
+    }
+    sb.append("}").toString
+  }
+
+  private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+
   private def appendQuoted(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')
     var i = 0
@@ -202,7 +239,56 @@ object HstoreFns {
       reg.createOrReplaceTempFunction(
         "hstore_render", exprs => HstoreRender(exprs.head), "built-in")
     }
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("hstore_to_json"))) {
+      reg.createOrReplaceTempFunction("hstore_to_json",
+        exprs => HstoreToJson(exprs.head, loose = false), "built-in")
+    }
+    if (!reg.functionExists(org.apache.spark.sql.catalyst
+        .FunctionIdentifier("hstore_to_json_loose"))) {
+      reg.createOrReplaceTempFunction("hstore_to_json_loose",
+        exprs => HstoreToJson(exprs.head, loose = true), "built-in")
+    }
   }
+}
+
+/** `hstore_to_json[_loose](map)` → PG-formatted json text (see
+  * [[HstoreKernel.toJson]]). */
+case class HstoreToJson(child: Expression, loose: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case MapType(StringType, StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires map<string,string> input, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (loose) "hstore_to_json_loose" else "hstore_to_json"
+
+  /** The per-row kernel (public: codegen calls it via reference obj). */
+  def kernel(in: MapData): UTF8String = {
+    val keys = in.keyArray()
+    val vals = in.valueArray()
+    val pairs = (0 until in.numElements()).map { i =>
+      (keys.getUTF8String(i).toString,
+        if (vals.isNullAt(i)) null else vals.getUTF8String(i).toString)
+    }
+    UTF8String.fromString(HstoreKernel.toJson(pairs, loose))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("hstoreToJson", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = $refName.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `hstore_parse(text)` → map<string,string> in canonical hstore order

@@ -108,7 +108,9 @@ object HstoreOps extends QueryModule {
         to_json(map_values(h)).as("hvals"), // avals
         hRender(map_filter(h, (k, _) => array_contains(
           array(lit("brand"), lit("size"), lit("zzz")), k))).as("sliced"),
-        hRender(h).as("roundtrip"))
+        hRender(h).as("roundtrip"),
+        call_function("hstore_to_json", h).as("json_plain"),
+        call_function("hstore_to_json_loose", h).as("json_loose"))
         .orderBy(col("k"))
     }),
 
@@ -138,6 +140,12 @@ object HstoreOps extends QueryModule {
         |  false AS note_defined,
         |  CAST(to_json([CAST(p_size AS VARCHAR), p_brand, NULL])
         |    AS VARCHAR) AS vals_multi,
+        |  '{"note": null, "size": "' || CAST(p_size AS VARCHAR) ||
+        |    '", "type": "' || p_type || '", "brand": "' || p_brand ||
+        |    '"}' AS json_plain,
+        |  '{"note": null, "size": ' || CAST(p_size AS VARCHAR) ||
+        |    ', "type": "' || p_type || '", "brand": "' || p_brand ||
+        |    '"}' AS json_loose,
         |  true AS has_type, true AS has_any, true AS has_all,
         |  true AS contains_own, false AS contains_other,
         |  true AS contains_nullval,

@@ -71,6 +71,19 @@ class HstoreSpec extends AnyFunSuite {
     assert(roundtrip("a=>1,") == "\"a\"=>\"1\"")
   }
 
+  test("hstore_to_json / _loose match the regress vector") {
+    val src = "\"a key\" =>1, b => t, c => null, d=> 12345, e => 012345, " +
+      "f=> 1.234, g=> 2.345e+4"
+    val pairs = HstoreKernel.parse(src)
+    assert(HstoreKernel.toJson(pairs, loose = false) ==
+      """{"b": "t", "c": null, "d": "12345", "e": "012345", "f": "1.234", """ +
+        """"g": "2.345e+4", "a key": "1"}""")
+    val loose = HstoreKernel.parse(src + ", h=> \"2016-01-01\"")
+    assert(HstoreKernel.toJson(loose, loose = true) ==
+      """{"b": true, "c": null, "d": 12345, "e": "012345", "f": 1.234, """ +
+        """"g": 2.345e+4, "h": "2016-01-01", "a key": 1}""")
+  }
+
   test("render always quotes and escapes; null value renders bare NULL") {
     assert(HstoreKernel.render(Seq(("a b", "c\"d"), ("n", null))) ==
       "\"n\"=>NULL, \"a b\"=>\"c\\\"d\"")
