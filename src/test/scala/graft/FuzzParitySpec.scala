@@ -200,6 +200,21 @@ object FuzzParitySpec extends Properties("FuzzParity") {
     runBoth(sql)
   }
 
+  property("set-op / distinct parity") = Prop.forAll(for {
+    op <- Gen.oneOf("UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+      "EXCEPT", "EXCEPT ALL")
+    p1 <- pred(1)
+    p2 <- pred(1)
+    proj <- Gen.oneOf("k1, k2", "k1 % 4, s", "coalesce(k2, -1)")
+  } yield (op, p1, p2, proj)) { case (op, p1, p2, proj) =>
+    runBoth(
+      s"""SELECT * FROM (
+         |  SELECT $proj FROM f WHERE $p1
+         |  $op
+         |  SELECT $proj FROM f WHERE $p2)""".stripMargin) &&
+    runBoth(s"SELECT DISTINCT $proj FROM f WHERE $p1")
+  }
+
   property("band join parity (range-bin rewrite incl. NaN/Inf bounds)") =
     Prop.forAll(for {
       loCmp <- Gen.oneOf(">=", ">")
