@@ -110,7 +110,19 @@ object HstoreOps extends QueryModule {
           array(lit("brand"), lit("size"), lit("zzz")), k))).as("sliced"),
         hRender(h).as("roundtrip"),
         call_function("hstore_to_json", h).as("json_plain"),
-        call_function("hstore_to_json_loose", h).as("json_loose"))
+        call_function("hstore_to_json_loose", h).as("json_loose"),
+        // hstore_to_array (%% operator): alternating k,v in canonical
+        // order; hstore_to_matrix: [[k,v],...] — json-rendered per the
+        // driver's no-nested-columns contract. skeys/svals SRFs are the
+        // exploded forms of hkeys/hvals above.
+        to_json(flatten(transform(map_entries(h),
+          e => array(e("key"), e("value"))))).as("to_array"),
+        to_json(transform(map_entries(h),
+          e => array(e("key"), e("value")))).as("to_matrix"),
+        // populate_record (#=) typed-field extraction: text values
+        // coerced to the record's column types
+        hGet(h, lit("size")).cast("int").as("rec_size"),
+        hGet(h, lit("brand")).as("rec_brand"))
         .orderBy(col("k"))
     }),
 
@@ -167,7 +179,12 @@ object HstoreOps extends QueryModule {
         |    '", "brand"=>"' || p_brand || '"' AS sliced,
         |  '"note"=>NULL, "size"=>"' || CAST(p_size AS VARCHAR) ||
         |    '", "type"=>"' || p_type ||
-        |    '", "brand"=>"' || p_brand || '"' AS roundtrip
+        |    '", "brand"=>"' || p_brand || '"' AS roundtrip,
+        |  CAST(to_json(['note', NULL, 'size', CAST(p_size AS VARCHAR),
+        |    'type', p_type, 'brand', p_brand]) AS VARCHAR) AS to_array,
+        |  CAST(to_json([['note', NULL], ['size', CAST(p_size AS VARCHAR)],
+        |    ['type', p_type], ['brand', p_brand]]) AS VARCHAR) AS to_matrix,
+        |  p_size AS rec_size, p_brand AS rec_brand
         |FROM part WHERE p_partkey <= 200 ORDER BY k""".stripMargin,
 
     "q_hstore_each" ->
