@@ -54,6 +54,18 @@ class FtsParserSpec extends AnyFunSuite {
       TsParserRegress.entityExpected.toVector)
   }
 
+  test("pathological multi-kilobyte dotted tokens degrade, never crash") {
+    // would walk the recursive host/file chain ~stack-deep without the
+    // recursion budget; must yield tokens (degraded is fine), not a
+    // StackOverflowError
+    val giant = ("ab." * 30000) + "cd"
+    val toks = FtsDefaultParser.parse(giant)
+    assert(toks.nonEmpty)
+    assert(toks.map(_._2.length).sum >= giant.length)
+    val giant2 = "a" * 100000 // huge plain word: iterative, exact
+    assert(FtsDefaultParser.parse(giant2) == Vector(1 -> giant2))
+  }
+
   test("version numbers and non-ascii words") {
     assert(FtsDefaultParser.parse("v 1.2.3") ==
       Vector(1 -> "v", 12 -> " ", 8 -> "1.2.3"))
