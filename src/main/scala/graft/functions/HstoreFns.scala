@@ -178,8 +178,11 @@ object HstoreKernel {
     * canonical order with PG's `": "` / `", "` spacing; loose mode maps
     * t/f/true/false to booleans and emits values that satisfy the JSON
     * number grammar VERBATIM (so `2.345e+4` stays `2.345e+4` and the
-    * leading-zero `012345` stays a string — the regress's own cases). */
-  def toJson(pairs: Seq[(String, String)], loose: Boolean): String = {
+    * leading-zero `012345` stays a string — the regress's own cases);
+    * the jsonb flag additionally normalizes numbers the way the jsonb
+    * numeric type does (`2.345e+4` -> `23450`, scale preserved). */
+  def toJson(pairs: Seq[(String, String)], loose: Boolean,
+             jsonb: Boolean = false): String = {
     val num = "-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?".r
     val sb = new java.lang.StringBuilder("{")
     var first = true
@@ -191,7 +194,8 @@ object HstoreKernel {
       if (v == null) sb.append("null")
       else if (loose && (v == "t" || v == "true")) sb.append("true")
       else if (loose && (v == "f" || v == "false")) sb.append("false")
-      else if (loose && num.matches(v)) sb.append(v)
+      else if (loose && num.matches(v))
+        sb.append(if (jsonb) new java.math.BigDecimal(v).toPlainString else v)
       else appendJsonString(sb, v)
     }
     sb.append("}").toString
@@ -249,12 +253,19 @@ object HstoreFns {
       reg.createOrReplaceTempFunction("hstore_to_json_loose",
         exprs => HstoreToJson(exprs.head, loose = true), "built-in")
     }
+    if (!reg.functionExists(org.apache.spark.sql.catalyst
+        .FunctionIdentifier("hstore_to_jsonb_loose"))) {
+      reg.createOrReplaceTempFunction("hstore_to_jsonb_loose",
+        exprs => HstoreToJson(exprs.head, loose = true, jsonb = true),
+        "built-in")
+    }
   }
 }
 
 /** `hstore_to_json[_loose](map)` → PG-formatted json text (see
   * [[HstoreKernel.toJson]]). */
-case class HstoreToJson(child: Expression, loose: Boolean)
+case class HstoreToJson(child: Expression, loose: Boolean,
+                        jsonb: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -264,7 +275,8 @@ case class HstoreToJson(child: Expression, loose: Boolean)
   }
   override def dataType: DataType = StringType
   override def prettyName: String =
-    if (loose) "hstore_to_json_loose" else "hstore_to_json"
+    if (jsonb) "hstore_to_jsonb_loose"
+    else if (loose) "hstore_to_json_loose" else "hstore_to_json"
 
   /** The per-row kernel (public: codegen calls it via reference obj). */
   def kernel(in: MapData): UTF8String = {
@@ -274,7 +286,7 @@ case class HstoreToJson(child: Expression, loose: Boolean)
       (keys.getUTF8String(i).toString,
         if (vals.isNullAt(i)) null else vals.getUTF8String(i).toString)
     }
-    UTF8String.fromString(HstoreKernel.toJson(pairs, loose))
+    UTF8String.fromString(HstoreKernel.toJson(pairs, loose, jsonb))
   }
 
   override def nullSafeEval(input: Any): Any =

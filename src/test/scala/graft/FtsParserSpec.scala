@@ -66,6 +66,19 @@ class FtsParserSpec extends AnyFunSuite {
     assert(FtsDefaultParser.parse(giant2) == Vector(1 -> giant2))
   }
 
+  test("SGML comments and DOCTYPE parse as single tags") {
+    assert(FtsDefaultParser.parse("a<!-- x<y -->b") == Vector(
+      1 -> "a", 13 -> "<!-- x<y -->", 1 -> "b"))
+    // extra dashes before '>' are tolerated; "--x" stays in the body
+    assert(FtsDefaultParser.parse("<!-- a --b --->z") == Vector(
+      13 -> "<!-- a --b --->", 1 -> "z"))
+    assert(FtsDefaultParser.parse("<!DOCTYPE html>x") == Vector(
+      13 -> "<!DOCTYPE html>", 1 -> "x"))
+    // unterminated comment is not a tag: "<!" becomes a blank run
+    // (the '-' stops it, being a potential signed-number start)
+    assert(FtsDefaultParser.parse("<!-- open").head == (12 -> "<!"))
+  }
+
   test("version numbers and non-ascii words") {
     assert(FtsDefaultParser.parse("v 1.2.3") ==
       Vector(1 -> "v", 12 -> " ", 8 -> "1.2.3"))

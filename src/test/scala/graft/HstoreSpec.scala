@@ -82,6 +82,10 @@ class HstoreSpec extends AnyFunSuite {
     assert(HstoreKernel.toJson(loose, loose = true) ==
       """{"b": true, "c": null, "d": 12345, "e": "012345", "f": 1.234, """ +
         """"g": 2.345e+4, "h": "2016-01-01", "a key": 1}""")
+    // jsonb_loose normalizes numerics (regress: 2.345e+4 -> 23450)
+    assert(HstoreKernel.toJson(loose, loose = true, jsonb = true) ==
+      """{"b": true, "c": null, "d": 12345, "e": "012345", "f": 1.234, """ +
+        """"g": 23450, "h": "2016-01-01", "a key": 1}""")
   }
 
   test("render always quotes and escapes; null value renders bare NULL") {
