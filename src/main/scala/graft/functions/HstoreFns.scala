@@ -176,7 +176,9 @@ object HstoreKernel {
 
   /** hstore_to_json[_loose] (hstore_io.c): `{"k": "v", ...}` in
     * canonical order with PG's `": "` / `", "` spacing; loose mode maps
-    * t/f/true/false to booleans and emits values that satisfy the JSON
+    * exactly the length-1 values 't'/'f' to booleans (hstore_io.c:1307-1313
+    * guesses ONLY single-char 't'/'f'; a value "true" stays the quoted
+    * string "true") and emits values that satisfy the JSON
     * number grammar VERBATIM (so `2.345e+4` stays `2.345e+4` and the
     * leading-zero `012345` stays a string — the regress's own cases);
     * the jsonb flag additionally normalizes numbers the way the jsonb
@@ -192,8 +194,8 @@ object HstoreKernel {
       appendJsonString(sb, k)
       sb.append(": ")
       if (v == null) sb.append("null")
-      else if (loose && (v == "t" || v == "true")) sb.append("true")
-      else if (loose && (v == "f" || v == "false")) sb.append("false")
+      else if (loose && v == "t") sb.append("true")
+      else if (loose && v == "f") sb.append("false")
       else if (loose && num.matches(v))
         sb.append(if (jsonb) new java.math.BigDecimal(v).toPlainString else v)
       else appendJsonString(sb, v)

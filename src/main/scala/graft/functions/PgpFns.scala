@@ -874,9 +874,25 @@ object PgpKernel {
     out.toByteArray
   }
 
+  /** Derives all encryption randomness (S2K salt, session key, CFB
+    * prefix, ElGamal k) when no explicit seed is given. SECURITY NOTE:
+    * the default is SHA-1(data || key) — deterministic by design for
+    * task-retry/parity, which means equal inputs yield equal ciphertext
+    * and (on the public-key path, where `key` is the PUBLIC key) anyone
+    * holding the ciphertext can offline-confirm guessed plaintexts.
+    * NOT pgcrypto-equivalent confidentiality. Deployments that need
+    * semantic security must set `spark.graft.pgp.seedSalt` to a secret
+    * value — it is mixed into the seed here (still deterministic per
+    * (salt, data, key), preserving retry-safety, but no longer
+    * confirmable without the salt). */
   def defaultSeed(data: Array[Byte], pw: Array[Byte]): Array[Byte] = {
     val md = MessageDigest.getInstance("SHA-1")
     md.update(data); md.update(pw)
+    val salt =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.pgp.seedSalt", "")
+      catch { case scala.util.control.NonFatal(_) => "" }
+    if (salt.nonEmpty) md.update(salt.getBytes("UTF-8"))
     md.update("graft-pgp-default-seed".getBytes("UTF-8"))
     md.digest()
   }

@@ -13,6 +13,11 @@ import graft.Tables._
   */
 object TextOps extends QueryModule {
 
+  // DEMONSTRATION heuristic, not a production language classifier:
+  // stopword-hit voting over tiny fixed lists (the "zh" row is romanized
+  // placeholder tokens since the fixture corpus is ASCII). A real
+  // deployment would swap in a fasttext-class model behind the same
+  // column contract; that model class is out of scope here.
   private val stop = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),

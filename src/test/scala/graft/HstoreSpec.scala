@@ -88,6 +88,16 @@ class HstoreSpec extends AnyFunSuite {
         """"g": 23450, "h": "2016-01-01", "a key": 1}""")
   }
 
+  test("loose booleans are exactly length-1 t/f — 'true'/'false' stay strings") {
+    // hstore_io.c:1307-1313 only guesses single-char 't'/'f'; the words
+    // "true"/"false" must render as quoted strings, not JSON booleans.
+    val pairs = HstoreKernel.parse("a=>t, b=>true, c=>f, d=>false")
+    assert(HstoreKernel.toJson(pairs, loose = true) ==
+      """{"a": true, "b": "true", "c": false, "d": "false"}""")
+    assert(HstoreKernel.toJson(pairs, loose = true, jsonb = true) ==
+      """{"a": true, "b": "true", "c": false, "d": "false"}""")
+  }
+
   test("render always quotes and escapes; null value renders bare NULL") {
     assert(HstoreKernel.render(Seq(("a b", "c\"d"), ("n", null))) ==
       "\"n\"=>NULL, \"a b\"=>\"c\\\"d\"")
