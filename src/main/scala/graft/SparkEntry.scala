@@ -16,8 +16,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     CoreAgg, Joins, Windows, SetOpsMisc, ScalarFns, ScalarParity, TypeOps,
     GeoOps, Events, Dedup, Corpus, Similarity, TextOps, Multimodal, Advanced,
-    SqlParity, Xforms, SparseOps, XmlOps, TpchSuite, Stats, Sketches,
-    HstoreOps
+    SqlParity, Xforms, SparseOps, XmlOps, TpchSuite, TpchSynth, Stats,
+    Sketches, HstoreOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
