@@ -30,9 +30,18 @@ object ExplainAnalyze {
   /** Execute `df` and return the annotated plan text. Rows are discarded
     * EXECUTOR-side (the reference's EXPLAIN ANALYZE discards tuples too)
     * — a collect here would pull the full result onto the driver just to
-    * populate metrics. */
+    * populate metrics.
+    *
+    * The action MUST be a Dataset action (runs under a SQLExecution id),
+    * not a bare `toRdd.foreach`: without the execution id, SQLMetric
+    * updates from shuffle-MAP stages never reach the driver-side
+    * accumulators (observed: a window that demonstrably spilled reported
+    * spillSize=0 whenever a shuffle sat above it), and EXPLAIN ANALYZE
+    * silently undercounts every non-result stage. */
   def analyze(df: DataFrame): String = {
-    df.queryExecution.toRdd.foreach(_ => ())
+    org.apache.spark.sql.GraftBridge.withExecutionId(df) {
+      df.queryExecution.toRdd.foreach(_ => ())
+    }
     render(df.queryExecution.executedPlan)
   }
 

@@ -8,4 +8,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Run `body` under a fresh SQL execution id for `df`'s OWN
+    * queryExecution. Needed by EXPLAIN ANALYZE: a bare
+    * `toRdd.foreach` has no execution id and shuffle-map-stage
+    * SQLMetric updates are dropped, while Dataset actions that do set
+    * one (`collect`, `foreachPartition`) either pull rows to the driver
+    * or build a NEW plan tree whose metrics aren't `df`'s. */
+  def withExecutionId[T](df: DataFrame)(body: => T): T = {
+    val qe = df.asInstanceOf[classic.Dataset[Row]].queryExecution
+    execution.SQLExecution.withNewExecutionId(qe)(body)
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.ExplainAnalyze
+
+/** Spill-under-pressure regression suite — the `statement_mem` analogue.
+  * The reference locks in "operators spill and still answer correctly
+  * under constrained memory"
+  * (`/root/reference/src/test/regress/sql/statement_mem_for_windowagg.sql`
+  * runs window aggregates under a tiny statement_mem and checks both
+  * the spill files and the results). At 100 TB everything spills, so
+  * the same guarantee matters here.
+  *
+  * Spark's memory knobs are per-operator row/size thresholds rather
+  * than a per-statement budget, so the constrained profile forces every
+  * buffered operator onto its spill path:
+  *   - window buffers spill past 16 rows,
+  *   - sort-merge-join per-key buffers spill past 2 rows,
+  *   - hash aggregation falls back to sort-based spilling after 2 keys
+  *     (the `testFallbackStartsAt` hook Spark's own suites use),
+  *   - broadcast is disabled so joins actually take the buffered paths.
+  *
+  * For each headline query shape the spec asserts BOTH halves of the
+  * reference's check: non-zero spill SQLMetrics (via the
+  * [[graft.plans.ExplainAnalyze]] walker) and a result identical to the
+  * unconstrained session's — the micros-stable aggregate discipline
+  * (Tables.scala) is what makes that an exact, not approximate, equality.
+  */
+class SpillPressureSpec extends AnyFunSuite {
+  private lazy val base = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  /** Shared buffered-operator pressure: tiny window / session-window /
+    * SMJ per-key buffers, broadcast off so joins take the buffered
+    * paths. */
+  private def buffered(s: SparkSession): Unit = {
+    // static plans: under AQE a re-optimized middle stage re-instantiates
+    // its operators, so the executed tree's Window/SMJ node can be a
+    // fresh copy whose spill accumulator never ran (observed: spill=0 on
+    // a window that demonstrably spilled). The spill BEHAVIOR is
+    // AQE-independent; reading the metric reliably needs the static plan.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4")
+    s.conf.set("spark.sql.windowExec.buffer.spill.threshold", "4")
+    s.conf.set("spark.sql.sessionWindow.buffer.in.memory.threshold", "4")
+    s.conf.set("spark.sql.sessionWindow.buffer.spill.threshold", "4")
+    s.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "2")
+    s.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "2")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  }
+
+  /** Aggregation pressure adds the sort-based-fallback hook Spark's own
+    * suites use. Kept SEPARATE from the high-cardinality shapes: a
+    * 2-key fallback on a many-group aggregate produces thousands of
+    * tiny spill files whose merge-time read-ahead buffers exhaust the
+    * test heap — a pathology of the hook, not of the operators. */
+  private lazy val aggPressured: SparkSession = {
+    val s = base.newSession()
+    buffered(s)
+    s.conf.set("spark.sql.TungstenAggregate.testFallbackStartsAt", "2, 3")
+    s
+  }
+
+  private lazy val bufPressured: SparkSession = {
+    val s = base.newSession()
+    buffered(s)
+    s
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Queries chosen to cover the buffered-operator families: hash agg
+    * (q1), join+agg (q3), window (q_window_running), HAVING semi join
+    * (q18), and the LSH dedup's window-capped buckets. Second element:
+    * which pressure profile drives the spill. */
+  private val shapes = Seq(
+    "q1_pricing_summary" -> true, "q3_shipping_priority" -> true,
+    "q_window_running" -> false, "q18_large_volume_cust" -> true,
+    "d_dedup_minhash_lsh" -> false)
+
+  shapes.foreach { case (name, aggPressure) =>
+    test(s"$name spills under pressure and stays hash-identical") {
+      val fn = SparkEntry.queries(name)
+      val pressured = if (aggPressure) aggPressured else bufPressured
+      val analyzed = ExplainAnalyze.analyze(fn(pressured, sf))
+      assert(analyzed.contains("spill="),
+        s"no operator reported spill under the constrained profile:\n$analyzed")
+      assert(rows(fn(pressured, sf)) == rows(fn(base, sf)),
+        s"$name: constrained result diverged from unconstrained")
+    }
+  }
+
+  test("the pressured profile leaves the base session untouched") {
+    assert(base.conf.get("spark.sql.windowExec.buffer.spill.threshold",
+      "2147483632") == "2147483632")
+  }
+}
