@@ -22,8 +22,10 @@ import org.scalacheck.rng.Seed
   * silently depends on partitioning. The 312 fixed CORRECTNESS queries
   * prove chosen paths; this hunts unchosen ones. Seeded (fixed initial
   * seed → reproducible failures) with ScalaCheck shrinking on the
-  * generated case structure. 5 properties × 50 cases = 250 generated
-  * queries per run.
+  * generated case structure. 8 properties × 50 cases = 400 generated
+  * queries per run (r13 added IGNORE NULLS navigation and the
+  * hstore/jsonpath row-local kernels); [[TlpFuzzSpec]] adds 200
+  * metamorphic cases on the same lanes.
   *
   * Float discipline: double SUM/AVG group-aggregates are excluded from
   * the grammar (addition order legitimately varies with partitioning);
@@ -36,73 +38,12 @@ object FuzzParitySpec extends Properties("FuzzParity") {
     p.withMinSuccessfulTests(50)
       .withInitialSeed(Seed(20260814L))
 
-  // ---- the two engine lanes ----------------------------------------
-  private lazy val (stockLane, graftLane): (SparkSession, SparkSession) = {
-    val a = SparkTestSession.spark.newSession()
-    val b = SparkTestSession.spark.newSession()
-    graft.plans.EagerAggRule.install(b)
-    graft.plans.PushJoinBelowUnionAllRule.install(b)
-    graft.plans.OrExpansionRule.install(b)
-    graft.plans.RangeBinJoinRule.install(b)
-    b.conf.set("spark.graft.eagerAgg.enabled", "true")
-    b.conf.set("spark.graft.pushJoinBelowUnionAll.enabled", "true")
-    b.conf.set("spark.graft.orExpansion.enabled", "true")
-    b.conf.set(graft.plans.RangeBinJoinRule.ConfKey, "10.0")
-    b.conf.set("spark.sql.codegen.wholeStage", "false")
-    b.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    b.conf.set("spark.sql.shuffle.partitions", "5")
-    val rnd = new scala.util.Random(42)
-    def dbl(i: Int): java.lang.Double = (i % 19) match {
-      case 0 => Double.NaN
-      case 1 => Double.PositiveInfinity
-      case 2 => Double.NegativeInfinity
-      case 3 => null
-      case 4 => -0.0
-      case _ => math.round(rnd.nextDouble() * 2000 - 1000) / 10.0
-    }
-    def dec(i: Int): java.math.BigDecimal = (i % 13) match {
-      case 0 => null
-      case 1 => new java.math.BigDecimal("9999999999.99")
-      case 2 => new java.math.BigDecimal("-9999999999.99")
-      case 3 => java.math.BigDecimal.ZERO.setScale(2)
-      case 4 => new java.math.BigDecimal("-0.01")
-      case _ => new java.math.BigDecimal(rnd.nextInt(200000))
-        .movePointLeft(2)
-    }
-    def str(i: Int): String = (i % 11) match {
-      case 0 => null
-      case 1 => ""
-      case 2 => " "
-      case 3 => "café"
-      case 4 => "%_%"
-      case _ => "s" + rnd.nextInt(40)
-    }
-    val fact = (0 until 300).map { i =>
-      // k1 skewed: most rows share few keys
-      (i, if (i % 3 == 0) 7 else rnd.nextInt(25),
-        if (i % 29 == 0) null else Integer.valueOf(rnd.nextInt(12)),
-        dbl(i), dec(i), str(i))
-    }
-    val bands = (0 until 40).map { i =>
-      (rnd.nextInt(25),
-        dbl(i * 5 + 3), // lo reuses the edge-value cycle
-        dbl(i * 7 + 1),
-        dec(i))
-    }
-    def reg(s: SparkSession): Unit = {
-      import s.implicits._
-      fact.toDF("id", "k1", "k2", "v", "d", "s").createOrReplaceTempView("f")
-      bands.toDF("k", "lo", "hi", "w").createOrReplaceTempView("b")
-    }
-    reg(a); reg(b)
-    (a, b)
-  }
+  // ---- the two engine lanes (shared with TlpFuzzSpec) --------------
+  private lazy val (stockLane, graftLane) = (FuzzLanes.stock, FuzzLanes.graft)
 
   private def runBoth(sql: String): Prop = {
-    def rows(s: SparkSession): Seq[String] =
-      s.sql(sql).collect().map(_.toString).sorted.toSeq
-    val ra = rows(stockLane)
-    val rb = rows(graftLane)
+    val ra = FuzzLanes.rows(stockLane, sql)
+    val rb = FuzzLanes.rows(graftLane, sql)
     (ra == rb) :| {
       val diffA = ra.diff(rb).take(3)
       val diffB = rb.diff(ra).take(3)
@@ -227,5 +168,58 @@ object FuzzParitySpec extends Properties("FuzzParity") {
         s"FROM f JOIN b ON $cond"
       else s"SELECT f.id, b.k, b.w FROM f JOIN b ON $cond"
     runBoth(sql)
+  }
+
+  // r13: IGNORE NULLS navigation functions — interpreted vs codegen
+  // window paths over a nullable column with a nontrivial null pattern.
+  // (GROUPS frames stay out of the SQL grammar: Spark's parser has no
+  // GROUPS — the engine's GROUPS surface is the dense_rank emulation
+  // oracle-checked by q_window_groups_frame.)
+  property("window IGNORE NULLS navigation parity") = Prop.forAll(for {
+    pt <- Gen.oneOf("k1", "k1 % 3", "CASE WHEN v > 0 THEN 1 ELSE 0 END")
+    nav <- Gen.oneOf("lead(k2, 1)", "lag(k2, 2)", "nth_value(k2, 2)",
+      "first_value(k2)", "last_value(k2)")
+    p <- pred(1)
+  } yield (pt, nav, p)) { case (pt, nav, p) =>
+    if (pt.isEmpty || nav.isEmpty || p.isEmpty) Prop.passed
+    else {
+      // lead/lag reject an explicit frame; the value functions take one
+      val fr = if (nav.startsWith("lead") || nav.startsWith("lag")) ""
+        else "\n     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      runBoth(
+        s"""SELECT id,
+           |  $nav IGNORE NULLS OVER
+           |    (PARTITION BY $pt ORDER BY id$fr) AS iv,
+           |  $nav RESPECT NULLS OVER
+           |    (PARTITION BY $pt ORDER BY id$fr) AS rv
+           |FROM f WHERE $p""".stripMargin)
+    }
+  }
+
+  // r13: row-local graft kernels — hstore parse/render/json and
+  // jsonpath-style extraction — exercised through BOTH lanes (custom
+  // Expression eval vs doGenCode is exactly the split the two lanes
+  // pin). The hstore text is built from fixture columns with quotes
+  // stripped so only VALUE variety (null/empty/unicode/%_%) fuzzes,
+  // not hstore grammar validity.
+  private val hsExpr =
+    """hstore_to_json_loose(hstore_parse(concat(
+      |  'a=>"', regexp_replace(coalesce(s, 'NULL'), '"', ''),
+      |  '", b=>', coalesce(cast(k2 AS string), 'NULL'),
+      |  ', c=>t')))""".stripMargin
+  private val jsonPath = Gen.oneOf("$.a", "$.b.c", "$.b.d", "$.arr[1]",
+    "$.arr[9]", "$.miss")
+
+  property("hstore/jsonpath expression parity") = Prop.forAll(for {
+    path <- jsonPath
+    p <- pred(1)
+  } yield (path, p)) { case (path, p) =>
+    runBoth(
+      s"""SELECT id, $hsExpr AS hs,
+         |  get_json_object(to_json(named_struct(
+         |    'a', s, 'b', named_struct('c', k1, 'd', v),
+         |    'arr', array(k2, id))), '$path') AS jp,
+         |  hstore_render(hstore_parse($hsExpr)) IS NULL AS hs_rt_null
+         |FROM f WHERE $p""".stripMargin)
   }
 }
