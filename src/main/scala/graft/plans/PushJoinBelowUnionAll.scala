@@ -27,9 +27,10 @@ import org.apache.spark.sql.internal.SQLConf
   * whose broadcast exchange is built once and REUSED across branches
   * (Spark's ReuseExchange sees n identical subtrees), and per-branch
   * runtime filters / partition pruning apply to each leg individually.
-  * Opt-in via `spark.graft.pushJoinBelowUnionAll.enabled`, mirroring the
-  * reference where the xform competes in ORCA's cost model rather than
-  * firing unconditionally.
+  * On by default since r13 (RuleSweep: 0.89x on the union-join shape
+  * at sf0.1, no TPC-H query matches); disable via
+  * `spark.graft.pushJoinBelowUnionAll.enabled=false`. The reference
+  * instead lets the xform compete in ORCA's cost model.
   *
   * Attribute discipline: `Union.output` carries the FIRST child's exprIds,
   * so branch 1 keeps the join condition verbatim and every other branch
@@ -46,7 +47,7 @@ object PushJoinBelowUnionAllRule extends Rule[LogicalPlan] {
   private val MaxBranches = 16
 
   private def enabled: Boolean =
-    SQLConf.get.getConfString(ConfKey, "false").toBoolean
+    SQLConf.get.getConfString(ConfKey, "true").toBoolean
 
   private def eligible(u: Union, other: LogicalPlan,
                        cond: Option[Expression]): Boolean =

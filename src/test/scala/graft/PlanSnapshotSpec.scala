@@ -18,7 +18,19 @@ import graft.plans.PlanSnapshot
   * that diff IS the plan-change review artifact.
   */
 class PlanSnapshotSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  // snapshots need a session whose conf no other suite has touched:
+  // sibling specs legitimately set session-level knobs on the shared
+  // session (PQ store dir, checkpoint dir, ...) that change these very
+  // plans — a fresh child session sees only the builder defaults
+  private lazy val spark = {
+    val s = SparkTestSession.spark.newSession()
+    // SimpleMode clips metadata (DataFilters/PushedFilters) at 100 chars
+    // and the clip point shifts with raw exprId digit width — whole
+    // tokens appear/vanish run-to-run. Raise the limit so scan metadata
+    // is captured UNCLIPPED and the pushdown lists are pinned exactly.
+    s.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    s
+  }
   private val sf = SparkTestSession.sf
   private val dir = Paths.get("src/test/resources/plan-snapshots")
   private val regen = sys.env.get("GRAFT_REGEN_PLANS").contains("1")

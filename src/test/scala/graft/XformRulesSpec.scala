@@ -139,9 +139,13 @@ class XformRulesSpec extends AnyFunSuite {
     }
   }
 
-  test("eager agg stays off without the conf") {
-    withRules() { s =>
+  test("eager agg kill-switch disables the rewrite (default is ON since r13)") {
+    withRules(EagerAggRule.ConfKey -> "false") { s =>
       assert(aggsInPlan(eagerShape(s).queryExecution.optimizedPlan).size == 1)
+    }
+    // and the r13 measured default: installed with no conf set -> fires
+    withRules() { s =>
+      assert(aggsInPlan(eagerShape(s).queryExecution.optimizedPlan).size > 1)
     }
   }
 
