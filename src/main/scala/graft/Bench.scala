@@ -42,7 +42,11 @@ object Bench {
     // r11b: cluster-then-prune semantic dedup (in-cell pair join — the
     // one new quadratic-within-cell shape, worth watching at x10) and
     // content-defined chunking (map-side HOF chain + digest shuffle)
-    "d_semdedup", "d_chunk_cdc")
+    "d_semdedup", "d_chunk_cdc",
+    // r13: the two-level sampled-anchor multi-probe semantic dedup —
+    // the production scale path that flattens the legacy lane's second
+    // decade (no Lloyd fit, n^(4/3) pair term; SCALING.md r13)
+    "d_semdedup_probes")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —

@@ -205,6 +205,103 @@ object Similarity extends QueryModule {
                   Seq("cell", "vec_id"), "left")
   }
 
+  /** Two-level sampled-anchor IVF multi-probe SemDeDup — the r13 scale
+    * lane that flattens the production path's second decade (the one
+    * measured superlinearity in SCALING.md's two-decade probe).
+    *
+    * Structure (FAISS's hierarchical coarse-quantizer idea applied to
+    * dedup blocking): K1 = ceil(cbrt(n)) coarse anchors and
+    * ~K1^2 = n^(2/3) fine anchors, both deterministic vec_id-ordered
+    * samples of the corpus — no Lloyd iterations at all, which removes
+    * the 3 x (n x K distance evals + posexplode shuffle) fit term that
+    * dominates the legacy auto-K lane at x100. Every vector probes its
+    * TOP-2 coarse cells (the multi-probe recall knob: near-dup pairs
+    * split by a coarse Voronoi boundary still meet through their second
+    * probe) and takes the TOP-2 fine anchors within each (the fine-level
+    * multi-probe), so each vector lands in <= 4 fine cells of expected
+    * size ~4 n^(1/3). The pair search joins on the fine cell: expected
+    * pair term 16 n^2 / K2 = O(n^(4/3)) vs the legacy lane's n^(3/2) —
+    * and assignment is O(n * n^(1/3)) map-side kernel FLOPs, vs
+    * n^(3/2) for flat K = sqrt(n) assignment.
+    *
+    * Scale envelope: driver state is the K1 x dim coarse-anchor literal
+    * (n^(1/3) * dim doubles — 1 MB at n = 10^10); the fine-anchor table
+    * broadcast is K2 x dim doubles (n^(2/3) * dim — fits the broadcast
+    * budget to n ~ 10^9; past that, shard the corpus or widen the fine
+    * stride, trading cell size for anchor count like the paper's K
+    * knob). Drop semantics match [[semdedupDetail]]: b is dropped iff
+    * some lower-id a shares a (probed) cell with cosine >= [[SemTau]].
+    * SimilaritySpec pins the witness law and measures candidate recall
+    * vs the exact within-tau pair set; the DuckDB oracle replays the
+    * whole construction (anchors, probes, argmin ties) literally. */
+  private[graft] def semdedupProbesDetail(s: SparkSession,
+                                          dir: String): DataFrame = {
+    graft.functions.VectorFns.register(s)
+    graft.functions.PqFns.register(s)
+    val e = ivfE(s, dir)
+    val n = e.count()
+    val k1 = math.max(4, math.ceil(math.cbrt(n.toDouble)).toInt)
+    val step = math.max(1L,
+      math.ceil(n.toDouble / (k1.toLong * k1)).toLong)
+    // coarse anchors: the K1 lowest-vec_id vectors (same seeding idiom
+    // as ivfFit; K1-bounded driver state)
+    val coarse: Array[Array[Double]] =
+      e.orderBy(col("vec_id")).limit(k1).collect()
+        .map(_.getSeq[Double](1).toArray)
+    // top-2 coarse probes per vector, in-plan (sorted struct(d, i)
+    // array — ties resolve to the lower cell, matching the oracle's
+    // ORDER BY dist, cell)
+    val probeArr = array_sort(array(coarse.indices.map(i =>
+      struct(element_at(col("dists"), i + 1).as("d"), lit(i).as("i"))): _*))
+    val probed = e.withColumn("dists", ivfDists(coarse))
+      .select(col("vec_id"), col("v"),
+        explode(slice(probeArr.getField("i"), 1, 2)).as("ccell"))
+    // fine anchors: every step-th vec_id, each assigned to its nearest
+    // coarse cell (kernel ties -> lowest cell), grouped per coarse cell
+    // into a fid-sorted struct array and broadcast (K2 x dim state)
+    val fa = e.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("fid"), col("v"))
+      .withColumn("ccell", ivfCellCol(coarse))
+    val fgrp = fa.groupBy(col("ccell"))
+      .agg(sort_array(collect_list(
+        struct(col("fid"), col("v").as("fv")))).as("fas"))
+    // per (vector, coarse probe): TOP-2 fine anchors within the probed
+    // cell (the fine-level multi-probe — one fine cell per vector loses
+    // wide-tau near-dup pairs whose members straddle a fine Voronoi
+    // boundary). The strict-< two-slot fold keeps the earliest fid on
+    // equal distance, matching the oracle's ORDER BY dist, fid rk <= 2.
+    val zero = struct(
+      lit(Double.PositiveInfinity).as("b1"), lit(-1L).as("f1"),
+      lit(Double.PositiveInfinity).as("b2"), lit(-1L).as("f2"))
+    val assigned = probed.join(broadcast(fgrp), Seq("ccell"))
+      .withColumn("ftop", aggregate(col("fas"), zero, (acc, x) => {
+        def d = call_function("vec_norm_sq", x("fv")) -
+          lit(2.0) * call_function("vec_dot", col("v"), x("fv"))
+        when(d < acc("b1"), struct(d.as("b1"), x("fid").as("f1"),
+            acc("b1").as("b2"), acc("f1").as("f2")))
+          .when(d < acc("b2"), struct(acc("b1").as("b1"), acc("f1").as("f1"),
+            d.as("b2"), x("fid").as("f2")))
+          .otherwise(acc)
+      }))
+      .select(col("vec_id"), col("v"),
+        explode(array(col("ftop")("f1"), col("ftop")("f2"))).as("fcell"))
+      .filter(col("fcell") >= 0)
+      .dropDuplicates(Seq("vec_id", "fcell"))
+      .withColumn("nrm", expr("vec_norm_sq(v)"))
+    val a = assigned.select(col("fcell"), col("vec_id").as("aid"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = assigned.select(col("fcell"), col("vec_id").as("bid"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val drops = a.join(b, Seq("fcell"))
+      .filter(col("aid") < col("bid") &&
+        round(expr("vec_dot(av, bv)") / sqrt(col("an") * col("bn")), 6)
+          >= SemTau)
+      .select(col("bid")).distinct()
+    e.join(drops.withColumnRenamed("bid", "vec_id")
+              .withColumn("is_drop", lit(1)),
+           Seq("vec_id"), "left")
+  }
+
   /** Per-query probe rows (qid, qv, qcell, qn): top-2 nearest cells per
     * query vector, computed in-plan (sorted struct(dist, idx) array; no
     * driver round-trip). */
@@ -644,6 +741,24 @@ object Similarity extends QueryModule {
                 col("vec_id")))),
               _.cast("string")))).as("dropped_digest"))
         .orderBy(col("cell"))
+    }),
+
+    // The r13 production-scale SemDeDup: two-level sampled-anchor IVF
+    // with top-2 multi-probe (see semdedupProbesDetail's scaladoc for
+    // the n^(4/3)-vs-n^(3/2) argument). Output is the global survivor
+    // summary with an md5 digest of the sorted dropped-id list, so the
+    // hash compare proves the exact drop SET against the oracle's
+    // literal replay of the anchor/probe/argmin construction.
+    "d_semdedup_probes" -> ((s, dir) => {
+      semdedupProbesDetail(s, dir)
+        .agg(count(lit(1)).as("n"),
+          count(col("is_drop")).as("dropped"),
+          (count(lit(1)) - count(col("is_drop"))).as("kept"),
+          md5(concat_ws(",",
+            transform(
+              sort_array(collect_list(when(col("is_drop") === 1,
+                col("vec_id")))),
+              _.cast("string")))).as("dropped_digest"))
     }),
 
     // DBSCAN density clustering (MADlib-clustering niche alongside the
@@ -1164,6 +1279,54 @@ object Similarity extends QueryModule {
          |FROM assigned s LEFT JOIN drops d
          |  ON s.cell = d.cell AND s.vec_id = d.bid
          |GROUP BY s.cell ORDER BY s.cell""".stripMargin,
+
+    // literal replay of the two-level sampled-anchor construction at
+    // sf0.01 (n=500 -> K1=8 coarse anchors, fine stride 8): coarse =
+    // first-8 vectors, fine = every 8th vec_id assigned to its nearest
+    // coarse cell (ties -> lowest cell), every vector probes its top-2
+    // coarse cells and takes the best fine anchor within each
+    // (ties -> lowest fid), drop = lower-id cosine witness in a shared
+    // fine cell
+    "d_semdedup_probes" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |ca AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |fac AS (
+         |  SELECT fid, fv, cell AS ccell FROM (
+         |    SELECT f.vec_id AS fid, f.v AS fv, c.cell,
+         |      row_number() OVER (PARTITION BY f.vec_id
+         |        ORDER BY ${ivfDistSql("f.v", "c.c")}, c.cell) AS rk
+         |    FROM e f, ca c WHERE f.vec_id % 8 = 0) WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id, v, cell AS ccell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${ivfDistSql("e.v", "c.c")}, c.cell) AS rk
+         |    FROM e, ca c) WHERE rk <= 2),
+         |fassign AS (
+         |  SELECT DISTINCT vec_id, v, fcell FROM (
+         |    SELECT p.vec_id, p.v, f.fid AS fcell,
+         |      row_number() OVER (PARTITION BY p.vec_id, p.ccell
+         |        ORDER BY ${ivfDistSql("p.v", "f.fv")}, f.fid) AS rk
+         |    FROM probes p JOIN fac f ON p.ccell = f.ccell) WHERE rk <= 2),
+         |aset AS (
+         |  SELECT vec_id, v, fcell,
+         |    list_reduce(list_prepend(0.0, v), (acc, x) -> acc + x * x) AS nrm
+         |  FROM fassign),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id AS bid
+         |  FROM aset a JOIN aset b
+         |    ON a.fcell = b.fcell AND a.vec_id < b.vec_id
+         |  WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6)
+         |    >= 0.4)
+         |SELECT (SELECT COUNT(*) FROM e) AS n,
+         |  (SELECT COUNT(*) FROM drops) AS dropped,
+         |  (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM drops) AS kept,
+         |  md5(coalesce((SELECT string_agg(CAST(bid AS VARCHAR), ','
+         |    ORDER BY bid) FROM drops), '')) AS dropped_digest""".stripMargin,
 
     // the sampled-fit lane of the fit-once IVF query, unrolled: identical
     // Lloyd but trained only on the deterministic 1/16 sample; assignment,

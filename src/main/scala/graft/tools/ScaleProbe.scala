@@ -29,7 +29,10 @@ object ScaleProbe {
     // the semdedup production lane (K = ceil(sqrt(n)), the paper's knob)
     spark.conf.set("spark.graft.semdedup.k", "auto")
 
-    val qs = Seq("d_dedup_minhash_lsh", "d_semdedup")
+    // d_semdedup = the legacy paper-K lane (K = sqrt(n) Lloyd, ~n^1.5);
+    // d_semdedup_probes = the r13 two-level sampled-anchor multi-probe
+    // lane (~n^(4/3), no Lloyd) that is the production scale path
+    val qs = Seq("d_dedup_minhash_lsh", "d_semdedup", "d_semdedup_probes")
     val baseName = base.replaceAll("/+$", "").split('/').last
 
     def dirFor(factor: Int): String =
@@ -54,7 +57,11 @@ object ScaleProbe {
       val times = qs.map { q =>
         val secs = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
-          val n = graft.SparkEntry.queries(q)(spark, dir).count()
+          // collect, not count: count() over a GLOBAL-aggregate query
+          // (d_semdedup_probes returns one summary row) lets Catalyst
+          // prune the entire subtree — a global agg yields exactly one
+          // row whatever its input — and the probe would time nothing
+          val n = graft.SparkEntry.queries(q)(spark, dir).collect().length
           val dt = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[probe] x$factor $q: $dt%.2f s ($n rows)")
           dt

