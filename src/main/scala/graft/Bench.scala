@@ -46,7 +46,10 @@ object Bench {
     // r13: the two-level sampled-anchor multi-probe semantic dedup —
     // the production scale path that flattens the legacy lane's second
     // decade (no Lloyd fit, n^(4/3) pair term; SCALING.md r13)
-    "d_semdedup_probes")
+    "d_semdedup_probes",
+    // r13b: composed IVF+PQ (the FAISS IndexIVFPQ production ANN shape),
+    // greedy MMR diversified top-k, lexical+semantic RRF fusion
+    "s_ann_ivfpq_topk", "s_ann_mmr_topk", "q_hybrid_rrf")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —

@@ -543,6 +543,130 @@ object Similarity extends QueryModule {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // MMR diversified top-k (Carbonell & Goldstein 1998 — the retrieval
+    // op that trades pure relevance for result diversity; the RAG/
+    // curation default for "don't return 3 copies of the same doc").
+    // Greedy selection: pick argmax cos(q,d); then twice more pick
+    // argmax of lambda*cos(q,d) - (1-lambda)*max_{s in S} cos(d,s),
+    // ties -> lowest nid. Shape: the candidate stage is the existing
+    // brute/IVF ranking (top-8 per query window), then the greedy runs
+    // entirely map-side per query over the collected candidate array
+    // (k x m struct fold, bounded state, no second shuffle) — at 100 TB
+    // the candidate stage is the ANN index path and MMR stays O(k*m)
+    // per query. All MMR arithmetic runs in EXACT INTEGER micros
+    // (lambda = 7/10 -> score_u = 7*cos_u - 3*maxsim_u at 1e-7 scale):
+    // float scoring diverged from the oracle in the 6th decimal, integer
+    // scoring cannot.
+    "s_ann_mmr_topk" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr("vec_norm_sq(v)"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), col("v"), col("nrm"),
+          round(expr("vec_dot(qv, v)") / sqrt(col("qn") * col("nrm")) *
+                1000000.0, 0).cast("long").as("cu"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cu").desc, col("nid"))
+      // candidate array sorted (cu desc, nid): the struct's leading
+      // negated-micros field drives sort_array
+      val cands = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .groupBy(col("qid"))
+        .agg(sort_array(collect_list(struct(
+          (col("cu") * -1).as("neg"), col("nid"),
+          col("v"), col("nrm"), col("cu")))).as("cs"))
+      // candidate-candidate cosine in micros
+      def du(x: Column, sel: Column): Column =
+        round(call_function("vec_dot", x("v"), sel("v")) /
+              sqrt(x("nrm") * sel("nrm")) * 1000000.0, 0).cast("long")
+      // greedy step: rescore `rest` against the selected set, sort by
+      // (score_u desc, nid) via the leading negated field, take head
+      def pick(rest: Column, scU: Column => Column): Column =
+        element_at(array_sort(transform(rest, x => struct(
+          (scU(x) * -1).as("neg"), x("nid").as("nid"),
+          x("v").as("v"), x("nrm").as("nrm"), x("cu").as("cu")))), 1)
+      val withPicks = cands
+        .withColumn("s1", element_at(col("cs"), 1))
+        .withColumn("s2", pick(
+          filter(col("cs"), x => x("nid") =!= col("s1")("nid")),
+          x => lit(7L) * x("cu") - lit(3L) * du(x, col("s1"))))
+        .withColumn("s3", pick(
+          filter(col("cs"), x => x("nid") =!= col("s1")("nid") &&
+                                 x("nid") =!= col("s2")("nid")),
+          x => lit(7L) * x("cu") - lit(3L) *
+               greatest(du(x, col("s1")), du(x, col("s2")))))
+      withPicks.select(col("qid"), explode(array(
+          struct(lit(1).as("rk"), col("s1")("nid").as("nid"),
+                 (col("s1")("cu") * 7L).as("score_u")),
+          struct(lit(2).as("rk"), col("s2")("nid").as("nid"),
+                 (col("s2")("neg") * -1).as("score_u")),
+          struct(lit(3).as("rk"), col("s3")("nid").as("nid"),
+                 (col("s3")("neg") * -1).as("score_u")))).as("p"))
+        .select(col("qid"), col("p")("rk").as("rk"),
+                col("p")("nid").as("nid"), col("p")("score_u").as("score_u"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009
+    // — the standard lexical+semantic fusion; doc_id and vec_id are the
+    // same corpus key). Query-by-document over doc_id < 5: the TEXT leg
+    // ranks corpus docs by distinct-token Jaccard to the query doc, the
+    // VECTOR leg by embedding cosine, both top-20 windows; fusion
+    // score_u = round(1e9/(60+rank_text)) + round(1e9/(60+rank_vec))
+    // over the FULL OUTER join of the two rank lists (a doc found by
+    // only one leg still scores), top-5 fused per query. All scoring in
+    // exact integers. Shape: both legs broadcast the bounded query set
+    // and scan the corpus once; the fusion join carries only
+    // (qid, nid, rank) rows — at 100 TB swap the brute legs for the
+    // inverted-index and ANN candidate stages, fusion is unchanged.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr("vec_norm_sq(v)"))
+      val qd = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("toks").as("qtoks"))
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("jac_u").desc, col("nid"))
+      val txt = docs.join(broadcast(qd), col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id").as("nid"),
+          round(size(array_intersect(col("toks"), col("qtoks")))
+              .cast("double") * 1000000.0 /
+            size(array_union(col("toks"), col("qtoks"))), 0)
+            .cast("long").as("jac_u"))
+        .withColumn("rt", row_number().over(wT)).filter(col("rt") <= 20)
+        .select(col("qid"), col("nid"), col("rt"))
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cu").desc, col("nid"))
+      val vec = emb.join(broadcast(qv), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(expr("vec_dot(qv, v)") / sqrt(col("qn") * col("nrm")) *
+                1000000.0, 0).cast("long").as("cu"))
+        .withColumn("rv", row_number().over(wV)).filter(col("rv") <= 20)
+        .select(col("qid"), col("nid"), col("rv"))
+      val fused = txt.join(vec, Seq("qid", "nid"), "full_outer")
+        .withColumn("score_u",
+          coalesce(round(lit(1000000000.0) / (lit(60) + col("rt")), 0)
+            .cast("long"), lit(0L)) +
+          coalesce(round(lit(1000000000.0) / (lit(60) + col("rv")), 0)
+            .cast("long"), lit(0L)))
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score_u").desc, col("nid"))
+      fused.withColumn("rk", row_number().over(wF)).filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("nid"), col("score_u"),
+                col("rt"), col("rv"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Contrastive pair mining (the training-data op behind contrastive /
     // triplet objectives: for each anchor, the closest SAME-label vector
     // is the positive and the closest OTHER-label vector is the HARD
@@ -898,6 +1022,59 @@ object Similarity extends QueryModule {
       pqScoreTail(codes, q)
     }),
 
+    // Composed IVF + PQ — FAISS's IndexIVFPQ, THE production ANN shape
+    // at corpus scale (Jégou et al. 2011 §V): coarse IVF cells bound the
+    // candidate set (top-2 probed cells, the s_ann_ivf_topk machinery),
+    // PQ ADC ranks candidates from their 8-byte codes without touching
+    // full vectors (the s_ann_pq_adc machinery), and only the ADC top-8
+    // shortlist is reranked with true vectors (one bounded equi-join
+    // back to the corpus — the "fetch full precision for the shortlist"
+    // step real systems pay). Scale story: the corpus contributes one
+    // cell id + one code array per row; full vectors are read only for
+    // shortlist rows; centroid + codebook driver state is K x dim +
+    // M x K x Sub doubles regardless of corpus size. The DuckDB oracle
+    // unrolls both fits and replays probe -> ADC -> rerank literally.
+    "s_ann_ivfpq_topk" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val e = ivfE(s, dir)
+      val cs = ivfFit(e)
+      val cb = pqFit(pqE(s, dir))
+      val cand = ivfAssign(e, cs).select(col("vec_id"), col("cell"),
+        pqCodesWideCol(cb).as("cds"))
+      val q = ivfQueries(e, cs)
+        .withColumnRenamed("qv", "v")
+        .withColumn("luts", pqLutsWideCol(cb))
+        .select(col("qid"), col("qcell"), col("luts"))
+      val termSum = (0 until PqM).map { m =>
+        round(element_at(element_at(col("luts"), m + 1),
+          element_at(col("cds"), m + 1) + lit(1)) * 1000000.0, 0).cast("long")
+      }.reduce(_ + _)
+      val adc = cand.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (termSum.cast("double") / 1000000.0).as("adc"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+      val short = adc.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= 8).select(col("qid"), col("nid"))
+      val en = e.withColumn("nrm", expr("vec_norm_sq(v)"))
+      val qe = en.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv2"),
+                col("nrm").as("qn2"))
+      val rer = short
+        .join(en.select(col("vec_id").as("nid"), col("v").as("nv"),
+                        col("nrm").as("nn")), Seq("nid"))
+        .join(broadcast(qe), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          round(call_function("vec_dot", col("qv2"), col("nv")) /
+                sqrt(col("qn2") * col("nn")), 6).as("cos"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      rer.withColumn("rk", row_number().over(wR)).filter(col("rk") <= 3)
+        .select(col("qid"), col("rk"), col("nid"), col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Fit-once PQ — the production shape at 100 TB. Codebooks come either
     // from the persisted store ([[PqDirConf]], Bench's lane: the corpus
     // contributes ONLY its stored 8-byte codes, zero fit passes at query
@@ -1107,6 +1284,96 @@ object Similarity extends QueryModule {
         |  FROM scored)
         |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM ranked
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // literal replay of the greedy MMR: same top-8 candidate window,
+    // same three selection steps, all scoring in exact integer micros
+    // (score_u = 7*cos_u - 3*maxsim_u), ties -> lowest nid
+    "s_ann_mmr_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+        |                (a, x) -> a + x * x) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, e.v, e.nrm,
+        |    CAST(ROUND(list_dot_product(q.v, e.v) / sqrt(q.nrm * e.nrm)
+        |      * 1000000.0, 0) AS BIGINT) AS cu
+        |  FROM e q JOIN e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+        |cands AS (
+        |  SELECT * FROM (
+        |    SELECT qid, nid, v, nrm, cu,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cu DESC, nid) AS rn
+        |    FROM scored) WHERE rn <= 8),
+        |s1 AS (SELECT qid, nid, v, nrm, cu FROM cands WHERE rn = 1),
+        |st2 AS (
+        |  SELECT c.qid, c.nid, c.v, c.nrm, c.cu,
+        |    7 * c.cu - 3 * CAST(ROUND(list_dot_product(c.v, s.v)
+        |      / sqrt(c.nrm * s.nrm) * 1000000.0, 0) AS BIGINT) AS sc
+        |  FROM cands c JOIN s1 s ON c.qid = s.qid AND c.nid <> s.nid),
+        |s2 AS (SELECT qid, nid, v, nrm, sc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sc DESC, nid) AS rk2 FROM st2) WHERE rk2 = 1),
+        |st3 AS (
+        |  SELECT c.qid, c.nid,
+        |    7 * c.cu - 3 * GREATEST(
+        |      CAST(ROUND(list_dot_product(c.v, a.v)
+        |        / sqrt(c.nrm * a.nrm) * 1000000.0, 0) AS BIGINT),
+        |      CAST(ROUND(list_dot_product(c.v, b.v)
+        |        / sqrt(c.nrm * b.nrm) * 1000000.0, 0) AS BIGINT)) AS sc
+        |  FROM cands c JOIN s1 a ON c.qid = a.qid JOIN s2 b ON c.qid = b.qid
+        |  WHERE c.nid <> a.nid AND c.nid <> b.nid),
+        |s3 AS (SELECT qid, nid, sc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sc DESC, nid) AS rk3 FROM st3) WHERE rk3 = 1)
+        |SELECT qid, 1 AS rk, nid, CAST(7 * cu AS BIGINT) AS score_u FROM s1
+        |UNION ALL SELECT qid, 2 AS rk, nid, CAST(sc AS BIGINT) AS score_u FROM s2
+        |UNION ALL SELECT qid, 3 AS rk, nid, CAST(sc AS BIGINT) AS score_u FROM s3
+        |ORDER BY qid, rk""".stripMargin,
+
+    // literal replay of the two legs and the fusion: distinct-token
+    // Jaccard micros, cosine micros, top-20 windows, FULL OUTER fusion
+    // with round(1e9/(60+rank)) integer terms, top-5 by fused score
+    "q_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |qd AS (SELECT doc_id AS qid, toks AS qtoks FROM d WHERE doc_id < 5),
+        |txt AS (SELECT qid, nid, rt FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY jac_u DESC, nid) AS rt
+        |    FROM (
+        |      SELECT q.qid, d.doc_id AS nid,
+        |        CAST(ROUND(len(list_intersect(d.toks, q.qtoks))
+        |          * 1000000.0
+        |          / len(list_distinct(list_concat(d.toks, q.qtoks))), 0)
+        |          AS BIGINT) AS jac_u
+        |      FROM d, qd q WHERE d.doc_id <> q.qid)) WHERE rt <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+        |                (a, x) -> a + x * x) AS nrm
+        |  FROM embeddings),
+        |vec AS (SELECT qid, nid, rv FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cu DESC, nid) AS rv
+        |    FROM (
+        |      SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |        CAST(ROUND(list_dot_product(q.v, e.v) / sqrt(q.nrm * e.nrm)
+        |          * 1000000.0, 0) AS BIGINT) AS cu
+        |      FROM e q JOIN e ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
+        |  WHERE rv <= 20),
+        |f AS (
+        |  SELECT COALESCE(t.qid, v.qid) AS qid, COALESCE(t.nid, v.nid) AS nid,
+        |    t.rt, v.rv,
+        |    COALESCE(CAST(ROUND(1000000000.0 / (60 + t.rt), 0) AS BIGINT), 0)
+        |    + COALESCE(CAST(ROUND(1000000000.0 / (60 + v.rv), 0) AS BIGINT), 0)
+        |      AS score_u
+        |  FROM txt t FULL OUTER JOIN vec v
+        |    ON t.qid = v.qid AND t.nid = v.nid)
+        |SELECT qid, CAST(rk AS INT) AS rk, nid, score_u,
+        |  CAST(rt AS INT) AS rt, CAST(rv AS INT) AS rv FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score_u DESC, nid) AS rk FROM f) WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin,
 
     "s_ann_lsh_buckets" ->
       s"""WITH b AS (
@@ -1410,6 +1677,82 @@ object Similarity extends QueryModule {
          |  FROM score)
          |SELECT qid, CAST(rk AS INT) AS rk, nid, adc FROM ranked
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    // composed IVF+PQ, unrolled: the s_ann_ivf_topk coarse fit/assign/
+    // probe chain + the s_ann_pq_adc codebook/encode/LUT chain, ADC
+    // scored ONLY within the probed cells, ADC top-8 shortlist reranked
+    // with true vectors, final top-3 by exact cosine
+    "s_ann_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |${ivfIterSql("c0", "c1")},
+         |${ivfIterSql("c1", "c2")},
+         |${ivfIterSql("c2", "c3")},
+         |assigned AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${ivfDistSql("e.v", "c.c")}, c.cell) AS rk
+         |    FROM e, c3 c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.vec_id AS qid, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${ivfDistSql("q.v", "c.c")}, c.cell) AS rk
+         |    FROM e q, c3 c WHERE q.vec_id < 10) WHERE rk <= 2),
+         |sub AS (SELECT vec_id, mm.m AS m,
+         |    v[mm.m * 8 + 1 : mm.m * 8 + 8] AS sv
+         |  FROM e, (SELECT CAST(unnest(range(0, 8)) AS INT) AS m) mm),
+         |pq0 AS (
+         |  SELECT m,
+         |    CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+         |      AS INT) AS k,
+         |    sv AS c
+         |  FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+         |${pqIterSql("pq0", "pq1")},
+         |${pqIterSql("pq1", "pq2")},
+         |enc AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${ivfDistSql("s.sv", "c.c")}, c.k) AS rk
+         |    FROM sub s JOIN pq2 c ON s.m = c.m) WHERE rk = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS qid, s.m, c.k,
+         |    ${ivfDistSql("s.sv", "c.c")} AS term
+         |  FROM sub s JOIN pq2 c ON s.m = c.m WHERE s.vec_id < 10),
+         |score AS (
+         |  SELECT p.qid, t.vec_id AS nid,
+         |    CAST(SUM(CAST(round(l.term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS adc
+         |  FROM probe p
+         |    JOIN assigned t ON t.cell = p.cell AND t.vec_id <> p.qid
+         |    JOIN enc c ON c.vec_id = t.vec_id
+         |    JOIN lut l ON l.qid = p.qid AND l.m = c.m AND l.k = c.code
+         |  GROUP BY p.qid, t.vec_id),
+         |short AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+         |    FROM score) WHERE rn <= 8),
+         |rer AS (
+         |  SELECT s.qid, s.nid,
+         |    ROUND(list_dot_product(q.v, t.v) / sqrt(
+         |      list_reduce(list_prepend(0.0, q.v), (a, x) -> a + x * x) *
+         |      list_reduce(list_prepend(0.0, t.v), (a, x) -> a + x * x)), 6)
+         |      AS cos
+         |  FROM short s JOIN e q ON q.vec_id = s.qid
+         |    JOIN e t ON t.vec_id = s.nid)
+         |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM rer) WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin,
 
     // the sampled-fit lane of the fit-once PQ query, unrolled: identical
     // Lloyd but trained ONLY on the deterministic 1/16 sample; encode +

@@ -53,6 +53,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "q_triangle_count", "d_bpe_encode", "d_feature_mi",
     "d_boilerplate_strip", "d_semdedup", "d_chunk_cdc",
     "d_semdedup_probes",
+    "s_ann_ivfpq_topk", "s_ann_mmr_topk", "q_hybrid_rrf",
     // TPC-H suite incl. the synthesized-partsupp/date lane (r13)
     "q2_min_cost_supp", "q4_order_priority", "q6_forecast_revenue",
     "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",

@@ -219,4 +219,74 @@ class SimilaritySpec extends AnyFunSuite {
     // (3) nontrivial on this corpus
     assert(dropped.nonEmpty && dropped.size < det.length)
   }
+
+  test("MMR picks are relevance-anchored and more diverse than plain top-3") {
+    val vecs = SparkEntry.queries("s_ann_bruteforce_topk")(spark, sf)
+      .sparkSession.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(_.toString.toDouble).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / math.sqrt(x.map(p => p * p).sum * y.map(p => p * p).sum)
+    }
+    val brute = SparkEntry.queries("s_ann_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .filter(_._2 <= 3).groupBy(_._1).map { case (q, xs) =>
+        q -> xs.sortBy(_._2).map(_._3).toSeq }
+    val mmr = SparkEntry.queries("s_ann_mmr_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(mmr.nonEmpty && mmr.keySet == brute.keySet)
+    // (1) the first MMR pick IS the relevance argmax
+    mmr.foreach { case (q, picks) => assert(picks.head == brute(q).head) }
+    // (2) diversity: mean pairwise cosine among MMR picks <= among the
+    //     plain top-3 (strictly less on average over the query set)
+    def meanPairCos(sets: Map[Long, Seq[Long]]): Double = {
+      val ps = sets.values.toSeq.flatMap(s =>
+        for (i <- s.indices; j <- i + 1 until s.length) yield cos(s(i), s(j)))
+      ps.sum / ps.size
+    }
+    val (dm, db) = (meanPairCos(mmr), meanPairCos(brute))
+    assert(dm <= db + 1e-9, s"MMR picks not more diverse: $dm vs $db")
+  }
+
+  test("RRF fusion rewards docs found by both legs") {
+    val rows = SparkEntry.queries("q_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5))))
+    assert(rows.nonEmpty)
+    // every fused row came from at least one leg, scores are positive
+    // and non-increasing within a query
+    rows.foreach { case (_, _, _, sc, rt, rv) =>
+      assert(rt.isDefined || rv.isDefined); assert(sc > 0) }
+    rows.groupBy(_._1).values.foreach { qs =>
+      val byRk = qs.sortBy(_._2).map(_._4)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b }) }
+    // a doc present in BOTH legs at rank r necessarily outscores a doc
+    // present in ONE leg at the same rank: check the score arithmetic
+    // holds (both-leg rows score strictly above the best single-leg
+    // contribution at their ranks)
+    rows.filter(r => r._5.isDefined && r._6.isDefined).foreach {
+      case (_, _, _, sc, Some(rt), Some(rv)) =>
+        val t = math.round(1e9 / (60 + rt)); val v = math.round(1e9 / (60 + rv))
+        assert(sc == t + v)
+      case _ => ()
+    }
+  }
+
+  test("IVF-PQ composed lane recalls a meaningful share of exact top-3") {
+    val exact = topkSet("s_ann_bruteforce_topk", 3)
+    val ivfpq = topkSet("s_ann_ivfpq_topk", 3)
+    assert(ivfpq.nonEmpty)
+    val recalls = exact.keys.toSeq.map { q =>
+      ivfpq.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble /
+        exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // 2-of-8 probed cells AND 8-byte codes: the compound approximation
+    // must still recover well above random-cell recall
+    assert(mean >= 0.3, s"mean IVF-PQ recall $mean too low")
+  }
 }
