@@ -69,6 +69,28 @@ class SpillPressureSpec extends AnyFunSuite {
     s
   }
 
+  /** Lighter buffered profile for the r13 retrieval/dedup lanes: their
+    * plans chain several array-carrying SMJ joins and windows, and the
+    * 2-row thresholds above drive so many per-group spill cursors at
+    * once that the TEST heap dies in read-ahead buffers — the same
+    * hook pathology documented on aggPressured. 8-row buffers still
+    * force every window partition (>= 100 rows) and most join groups
+    * onto the spill path; the assertion stays spill>0 + hash-equal. */
+  private lazy val bufLight: SparkSession = {
+    val s = base.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // window threshold sits BELOW the rank-limit k of these lanes'
+    // row_number windows: WindowGroupLimit pre-filters each group to k
+    // rows before the window buffers them, so a threshold above k would
+    // never trip
+    s.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4")
+    s.conf.set("spark.sql.windowExec.buffer.spill.threshold", "4")
+    s.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "8")
+    s.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "8")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s
+  }
+
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
@@ -81,10 +103,18 @@ class SpillPressureSpec extends AnyFunSuite {
     "q_window_running" -> false, "q18_large_volume_cust" -> true,
     "d_dedup_minhash_lsh" -> false)
 
-  shapes.foreach { case (name, aggPressure) =>
+  /** r13 retrieval/dedup lanes: probe-cell pair joins (SMJ under
+    * broadcast-off), candidate ranking windows, shortlist rerank joins
+    * — driven by the lighter profile (see [[bufLight]]). */
+  private val lightShapes = Seq("d_semdedup_probes", "s_ann_ivfpq_topk",
+    "s_ann_mmr_topk", "q_hybrid_rrf")
+
+  (shapes.map { case (n, agg) => (n, if (agg) () => aggPressured
+                                     else () => bufPressured) } ++
+   lightShapes.map(n => (n, () => bufLight))).foreach { case (name, prof) =>
     test(s"$name spills under pressure and stays hash-identical") {
       val fn = SparkEntry.queries(name)
-      val pressured = if (aggPressure) aggPressured else bufPressured
+      val pressured = prof()
       val analyzed = ExplainAnalyze.analyze(fn(pressured, sf))
       assert(analyzed.contains("spill="),
         s"no operator reported spill under the constrained profile:\n$analyzed")
