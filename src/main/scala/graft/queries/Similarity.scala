@@ -336,7 +336,7 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"), col("rk"))
   }
 
-  private def ivfLoadCentroids(s: SparkSession,
+  private[graft] def ivfLoadCentroids(s: SparkSession,
                                outDir: String): Array[Array[Double]] = {
     val arr = Array.ofDim[Double](IvfK, dim)
     s.read.parquet(s"$outDir/ivf_centroids").collect().foreach { r =>

@@ -564,4 +564,53 @@ object Streaming {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Streaming incremental ANN index maintenance — FAISS's add() on an
+    * already-trained IVF index, as a stream (the index-maintenance face
+    * of [[graft.queries.Similarity.ivfEnsurePersisted]]'s fit-once
+    * store). Newly arriving (vec_id, embedding) rows are assigned to
+    * the PERSISTED centroids — the fit never reruns, so cell ids of
+    * already-indexed vectors never move — and appended to an
+    * `ivf_cells_stream` code table under the same idempotent
+    * batch=<id> stage+rename protocol as [[streamToTable]]. Assignment
+    * uses the broadcast-relation lane ([[graft.queries.Similarity
+    * .ivfAssignBroadcast]]): the K x dim centroid state rides as one
+    * broadcast row however large K grows, cells are bit-equal to the
+    * batch kernel (IvfBroadcastSpec), and each micro-batch costs one
+    * map-side pass over its own rows — no corpus rescan, no shuffle.
+    * At 100 TB this is how the ANN store absorbs a continuous ingest
+    * feed: codes accumulate append-only, queries read base + stream
+    * cells unioned, and a periodic refit is a REBUILD decision (like
+    * the reference's REINDEX), not a streaming concern. */
+  def streamingIvfAdd(spark: SparkSession, srcDir: String, storeDir: String,
+                      checkpointDir: String): Unit = {
+    graft.functions.VectorFns.register(spark)
+    val cs = graft.queries.Similarity.ivfLoadCentroids(spark, storeDir)
+    val cdf = graft.queries.Similarity.centroidsDf(spark, cs)
+    val q = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+      .parquet(srcDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val assigned = graft.queries.Similarity
+          .ivfAssignBroadcast(batch, cdf)
+          .select(col("vec_id"), col("cell"))
+        val root = s"$storeDir/ivf_cells_stream"
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+        if (!fs.exists(dst)) {
+          val staged = new org.apache.hadoop.fs.Path(
+            root, s".stage_batch_$batchId")
+          fs.delete(staged, true)
+          assigned.write.mode("overwrite").parquet(staged.toString)
+          require(fs.rename(staged, dst), s"rename failed: $staged -> $dst")
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -51,4 +51,47 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(cells(graft.sources.Matviews.read(spark, sk)
       .select(col("j"), col("b"), col("c"))) == batch)
   }
+
+  test("streaming IVF add assigns bit-equal to the batch kernel, exactly once") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("ivf_store").toString
+    val src = Files.createTempDirectory("ivf_src").toString
+    val ckp = Files.createTempDirectory("ivf_ckp").toString
+    // fit-once base index over the corpus
+    graft.queries.Similarity.ivfEnsurePersisted(spark, sf, store)
+    // "new arrivals": the same embeddings with shifted ids, three
+    // micro-batch deliveries over restarted queries on one checkpoint
+    val arrivals = Tables.t(spark, sf, "embeddings")
+      .select((col("vec_id") + 100000L).as("vec_id"),
+              col("embedding").cast("array<double>").as("embedding"))
+    def run(): Unit =
+      graft.streaming.Streaming.streamingIvfAdd(spark, src, store, ckp)
+    for ((lo, hi) <- Seq((0, 150), (150, 300), (300, 500))) {
+      arrivals.filter(col("vec_id") >= 100000L + lo &&
+                      col("vec_id") < 100000L + hi)
+        .write.mode("append").parquet(src)
+      run()
+    }
+    val streamed = spark.read.parquet(s"$store/ivf_cells_stream")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // batch reference: load the SAME persisted centroids, assign via the
+    // broadcast lane over all arrivals at once
+    val cs = graft.queries.Similarity.ivfLoadCentroids(spark, store)
+    val batch = graft.queries.Similarity.ivfAssignBroadcast(
+        arrivals.withColumnRenamed("embedding", "v"),
+        graft.queries.Similarity.centroidsDf(spark, cs))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch,
+      "streamed assignments must bit-equal the batch kernel over the same centroids")
+    assert(streamed.size == 500)
+    // exactly-once: an idle restart appends nothing, ids stay unique
+    run()
+    val after = spark.read.parquet(s"$store/ivf_cells_stream")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(after.length == 500 && after.distinct.length == 500)
+    // the base index is untouched: stream codes live in their own table
+    assert(spark.read.parquet(s"$store/ivf_cells").count() == 500)
+  }
 }
