@@ -22,7 +22,7 @@ import org.scalacheck.rng.Seed
   * silently depends on partitioning. The 312 fixed CORRECTNESS queries
   * prove chosen paths; this hunts unchosen ones. Seeded (fixed initial
   * seed → reproducible failures) with ScalaCheck shrinking on the
-  * generated case structure. 8 properties × 50 cases = 400 generated
+  * generated case structure. 8 properties × 63 cases = 504 generated
   * queries per run (r13 added IGNORE NULLS navigation and the
   * hstore/jsonpath row-local kernels); [[TlpFuzzSpec]] adds 200
   * metamorphic cases on the same lanes.
@@ -35,7 +35,7 @@ import org.scalacheck.rng.Seed
 object FuzzParitySpec extends Properties("FuzzParity") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(50)
+    p.withMinSuccessfulTests(63)
       .withInitialSeed(Seed(20260814L))
 
   // ---- the two engine lanes (shared with TlpFuzzSpec) --------------

@@ -22,13 +22,13 @@ import org.scalacheck.rng.Seed
   * exact for count/min/max/decimal-sum/count-distinct), equi-join, and
   * a projection through the graft hstore/jsonpath kernels (row-local,
   * so TLP holds verbatim). Each case asserts on BOTH lanes (stock
-  * codegen + graft rules/interpreted). 4 properties × 50 cases = 200
+  * codegen + graft rules/interpreted). 4 properties × 125 cases = 500
   * generated invariant checks.
   */
 object TlpFuzzSpec extends Properties("TlpFuzz") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(50)
+    p.withMinSuccessfulTests(125)
       .withInitialSeed(Seed(20260813L))
 
   // partition predicates lean on the fixture's nastiest semantics:
