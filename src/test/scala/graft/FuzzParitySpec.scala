@@ -22,7 +22,7 @@ import org.scalacheck.rng.Seed
   * silently depends on partitioning. The 312 fixed CORRECTNESS queries
   * prove chosen paths; this hunts unchosen ones. Seeded (fixed initial
   * seed → reproducible failures) with ScalaCheck shrinking on the
-  * generated case structure. 8 properties × 63 cases = 504 generated
+  * generated case structure. 9 properties × 63 cases = 567 generated
   * queries per run (r13 added IGNORE NULLS navigation and the
   * hstore/jsonpath row-local kernels); [[TlpFuzzSpec]] adds 200
   * metamorphic cases on the same lanes.
@@ -222,4 +222,50 @@ object FuzzParitySpec extends Properties("FuzzParity") {
          |  hstore_render(hstore_parse($hsExpr)) IS NULL AS hs_rt_null
          |FROM f WHERE $p""".stripMargin)
   }
+
+  // ---- native as-of operator vs a pure-Scala derivation -------------
+  // AsofJoinExec (plans/AsofJoin.scala) is the one custom PHYSICAL
+  // operator with its own two-pointer merge; the fixed specs pin chosen
+  // shapes, this lane hunts unchosen ones — random key skew, fully
+  // unmatched keys, boundary-equal timestamps, empty sides, single-row
+  // partitions — on BOTH engine lanes (codegen/32-part vs
+  // interpreted/5-part) against an independently computed expected set.
+  // Right values are v = k*1000 + t so duplicate (k, t) rows are
+  // IDENTICAL and the native "last tie in sort order" rule cannot
+  // produce an order-dependent value.
+  private val asofGen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+    nl <- Gen.choose(0, 40)
+    nr <- Gen.choose(0, 40)
+    left <- Gen.listOfN(nl, for {
+      k <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 50L) } yield (k, t))
+    right <- Gen.listOfN(nr, for {
+      k <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 50L) } yield (k, t))
+  } yield (left, right)
+
+  property("as-of native operator vs relational derivation") =
+    Prop.forAll(asofGen) { case (left, right) =>
+      import org.apache.spark.sql.functions.col
+      val rlist = right.distinct
+      val expected = left.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rlist.filter(r => r._1 == k && r._2 <= t)
+        (i.toLong, if (cands.isEmpty) None
+                   else Some(k * 1000L + cands.map(_._2).max))
+      }.sorted.toList
+      def run(s: SparkSession): List[(Long, Option[Any])] = {
+        val sp = s; import sp.implicits._
+        val ldf = left.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+        val rdf = rlist.map { case (k, t) => (k, t, k * 1000L + t) }
+          .toDF("rk", "rt", "v")
+        graft.plans.AsofJoin(ldf, rdf, Seq(("k", "rk")), "t", "rt")
+          .select(col("lid"), col("v")).collect()
+          .map(r => (r.getLong(0), Option(r.get(1)))).toList.sorted(
+            Ordering.by((x: (Long, Option[Any])) => x._1))
+      }
+      val a = run(stockLane); val b = run(graftLane)
+      val exp = expected.map { case (i, v) => (i, v: Option[Any]) }
+      (a == exp && b == exp) :| {
+        s"left=$left\nright=$rlist\nexpected=$exp\nstock=$a\ngraft=$b"
+      }
+    }
 }
