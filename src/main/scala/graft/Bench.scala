@@ -49,7 +49,10 @@ object Bench {
     "d_semdedup_probes",
     // r13b: composed IVF+PQ (the FAISS IndexIVFPQ production ANN shape),
     // greedy MMR diversified top-k, lexical+semantic RRF fusion
-    "s_ann_ivfpq_topk", "s_ann_mmr_topk", "q_hybrid_rrf")
+    "s_ann_ivfpq_topk", "s_ann_mmr_topk", "q_hybrid_rrf",
+    // r13b: the fit-once composed lane — stored cells ⋈ codes, zero
+    // fit passes at query time (the shape you run at corpus scale)
+    "s_ann_ivfpq_score")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —
@@ -158,7 +161,8 @@ object Bench {
     // mtime, so a regenerated corpus at the same path invalidates the
     // derived codes/cells instead of silently scoring stale artifacts.
     // Skipped entirely when the restricted set has no scoring lane.
-    val scoringLanes = Set("s_ann_pq_score", "s_ann_ivf_score")
+    val scoringLanes = Set("s_ann_pq_score", "s_ann_ivf_score",
+      "s_ann_ivfpq_score")
     // NOTE: no early `return` inside the try — Scala's non-local return
     // is a ControlThrowable the catch-all would swallow as a "skip"
     def preparePq(dir: String): Unit = if (qs.exists(scoringLanes)) try {

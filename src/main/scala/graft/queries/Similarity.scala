@@ -336,6 +336,52 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Query rows for the composed IVF+PQ lanes: top-2 probed cells plus
+    * the per-query ADC LUTs, slimmed to (qid, qcell, luts) for the
+    * broadcast. */
+  private def ivfpqQueries(e: DataFrame, cs: Array[Array[Double]],
+                           cb: Array[Array[Array[Double]]]): DataFrame =
+    ivfQueries(e, cs)
+      .withColumnRenamed("qv", "v")
+      .withColumn("luts", pqLutsWideCol(cb))
+      .select(col("qid"), col("qcell"), col("luts"))
+
+  /** Shared composed-lane tail: ADC scoring of the (vec_id, cell, cds)
+    * candidate table within the probed cells, ADC top-8 shortlist, and
+    * the exact-cosine rerank over true vectors fetched through one
+    * bounded equi-join — FAISS IndexIVFPQ's search path. */
+  private def ivfpqTail(e: DataFrame, cand: DataFrame,
+                        q: DataFrame): DataFrame = {
+    val termSum = (0 until PqM).map { m =>
+      round(element_at(element_at(col("luts"), m + 1),
+        element_at(col("cds"), m + 1) + lit(1)) * 1000000.0, 0).cast("long")
+    }.reduce(_ + _)
+    val adc = cand.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (termSum.cast("double") / 1000000.0).as("adc"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    val short = adc.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= 8).select(col("qid"), col("nid"))
+    val en = e.withColumn("nrm", expr("vec_norm_sq(v)"))
+    val qe = en.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv2"),
+              col("nrm").as("qn2"))
+    val rer = short
+      .join(en.select(col("vec_id").as("nid"), col("v").as("nv"),
+                      col("nrm").as("nn")), Seq("nid"))
+      .join(broadcast(qe), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        round(call_function("vec_dot", col("qv2"), col("nv")) /
+              sqrt(col("qn2") * col("nn")), 6).as("cos"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    rer.withColumn("rk", row_number().over(wR)).filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   private[graft] def ivfLoadCentroids(s: SparkSession,
                                outDir: String): Array[Array[Double]] = {
     val arr = Array.ofDim[Double](IvfK, dim)
@@ -1041,38 +1087,35 @@ object Similarity extends QueryModule {
       val cb = pqFit(pqE(s, dir))
       val cand = ivfAssign(e, cs).select(col("vec_id"), col("cell"),
         pqCodesWideCol(cb).as("cds"))
-      val q = ivfQueries(e, cs)
-        .withColumnRenamed("qv", "v")
-        .withColumn("luts", pqLutsWideCol(cb))
-        .select(col("qid"), col("qcell"), col("luts"))
-      val termSum = (0 until PqM).map { m =>
-        round(element_at(element_at(col("luts"), m + 1),
-          element_at(col("cds"), m + 1) + lit(1)) * 1000000.0, 0).cast("long")
-      }.reduce(_ + _)
-      val adc = cand.join(broadcast(q),
-          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          (termSum.cast("double") / 1000000.0).as("adc"))
-      val wA = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
-      val short = adc.withColumn("rn", row_number().over(wA))
-        .filter(col("rn") <= 8).select(col("qid"), col("nid"))
-      val en = e.withColumn("nrm", expr("vec_norm_sq(v)"))
-      val qe = en.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv2"),
-                col("nrm").as("qn2"))
-      val rer = short
-        .join(en.select(col("vec_id").as("nid"), col("v").as("nv"),
-                        col("nrm").as("nn")), Seq("nid"))
-        .join(broadcast(qe), Seq("qid"))
-        .select(col("qid"), col("nid"),
-          round(call_function("vec_dot", col("qv2"), col("nv")) /
-                sqrt(col("qn2") * col("nn")), 6).as("cos"))
-      val wR = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      rer.withColumn("rk", row_number().over(wR)).filter(col("rk") <= 3)
-        .select(col("qid"), col("rk"), col("nid"), col("cos"))
-        .orderBy(col("qid"), col("rk"))
+      ivfpqTail(e, cand, ivfpqQueries(e, cs, cb))
+    }),
+
+    // Fit-once composed IVF+PQ — the lane you actually RUN at corpus
+    // scale: centroids, codebooks, cell ids and 8-byte codes all come
+    // from the persisted store ([[PqDirConf]], Bench's lane — the
+    // corpus contributes ONLY its stored cells⋈codes rows, zero fit
+    // passes at query time), or from sampled in-plan fits when no
+    // store is configured (the Verify/oracle lane — identical seeded
+    // fits over the same 1/16 rows, so the result is the same
+    // DataFrame either way, like s_ann_pq_score/s_ann_ivf_score).
+    "s_ann_ivfpq_score" -> ((s, dir) => {
+      graft.functions.VectorFns.register(s)
+      val e = ivfE(s, dir)
+      val store = s.conf.get(PqDirConf, "")
+      val (cs, cb, cand) =
+        if (store.nonEmpty) {
+          (ivfLoadCentroids(s, store), pqLoadCodebooks(s, store),
+           s.read.parquet(s"$store/ivf_cells")
+             .join(s.read.parquet(s"$store/pq_codes"), Seq("vec_id")))
+        } else {
+          val cs0 = ivfFit(e.filter(col("vec_id") % PqSampleMod === 0))
+          val cb0 = pqFit(pqE(s, dir)
+            .filter(col("vec_id") % PqSampleMod === 0))
+          (cs0, cb0,
+           e.select(col("vec_id"), ivfCellCol(cs0).as("cell"),
+                    pqCodesWideCol(cb0).as("cds")))
+        }
+      ivfpqTail(e, cand, ivfpqQueries(e, cs, cb))
     }),
 
     // Fit-once PQ — the production shape at 100 TB. Codebooks come either
@@ -1716,6 +1759,85 @@ object Similarity extends QueryModule {
          |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
          |${pqIterSql("pq0", "pq1")},
          |${pqIterSql("pq1", "pq2")},
+         |enc AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${ivfDistSql("s.sv", "c.c")}, c.k) AS rk
+         |    FROM sub s JOIN pq2 c ON s.m = c.m) WHERE rk = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS qid, s.m, c.k,
+         |    ${ivfDistSql("s.sv", "c.c")} AS term
+         |  FROM sub s JOIN pq2 c ON s.m = c.m WHERE s.vec_id < 10),
+         |score AS (
+         |  SELECT p.qid, t.vec_id AS nid,
+         |    CAST(SUM(CAST(round(l.term * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS adc
+         |  FROM probe p
+         |    JOIN assigned t ON t.cell = p.cell AND t.vec_id <> p.qid
+         |    JOIN enc c ON c.vec_id = t.vec_id
+         |    JOIN lut l ON l.qid = p.qid AND l.m = c.m AND l.k = c.code
+         |  GROUP BY p.qid, t.vec_id),
+         |short AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+         |    FROM score) WHERE rn <= 8),
+         |rer AS (
+         |  SELECT s.qid, s.nid,
+         |    ROUND(list_dot_product(q.v, t.v) / sqrt(
+         |      list_reduce(list_prepend(0.0, q.v), (a, x) -> a + x * x) *
+         |      list_reduce(list_prepend(0.0, t.v), (a, x) -> a + x * x)), 6)
+         |      AS cos
+         |  FROM short s JOIN e q ON q.vec_id = s.qid
+         |    JOIN e t ON t.vec_id = s.nid)
+         |SELECT qid, CAST(rk AS INT) AS rk, nid, cos FROM (
+         |  SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM rer) WHERE rk <= 3
+         |ORDER BY qid, rk""".stripMargin,
+
+    // the fit-once composed lane, unrolled with BOTH fits trained on
+    // the deterministic 1/16 sample (fe / fsub — what the persisted
+    // store holds); assignment, encode, probe, ADC and rerank run over
+    // the full corpus exactly like s_ann_ivfpq_topk
+    "s_ann_ivfpq_score" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |fe AS (SELECT * FROM e WHERE vec_id % 16 = 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    v AS c
+         |  FROM (SELECT vec_id, v FROM fe ORDER BY vec_id LIMIT 8)),
+         |${ivfIterSql("c0", "c1", "fe")},
+         |${ivfIterSql("c1", "c2", "fe")},
+         |${ivfIterSql("c2", "c3", "fe")},
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${ivfDistSql("e.v", "c.c")}, c.cell) AS rk
+         |    FROM e, c3 c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.vec_id AS qid, c.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${ivfDistSql("q.v", "c.c")}, c.cell) AS rk
+         |    FROM e q, c3 c WHERE q.vec_id < 10) WHERE rk <= 2),
+         |sub AS (SELECT vec_id, mm.m AS m,
+         |    v[mm.m * 8 + 1 : mm.m * 8 + 8] AS sv
+         |  FROM e, (SELECT CAST(unnest(range(0, 8)) AS INT) AS m) mm),
+         |fsub AS (SELECT * FROM sub WHERE vec_id % 16 = 0),
+         |pq0 AS (
+         |  SELECT m,
+         |    CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+         |      AS INT) AS k,
+         |    sv AS c
+         |  FROM fsub
+         |  WHERE vec_id IN (SELECT vec_id FROM e WHERE vec_id % 16 = 0
+         |                   ORDER BY vec_id LIMIT 16)),
+         |${pqIterSql("pq0", "pq1", "fsub")},
+         |${pqIterSql("pq1", "pq2", "fsub")},
          |enc AS (
          |  SELECT vec_id, m, k AS code FROM (
          |    SELECT s.vec_id, s.m, c.k,

@@ -54,6 +54,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "d_boilerplate_strip", "d_semdedup", "d_chunk_cdc",
     "d_semdedup_probes",
     "s_ann_ivfpq_topk", "s_ann_mmr_topk", "q_hybrid_rrf",
+    "s_ann_ivfpq_score",
     // TPC-H suite incl. the synthesized-partsupp/date lane (r13)
     "q2_min_cost_supp", "q4_order_priority", "q6_forecast_revenue",
     "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",

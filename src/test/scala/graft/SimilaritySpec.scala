@@ -276,6 +276,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("composed IVF-PQ fit-once store lane bit-matches the in-plan sampled-fit lane") {
+    import graft.queries.Similarity
+    val inPlan = {
+      val s = spark.newSession()
+      SparkEntry.queries("s_ann_ivfpq_score")(s, sf)
+        .collect().map(_.toString).toSeq
+    }
+    val stored = {
+      val s = spark.newSession()
+      val tmp = java.nio.file.Files.createTempDirectory("ivfpqstore").toString
+      Similarity.pqEnsurePersisted(s, sf, tmp)
+      Similarity.ivfEnsurePersisted(s, sf, tmp)
+      s.conf.set(Similarity.PqDirConf, tmp)
+      SparkEntry.queries("s_ann_ivfpq_score")(s, sf)
+        .collect().map(_.toString).toSeq
+    }
+    assert(stored == inPlan,
+      "persisted cells+codes scoring must reproduce the in-plan sampled fits")
+    assert(stored.nonEmpty)
+  }
+
   test("IVF-PQ composed lane recalls a meaningful share of exact top-3") {
     val exact = topkSet("s_ann_bruteforce_topk", 3)
     val ivfpq = topkSet("s_ann_ivfpq_topk", 3)
