@@ -22,7 +22,7 @@ import org.scalacheck.rng.Seed
   * exact for count/min/max/decimal-sum/count-distinct), equi-join, and
   * a projection through the graft hstore/jsonpath kernels (row-local,
   * so TLP holds verbatim). Each case asserts on BOTH lanes (stock
-  * codegen + graft rules/interpreted). 4 properties × 125 cases = 500
+  * codegen + graft rules/interpreted). 5 properties × 125 cases = 625
   * generated invariant checks.
   */
 object TlpFuzzSpec extends Properties("TlpFuzz") {
@@ -108,6 +108,42 @@ object TlpFuzzSpec extends Properties("TlpFuzz") {
           val a = FuzzLanes.rows(lane, full)
           val b = FuzzLanes.rows(lane, parts)
           (a == b) :| s"lane $name violated agg-TLP for $p\n" +
+            s"full: ${a.take(3)}\nparts: ${b.take(3)}"
+      }.reduce(_ && _)
+      }
+    }
+
+  // r13b: the agg-TLP shape over a JOIN output — the partition union
+  // runs through the graft lane's EagerAgg/OrExpansion rewrites (an
+  // aggregate over a UNION ALL of filtered joins is exactly the shape
+  // PushJoinBelowUnionAll + EagerAgg rearrange), so this catches a
+  // rule that breaks bag semantics under three-valued filtering even
+  // if both engine lanes share it.
+  property("TLP: aggregation over a join's partition union") =
+    Prop.forAll(for { p <- pred(1); g <- Gen.oneOf("b.k % 3", "f.k2") }
+      yield (p, g)) { case (p, g) =>
+      if (p.isEmpty || g.isEmpty) Prop.passed
+      else {
+      def agg(where: String) =
+        s"""SELECT $g AS gk, count(*) AS n, sum(f.d) AS sd, min(f.v) AS mv,
+           |count(DISTINCT f.k1) AS cd
+           |FROM f JOIN b ON f.k1 = b.k WHERE $where GROUP BY gk""".stripMargin
+      val full = agg("true")
+      val parts =
+        s"""SELECT gk, count(*) AS n, sum(sd0) AS sd, min(mv0) AS mv,
+           |count(DISTINCT cd0) AS cd FROM (
+           |  SELECT $g AS gk, f.d AS sd0, f.v AS mv0, f.k1 AS cd0
+           |  FROM f JOIN b ON f.k1 = b.k WHERE ($p)
+           |  UNION ALL SELECT $g, f.d, f.v, f.k1
+           |  FROM f JOIN b ON f.k1 = b.k WHERE (NOT ($p))
+           |  UNION ALL SELECT $g, f.d, f.v, f.k1
+           |  FROM f JOIN b ON f.k1 = b.k WHERE (($p) IS NULL)
+           |) GROUP BY gk""".stripMargin
+      Seq(FuzzLanes.stock -> "stock", FuzzLanes.graft -> "graft").map {
+        case (lane, name) =>
+          val a = FuzzLanes.rows(lane, full)
+          val b = FuzzLanes.rows(lane, parts)
+          (a == b) :| s"lane $name violated join-agg-TLP for $p\n" +
             s"full: ${a.take(3)}\nparts: ${b.take(3)}"
       }.reduce(_ && _)
       }
