@@ -55,11 +55,15 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "d_semdedup_probes",
     "s_ann_ivfpq_topk", "s_ann_mmr_topk", "q_hybrid_rrf",
     "s_ann_ivfpq_score",
-    // TPC-H suite incl. the synthesized-partsupp/date lane (r13)
+    // TPC-H suite — ALL 22 planner shapes pinned (q1/q3/q5 are in the
+    // bench set above; the synthesized-partsupp/date lane is r13)
     "q2_min_cost_supp", "q4_order_priority", "q6_forecast_revenue",
-    "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",
-    "q16_supplier_cnt", "q18_large_volume_cust", "q20_promotion_supp",
-    "q21_suppliers_waiting",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q12_shipmode_priority",
+    "q13_cust_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_volume_cust",
+    "q19_bracketed_revenue", "q20_promotion_supp", "q21_suppliers_waiting",
+    "q22_global_sales_opp",
     // graft optimizer-rule rewrites (Xforms + native operators)
     "q_eager_agg", "q_or_join", "q_join_below_union", "q_range_bin_join",
     "q_asof_join", "q_topk_global")
