@@ -436,6 +436,47 @@ object Corpus extends QueryModule {
     // any engine. 100 TB shape: the model is one (bigram) shuffle with
     // map-side partials and is VOCAB^2-bounded, so scoring broadcasts it
     // and the only other shuffle is the per-doc aggregation.
+    // DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — "Data
+    // Selection for Language Models via Importance Resampling", the
+    // standard recipe for biasing a raw crawl toward a target domain):
+    // hashed-feature bag models for TARGET (here lang='en' docs) and
+    // RAW (the whole corpus), per-document log importance weight
+    // log w(x) = sum over tokens of ln p_t(bucket) - ln p_r(bucket)
+    // with Laplace smoothing, top-k selection by weight (the paper's
+    // deterministic selection baseline; its Gumbel resampling variant
+    // is engine-RNG). Features are md5-hash buckets mod 1024 — DSIR's
+    // hashing trick, which bounds the model at 1024 rows no matter the
+    // vocabulary, so the model broadcast and the bucket-keyed count
+    // shuffle are CONSTANT-size at 100 TB; scoring is one broadcast
+    // join + one doc-keyed aggregation. Per-bucket log-ratios are
+    // rounded to integer micros (the d_naive_bayes discipline) so the
+    // per-doc fold is an order-free integer sum.
+    "d_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .withColumn("b", pmod(conv(substring(md5(col("w")), 1, 6), 16, 10)
+          .cast("long"), lit(1024)))
+      val counts = toks.groupBy(col("b")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+      val tot = counts.agg(sum(col("c_t")).as("t_t"),
+        sum(col("c_r")).as("t_r"), count(lit(1)).as("v"))
+      val model = counts.crossJoin(broadcast(tot))
+        .select(col("b"),
+          round((log((col("c_t") + 1).cast("double") /
+                     (col("t_t") + col("v"))) -
+                 log((col("c_r") + 1).cast("double") /
+                     (col("t_r") + col("v")))) * 1000000.0, 0)
+            .cast("long").as("r_u"))
+      val scored = toks.join(broadcast(model), Seq("b"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"),
+          sum(col("r_u")).as("logw_u"))
+      scored.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .orderBy(col("logw_u").desc, col("doc_id")).limit(64)
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("logw_u"))
+    }),
+
     "d_bigram_likelihood" -> ((s, dir) => {
       val w = split(col("text"), " ")
       val d = t(s, dir, "documents").select(col("doc_id"),
@@ -886,6 +927,33 @@ object Corpus extends QueryModule {
         |    AS digest,
         |  w[start_tok] AS first_w
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // literal replay of the hashed-feature importance model: same md5
+    // buckets, same Laplace log-ratios in integer micros, same top-64
+    "d_dsir_select" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |counts AS (SELECT b,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_t,
+        |    COUNT(*) AS c_r
+        |  FROM toks GROUP BY b),
+        |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_t,
+        |    CAST(SUM(c_r) AS BIGINT) AS t_r, COUNT(*) AS v FROM counts),
+        |model AS (SELECT b,
+        |    CAST(round(1000000.0 *
+        |      (ln(CAST(c_t + 1 AS DOUBLE) / (t_t + v))
+        |       - ln(CAST(c_r + 1 AS DOUBLE) / (t_r + v))), 0) AS BIGINT)
+        |      AS r_u
+        |  FROM counts, tot),
+        |scored AS (SELECT t.doc_id, COUNT(*) AS n_toks,
+        |    CAST(SUM(m.r_u) AS BIGINT) AS logw_u
+        |  FROM toks t JOIN model m ON t.b = m.b GROUP BY t.doc_id)
+        |SELECT s.doc_id, d.lang, s.n_toks, s.logw_u
+        |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        |ORDER BY s.logw_u DESC, s.doc_id LIMIT 64""".stripMargin,
 
     "d_naive_bayes" ->
       """WITH toks AS (SELECT doc_id, lang,

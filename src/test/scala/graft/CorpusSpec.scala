@@ -155,4 +155,23 @@ class CorpusSpec extends AnyFunSuite {
       ws.grouped(16).map(_.mkString(" ")).toSet
     assert(grid(words).intersect(grid("inserted" +: words)).size <= 1)
   }
+
+  test("DSIR selection actually enriches the target domain") {
+    import org.apache.spark.sql.functions.col
+    val sf = SparkTestSession.sf
+    val selected = SparkEntry.queries("d_dsir_select")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(selected.length == 64)
+    val selEn = selected.count(_._2 == "en").toDouble / selected.length
+    val corpus = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect().map(_.getString(1))
+    val corpusEn = corpus.count(_ == "en").toDouble / corpus.length
+    // the importance weights must bias selection toward the target
+    // domain beyond the corpus base rate (measured: 0.48 vs 0.39 base
+    // at the spec's sf0.001 fixture; 0.67 vs 0.44 at sf0.01 — the tiny
+    // 31-token synthetic vocabulary carries only a weak lang signal,
+    // so the margin pin stays modest)
+    assert(selEn > corpusEn + 0.05,
+      s"selection not enriched: $selEn selected vs $corpusEn base rate")
+  }
 }
