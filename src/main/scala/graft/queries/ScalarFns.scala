@@ -315,6 +315,46 @@ object ScalarFns extends QueryModule {
         .orderBy(col("p_partkey"))
     }),
 
+    // PG BIT-STRING type semantics (varbit.c; regress sql/bit.sql):
+    // fixed-width bit(11) values derived from part keys, with the full
+    // operator sweep — equal-length AND/OR/XOR, full-width NOT, the
+    // WIDTH-PRESERVING shifts (overflow bits drop, zeros fill — unlike
+    // integer shifts), concatenation, length, left-0-indexed
+    // get_bit/set_bit, bit_count, and PG substring. Carrier is the
+    // canonical '0'/'1' text render; the 11-bit ops run exactly on a
+    // long via bin/conv masks (codegen, no UDFs). The ORACLE side runs
+    // DuckDB's NATIVE BIT type and its native operators — an
+    // independent implementation of the same semantics, the strongest
+    // oracle form (the q_geo_grid_join discipline).
+    "q_bitstring_ops" -> ((s, dir) => {
+      val mask = lit(2047L) // 11 bits
+      def render(x: Column): Column = lpad(bin(x), 11, "0")
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .withColumn("xa", pmod(col("p_partkey") * 73 + 11, lit(2048))
+          .cast("long"))
+        .withColumn("xb", pmod(col("p_size") * 37 + 5, lit(2048))
+          .cast("long"))
+        .withColumn("a", render(col("xa")))
+        .withColumn("b2", render(col("xb")))
+      p.select(col("p_partkey"), col("a"), col("b2"),
+          render(col("xa").bitwiseAND(col("xb"))).as("band"),
+          render(col("xa").bitwiseOR(col("xb"))).as("bor"),
+          render(col("xa").bitwiseXOR(col("xb"))).as("bxor"),
+          render(expr("~xa").bitwiseAND(mask)).as("bnot"),
+          render(shiftleft(col("xa"), 3).bitwiseAND(mask)).as("shl3"),
+          render(shiftright(col("xa"), 2)).as("shr2"),
+          concat(col("a"), col("b2")).as("cat"),
+          length(col("a")).as("len"),
+          shiftright(col("xa"), 11 - 1 - 3).bitwiseAND(lit(1L))
+            .cast("int").as("bit3"),
+          render(col("xa").bitwiseOR(lit(1L << (11 - 1 - 5))))
+            .as("setbit5"),
+          bit_count(col("xa")).as("popcount"),
+          substring(col("a"), 2, 4).as("sub_2_4"),
+          substring(col("a"), 6, 1000000).as("sub_6"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Bitwise operator family (int.c / varbit ops).
     "q_bitwise_funcs" -> ((s, dir) => {
       t(s, dir, "part").filter(col("p_partkey") <= 200)
@@ -978,6 +1018,31 @@ object ScalarFns extends QueryModule {
         |  ROUND(sqrt(CAST(p_size AS DOUBLE) * p_size + 9.0), 6) AS hypot_s,
         |  CAST(factorial(CAST(p_size % 10 AS INT)) AS BIGINT) AS fact
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB's NATIVE BIT type and operators — an independent
+    // implementation of the PG varbit semantics the Spark side builds
+    // from bin/conv masks, so the hash compare proves semantic parity
+    // against a second real engine, not a transliterated formula
+    "q_bitstring_ops" ->
+      """WITH p AS (SELECT p_partkey,
+        |    lpad(bin((p_partkey * 73 + 11) % 2048), 11, '0') AS sa,
+        |    lpad(bin((p_size * 37 + 5) % 2048), 11, '0') AS sb
+        |  FROM part WHERE p_partkey <= 200)
+        |SELECT p_partkey, sa AS a, sb AS b2,
+        |  CAST(sa::BIT & sb::BIT AS VARCHAR) AS band,
+        |  CAST(sa::BIT | sb::BIT AS VARCHAR) AS bor,
+        |  CAST(xor(sa::BIT, sb::BIT) AS VARCHAR) AS bxor,
+        |  CAST(~(sa::BIT) AS VARCHAR) AS bnot,
+        |  CAST(sa::BIT << 3 AS VARCHAR) AS shl3,
+        |  CAST(sa::BIT >> 2 AS VARCHAR) AS shr2,
+        |  CAST(sa::BIT || sb::BIT AS VARCHAR) AS cat,
+        |  CAST(length(sa::BIT) AS INT) AS len,
+        |  CAST(get_bit(sa::BIT, 3) AS INT) AS bit3,
+        |  CAST(set_bit(sa::BIT, 5, 1) AS VARCHAR) AS setbit5,
+        |  CAST(bit_count(sa::BIT) AS INT) AS popcount,
+        |  substr(sa, 2, 4) AS sub_2_4,
+        |  substr(sa, 6, 1000000) AS sub_6
+        |FROM p ORDER BY p_partkey""".stripMargin,
 
     "q_bitwise_funcs" ->
       """SELECT p_partkey,
