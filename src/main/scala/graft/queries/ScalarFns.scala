@@ -19,6 +19,15 @@ import graft.Tables._
   */
 object ScalarFns extends QueryModule {
 
+  /** Canonical colon-hex render of a 48-bit macaddr expression for the
+    * DuckDB oracle ('||' propagates NULL, matching the Spark side's
+    * explicit guard). */
+  private def macRender(e: String, bytes: Int): String = {
+    val hh = s"lpad(lower(hex($e)), ${bytes * 2}, '0')"
+    (1 to bytes).map(i => s"substr($hh, ${2 * i - 1}, 2)")
+      .mkString(" || ':' || ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> ((s, dir) => {
       t(s, dir, "customer").filter(col("c_custkey") <= 200)
@@ -312,6 +321,83 @@ object ScalarFns extends QueryModule {
           round(cbrt(col("p_retailprice")), 6).as("cbrt_p"),
           round(hypot(col("p_size").cast("double"), lit(3.0)), 6).as("hypot_s"),
           factorial(col("p_size") % 10).as("fact"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // PG macaddr / macaddr8 semantics (utils/adt/mac.c, mac8.c; regress
+    // sql/macaddr.sql + macaddr8.sql): the 6 ACCEPTED input formats
+    // (colon/dash pairs, colon/dash 6-digit halves, dot/dash 4-digit
+    // quads, bare hex12) parse to the canonical colon form; the
+    // regress's rejected shape — COLON-separated 4-digit quads
+    // ('0800:2b01:0203') — yields NULL (the per-row-error convention).
+    // Value ops on the parsed 48-bit long: trunc (OUI keep, low 3
+    // bytes zeroed), ~ / & / | against the regress's own mask
+    // literals, ordering, and the macaddr8 face: EUI-64 expansion
+    // (ff:fe spliced between OUI and NIC) + macaddr8_set7bit (the
+    // universal/local bit, how IPv6 builds interface ids). Format
+    // legality is a shared regex family (RE2-safe, no backrefs) and
+    // all arithmetic is exact long masks inside codegen.
+    "q_macaddr_ops" -> ((s, dir) => {
+      def pair(h: Column, i: Int): Column = substring(h, 2 * i - 1, 2)
+      def canon6(x: Column): Column = {
+        val h = lpad(lower(hex(x)), 12, "0")
+        concat_ws(":", (1 to 6).map(pair(h, _)): _*)
+      }
+      def canon8(x: Column): Column = {
+        val h = lpad(lower(hex(x)), 16, "0")
+        concat_ws(":", (1 to 8).map(pair(h, _)): _*)
+      }
+      val validRe = Seq(
+        "^([0-9a-f]{2}:){5}[0-9a-f]{2}$",
+        "^([0-9a-f]{2}-){5}[0-9a-f]{2}$",
+        "^[0-9a-f]{6}[:-][0-9a-f]{6}$",
+        "^[0-9a-f]{4}\\.[0-9a-f]{4}\\.[0-9a-f]{4}$",
+        "^[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}$",
+        "^[0-9a-f]{12}$")
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 120)
+        .withColumn("x", pmod(col("p_partkey") * 2654435761L + 17L,
+          lit(281474976710656L)))
+        .withColumn("h", lpad(lower(hex(col("x"))), 12, "0"))
+      val raw = {
+        val h = col("h")
+        val pairs = (sep: String) =>
+          concat_ws(sep, (1 to 6).map(pair(h, _)): _*)
+        val quads = (sep: String) => concat_ws(sep,
+          substring(h, 1, 4), substring(h, 5, 4), substring(h, 9, 4))
+        when(pmod(col("p_partkey"), lit(7)) === 0, pairs(":"))
+          .when(pmod(col("p_partkey"), lit(7)) === 1, pairs("-"))
+          .when(pmod(col("p_partkey"), lit(7)) === 2,
+            concat_ws(":", substring(h, 1, 6), substring(h, 7, 6)))
+          .when(pmod(col("p_partkey"), lit(7)) === 3,
+            concat_ws("-", substring(h, 1, 6), substring(h, 7, 6)))
+          .when(pmod(col("p_partkey"), lit(7)) === 4, quads("."))
+          .when(pmod(col("p_partkey"), lit(7)) === 5, h)
+          .otherwise(quads(":")) // the regress's INVALID shape
+      }
+      val isValid = validRe.map(col("raw").rlike(_)).reduce(_ || _)
+      val parsed = when(isValid,
+        conv(regexp_replace(col("raw"), "[.:-]", ""), 16, 10).cast("long"))
+      val withMac = p.withColumn("raw", raw)
+        .withColumn("xp", parsed)
+      // concat_ws SKIPS null args (both engines), so a NULL parse would
+      // render as "" — guard every derived column back to NULL, PG's
+      // per-row-error convention
+      def n(c: Column): Column = when(col("xp").isNotNull, c)
+      val x8 = shiftleft(shiftright(col("xp"), 24), 40)
+        .bitwiseOR(lit(0xfffeL * 16777216L))
+        .bitwiseOR(col("xp").bitwiseAND(lit(16777215L)))
+      withMac.select(col("p_partkey"), col("raw"),
+          n(canon6(col("xp"))).as("mac"),
+          n(canon6(col("xp").bitwiseAND(lit(281474959933440L))))
+            .as("trunc_mac"),
+          n(canon6(expr("~xp").bitwiseAND(lit(281474976710655L))))
+            .as("bnot"),
+          n(canon6(col("xp").bitwiseAND(lit(16777215L)))).as("band_low"),
+          n(canon6(col("xp").bitwiseOR(lit(1108152157446L)))).as("bor"),
+          (col("xp") < lit(0x08002b010203L)).as("lt_ref"),
+          n(canon8(x8)).as("mac8"),
+          n(canon8(x8.bitwiseOR(lit(144115188075855872L))))
+            .as("mac8_7bit"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -1018,6 +1104,58 @@ object ScalarFns extends QueryModule {
         |  ROUND(sqrt(CAST(p_size AS DOUBLE) * p_size + 9.0), 6) AS hypot_s,
         |  CAST(factorial(CAST(p_size % 10 AS INT)) AS BIGINT) AS fact
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    // literal replay of the macaddr construction: same derived formats,
+    // same RE2-safe validity family, same long-mask arithmetic; '||'
+    // NULL propagation mirrors the Spark side's explicit invalid->NULL
+    "q_macaddr_ops" ->
+      s"""WITH p AS (SELECT p_partkey,
+         |    (p_partkey * 2654435761 + 17) % 281474976710656 AS x
+         |  FROM part WHERE p_partkey <= 120),
+         |ph AS (SELECT p_partkey, x,
+         |    lpad(lower(hex(x)), 12, '0') AS h FROM p),
+         |r AS (SELECT p_partkey, x, h,
+         |    CASE CAST(p_partkey % 7 AS INT)
+         |      WHEN 0 THEN substr(h,1,2)||':'||substr(h,3,2)||':'||
+         |        substr(h,5,2)||':'||substr(h,7,2)||':'||substr(h,9,2)||
+         |        ':'||substr(h,11,2)
+         |      WHEN 1 THEN substr(h,1,2)||'-'||substr(h,3,2)||'-'||
+         |        substr(h,5,2)||'-'||substr(h,7,2)||'-'||substr(h,9,2)||
+         |        '-'||substr(h,11,2)
+         |      WHEN 2 THEN substr(h,1,6)||':'||substr(h,7,6)
+         |      WHEN 3 THEN substr(h,1,6)||'-'||substr(h,7,6)
+         |      WHEN 4 THEN substr(h,1,4)||'.'||substr(h,5,4)||'.'||
+         |        substr(h,9,4)
+         |      WHEN 5 THEN h
+         |      ELSE substr(h,1,4)||':'||substr(h,5,4)||':'||substr(h,9,4)
+         |    END AS raw
+         |  FROM ph),
+         |px AS (SELECT p_partkey, raw,
+         |    CASE WHEN regexp_matches(raw, '^([0-9a-f]{2}:){5}[0-9a-f]{2}$$')
+         |        OR regexp_matches(raw, '^([0-9a-f]{2}-){5}[0-9a-f]{2}$$')
+         |        OR regexp_matches(raw, '^[0-9a-f]{6}[:-][0-9a-f]{6}$$')
+         |        OR regexp_matches(raw,
+         |             '^[0-9a-f]{4}\\.[0-9a-f]{4}\\.[0-9a-f]{4}$$')
+         |        OR regexp_matches(raw,
+         |             '^[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}$$')
+         |        OR regexp_matches(raw, '^[0-9a-f]{12}$$')
+         |      THEN CAST('0x' || regexp_replace(raw, '[.:-]', '', 'g')
+         |                AS BIGINT) END AS xp
+         |  FROM r),
+         |w AS (SELECT p_partkey, raw, xp,
+         |    ((xp >> 24) << 40) | CAST(1099478073344 AS BIGINT) | (xp & 16777215)
+         |      AS x8
+         |  FROM px)
+         |SELECT p_partkey, raw,
+         |  ${macRender("xp", 6)} AS mac,
+         |  ${macRender("xp & 281474959933440", 6)} AS trunc_mac,
+         |  ${macRender("(~xp) & 281474976710655", 6)} AS bnot,
+         |  ${macRender("xp & 16777215", 6)} AS band_low,
+         |  ${macRender("xp | 1108152157446", 6)} AS bor,
+         |  xp < 8796814508547 AS lt_ref,
+         |  ${macRender("x8", 8)} AS mac8,
+         |  ${macRender("x8 | 144115188075855872", 8)} AS mac8_7bit
+         |FROM w ORDER BY p_partkey""".stripMargin,
 
     // DuckDB's NATIVE BIT type and operators — an independent
     // implementation of the PG varbit semantics the Spark side builds
