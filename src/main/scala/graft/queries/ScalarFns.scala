@@ -324,6 +324,58 @@ object ScalarFns extends QueryModule {
         .orderBy(col("p_partkey"))
     }),
 
+    // PG polygon/path family (utils/adt/geo_ops.c poly_* / path_*;
+    // regress sql/polygon.sql, sql/path.sql — the geofencing face of
+    // the geometric type set beyond q_geo_ops's point/box): per-row
+    // 3-6-vertex polygons at integer coordinates, with npoints,
+    // DOUBLED shoelace area (exact integer — no half, no float),
+    // perimeter as a sum of per-edge micros-rounded lengths (the
+    // earthdistance rounding discipline), the bounding box, and
+    // point-in-polygon by the even-odd ray cast with the crossing test
+    // cross-multiplied into EXACT integer arithmetic (no division, so
+    // the two engines cannot diverge on a boundary). All per-row HOF
+    // folds over the vertex array — map-side, no shuffle.
+    "q_polygon_ops" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 150)
+        .select(col("p_partkey").as("pk"),
+          (pmod(col("p_partkey"), lit(4)) + 3).cast("int").as("k"))
+        .withColumn("qx",
+          (pmod(col("pk") * 17, lit(2001)) - 1000).cast("long"))
+        .withColumn("qy",
+          (pmod(col("pk") * 29, lit(2001)) - 1000).cast("long"))
+        .withColumn("vs", transform(sequence(lit(0), col("k") - 1), i =>
+          struct(
+            (pmod(col("pk") * 31 + i * 97, lit(2001)) - 1000)
+              .cast("long").as("x"),
+            (pmod(col("pk") * 53 + i * 71, lit(2001)) - 1000)
+              .cast("long").as("y"))))
+        .withColumn("es", transform(sequence(lit(0), col("k") - 1), i =>
+          struct(element_at(col("vs"), i + 1).as("a"),
+                 element_at(col("vs"),
+                   pmod(i + 1, col("k")) + 1).as("b"))))
+      def ax(e: Column) = e("a")("x"); def ay(e: Column) = e("a")("y")
+      def bx(e: Column) = e("b")("x"); def by(e: Column) = e("b")("y")
+      p.select(col("pk"), col("k").as("npoints"), col("qx"), col("qy"),
+          abs(aggregate(col("es"), lit(0L), (acc, e) =>
+            acc + ax(e) * by(e) - bx(e) * ay(e))).as("area2"),
+          aggregate(col("es"), lit(0L), (acc, e) =>
+            acc + round(sqrt((bx(e) - ax(e)) * (bx(e) - ax(e)) +
+                             (by(e) - ay(e)) * (by(e) - ay(e))) *
+                        1000000.0, 0).cast("long")).as("perim_u"),
+          array_min(transform(col("vs"), v => v("x"))).as("bb_x1"),
+          array_min(transform(col("vs"), v => v("y"))).as("bb_y1"),
+          array_max(transform(col("vs"), v => v("x"))).as("bb_x2"),
+          array_max(transform(col("vs"), v => v("y"))).as("bb_y2"),
+          (pmod(aggregate(col("es"), lit(0L), (acc, e) => {
+            val crossing = ((ay(e) > col("qy")) =!= (by(e) > col("qy"))) &&
+              (((col("qx") - ax(e)) * (by(e) - ay(e)) -
+                (bx(e) - ax(e)) * (col("qy") - ay(e))) < 0) ===
+              (by(e) > ay(e))
+            acc + when(crossing, 1L).otherwise(0L)
+          }), lit(2L)) === 1L).as("inside"))
+        .orderBy(col("pk"))
+    }),
+
     // PG macaddr / macaddr8 semantics (utils/adt/mac.c, mac8.c; regress
     // sql/macaddr.sql + macaddr8.sql): the 6 ACCEPTED input formats
     // (colon/dash pairs, colon/dash 6-digit halves, dot/dash 4-digit
@@ -1104,6 +1156,36 @@ object ScalarFns extends QueryModule {
         |  ROUND(sqrt(CAST(p_size AS DOUBLE) * p_size + 9.0), 6) AS hypot_s,
         |  CAST(factorial(CAST(p_size % 10 AS INT)) AS BIGINT) AS fact
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    // literal replay of the polygon construction over unnested vertex
+    // rows: same coordinates, same exact-integer shoelace and ray-cast
+    // cross-multiplication, same per-edge micros length rounding
+    "q_polygon_ops" ->
+      """WITH p AS (SELECT p_partkey AS pk,
+        |    CAST(p_partkey % 4 + 3 AS INT) AS k,
+        |    CAST((p_partkey * 17) % 2001 - 1000 AS BIGINT) AS qx,
+        |    CAST((p_partkey * 29) % 2001 - 1000 AS BIGINT) AS qy
+        |  FROM part WHERE p_partkey <= 150),
+        |v AS (SELECT pk, k, qx, qy, CAST(i.i AS INT) AS i,
+        |    CAST((pk * 31 + i.i * 97) % 2001 - 1000 AS BIGINT) AS x,
+        |    CAST((pk * 53 + i.i * 71) % 2001 - 1000 AS BIGINT) AS y
+        |  FROM p, (SELECT unnest(range(0, 6)) AS i) i WHERE i.i < k),
+        |e AS (SELECT a.pk, a.k, a.qx, a.qy,
+        |    a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj
+        |  FROM v a JOIN v b
+        |    ON a.pk = b.pk AND b.i = (a.i + 1) % a.k)
+        |SELECT pk, MAX(k) AS npoints, MAX(qx) AS qx, MAX(qy) AS qy,
+        |  ABS(CAST(SUM(xi * yj - xj * yi) AS BIGINT)) AS area2,
+        |  CAST(SUM(CAST(round(sqrt(CAST((xj - xi) * (xj - xi)
+        |    + (yj - yi) * (yj - yi) AS DOUBLE)) * 1000000.0, 0)
+        |    AS BIGINT)) AS BIGINT) AS perim_u,
+        |  MIN(LEAST(xi, xj)) AS bb_x1, MIN(LEAST(yi, yj)) AS bb_y1,
+        |  MAX(GREATEST(xi, xj)) AS bb_x2, MAX(GREATEST(yi, yj)) AS bb_y2,
+        |  CAST(SUM(CASE WHEN ((yi > qy) <> (yj > qy)) AND
+        |      (((qx - xi) * (yj - yi) - (xj - xi) * (qy - yi)) < 0)
+        |        = (yj > yi)
+        |    THEN 1 ELSE 0 END) % 2 = 1 AS BOOLEAN) AS inside
+        |FROM e GROUP BY pk ORDER BY pk""".stripMargin,
 
     // literal replay of the macaddr construction: same derived formats,
     // same RE2-safe validity family, same long-mask arithmetic; '||'
