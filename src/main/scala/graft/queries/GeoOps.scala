@@ -174,6 +174,30 @@ object GeoOps extends QueryModule {
         .groupBy(col("bid"))
         .agg(count(lit(1)).as("n_points"), sum(col("pid")).as("sum_pid"))
         .orderBy(col("bid"))
+    }),
+
+    // PG circle + lseg operator families (geo_ops.c circle_*:4700-5100,
+    // lseg_*:2000-2400; regress sql/circle.sql + sql/lseg.sql). Per-row
+    // circles/segments at integer coordinates so every PREDICATE
+    // (contain_pt, overlap, strict left, parallel, perpendicular,
+    // intersect) is decided in EXACT integer arithmetic — equivalent to
+    // PG's EPSILON=1e-6 fuzzy compares at this coordinate range because
+    // the smallest nonzero discriminant (>=1, or >=4e-6 for slope
+    // cross-differences at +-500) exceeds the fuzz — while lengths,
+    // areas, and distances are micros-FLOORed doubles whose formula text
+    // is shared VERBATIM by both engines (identical IEEE op sequence).
+    // circle_box is the INSCRIBED box (radius/sqrt(2), geo_ops.c:5073) —
+    // not the bounding box. Segment intersection is the exact
+    // orientation predicate incl. collinear-touch; point-segment
+    // distance picks its branch (end1/end2/perpendicular foot) by
+    // integer compare before any float op. All map-side HOF-free scalar
+    // codegen; the only shuffle is the final ORDER BY.
+    "q_circle_lseg_ops" -> ((s, dir) => {
+      t(s, dir, "part").filter("p_partkey <= 160")
+        .selectExpr(ClsShared.base: _*)
+        .selectExpr(ClsShared.derived: _*)
+        .selectExpr(ClsShared.outputs: _*)
+        .orderBy(col("pk"))
     })
   )
 
@@ -262,6 +286,119 @@ object GeoOps extends QueryModule {
         |  FROM orders WHERE o_orderkey <= 200)
         |SELECT bid, COUNT(*) AS n_points, CAST(SUM(pid) AS BIGINT) AS sum_pid
         |FROM b JOIN p ON px BETWEEN xl AND xh AND py BETWEEN yl AND yh
-        |GROUP BY bid ORDER BY bid""".stripMargin
+        |GROUP BY bid ORDER BY bid""".stripMargin,
+
+    // the identical shared formula text over the identical CTE ladder
+    "q_circle_lseg_ops" ->
+      s"""WITH s0 AS (SELECT ${ClsShared.base.mkString(", ")}
+         |  FROM part WHERE p_partkey <= 160),
+         |s1 AS (SELECT ${ClsShared.derived.mkString(", ")} FROM s0)
+         |SELECT ${ClsShared.outputs.mkString(", ")}
+         |FROM s1 ORDER BY pk""".stripMargin
   )
+}
+
+/** Shared-verbatim formula text for q_circle_lseg_ops — every string here
+  * is executed unchanged by both Spark (selectExpr ladder) and DuckDB
+  * (CTE ladder), so the engines agree by construction on operator choice
+  * and IEEE op order; see the query's scaladoc for the semantics map to
+  * geo_ops.c. */
+private[queries] object ClsShared {
+
+  /** Micros-FLOOR of a double expression. */
+  private def u(x: String): String =
+    s"CAST(FLOOR(($x) * 1000000.0) AS BIGINT)"
+  private def dbl(x: String): String = s"CAST($x AS DOUBLE)"
+
+  val base: Seq[String] = Seq(
+    "p_partkey AS pk",
+    "CAST((p_partkey * 13) % 1001 - 500 AS BIGINT) AS ax",
+    "CAST((p_partkey * 37) % 1001 - 500 AS BIGINT) AS ay",
+    "CAST(p_partkey % 19 + 1 AS BIGINT) AS ra",
+    "CAST((p_partkey * 53) % 1001 - 500 AS BIGINT) AS bx",
+    "CAST((p_partkey * 71) % 1001 - 500 AS BIGINT) AS by",
+    "CAST(p_partkey % 23 + 2 AS BIGINT) AS rb",
+    "CAST((p_partkey * 89) % 1001 - 500 AS BIGINT) AS qx",
+    "CAST((p_partkey * 97) % 1001 - 500 AS BIGINT) AS qy",
+    "CAST((p_partkey * 11) % 601 - 300 AS BIGINT) AS x1",
+    "CAST((p_partkey * 17) % 601 - 300 AS BIGINT) AS y1",
+    "CAST((p_partkey * 19) % 601 - 300 AS BIGINT) AS x3",
+    "CAST((p_partkey * 23) % 601 - 300 AS BIGINT) AS y3",
+    "CAST(p_partkey % 41 + 1 AS BIGINT) AS sdx",
+    "CAST((p_partkey * 7) % 83 - 41 AS BIGINT) AS sdy",
+    "CAST(p_partkey % 37 - 18 AS BIGINT) AS tdx",
+    "CAST((p_partkey * 5) % 79 - 39 AS BIGINT) AS tdy")
+
+  // pk mod 8 steers rows into the rare-branch shapes so every predicate
+  // fires both ways: 0 -> parallel segments, 1 -> perpendicular,
+  // 2 -> point strictly inside circle A, 6 -> point EXACTLY on the rim
+  // (PG's FPle makes tangency contained), 3 -> circles overlapping,
+  // 7 -> circles exactly tangent (overlap per FPle)
+  val derived: Seq[String] = Seq(
+    "pk", "ax", "ay", "ra", "rb",
+    "CASE WHEN pk % 8 = 3 THEN ax + ra + rb - 1 " +
+      "WHEN pk % 8 = 7 THEN ax + ra + rb ELSE bx END AS bx",
+    "CASE WHEN pk % 8 IN (3, 7) THEN ay ELSE by END AS by",
+    "CASE WHEN pk % 8 = 2 THEN ax WHEN pk % 8 = 6 THEN ax + ra " +
+      "ELSE qx END AS qx",
+    "CASE WHEN pk % 8 = 2 THEN ay + ra - 1 WHEN pk % 8 = 6 THEN ay " +
+      "ELSE qy END AS qy",
+    "x1", "y1", "x3", "y3",
+    "x1 + sdx AS x2", "y1 + sdy AS y2",
+    "x3 + (CASE WHEN pk % 8 = 0 THEN sdx WHEN pk % 8 = 1 THEN -sdy " +
+      "ELSE tdx END) AS x4",
+    "y3 + (CASE WHEN pk % 8 = 0 THEN sdy WHEN pk % 8 = 1 THEN sdx " +
+      "ELSE tdy END) AS y4")
+
+  // exact-integer cross product of (b-a) x (c-a)
+  private def cross(axx: String, ayy: String, bxx: String, byy: String,
+                    cxx: String, cyy: String): String =
+    s"(($bxx) - ($axx)) * (($cyy) - ($ayy)) - " +
+      s"(($byy) - ($ayy)) * (($cxx) - ($axx))"
+
+  private def onSeg(axx: String, ayy: String, bxx: String, byy: String,
+                    cxx: String, cyy: String): String =
+    s"($cxx) BETWEEN LEAST($axx, $bxx) AND GREATEST($axx, $bxx) AND " +
+      s"($cyy) BETWEEN LEAST($ayy, $byy) AND GREATEST($ayy, $byy)"
+
+  val outputs: Seq[String] = {
+    val d2ab = "(bx-ax)*(bx-ax) + (by-ay)*(by-ay)"
+    val dq1 = "(qx-x1)*(qx-x1) + (qy-y1)*(qy-y1)"
+    val dq2 = "(qx-x2)*(qx-x2) + (qy-y2)*(qy-y2)"
+    val tNum = "(qx-x1)*(x2-x1) + (qy-y1)*(y2-y1)"
+    val den = "(x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)"
+    val crossQ = "(x2-x1)*(qy-y1) - (y2-y1)*(qx-x1)"
+    val d1 = cross("x3", "y3", "x4", "y4", "x1", "y1")
+    val d2 = cross("x3", "y3", "x4", "y4", "x2", "y2")
+    val d3 = cross("x1", "y1", "x2", "y2", "x3", "y3")
+    val d4 = cross("x1", "y1", "x2", "y2", "x4", "y4")
+    Seq(
+      "pk",
+      "2 * ra AS c_diameter",
+      u(s"pi() * ${dbl("ra * ra")}") + " AS c_area_u",
+      "ax + qx AS addpt_x", "ay + qy AS addpt_y",
+      s"(qx-ax)*(qx-ax) + (qy-ay)*(qy-ay) <= ra * ra AS contain_pt",
+      s"$d2ab <= (ra + rb) * (ra + rb) AS c_overlap",
+      u(s"GREATEST(0.0, sqrt(${dbl(d2ab)}) - ${dbl("ra + rb")})") +
+        " AS c_dist_u",
+      "(ax + ra) < (bx - rb) AS c_left",
+      u(s"${dbl("ax")} - ${dbl("ra")} / sqrt(2.0)") + " AS ibox_x1_u",
+      u(s"${dbl("ay")} + ${dbl("ra")} / sqrt(2.0)") + " AS ibox_y2_u",
+      u(s"sqrt(${dbl(den)})") + " AS s_len_u",
+      "(x1 + x2) * 500000 AS mid_x_u",
+      "(y1 + y2) * 500000 AS mid_y_u",
+      "(y2-y1)*(x4-x3) = (y4-y3)*(x2-x1) AS s_parallel",
+      "(x2-x1)*(x4-x3) + (y2-y1)*(y4-y3) = 0 AS s_perp",
+      s"((($d1) > 0 AND ($d2) < 0 OR ($d1) < 0 AND ($d2) > 0) AND " +
+        s"(($d3) > 0 AND ($d4) < 0 OR ($d3) < 0 AND ($d4) > 0)) OR " +
+        s"(($d1) = 0 AND ${onSeg("x3", "y3", "x4", "y4", "x1", "y1")}) OR " +
+        s"(($d2) = 0 AND ${onSeg("x3", "y3", "x4", "y4", "x2", "y2")}) OR " +
+        s"(($d3) = 0 AND ${onSeg("x1", "y1", "x2", "y2", "x3", "y3")}) OR " +
+        s"(($d4) = 0 AND ${onSeg("x1", "y1", "x2", "y2", "x4", "y4")}) " +
+        "AS s_intersect",
+      s"CASE WHEN ($tNum) <= 0 THEN ${u(s"sqrt(${dbl(dq1)})")} " +
+        s"WHEN ($tNum) >= ($den) THEN ${u(s"sqrt(${dbl(dq2)})")} " +
+        s"ELSE ${u(s"abs(${dbl(crossQ)}) / sqrt(${dbl(den)})")} END " +
+        "AS dist_ps_u")
+  }
 }
