@@ -787,6 +787,69 @@ object Corpus extends QueryModule {
           count(lit(1)).as("n_chunks"),
           sum(coalesce(col("bp"), lit(0))).cast("long").as("n_removed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ExactSubstr dedup (Lee et al. 2021, arXiv:2107.06499 §4.1 —
+    // "Deduplicating Training Data Makes Language Models Better"): find
+    // every duplicated token run of length >= k ANYWHERE in the corpus,
+    // alignment-free. The paper's single-node suffix array becomes the
+    // scalable k-gram formulation: a run of length L >= k is duplicated
+    // iff all of its L-k+1 SLIDING k-windows are duplicated, so hashing
+    // every window (not d_dedup_chunks' fixed grid, which misses spans
+    // straddling or offset from chunk boundaries), marking windows whose
+    // corpus count > 1 (within-doc repeats count too, as in the paper),
+    // and merging overlapping-or-adjacent duplicated starts per doc via
+    // gaps-and-islands recovers exactly the MAXIMAL duplicated spans.
+    // Scale shape: the only corpus-sized shuffles carry (digest) and
+    // (digest, doc, start) pairs — never text; the digest groupBy is
+    // partial-aggregated map-side; the islands pass is one partition-by-
+    // doc window. The spans_digest hash-pins the exact span extents per
+    // doc, so the oracle proves the geometry, not just counts.
+    "d_dedup_substring" -> ((s, dir) => {
+      val K = 8
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val wins = base.filter(size(col("w")) >= K)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(w) - ${K - 1}), " +
+            s"i -> struct(i AS start, " +
+            s"md5(concat_ws(' ', slice(w, i, $K))) AS dg))")).as("x"))
+        .select(col("doc_id"), col("x.start").as("start"),
+          col("x.dg").as("dg"))
+      val dup = wins.groupBy(col("dg")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("dg"), lit(1).as("isdup"))
+      val marked = wins.join(dup, Seq("dg"), "left")
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      val spans = marked.filter(col("isdup").isNotNull)
+        .withColumn("prev", lag(col("start"), 1).over(byDoc))
+        .withColumn("isl", sum(when(col("prev").isNull ||
+            col("start") - col("prev") > K, 1).otherwise(0)).over(byDoc))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("start")).as("s"),
+             (max(col("start")) + (K - 1)).as("e"))
+      val perDocSpans = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).as("dup_tokens"),
+          md5(concat_ws(",", sort_array(collect_list(
+            concat(col("s"), lit("-"), col("e"))))))
+            .as("spans_digest"))
+      val counts = marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup"))
+      base.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .join(perDocSpans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("spans_digest"), lit("")).as("spans_digest"))
+        .withColumn("dup_frac_u",
+          expr("CASE WHEN n_windows > 0 THEN " +
+            "(2000000 * n_dup + n_windows) div (2 * n_windows) " +
+            "ELSE 0 END"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1247,6 +1310,45 @@ object Corpus extends QueryModule {
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id,
         |  CAST(id <> MIN(lbl) AS INT) AS is_dup
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // same sliding 8-gram set (1-based starts), same corpus-count>1 dup
+    // rule, same gaps-and-islands merge; spans rendered "s-e" and
+    // lexicographically sorted before the digest in both engines
+    "d_dedup_substring" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i,
+        |    md5(array_to_string(w[i:i+7], ' ')) AS dg
+        |  FROM d, unnest(range(1, len(w) - 6)) AS t(i)),
+        |dup AS (SELECT dg FROM g GROUP BY dg HAVING COUNT(*) > 1),
+        |mk AS (SELECT g.doc_id, g.i, dup.dg IS NOT NULL AS isdup
+        |  FROM g LEFT JOIN dup USING (dg)),
+        |isl AS (SELECT doc_id, i,
+        |    SUM(CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        |  FROM (SELECT doc_id, i,
+        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |    FROM mk WHERE isdup)),
+        |sp AS (SELECT doc_id, isl, MIN(i) AS s, MAX(i) + 7 AS e
+        |  FROM isl GROUP BY doc_id, isl),
+        |pds AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+        |    md5(array_to_string(list_sort(list(s || '-' || e)), ','))
+        |      AS spans_digest
+        |  FROM sp GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM mk GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_windows, 0) AS n_windows,
+        |  COALESCE(n_dup, 0) AS n_dup,
+        |  COALESCE(n_spans, 0) AS n_spans,
+        |  COALESCE(dup_tokens, 0) AS dup_tokens,
+        |  COALESCE(spans_digest, '') AS spans_digest,
+        |  CASE WHEN COALESCE(n_windows, 0) > 0 THEN
+        |    (2000000 * COALESCE(n_dup, 0) + n_windows) // (2 * n_windows)
+        |    ELSE 0 END AS dup_frac_u
+        |FROM d LEFT JOIN cnt USING (doc_id) LEFT JOIN pds USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

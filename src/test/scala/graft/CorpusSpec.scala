@@ -133,6 +133,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(900003L) == ((1L, 0L)), s"doc3: ${out(900003L)}")
   }
 
+  test("substring dedup recovers UNALIGNED maximal spans exactly") {
+    // the Lee et al. property d_dedup_chunks cannot express: the same
+    // 20-word run planted at DIFFERENT offsets (5 and 3) in two docs is
+    // recovered as one maximal span of exactly 20 tokens in each, at the
+    // right 1-based start; the fixed 16-grid shares no chunk here
+    val sp = spark; import sp.implicits._
+    val run = (1 to 20).map(i => s"dup$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val docA = (uniq("a", 5) :+ run) ++ uniq("aa", 10)
+    val docB = (uniq("b", 3) :+ run) ++ uniq("bb", 12)
+    val docs = Seq(
+      (910001L, docA.mkString(" ")),
+      (910002L, docB.mkString(" ")),
+      (910003L, uniq("c", 30).mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("substrdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Corpus.queries("d_dedup_substring")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    // (n_spans, dup_tokens, spans_digest-of-"s-e")
+    def dg(se: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(se.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out(910001L) == ((1L, 20L, dg("6-25"))), s"A: ${out(910001L)}")
+    assert(out(910002L) == ((1L, 20L, dg("4-23"))), s"B: ${out(910002L)}")
+    assert(out(910003L) == ((0L, 0L, "")), s"C: ${out(910003L)}")
+  }
+
   test("content-defined chunking is shift-resistant; fixed grid is not") {
     val sp = spark; import sp.implicits._
     // long synthetic doc with enough hash variety to cut ~every 8 words
