@@ -107,7 +107,7 @@ class SpillPressureSpec extends AnyFunSuite {
     * broadcast-off), candidate ranking windows, shortlist rerank joins
     * — driven by the lighter profile (see [[bufLight]]). */
   private val lightShapes = Seq("d_semdedup_probes", "s_ann_ivfpq_topk",
-    "s_ann_mmr_topk", "q_hybrid_rrf")
+    "s_ann_mmr_topk", "q_hybrid_rrf", "d_dedup_substring")
 
   (shapes.map { case (n, agg) => (n, if (agg) () => aggPressured
                                      else () => bufPressured) } ++
