@@ -52,7 +52,11 @@ object Bench {
     "s_ann_ivfpq_topk", "s_ann_mmr_topk", "q_hybrid_rrf",
     // r13b: the fit-once composed lane — stored cells ⋈ codes, zero
     // fit passes at query time (the shape you run at corpus scale)
-    "s_ann_ivfpq_score")
+    "s_ann_ivfpq_score",
+    // r13c: alignment-free sliding 8-gram exact-substring dedup — the
+    // corpus-sized digest shuffle (every token starts a window) is the
+    // heaviest per-byte text shape in the suite
+    "d_dedup_substring")
 
   /** Min-of-`runs` wall seconds per query over `dir` (first run pays
     * one-time whole-stage-codegen + JIT; min keeps one contended run —
