@@ -198,6 +198,38 @@ object GeoOps extends QueryModule {
         .selectExpr(ClsShared.derived: _*)
         .selectExpr(ClsShared.outputs: _*)
         .orderBy(col("pk"))
+    }),
+
+    // PG infinite-line type (geo_ops.c line_*:1056-1330 — construct_pp,
+    // intersect ?#, parallel ?||, perp ?-|, vertical ?|, horizontal ?-,
+    // line_eq =, line_distance <->, line_interpt #, line_sl/invsl,
+    // line_closept_point ##, line_contain_point @>; regress
+    // sql/line.sql). A line is the coefficient triple {A,B,C} of
+    // Ax+By+C=0; the reference normalizes to slope form (A=m, B=-1) via
+    // float slope, here construction from two integer points keeps the
+    // EXACT integer cross form (A=y2-y1, B=x1-x2, C=x2*y1-x1*y2) — the
+    // same line, scale-invariant under every operator below, so all
+    // PREDICATES (parallel A1*B2=A2*B1, perpendicular A1*A2+B1*B2=0,
+    // eq as three proportionality cross-products, vertical B=0,
+    // horizontal A=0, containment A*qx+B*qy+C=0) decide in exact
+    // integer arithmetic — equivalent to PG's EPSILON fuzz at this
+    // coordinate range — while interpt (Cramer), point/line and
+    // parallel-line distances (PG's ratio-scaled |C1-rC2|/hypot), the
+    // perpendicular foot, and slopes are micros-FLOORed doubles whose
+    // formula text both engines run VERBATIM. pk mod 8 steers rare
+    // branches: 0 -> parallel pair, 1 -> perpendicular pair, 2 ->
+    // IDENTICAL lines (PG: eq, and interpt reports NO intersection),
+    // 3 -> vertical, 4 -> horizontal, 5 -> query point exactly on the
+    // line. Vertical slope (DBL_MAX in PG) surfaces as NULL. Pure
+    // map-side scalar codegen; the only shuffle is the final ORDER BY.
+    "q_line_ops" -> ((s, dir) => {
+      t(s, dir, "part").filter("p_partkey <= 160")
+        .selectExpr(LineShared.base: _*)
+        .selectExpr(LineShared.points: _*)
+        .selectExpr(LineShared.steer: _*)
+        .selectExpr(LineShared.coeffs: _*)
+        .selectExpr(LineShared.outputs: _*)
+        .orderBy(col("pk"))
     })
   )
 
@@ -294,8 +326,115 @@ object GeoOps extends QueryModule {
          |  FROM part WHERE p_partkey <= 160),
          |s1 AS (SELECT ${ClsShared.derived.mkString(", ")} FROM s0)
          |SELECT ${ClsShared.outputs.mkString(", ")}
-         |FROM s1 ORDER BY pk""".stripMargin
+         |FROM s1 ORDER BY pk""".stripMargin,
+
+    "q_line_ops" ->
+      s"""WITH s0 AS (SELECT ${LineShared.base.mkString(", ")}
+         |  FROM part WHERE p_partkey <= 160),
+         |s1 AS (SELECT ${LineShared.points.mkString(", ")} FROM s0),
+         |s2 AS (SELECT ${LineShared.steer.mkString(", ")} FROM s1),
+         |s3 AS (SELECT ${LineShared.coeffs.mkString(", ")} FROM s2)
+         |SELECT ${LineShared.outputs.mkString(", ")}
+         |FROM s3 ORDER BY pk""".stripMargin
   )
+}
+
+/** Shared-verbatim formula text for q_line_ops — every string is run
+  * unchanged by Spark (selectExpr ladder) and DuckDB (CTE ladder); see
+  * the query's scaladoc for the semantics map to geo_ops.c line_*. */
+private[queries] object LineShared {
+
+  /** Micros-FLOOR of a double expression. */
+  private def u(x: String): String =
+    s"CAST(FLOOR(($x) * 1000000.0) AS BIGINT)"
+  private def dbl(x: String): String = s"CAST($x AS DOUBLE)"
+
+  val base: Seq[String] = Seq(
+    "p_partkey AS pk",
+    "CAST((p_partkey * 13) % 601 - 300 AS BIGINT) AS x1",
+    "CAST((p_partkey * 29) % 601 - 300 AS BIGINT) AS y1",
+    "CAST(p_partkey % 41 + 1 AS BIGINT) AS sdx",
+    "CAST((p_partkey * 7) % 83 - 41 AS BIGINT) AS sdy",
+    "CAST((p_partkey * 31) % 601 - 300 AS BIGINT) AS x3",
+    "CAST((p_partkey * 43) % 601 - 300 AS BIGINT) AS y3",
+    "CAST(p_partkey % 37 - 18 AS BIGINT) AS tdx",
+    "CAST((p_partkey * 5) % 79 - 39 AS BIGINT) AS tdy",
+    "CAST((p_partkey * 89) % 601 - 300 AS BIGINT) AS qx",
+    "CAST((p_partkey * 97) % 601 - 300 AS BIGINT) AS qy")
+
+  // line 1 endpoints: mod-8 cases 3/4 force exactly-vertical/horizontal
+  // (line_vertical/line_horizontal need a true B=0 / A=0 row)
+  val points: Seq[String] = Seq(
+    "pk", "x3", "y3", "tdx", "tdy", "qx", "qy", "x1", "y1",
+    "x1 + (CASE WHEN pk % 8 = 3 THEN 0 WHEN pk % 8 = 4 THEN 5 " +
+      "ELSE sdx END) AS x2",
+    "y1 + (CASE WHEN pk % 8 = 3 THEN 5 WHEN pk % 8 = 4 THEN 0 " +
+      "ELSE sdy END) AS y2")
+
+  // line 2 endpoints + query point, steered per pk mod 8: 0 -> same
+  // direction (parallel), 1 -> rotated 90 degrees (perpendicular),
+  // 2 -> two OTHER points of line 1 (identical line, scaled x3
+  // coefficients), 5 -> q moved onto line 1; the generic arm guards the
+  // one dead direction (tdx=tdy=0) to keep the endpoints distinct
+  val steer: Seq[String] = Seq(
+    "pk", "x1", "y1", "x2", "y2",
+    "CASE WHEN pk % 8 = 2 THEN x1 + 2 * (x2 - x1) ELSE x3 END AS x3",
+    "CASE WHEN pk % 8 = 2 THEN y1 + 2 * (y2 - y1) ELSE y3 END AS y3",
+    "CASE WHEN pk % 8 = 0 THEN x3 + (x2 - x1) " +
+      "WHEN pk % 8 = 1 THEN x3 - (y2 - y1) " +
+      "WHEN pk % 8 = 2 THEN x1 + 5 * (x2 - x1) " +
+      "ELSE x3 + (CASE WHEN tdx = 0 AND tdy = 0 THEN 1 ELSE tdx END) " +
+      "END AS x4",
+    "CASE WHEN pk % 8 = 0 THEN y3 + (y2 - y1) " +
+      "WHEN pk % 8 = 1 THEN y3 + (x2 - x1) " +
+      "WHEN pk % 8 = 2 THEN y1 + 5 * (y2 - y1) " +
+      "ELSE y3 + tdy END AS y4",
+    "CASE WHEN pk % 8 = 5 THEN x1 + 3 * (x2 - x1) ELSE qx END AS qx",
+    "CASE WHEN pk % 8 = 5 THEN y1 + 3 * (y2 - y1) ELSE qy END AS qy")
+
+  // exact integer coefficient triples: the cross form of the two-point
+  // construction (scale-invariant vs the reference's slope form)
+  val coeffs: Seq[String] = Seq(
+    "pk", "qx", "qy",
+    "y2 - y1 AS a1", "x1 - x2 AS b1", "x2 * y1 - x1 * y2 AS c1",
+    "y4 - y3 AS a2", "x3 - x4 AS b2", "x4 * y3 - x3 * y4 AS c2")
+
+  val outputs: Seq[String] = {
+    val par = "a1 * b2 = a2 * b1"
+    val den = dbl("a1 * b2 - a2 * b1")
+    val hyp1 = s"sqrt(${dbl("a1 * a1 + b1 * b1")})"
+    // PG line_distance ratio: prefer the A pair, fall back to B
+    val ratio = s"CASE WHEN a1 <> 0 AND a2 <> 0 THEN ${dbl("a1")} / a2 " +
+      s"ELSE ${dbl("b1")} / b2 END"
+    val dd = "a1 * a1 + b1 * b1"
+    Seq(
+      "pk", "a1", "b1", "c1",
+      "b1 = 0 AS l_vertical",
+      "a1 = 0 AS l_horizontal",
+      s"$par AS l_parallel",
+      "a1 * a2 + b1 * b2 = 0 AS l_perp",
+      s"$par AND a1 * c2 = a2 * c1 AND b1 * c2 = b2 * c1 AS l_eq",
+      s"NOT ($par) AS l_intersect",
+      s"CASE WHEN NOT ($par) THEN " +
+        s"${u(s"${dbl("b1 * c2 - b2 * c1")} / ($den)")} " +
+        "ELSE NULL END AS interpt_x_u",
+      s"CASE WHEN NOT ($par) THEN " +
+        s"${u(s"${dbl("a2 * c1 - a1 * c2")} / ($den)")} " +
+        "ELSE NULL END AS interpt_y_u",
+      s"CASE WHEN NOT ($par) THEN 0 ELSE " +
+        s"${u(s"abs(${dbl("c1")} - ($ratio) * c2) / $hyp1")} " +
+        "END AS dist_ll_u",
+      u(s"abs(${dbl("a1 * qx + b1 * qy + c1")}) / $hyp1") + " AS dist_pl_u",
+      "a1 * qx + b1 * qy + c1 = 0 AS contain_pt",
+      u(s"${dbl("b1 * (b1 * qx - a1 * qy) - a1 * c1")} / ($dd)") +
+        " AS closept_x_u",
+      u(s"${dbl("a1 * (a1 * qy - b1 * qx) - b1 * c1")} / ($dd)") +
+        " AS closept_y_u",
+      "CASE WHEN a1 = 0 THEN 0 WHEN b1 = 0 THEN NULL " +
+        s"ELSE ${u(s"${dbl("a1")} / (0 - ${dbl("b1")})")} END AS slope_u",
+      "CASE WHEN a1 = 0 THEN NULL WHEN b1 = 0 THEN 0 " +
+        s"ELSE ${u(s"${dbl("b1")} / ${dbl("a1")}")} END AS invslope_u")
+  }
 }
 
 /** Shared-verbatim formula text for q_circle_lseg_ops — every string here
