@@ -39,17 +39,27 @@ object Bench {
     // r11: boilerplate-span removal — corpus chunk shuffle + broadcast
     // hot set + per-doc reassembly, the heaviest new text transform
     "d_boilerplate_strip",
-    // r11b: cluster-then-prune semantic dedup (in-cell pair join — the
-    // one new quadratic-within-cell shape, worth watching at x10) and
-    // content-defined chunking (map-side HOF chain + digest shuffle)
-    "d_semdedup", "d_chunk_cdc",
+    // r11b: content-defined chunking (map-side HOF chain + digest
+    // shuffle). Its sibling d_semdedup (cluster-then-prune legacy lane)
+    // was DEMOTED from the headline in r14: measured superlinear
+    // (dec2 5.76x, SCALING.md) and superseded by d_semdedup_probes,
+    // which dominates it on both speed and recall — the bench models
+    // the 100 TB deployment, and a superseded plan never ships as the
+    // default. d_semdedup stays a Verify/oracle lane behind
+    // spark.graft.audit (same quarantine as d_dedup_embedding).
+    "d_chunk_cdc",
     // r13: the two-level sampled-anchor multi-probe semantic dedup —
     // the production scale path that flattens the legacy lane's second
     // decade (no Lloyd fit, n^(4/3) pair term; SCALING.md r13)
     "d_semdedup_probes",
-    // r13b: composed IVF+PQ (the FAISS IndexIVFPQ production ANN shape),
-    // greedy MMR diversified top-k, lexical+semantic RRF fusion
-    "s_ann_ivfpq_topk", "s_ann_mmr_topk", "q_hybrid_rrf",
+    // r13b: greedy MMR diversified top-k, lexical+semantic RRF fusion.
+    // The in-plan composed IVF+PQ sibling (s_ann_ivfpq_topk) was
+    // removed from the headline in r14: its two Lloyd fits per
+    // execution are BUILD cost charged to query time (2.3 s vs 0.79 s
+    // at sf0.1) — the fit-once s_ann_ivfpq_score below is the
+    // production IVFPQ shape (stores built untimed via EnsurePersisted,
+    // exactly like PQ/IVF); topk stays the Verify/oracle-parity lane.
+    "s_ann_mmr_topk", "q_hybrid_rrf",
     // r13b: the fit-once composed lane — stored cells ⋈ codes, zero
     // fit passes at query time (the shape you run at corpus scale)
     "s_ann_ivfpq_score",
@@ -147,11 +157,10 @@ object Bench {
       math.max(success, topLevel)
     }
 
-    // SemDeDup benches its PRODUCTION lane: K = ceil(sqrt(n)) clusters
-    // (per-cell pair search ~n^1.5 total), not the K=8 oracle-parity
-    // lane whose fixed K is quadratic-per-cell by construction. Verify
-    // never sets this, so the hash-checked lane stays K=8.
-    spark.conf.set("spark.graft.semdedup.k", "auto")
+    // (r14) The legacy d_semdedup lane left the headline set, so the
+    // "auto" K production knob is no longer set here — the headline
+    // semantic-dedup lane is d_semdedup_probes, which sizes its anchors
+    // from n by construction (cbrt/n^(2/3)) and takes no K conf.
 
     // SPARK_GRAFT_BENCH_ONLY=comma,list restricts the set (local iteration).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

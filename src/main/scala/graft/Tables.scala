@@ -33,6 +33,25 @@ object Tables {
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[DataType]]()
 
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Cached row count of `dir/name.parquet` — one counting job per
+    * fixture VERSION per session (the key folds in the path mtime, same
+    * idiom as [[probeEventsTsType]], so a regenerated fixture re-counts).
+    * Lanes that need a scalar corpus size driver-side (deterministic
+    * graph generators, anchor-count sizing) read it here instead of
+    * issuing a fresh `count()` job on every execution: over parquet that
+    * job is footer-stats-cheap, but it is still one blocking driver
+    * action per call — and over a non-footer source at 100 TB it would
+    * be a full data pass (r13 VERDICT finding #4). */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val ver = scala.util.Try(f.lastModified()).getOrElse(0L)
+    rowCountCache.computeIfAbsent(s"${f.getAbsolutePath}@$ver",
+      _ => java.lang.Long.valueOf(t(spark, dir, name).count()))
+  }
+
   /** Inferred type of `path`'s `ts` column, or None when schema inference
     * rejects the footer (Spark 4 on TIMESTAMP(NANOS)). One footer read per
     * fixture VERSION per session: the cache key folds in the file/dir

@@ -389,7 +389,7 @@ object Advanced extends QueryModule {
     // driver state is the node count, one long.
     "q_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
+      val n = rowCount(s, dir, "documents")
       val pr0 = (2L * 1000000L + n) / (2L * n)
       val base = (2L * 150000L + n) / (2L * n)
       val edges = docs.select(col("doc_id").as("src"), explode(array(
@@ -421,7 +421,7 @@ object Advanced extends QueryModule {
     // equivalence.
     "q_shortest_hops" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
+      val n = rowCount(s, dir, "documents")
       val edges = docs.select(col("doc_id").as("src"), explode(array(
         (1 to 3).map(k => (col("doc_id") * 31 + k * 17) % n): _*)).as("dst"))
       var dist = docs.filter(col("doc_id") === 0)
@@ -448,7 +448,7 @@ object Advanced extends QueryModule {
     // walk closure.
     "q_shortest_cost" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
+      val n = rowCount(s, dir, "documents")
       val edges = docs.select(col("doc_id").as("src"), explode(array(
           (1 to 3).map(k => (col("doc_id") * 31 + k * 17) % n): _*)).as("dst"))
         .withColumn("w", (col("src") * 7 + col("dst") * 13) % 100 + 1)
@@ -476,7 +476,7 @@ object Advanced extends QueryModule {
     // 3T/W as half-up integer micros.
     "q_triangle_count" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
+      val n = rowCount(s, dir, "documents")
       val und = docs.select(col("doc_id").as("src"), explode(array(
           (1 to 3).map(k => (col("doc_id") * 31 + k * 17) % n): _*)).as("dst"))
         .filter(col("src") =!= col("dst"))

@@ -185,7 +185,7 @@ object Similarity extends QueryModule {
     val e = ivfE(s, dir)
     val k = s.conf.get("spark.graft.semdedup.k", "8") match {
       case "auto" => math.max(8,
-        math.ceil(math.sqrt(e.count().toDouble)).toInt)
+        math.ceil(math.sqrt(rowCount(s, dir, "embeddings").toDouble)).toInt)
       case v => v.toInt
     }
     val cs = ivfFit(e, k)
@@ -239,7 +239,8 @@ object Similarity extends QueryModule {
     graft.functions.VectorFns.register(s)
     graft.functions.PqFns.register(s)
     val e = ivfE(s, dir)
-    val n = e.count()
+    // cached per fixture version — no per-execution count() job (r13 #4)
+    val n = rowCount(s, dir, "embeddings")
     val k1 = math.max(4, math.ceil(math.cbrt(n.toDouble)).toInt)
     val step = math.max(1L,
       math.ceil(n.toDouble / (k1.toLong * k1)).toLong)
@@ -900,6 +901,22 @@ object Similarity extends QueryModule {
     // doubles. The exact all-pairs audit lane (d_dedup_embedding) is the
     // unclustered contrast with the O(n^2) misuse guard.
     "d_semdedup" -> ((s, dir) => {
+      // Misuse guard (r13 VERDICT #1): this legacy paper-K lane measured
+      // superlinear across decades (dec2 5.76x at K=sqrt(n), SCALING.md)
+      // and is SUPERSEDED by d_semdedup_probes (dec2 ~2.7x, recall 0.69
+      // vs 0.19). Quarantined exactly like d_dedup_embedding: it stays
+      // the oracle-parity / audit lane, and fails fast above audit scale
+      // unless spark.graft.audit=true (or a raised maxRows) opts in.
+      val auditOk = s.conf.getOption("spark.graft.audit").contains("true")
+      val maxRows = s.conf.getOption("spark.graft.audit.maxRows")
+        .map(_.toLong).getOrElse(1000000L)
+      if (!auditOk) {
+        val n = rowCount(s, dir, "embeddings")
+        require(n <= maxRows,
+          s"d_semdedup is the superseded superlinear audit path ($n rows " +
+            s"> $maxRows); use d_semdedup_probes at scale, or set " +
+            "spark.graft.audit=true")
+      }
       semdedupDetail(s, dir)
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),

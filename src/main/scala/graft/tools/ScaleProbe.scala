@@ -28,11 +28,25 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // the semdedup production lane (K = ceil(sqrt(n)), the paper's knob)
     spark.conf.set("spark.graft.semdedup.k", "auto")
+    // this tool IS the audit instrument: opt into the quarantined
+    // superlinear lanes (d_semdedup legacy) explicitly so the decades
+    // can still be measured after the r14 misuse guards
+    spark.conf.set("spark.graft.audit", "true")
 
-    // d_semdedup = the legacy paper-K lane (K = sqrt(n) Lloyd, ~n^1.5);
-    // d_semdedup_probes = the r13 two-level sampled-anchor multi-probe
-    // lane (~n^(4/3), no Lloyd) that is the production scale path
-    val qs = Seq("d_dedup_minhash_lsh", "d_semdedup", "d_semdedup_probes")
+    // d_semdedup = the legacy paper-K lane (K = sqrt(n) Lloyd, ~n^1.5,
+    // headline-demoted r14); d_semdedup_probes = the r13 two-level
+    // sampled-anchor multi-probe lane (~n^(4/3), no Lloyd) that is the
+    // production scale path; d_dedup_substring = alignment-free sliding
+    // 8-gram exact-substring dedup (expected ~linear in corpus bytes);
+    // s_ann_ivfpq_score = fit-once composed IVF+PQ (stores built
+    // untimed per decade below, exactly like Bench's preparePq) with
+    // its in-plan Verify sibling s_ann_ivfpq_topk for contrast.
+    // SPARK_GRAFT_PROBE_QS=comma,list overrides (local iteration).
+    val qs = sys.env.get("SPARK_GRAFT_PROBE_QS")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("d_dedup_minhash_lsh", "d_semdedup",
+        "d_semdedup_probes", "d_dedup_substring",
+        "s_ann_ivfpq_topk", "s_ann_ivfpq_score"))
     val baseName = base.replaceAll("/+$", "").split('/').last
 
     def dirFor(factor: Int): String =
@@ -54,6 +68,15 @@ object ScaleProbe {
       // warm the page cache / file listing once
       graft.Tables.t(spark, dir, "documents").limit(1).collect()
       graft.Tables.t(spark, dir, "embeddings").limit(1).collect()
+      // fit-once ANN stores for the *_score lanes, built UNTIMED per
+      // decade (model training is an offline once-per-corpus-version
+      // job, not query work — same contract as Bench.preparePq)
+      if (qs.exists(_.endsWith("_score"))) {
+        val store = s"/root/repo/.scale/probe_pq_${baseName}_x$factor"
+        graft.queries.Similarity.pqEnsurePersisted(spark, dir, store)
+        graft.queries.Similarity.ivfEnsurePersisted(spark, dir, store)
+        spark.conf.set(graft.queries.Similarity.PqDirConf, store)
+      }
       val times = qs.map { q =>
         val secs = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
