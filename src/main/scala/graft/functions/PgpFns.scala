@@ -885,17 +885,33 @@ object PgpKernel {
     * value — it is mixed into the seed here (still deterministic per
     * (salt, data, key), preserving retry-safety, but no longer
     * confirmable without the salt). */
-  def defaultSeed(data: Array[Byte], pw: Array[Byte]): Array[Byte] = {
+  def defaultSeed(data: Array[Byte], pw: Array[Byte],
+                  salt: String): Array[Byte] = {
     val md = MessageDigest.getInstance("SHA-1")
     md.update(data); md.update(pw)
-    val salt =
-      try org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("spark.graft.pgp.seedSalt", "")
-      catch { case scala.util.control.NonFatal(_) => "" }
     if (salt.nonEmpty) md.update(salt.getBytes("UTF-8"))
     md.update("graft-pgp-default-seed".getBytes("UTF-8"))
     md.digest()
   }
+
+  /** Convenience overload for driver-side callers (tests, ad-hoc):
+    * resolves the salt from the CURRENT thread's SQLConf. The encrypt
+    * expressions do NOT use this — they capture the salt once at
+    * construction (analysis, driver-side) via [[resolveSeedSalt]] and
+    * close over it, so an executor with no propagated conf can never
+    * silently degrade a salted deployment to the plaintext-confirmable
+    * unsalted seed (r13 ADVICE). */
+  def defaultSeed(data: Array[Byte], pw: Array[Byte]): Array[Byte] =
+    defaultSeed(data, pw, resolveSeedSalt())
+
+  /** `spark.graft.pgp.seedSalt` from the active SQLConf — deliberately
+    * NO exception swallowing: a deployment that set the salt for
+    * semantic security must fail loudly if the lookup is impossible,
+    * not fall back to the unsalted seed. Called driver-side (expression
+    * construction / analysis), where SQLConf.get is always available. */
+  def resolveSeedSalt(): String =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.pgp.seedSalt", "")
 }
 
 object PgpSymFns {
@@ -954,6 +970,11 @@ case class PgpPubEncrypt(first: Expression, second: Expression,
   override def prettyName: String =
     if (textMode) "pgp_pub_encrypt" else "pgp_pub_encrypt_bytea"
 
+  // Resolved once at construction (analysis, DRIVER-side) and serialized
+  // with the expression: executors never re-read the conf, so a salted
+  // deployment cannot silently degrade to the unsalted seed (r13 ADVICE).
+  private val seedSalt: String = PgpKernel.resolveSeedSalt()
+
   /** The per-row kernel (public: codegen calls it via reference obj). */
   def kernel(dataAny: Any, key: Array[Byte], optS: UTF8String): Array[Byte] = {
     val data = dataAny match {
@@ -961,7 +982,7 @@ case class PgpPubEncrypt(first: Expression, second: Expression,
       case b: Array[Byte] => b
     }
     try PgpKernel.pubEncrypt(data, key, optS.toString, textMode,
-      PgpKernel.defaultSeed(data, key))
+      PgpKernel.defaultSeed(data, key, seedSalt))
     catch { case scala.util.control.NonFatal(_) => null }
   }
 
@@ -1062,6 +1083,9 @@ case class PgpSymEncrypt(first: Expression, second: Expression,
   override def prettyName: String =
     if (textMode) "pgp_sym_encrypt" else "pgp_sym_encrypt_bytea"
 
+  // Driver-side capture — see PgpPubEncrypt.seedSalt.
+  private val seedSalt: String = PgpKernel.resolveSeedSalt()
+
   /** The per-row kernel (public: codegen calls it via reference obj). */
   def kernel(dataAny: Any, pwS: UTF8String, optS: UTF8String): Array[Byte] = {
     val data = dataAny match {
@@ -1070,7 +1094,7 @@ case class PgpSymEncrypt(first: Expression, second: Expression,
     }
     val pw = pwS.getBytes
     try PgpKernel.encrypt(data, pw, optS.toString, textMode,
-      PgpKernel.defaultSeed(data, pw))
+      PgpKernel.defaultSeed(data, pw, seedSalt))
     catch { case scala.util.control.NonFatal(_) => null }
   }
 
