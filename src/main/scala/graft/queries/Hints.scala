@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables._
+
+/** Per-query optimizer hints — the pg_hint_plan analogue.
+  *
+  * The reference ships comment-embedded plan hints
+  * (`/root/reference/gpcontrib/pg_hint_plan/pg_hint_plan.c:94-100`:
+  * `HashJoin(a b)`, `MergeJoin(a b)`, `NestLoop(a b)`, the `No*`
+  * negative forms, `Leading(...)` join order, `Rows(...)` cardinality
+  * correction, `Parallel(t N)`) so a user can pin one bad join without
+  * touching planner GUCs globally.
+  *
+  * Spark-first mapping — Catalyst has the same comment-hint UX built in
+  * (a `+`-prefixed block comment in the SELECT list, resolved by
+  * `ResolveHints` and consumed by `JoinSelection`), so no custom rule
+  * is needed; the correspondence is:
+  *
+  *   - HashJoin(t ...)  → `SHUFFLE_HASH(t)` (or `BROADCAST(t)` when the
+  *     build side fits — the reference's HashJoin with a replicated
+  *     inner is exactly a broadcast-hash join);
+  *   - MergeJoin(t ...) → `MERGE(t)` / `SHUFFLE_MERGE(t)`;
+  *   - NestLoop(t ...)  → `SHUFFLE_REPLICATE_NL(t)`;
+  *   - Parallel(t N)    → `REPARTITION(n[, cols])` / `REBALANCE` —
+  *     distribution hints standing in for DISTRIBUTED BY;
+  *   - No-forms/Leading → no direct Spark hint; the negative forms are
+  *     expressed by hinting the strategy you DO want (a hint on any
+  *     join side wins over cost), and join order by query structure
+  *     (Catalyst keeps the authored order unless the CBO reorders it).
+  *   - Rows(...)        → AQE's runtime re-planning replaces manual
+  *     cardinality correction (skew/broadcast decided from actuals).
+  *
+  * Hints are purely physical: both lanes here carry an oracle that runs
+  * the SAME text minus hints, so the driver's hash compare proves hint
+  * application cannot change results. HintSpec pins the physical side:
+  * each hint flips the join strategy it names, an unknown hint is
+  * ignored (plan identical to unhinted), dropping the hint restores the
+  * original plan byte-for-byte, and `BROADCAST` overrides a disabled
+  * auto-broadcast threshold. PlanSnapshotSpec pins the hinted shapes.
+  */
+object Hints extends QueryModule {
+
+  /** TPC-H Q3 shape with both non-default join strategies forced:
+    * MERGE on the orders side (sort-merge where cost would pick hash)
+    * and SHUFFLE_HASH on the customer side (shuffled-hash where the
+    * small side would auto-broadcast). */
+  private val joinStrategyBody =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  o_orderpriority,
+      |  CAST(SUM(CAST(round((l_extendedprice*(1-l_discount)) * 1000000.0, 0)
+      |    AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  private[graft] def joinStrategySql(hinted: Boolean): String =
+    if (hinted)
+      joinStrategyBody.replaceFirst("SELECT ",
+        "SELECT /*+ MERGE(orders), SHUFFLE_HASH(customer) */ ")
+    else joinStrategyBody
+
+  /** Distribution + replication hints on a supplier-per-nation rollup:
+    * REPARTITION(8, s_nationkey) pre-shapes the fact side (the
+    * Parallel/DISTRIBUTED BY analogue) and BROADCAST(nation) pins the
+    * replicated dim. */
+  private val broadcastParallelBody =
+    """SELECT n_name, COUNT(*) AS n_supp,
+      |  CAST(SUM(CAST(round(s_acctbal * 1000000.0, 0) AS BIGINT))
+      |    AS DOUBLE) / 1000000.0 AS total_bal
+      |FROM (SELECT __REPART__ s_suppkey, s_nationkey, s_acctbal
+      |      FROM supplier WHERE s_acctbal > 0) s
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  private[graft] def broadcastParallelSql(hinted: Boolean): String = {
+    val base = broadcastParallelBody.replace("__REPART__",
+      if (hinted) "/*+ REPARTITION(8, s_nationkey) */ " else "")
+    if (hinted) base.replaceFirst("SELECT n_name",
+      "SELECT /*+ BROADCAST(nation) */ n_name")
+    else base
+  }
+
+  private def withViews(s: SparkSession, dir: String)(sql: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hint_join_strategy" -> ((s, dir) =>
+      withViews(s, dir)(joinStrategySql(hinted = true))),
+    "q_hint_broadcast_parallel" -> ((s, dir) =>
+      withViews(s, dir)(broadcastParallelSql(hinted = true)))
+  )
+
+  // the oracle runs the hint-free text: identical results by contract
+  val oracle: Map[String, String] = Map(
+    "q_hint_join_strategy" -> joinStrategySql(hinted = false),
+    "q_hint_broadcast_parallel" -> broadcastParallelSql(hinted = false)
+  )
+}

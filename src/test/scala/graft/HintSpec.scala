@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.Hints
+
+/** Hint-adherence proofs for the pg_hint_plan analogue
+  * ([[graft.queries.Hints]]): each hint flips exactly the physical
+  * strategy it names, an unknown hint is a no-op, and dropping a hint
+  * restores the unhinted plan byte-for-byte — the adherence contract
+  * the reference plugin enforces via its own planner hooks
+  * (`/root/reference/gpcontrib/pg_hint_plan/pg_hint_plan.c`).
+  */
+class HintSpec extends AnyFunSuite {
+  // fresh child session: sibling suites legitimately set session knobs
+  // (PQ store dir, thresholds) that would perturb these very plans
+  private lazy val spark = SparkTestSession.spark.newSession()
+  private val sf = SparkTestSession.sf
+
+  // normalized (ids/paths masked) so equality compares plan SHAPE only
+  private def plan(df: DataFrame): String =
+    graft.plans.PlanSnapshot.physicalPlan(df)
+
+  private def sql(q: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => graft.Tables.t(spark, sf, n).createOrReplaceTempView(n))
+    spark.sql(q)
+  }
+
+  test("MERGE + SHUFFLE_HASH hints flip both joins off broadcast") {
+    val hinted = plan(sql(Hints.joinStrategySql(hinted = true)))
+    val unhinted = plan(sql(Hints.joinStrategySql(hinted = false)))
+    // hinted: sort-merge on orders, shuffled-hash on customer
+    assert(hinted.contains("SortMergeJoin"), "MERGE(orders) not honored")
+    assert(hinted.contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH(customer) not honored")
+    // unhinted at sf0.001: both sides are broadcast-eligible and cost
+    // picks broadcast-hash — the hints demonstrably changed strategy
+    assert(unhinted.contains("BroadcastHashJoin"))
+    assert(!unhinted.contains("SortMergeJoin"))
+    assert(!unhinted.contains("ShuffledHashJoin"))
+  }
+
+  test("BROADCAST hint overrides a disabled auto-broadcast threshold") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val hinted = plan(sql(Hints.broadcastParallelSql(hinted = true)))
+      val unhinted = plan(sql(Hints.broadcastParallelSql(hinted = false)))
+      assert(hinted.contains("BroadcastHashJoin"),
+        "BROADCAST(nation) must win over autoBroadcastJoinThreshold=-1")
+      assert(!unhinted.contains("BroadcastHashJoin"),
+        "with the threshold off and no hint, no broadcast should appear")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("REPARTITION(8, col) hint shapes the exchange it names") {
+    val hinted = plan(sql(Hints.broadcastParallelSql(hinted = true)))
+    assert(hinted.contains("REPARTITION_BY_NUM"),
+      "REPARTITION(8, s_nationkey) must materialize as a user-requested exchange")
+  }
+
+  test("unknown hint is ignored: plan identical to unhinted") {
+    // the reference plugin warns-and-ignores unparsable hints
+    // (pg_hint_plan.c hint_parse error path); Spark's ResolveHints does
+    // the same for unrecognized names — the plan must be UNCHANGED
+    val bogus = plan(sql(Hints.joinStrategySql(hinted = false)
+      .replaceFirst("SELECT ", "SELECT /*+ TOTALLY_BOGUS_HINT(orders) */ ")))
+    val unhinted = plan(sql(Hints.joinStrategySql(hinted = false)))
+    assert(bogus == unhinted)
+  }
+
+  test("dropping the hint restores the original plan exactly") {
+    val before = plan(sql(Hints.joinStrategySql(hinted = false)))
+    plan(sql(Hints.joinStrategySql(hinted = true))) // hinted run between
+    val after = plan(sql(Hints.joinStrategySql(hinted = false)))
+    assert(before == after,
+      "hint must be per-query: no residue once dropped")
+  }
+
+  test("DataFrame .hint(...) API matches the SQL comment form") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.Tables.t(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val ord = graft.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val df = ord.join(cust.hint("shuffle_hash"),
+      col("o_custkey") === col("c_custkey"))
+    assert(plan(df).contains("ShuffledHashJoin"))
+    val merged = ord.join(cust.hint("merge"),
+      col("o_custkey") === col("c_custkey"))
+    assert(plan(merged).contains("SortMergeJoin"))
+  }
+
+  test("hints are purely physical: hinted and unhinted results match") {
+    val a = sql(Hints.joinStrategySql(hinted = true)).collect().toSeq
+    val b = sql(Hints.joinStrategySql(hinted = false)).collect().toSeq
+    assert(a == b)
+    val c = sql(Hints.broadcastParallelSql(hinted = true)).collect().toSeq
+    val d = sql(Hints.broadcastParallelSql(hinted = false)).collect().toSeq
+    assert(c == d)
+  }
+}

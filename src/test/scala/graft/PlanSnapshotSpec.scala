@@ -66,7 +66,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "q22_global_sales_opp",
     // graft optimizer-rule rewrites (Xforms + native operators)
     "q_eager_agg", "q_or_join", "q_join_below_union", "q_range_bin_join",
-    "q_asof_join", "q_topk_global")
+    "q_asof_join", "q_topk_global",
+    // pg_hint_plan-analogue hinted shapes (r14): the pinned plan IS the
+    // adherence proof — SortMergeJoin + ShuffledHashJoin where cost
+    // would broadcast, and the REPARTITION/BROADCAST pair
+    "q_hint_join_strategy", "q_hint_broadcast_parallel")
 
   snapshotQueries.foreach { name =>
     test(s"plan snapshot: $name") {
