@@ -55,6 +55,55 @@ object Matviews {
     versions(fs, path).filter(v =>
       fs.exists(new Path(s"$path/v$v/_SUCCESS"))).lastOption
 
+  // ---- concurrent-writer protocol ---------------------------------------
+  // At 100 TB refreshes overlap (the reference serializes them with a
+  // relation-level ExclusiveLock in ExecRefreshMatView; its isolation2
+  // suite is the test layer for exactly this). Without coordination two
+  // writers computing next = max+1 would pick the SAME version and
+  // Overwrite-write the same directory — a torn version. Version numbers
+  // are therefore CLAIMED before any data is written: in-process a
+  // per-view monitor serializes claims (two refresh jobs on one driver),
+  // and cross-driver the `.claim_vN` marker file is created with
+  // overwrite=false — atomic-exclusive on HDFS, a conditional put on
+  // object stores. A claimed-but-crashed attempt leaves a claim marker
+  // and possibly a marker-less directory: both only advance the next
+  // version number; neither is ever readable. Claim markers are swept
+  // with the versions they named.
+
+  private val claimLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def claimedVersions(fs: FileSystem, path: String): Seq[Int] =
+    if (!fs.exists(new Path(path))) Seq.empty
+    else fs.listStatus(new Path(path)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("\\.claim_v\\d+"))
+      .map(_.stripPrefix(".claim_v").toInt)
+
+  /** Atomically claim the next version number for `path`. */
+  private def claimVersion(fs: FileSystem, path: String): Int = {
+    val lock = claimLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      var n = (versions(fs, path) ++ claimedVersions(fs, path))
+        .maxOption.getOrElse(0) + 1
+      var won = false
+      while (!won) {
+        try {
+          fs.mkdirs(new Path(path))
+          val out = fs.create(new Path(path, s".claim_v$n"), false)
+          out.close(); won = true
+        } catch { case _: java.io.IOException => n += 1 }
+      }
+      n
+    }
+  }
+
+  /** Delete a superseded version directory and its claim marker. */
+  private def dropVersion(fs: FileSystem, path: String, v: Int): Unit = {
+    fs.delete(new Path(s"$path/v$v"), true)
+    fs.delete(new Path(path, s".claim_v$v"), false)
+  }
+
   /** CREATE MATERIALIZED VIEW: store the definition, populate v1. */
   def create(spark: SparkSession, path: String, definitionSql: String): DataFrame = {
     val fs = fsOf(spark, path)
@@ -84,12 +133,13 @@ object Matviews {
     val fs = fsOf(spark, path)
     val cur = currentVersion(fs, path).getOrElse(
       throw new IllegalStateException(s"no populated matview at $path"))
-    // next = max existing + 1, so a crashed (marker-less) attempt's dir is
-    // never re-used for a fresh write while a reader might list it
-    val next = versions(fs, path).max + 1
+    // claimed atomically, so a crashed attempt's number is never re-used
+    // for a fresh write while a reader might list it, and a CONCURRENT
+    // refresh can never write the same directory
+    val next = claimVersion(fs, path)
     writeVersion(spark, path, next)
     versions(fs, path).filter(_ < cur)
-      .foreach(v => fs.delete(new Path(s"$path/v$v"), true))
+      .foreach(v => dropVersion(fs, path, v))
     read(spark, path)
   }
 
@@ -113,13 +163,13 @@ object Matviews {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     val fs = fsOf(spark, path)
     fs.mkdirs(new Path(path))
-    val next = versions(fs, path).maxOption.getOrElse(0) + 1
+    val next = claimVersion(fs, path)
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/v$next")
     val committed = versions(fs, path)
       .filter(v => fs.exists(new Path(s"$path/v$v/_SUCCESS")))
     committed.sorted.takeRight(keepVersions).headOption.foreach(cutoff =>
       versions(fs, path).filter(_ < cutoff)
-        .foreach(v => fs.delete(new Path(s"$path/v$v"), true)))
+        .foreach(v => dropVersion(fs, path, v)))
   }
 
   /** Committed (marker-bearing) versions with their commit times,
@@ -293,7 +343,7 @@ object Matviews {
     if (fresh.isEmpty && parent.isDefined) return read(spark, path)
     require(fresh.nonEmpty, s"base $base has no data files to build from")
     val delta = partialState(spark, fresh, groups, aggs)
-    val next = versions(fs, path).maxOption.getOrElse(0) + 1
+    val next = claimVersion(fs, path)
     val merged = parent match {
       case Some(v) =>
         mergeState(spark.read.parquet(s"$path/v$v"), delta, groups, aggs)
@@ -304,7 +354,7 @@ object Matviews {
     try out.write((done ++ fresh).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     parent.foreach(c => versions(fs, path).filter(_ < c)
-      .foreach(v => fs.delete(new Path(s"$path/v$v"), true)))
+      .foreach(v => dropVersion(fs, path, v)))
     read(spark, path)
   }
 
