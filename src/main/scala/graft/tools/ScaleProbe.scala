@@ -63,7 +63,14 @@ object ScaleProbe {
         dst
       }
 
-    val results = for (factor <- Seq(1, 10, 100)) yield {
+    // SPARK_GRAFT_PROBE_FACTORS=1,10,100,1000 overrides the decades —
+    // a 4th decade separates a genuinely superlinear kernel from the
+    // fixed-overhead amortization that inflates dec2 when x1/x10 are
+    // sub-second (job-launch dominated)
+    val factors = sys.env.get("SPARK_GRAFT_PROBE_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 10, 100))
+    val results = for (factor <- factors) yield {
       val dir = dirFor(factor)
       // warm the page cache / file listing once
       graft.Tables.t(spark, dir, "documents").limit(1).collect()
@@ -96,9 +103,11 @@ object ScaleProbe {
 
     val m = results.toMap
     def j(q: String): String = {
-      val t1 = m(1)(q); val t10 = m(10)(q); val t100 = m(100)(q)
-      f""""$q":{"x1":$t1%.2f,"x10":$t10%.2f,"x100":$t100%.2f,""" +
-        f""""r10":${t10 / t1}%.2f,"r100":${t100 / t10}%.2f}"""
+      val ts = factors.map(f => f -> m(f)(q))
+      val vals = ts.map { case (f, t) => f""""x$f":$t%.2f""" }
+      val ratios = ts.sliding(2).collect { case Seq((_, a), (f2, b)) =>
+        f""""r$f2":${b / a}%.2f""" }.toSeq
+      s""""$q":{${(vals ++ ratios).mkString(",")}}"""
     }
     println(s"""{"probe":"scale_decades","base":"$base",${qs.map(j).mkString(",")}}""")
     spark.stop()
