@@ -39,14 +39,28 @@ object RuleSweep {
 
     val stock = root.newSession()
     val ruled = root.newSession()
-    plans.EagerAggRule.install(ruled)
-    plans.PushJoinBelowUnionAllRule.install(ruled)
-    plans.OrExpansionRule.install(ruled)
-    plans.RangeBinJoinRule.install(ruled)
-    ruled.conf.set(plans.EagerAggRule.ConfKey, "true")
-    ruled.conf.set(plans.PushJoinBelowUnionAllRule.ConfKey, "true")
-    ruled.conf.set(plans.OrExpansionRule.ConfKey, "true")
-    ruled.conf.set(plans.RangeBinJoinRule.ConfKey, "10.0")
+    // SPARK_GRAFT_SWEEP_RULES=eager,union,orx,range restricts which
+    // rules the "ruled" session carries (isolating one rule's effect);
+    // default = all, the production configuration.
+    val rules = sys.env.get("SPARK_GRAFT_SWEEP_RULES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("eager", "union", "orx", "range"))
+    if (rules("eager")) {
+      plans.EagerAggRule.install(ruled)
+      ruled.conf.set(plans.EagerAggRule.ConfKey, "true")
+    }
+    if (rules("union")) {
+      plans.PushJoinBelowUnionAllRule.install(ruled)
+      ruled.conf.set(plans.PushJoinBelowUnionAllRule.ConfKey, "true")
+    }
+    if (rules("orx")) {
+      plans.OrExpansionRule.install(ruled)
+      ruled.conf.set(plans.OrExpansionRule.ConfKey, "true")
+    }
+    if (rules("range")) {
+      plans.RangeBinJoinRule.install(ruled)
+      ruled.conf.set(plans.RangeBinJoinRule.ConfKey, "10.0")
+    }
 
     def time(s: SparkSession, name: String): (Double, String) = {
       val fn = SparkEntry.queries(name)
@@ -60,9 +74,13 @@ object RuleSweep {
       (runs.min, plan)
     }
 
+    // SPARK_GRAFT_SWEEP_ONLY=q20_promotion_supp,... restricts the set
+    val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     println(f"${"query"}%-24s ${"stock"}%8s ${"ruled"}%8s ${"ratio"}%7s  fired")
     var fired = 0
-    tpch.filter(SparkEntry.queries.contains).foreach { name =>
+    tpch.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n))).foreach { name =>
       val (ts, ps) = time(stock, name)
       val (tr, pr) = time(ruled, name)
       val changed = ps != pr

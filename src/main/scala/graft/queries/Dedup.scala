@@ -207,17 +207,27 @@ object Dedup extends QueryModule {
     * no-shingles dropout, which surfaces here as an empty array). */
   private[graft] def minhashCandidates(repDocs: DataFrame,
                                        maxBucket: Int): DataFrame = {
-    graft.functions.SigFns.register(repDocs.sparkSession)
-    val mh = fanOut(repDocs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), call_function("minhash16", col("text")).as("mh"))
+    val bands = minhashBands(
+      fanOut(repDocs.select(col("doc_id"), col("text"))))
+    cappedBucketPairs(bands, Seq("band", "sig"), maxBucket).distinct()
+  }
+
+  /** Per-doc LSH band keys (doc_id, band, sig): the [[graft.functions
+    * .Minhash16]] kernel's 16 minhashes grouped into 8 bands of 2 longs,
+    * sig = the band's values joined. Pure map-side (zero shuffle);
+    * no-shingle docs (< 3 words, the kernel dropout) emit NO bands.
+    * Shared by the batch candidate stage above and the streaming
+    * admission store ([[graft.streaming.Streaming.streamingMinhashDedup]]),
+    * so batch and stream can never disagree on a signature. */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+    graft.functions.SigFns.register(docs.sparkSession)
+    docs.select(col("doc_id"), call_function("minhash16", col("text")).as("mh"))
       .filter(size(col("mh")) === 16)
-    // 8 bands x 2 longs: signature = the band's minhashes joined
-    val bands = mh.select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(0, 7), b -> " +
           "struct(b as band, concat_ws(':', mh[b*2], mh[b*2+1]) as sig))"))
         .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    cappedBucketPairs(bands, Seq("band", "sig"), maxBucket).distinct()
   }
 
   /** SimHash rep-level near-dup pairs (doc_a < doc_b, Hamming <= 3) over

@@ -613,4 +613,124 @@ object Streaming {
       .start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** Streaming near-duplicate ADMISSION — the ingestion-time face of
+    * the MinHash-LSH batch dedup (`Dedup.minhashCandidates`): every
+    * arriving document is checked against the persisted band store of
+    * previously ADMITTED documents and either admitted (its 8 band
+    * signatures join the store) or rejected as a near-duplicate. This
+    * is how a 100 TB training-data pipeline runs continuous dedup: the
+    * corpus is never rescanned; each micro-batch costs one map-side
+    * signature pass over its own rows plus one partition-PRUNED store
+    * probe.
+    *
+    * Admission contract (deterministic, replayed literally by the
+    * spec's independent oracle):
+    *   1. a doc matching ANY (band, sig) already in the store is
+    *      rejected (greedy first-wins across batches — matching a
+    *      previously REJECTED doc does not reject, exactly like the
+    *      batch lanes' id-minimal survivor policy);
+    *   2. among the remaining docs of one batch, ties collapse to the
+    *      minimum doc_id per bucket (one pass, the same id-minimal
+    *      policy);
+    *   3. admitted docs' bands are appended. Since a doc is admitted
+    *      only when NO band matched, and within-batch sig sharers
+    *      collapsed, the store's (band, sig) keys stay UNIQUE — the
+    *      store probe is a key-join with no fan-out, and store growth
+    *      is <= 8 rows per admitted doc regardless of duplicate
+    *      pressure.
+    *
+    * Store layout `<storeDir>/bands/batch=M/pfx=P/` (parquet): batch is
+    * the idempotent-commit unit (stage+rename exactly like
+    * [[streamingIvfAdd]]; a restarted batch skips its committed work),
+    * pfx = hash(band, sig) mod 16 is the PRUNING key — the probe
+    * filters to the batch's own prefixes, so at scale the store scan
+    * touches only matching partitions (PlanSpec-style pruning is
+    * asserted by the spec). Recovery: the probe reads only batches
+    * STRICTLY BELOW the current id, so a crash between the bands
+    * commit and the decisions commit replays the batch against exactly
+    * the pre-batch store — decisions are reproduced bit-identically,
+    * never self-matched. Decisions land in
+    * `<storeDir>/decisions/batch=M` under the same protocol and the
+    * final table (doc_id, is_dup, batch) is returned. */
+  def streamingMinhashDedup(spark: SparkSession, srcDir: String,
+                            storeDir: String,
+                            checkpointDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bandsRoot = s"$storeDir/bands"
+    val decRoot = s"$storeDir/decisions"
+
+    def committedBatches(root: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    }
+
+    def commit(df: DataFrame, root: String, batchId: Long,
+               partitionCols: Seq[String]): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+      val dst = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+      if (!fs.exists(dst)) {
+        val staged = new org.apache.hadoop.fs.Path(root, s".stage_$batchId")
+        fs.delete(staged, true)
+        val w = df.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(staged.toString)
+        require(fs.rename(staged, dst), s"rename failed: $staged -> $dst")
+      }
+    }
+
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val b = graft.queries.Dedup.minhashBands(batch)
+          .withColumn("pfx", pmod(hash(col("band"), col("sig")), lit(16)))
+        // the batch's own prefixes: <= 16 values of bounded driver state
+        val pfxs = b.select("pfx").distinct().collect().map(_.getInt(0)).toSeq
+        val prior = committedBatches(bandsRoot).filter(_ < batchId)
+        val storeHit =
+          if (prior.isEmpty || pfxs.isEmpty) batch.select(col("doc_id")).limit(0)
+          else {
+            // explicit schema: an all-tiny-docs batch commits an EMPTY
+            // bands dir, which must not break inference on later probes
+            val store = sess.read.option("basePath", bandsRoot)
+              .schema("band INT, sig STRING, owner_doc BIGINT, pfx INT, batch BIGINT")
+              .parquet(prior.map(m => s"$bandsRoot/batch=$m"): _*)
+              .filter(col("pfx").isin(pfxs: _*)) // partition-pruned probe
+            b.join(store, Seq("band", "sig")).select(col("doc_id")).distinct()
+          }
+        val remaining = b.join(storeHit, Seq("doc_id"), "left_anti")
+        val withinDup = remaining.as("x")
+          .join(remaining.as("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+              col("x.doc_id") > col("y.doc_id"))
+          .select(col("x.doc_id")).distinct()
+        val dupIds = storeHit.union(withinDup).distinct()
+          .withColumn("is_dup", lit(true))
+        val decisions = batch.select(col("doc_id"))
+          .join(dupIds, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        val admittedBands = remaining
+          .join(withinDup, Seq("doc_id"), "left_anti")
+          .groupBy(col("band"), col("sig"), col("pfx"))
+          .agg(min(col("doc_id")).as("owner_doc"))
+        // bands FIRST, decisions second: the probe above ignores the
+        // current batch's bands, so a crash between the two commits
+        // replays this batch bit-identically on restart
+        commit(admittedBands, bandsRoot, batchId, Seq("pfx"))
+        commit(decisions, decRoot, batchId, Seq.empty)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.option("basePath", decRoot)
+      .schema("doc_id BIGINT, is_dup BOOLEAN, batch BIGINT")
+      .parquet(decRoot)
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.plans.HintTable
+import graft.queries.Hints
+
+/** Hint-TABLE behavior (pg_hint_plan.c get_hints_from_table + the
+  * enable_hint_table GUC): hints keyed by normalized query fingerprint
+  * apply without editing the query; app-specific rows beat the
+  * wildcard; the gate defaults OFF. */
+class HintTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark.newSession()
+  private val sf = SparkTestSession.sf
+
+  private def plan(df: DataFrame): String =
+    graft.plans.PlanSnapshot.physicalPlan(df)
+
+  private def views(): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => graft.Tables.t(spark, sf, n).createOrReplaceTempView(n))
+
+  private val q3 = Hints.joinStrategySql(hinted = false)
+
+  test("normalize masks literals/whitespace/case into one fingerprint") {
+    val a = HintTable.normalize(
+      "SELECT * FROM t WHERE x = 'BUILDING'  AND y < 42")
+    val b = HintTable.normalize(
+      "select * from t where x = 'machinery' and Y < 7")
+    assert(a == b)
+    assert(a == "select * from t where x = ? and y < ?")
+    // escaped quote inside a literal stays inside the mask
+    assert(HintTable.normalize("SELECT 'it''s' AS v") ==
+      HintTable.normalize("SELECT 'other' AS v"))
+    // identifiers with digits are NOT masked
+    assert(HintTable.normalize("SELECT c1 FROM t2") == "select c1 from t2")
+    // different shapes stay distinct
+    assert(HintTable.normalize("SELECT a FROM t") !=
+      HintTable.normalize("SELECT b FROM t"))
+  }
+
+  test("registered hint applies by fingerprint without editing the query") {
+    views()
+    HintTable.clear()
+    try {
+      spark.conf.set(HintTable.EnabledConf, "true")
+      HintTable.register(q3, "MERGE(orders), SHUFFLE_HASH(customer)")
+      val hinted = plan(HintTable.sql(spark, q3))
+      assert(hinted.contains("SortMergeJoin") &&
+        hinted.contains("ShuffledHashJoin"))
+      // a DIFFERENT literal in the query hits the same fingerprint row
+      val variant = q3.replace("'BUILDING'", "'MACHINERY'")
+      val vplan = plan(HintTable.sql(spark, variant))
+      assert(vplan.contains("SortMergeJoin"))
+      // results unchanged by the hint (physical-only)
+      assert(HintTable.sql(spark, q3).collect().toSeq ==
+        spark.sql(q3).collect().toSeq)
+    } finally {
+      spark.conf.unset(HintTable.EnabledConf); HintTable.clear()
+    }
+  }
+
+  test("the gate defaults OFF and an unmatched shape passes through") {
+    views()
+    HintTable.clear()
+    try {
+      HintTable.register(q3, "MERGE(orders)")
+      // enabled conf unset -> disabled -> unhinted plan
+      val off = plan(HintTable.sql(spark, q3))
+      assert(!off.contains("SortMergeJoin"))
+      spark.conf.set(HintTable.EnabledConf, "true")
+      // enabled but a different query shape -> no row -> unhinted
+      val other = plan(HintTable.sql(spark,
+        "SELECT count(*) AS n FROM customer"))
+      assert(other == plan(spark.sql("SELECT count(*) AS n FROM customer")))
+    } finally {
+      spark.conf.unset(HintTable.EnabledConf); HintTable.clear()
+    }
+  }
+
+  test("application-specific row beats the wildcard row") {
+    views()
+    HintTable.clear()
+    try {
+      spark.conf.set(HintTable.EnabledConf, "true")
+      HintTable.register(q3, "MERGE(orders)")                    // wildcard
+      HintTable.register(q3, "SHUFFLE_HASH(orders)", app = "etl")
+      // no application set -> wildcard row
+      assert(plan(HintTable.sql(spark, q3)).contains("SortMergeJoin"))
+      // the etl application -> its own row wins
+      spark.conf.set(HintTable.ApplicationConf, "etl")
+      val p = plan(HintTable.sql(spark, q3))
+      assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"))
+      // an application with no specific row falls back to wildcard
+      spark.conf.set(HintTable.ApplicationConf, "adhoc")
+      assert(plan(HintTable.sql(spark, q3)).contains("SortMergeJoin"))
+    } finally {
+      spark.conf.unset(HintTable.EnabledConf)
+      spark.conf.unset(HintTable.ApplicationConf)
+      HintTable.clear()
+    }
+  }
+
+  test("rows load from a DataFrame with the reference's table shape") {
+    views()
+    HintTable.clear()
+    try {
+      spark.conf.set(HintTable.EnabledConf, "true")
+      import spark.implicits._
+      HintTable.load(Seq(
+        (HintTable.normalize(q3), "", "MERGE(orders)"))
+        .toDF("norm_query_string", "application_name", "hints"))
+      assert(plan(HintTable.sql(spark, q3)).contains("SortMergeJoin"))
+    } finally {
+      spark.conf.unset(HintTable.EnabledConf); HintTable.clear()
+    }
+  }
+}
