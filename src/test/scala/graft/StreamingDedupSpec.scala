@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Streaming MinHash-LSH admission ([[Streaming.streamingMinhashDedup]]):
+  * decisions must equal an INDEPENDENT sequential replay of the
+  * documented contract (greedy first-wins across batches; id-minimal
+  * per bucket within a batch; rejected docs never poison the store),
+  * the band store must keep unique keys, the store probe must be
+  * partition-pruned on pfx, and a restart with no new data must be a
+  * pure no-op. */
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val textA = "the quick brown fox jumps over the lazy dog tonight"
+  private val textB = "colorless green ideas sleep furiously under warm rain"
+  private val textC = "distributed query engines shuffle data between many executors"
+
+  private def writeBatchFile(dir: String, docs: Seq[(Long, String)]): Unit =
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir)
+
+  test("admission matches the sequential replay oracle across batches") {
+    val src = java.nio.file.Files.createTempDirectory("sdedup_src").toString
+    val store = java.nio.file.Files.createTempDirectory("sdedup_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sdedup_ckpt").toString
+
+    // batch 0: a pair of identical docs (within-batch dup) + a distinct
+    writeBatchFile(src, Seq(1L -> textA, 2L -> textA, 3L -> textB))
+    Streaming.streamingMinhashDedup(spark, src, store, ckpt)
+    // batch 1: a store dup of textA, a new text (twice), a tiny doc
+    writeBatchFile(src, Seq(4L -> textA, 5L -> textC, 6L -> textC, 7L -> "hi"))
+    Streaming.streamingMinhashDedup(spark, src, store, ckpt)
+    // batch 2: store dups of both earlier survivors
+    writeBatchFile(src, Seq(8L -> textC, 9L -> textB))
+    val decisions = Streaming.streamingMinhashDedup(spark, src, store, ckpt)
+
+    val got = decisions.select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet == (1L to 9L).toSet, "every doc decided exactly once")
+
+    // ---- independent replay of the contract ---------------------------
+    val allDocs = Seq(1L -> textA, 2L -> textA, 3L -> textB, 4L -> textA,
+      5L -> textC, 6L -> textC, 7L -> "hi", 8L -> textC, 9L -> textB)
+    val bands = graft.queries.Dedup
+      .minhashBands(allDocs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val batches = decisions.select("doc_id", "batch").collect()
+      .map(r => r.getLong(0) -> r.getLong(2 - 1)).groupBy(_._2)
+      .toSeq.sortBy(_._1).map(_._2.map(_._1).sorted)
+    var storeSigs = Set.empty[(Int, String)]
+    val replayDup = scala.collection.mutable.Map.empty[Long, Boolean]
+    batches.foreach { ids =>
+      val storeDups = ids.filter(id =>
+        bands.getOrElse(id, Set.empty).exists(storeSigs)).toSet
+      val rem = ids.filterNot(storeDups)
+      val withinDups = rem.filter { id =>
+        rem.exists(o => o < id &&
+          bands.getOrElse(id, Set.empty)
+            .intersect(bands.getOrElse(o, Set.empty)).nonEmpty)
+      }.toSet
+      ids.foreach(id => replayDup(id) = storeDups(id) || withinDups(id))
+      (rem.filterNot(withinDups)).foreach(id =>
+        storeSigs ++= bands.getOrElse(id, Set.empty))
+    }
+    assert(got == replayDup.toMap, "stream decisions == sequential replay")
+    // sanity on the crafted shape
+    assert(got.filter(_._2).keySet == Set(2L, 4L, 6L, 8L, 9L))
+
+    // ---- structural invariants ---------------------------------------
+    // the store holds bands of ADMITTED docs only, with UNIQUE keys —
+    // the probe is a key join with no fan-out
+    val storeDf = spark.read.option("basePath", s"$store/bands")
+      .schema("band INT, sig STRING, owner_doc BIGINT, pfx INT, batch BIGINT")
+      .parquet(s"$store/bands")
+    val dupKeys = storeDf.groupBy("band", "sig")
+      .count().filter(col("count") > 1).count()
+    assert(dupKeys == 0, "store (band,sig) keys must stay unique")
+    val owners = storeDf.select("owner_doc").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(owners.subsetOf(Set(1L, 3L, 5L)), s"unexpected owners $owners")
+
+    // the probe is partition-PRUNED: filtering the store on a pfx
+    // subset must reach the scan as a partition filter, not a data scan
+    val pruned = storeDf.filter(col("pfx").isin(0, 1, 2))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("pfx"),
+      s"pfx must prune partitions:\n$scan")
+
+    // ---- restart with no new data is a pure no-op --------------------
+    val before = decisions.collect().map(_.toSeq).toSet
+    val storeBefore = storeDf.count()
+    val again = Streaming.streamingMinhashDedup(spark, src, store, ckpt)
+    assert(again.collect().map(_.toSeq).toSet == before)
+    assert(storeDf.count() == storeBefore)
+  }
+}
