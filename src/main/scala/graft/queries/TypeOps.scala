@@ -610,6 +610,130 @@ object TypeOps extends QueryModule {
           array_join(concat(col("a"), array(lit(99))), ",").as("plus_99"),
           array_join(array_remove(col("a"), 10), ",").as("minus_10"))
         .orderBy(col("l_orderkey"))
+    }),
+
+    // pg_trgm word_similarity / strict_word_similarity (the `<%` and
+    // `<<%` operator family, `/root/reference/contrib/pg_trgm/
+    // trgm_op.c:1166,1182` via calc_word_similarity + `:477`
+    // iterate_word_similarity): the greatest set-similarity between the
+    // query's trigram set and any CONTIGUOUS extent of the text's
+    // ordered trigram sequence — word-boundary-aligned extents for the
+    // strict form (TRGM_BOUND_LEFT/RIGHT), any trigram extent for the
+    // plain form. Trigrams are pg_trgm's exactly: lowercase, split on
+    // non-alnum, each word padded "  w " and slid (trgm.h LPADDING=2 /
+    // RPADDING=1 / IGNORECASE / KEEPONLYALNUM), similarity =
+    // |A∩B| / |A∪B| (DIVUNION) kept in exact half-up integer micros.
+    //
+    // The O(T^2)-extent search is PRUNED losslessly before it runs:
+    // the maximum is always attained at an extent whose edge trigrams
+    // (edge words, for strict) hit the query set — trimming a
+    // non-matching edge drops only non-shared distinct trigrams, which
+    // can only shrink the union and raise the ratio. Extent endpoints
+    // therefore range over the (few) matching positions only, the same
+    // shortcut the reference's iterate loop takes via its found[]
+    // bitmap. Everything is per-row codegen HOFs — no shuffle, no UDF;
+    // at 100 TB this is a map-side scan like the other scalar lanes.
+    "q_trgm_word_sim" -> ((s, dir) => {
+      val probe = "table value part"
+      // per-word trigram LISTS (order + duplicates preserved: the
+      // extent search is positional; dedup happens per-extent)
+      def wordTrgms(src: String): String =
+        s"transform(filter(split(lower($src), '[^a-z0-9]+'), " +
+          "w -> length(w) > 0), " +
+          "w -> transform(sequence(1, length(w) + 1), " +
+          "i -> substring(concat('  ', w, ' '), i, 3)))"
+      // extent similarity in half-up micros over distinct trigrams
+      def sml(src: String): String = {
+        val d = s"array_distinct($src)"
+        val c = s"cast(size(array_intersect($d, q)) as bigint)"
+        val u2 = s"cast(size($d) as bigint)"
+        s"((2000000 * $c + (u1 + $u2 - $c)) div (2 * (u1 + $u2 - $c)))"
+      }
+      t(s, dir, "documents")
+        .withColumn("wt", expr(wordTrgms("substring(text, 1, 48)")))
+        .withColumn("tq", expr("flatten(wt)"))
+        .withColumn("q", expr(
+          s"array_distinct(flatten(${wordTrgms(s"'$probe'")}))"))
+        .withColumn("u1", expr("cast(size(q) as bigint)"))
+        .withColumn("fi", expr(
+          "filter(sequence(1, size(tq)), i -> array_contains(q, element_at(tq, i)))"))
+        .withColumn("fw", expr(
+          "filter(sequence(1, size(wt)), a -> size(array_intersect(element_at(wt, a), q)) > 0)"))
+        .withColumn("wsim_u", expr(
+          "coalesce(array_max(flatten(transform(fi, i -> " +
+            "transform(filter(fi, j -> j >= i), j -> " +
+            sml("slice(tq, i, j - i + 1)") + ")))), cast(0 as bigint))"))
+        .withColumn("swsim_u", expr(
+          "coalesce(array_max(flatten(transform(fw, a -> " +
+            "transform(filter(fw, b -> b >= a), b -> " +
+            sml("flatten(slice(wt, a, b - a + 1))") + ")))), cast(0 as bigint))"))
+        .select(col("doc_id"), col("wsim_u"), col("swsim_u"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // pg_trgm similarity JOIN — the GIN-index-accelerated `%` operator
+    // (`/root/reference/contrib/pg_trgm/trgm_op.c:1208` similarity_op,
+    // `trgm_gin.c:71` gin_extract_query_trgm + gin_trgm_consistent's
+    // count filter) as a posting-list join. The index analogue is the
+    // PREFIX FILTER (Chaudhuri et al., ICDE'06; Bayardo et al., WWW'07
+    // AllPairs): trigrams get a canonical rarity order (global
+    // frequency asc, trigram asc), each set INDEXES only its first
+    // |S| - ceil(t*|S|) + 1 rarest trigrams, and probes with its full
+    // set. Lossless for Jaccard >= t: a pair whose intersection misses
+    // the indexed prefix of either side fits its whole overlap into
+    // that side's last ceil(t*|S|) - 1 trigrams, contradicting
+    // overlap >= t*|S|. A length filter (min >= t*max) prunes before
+    // the verify. Hot trigrams sort LAST and thus rarely enter any
+    // prefix, so no posting list explodes — the property that makes
+    // this the 100 TB shape (the naive trigram equi-join is quadratic
+    // in the hottest posting). Verification recomputes the exact
+    // rational in half-up micros over the full sets.
+    //
+    // The DuckDB oracle brute-forces ALL pairs with no filter, so the
+    // hash gate PROVES the prefix filter lossless on this corpus
+    // rather than assuming the theorem.
+    "q_trgm_join" -> ((s, dir) => {
+      def trgSet(src: String): String =
+        s"array_distinct(flatten(transform(filter(split(lower($src), " +
+          "'[^a-z0-9]+'), w -> length(w) > 0), " +
+          "w -> transform(sequence(1, length(w) + 1), " +
+          "i -> substring(concat('  ', w, ' '), i, 3)))))"
+      val names = t(s, dir, "documents")
+        .select(expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").as("name"))
+        .distinct()
+      val tg = names
+        .withColumn("tg", expr(trgSet("name")))
+        .withColumn("sz", expr("cast(size(tg) as bigint)"))
+      val full = tg.select(col("name"), col("sz"), explode(col("tg")).as("tok"))
+      val freq = full.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      // canonical (rarity, trigram) order; prefix = all but the last
+      // ceil(0.45*sz) - 1 tokens (threshold t = 0.45 in exact 45/100)
+      val pref = full.join(freq, "tok")
+        .groupBy(col("name"), col("sz"))
+        .agg(sort_array(collect_list(struct(col("tf"), col("tok")))).as("toks"))
+        .withColumn("ptoks", expr(
+          "transform(slice(toks, 1, cast(sz - ((45 * sz + 99) div 100) + 1 as int)), x -> x.tok)"))
+        .select(col("name").as("pname"), col("sz").as("psz"),
+          explode(col("ptoks")).as("tok"))
+      val cand = pref
+        .join(full.select(col("name").as("fname"), col("sz").as("fsz"),
+          col("tok")), "tok")
+        .filter(col("pname") =!= col("fname"))
+        .filter(expr("100 * least(psz, fsz) >= 45 * greatest(psz, fsz)"))
+        .select(least(col("pname"), col("fname")).as("name_a"),
+          greatest(col("pname"), col("fname")).as("name_b"))
+        .distinct()
+      cand
+        .join(tg.select(col("name").as("name_a"), col("tg").as("ta"),
+          col("sz").as("sa")), "name_a")
+        .join(tg.select(col("name").as("name_b"), col("tg").as("tb"),
+          col("sz").as("sb")), "name_b")
+        .withColumn("inter", expr("cast(size(array_intersect(ta, tb)) as bigint)"))
+        .withColumn("uni", col("sa") + col("sb") - col("inter"))
+        .withColumn("sim_u", expr("(2000000 * inter + uni) div (2 * uni)"))
+        .filter(col("sim_u") >= 450000L)
+        .select(col("name_a"), col("name_b"), col("sim_u"))
+        .orderBy(col("name_a"), col("name_b"))
     })
   )
 
@@ -976,6 +1100,69 @@ object TypeOps extends QueryModule {
         |  array_to_string(list_append(a, 99), ',') AS plus_99,
         |  COALESCE(array_to_string(list_filter(a, x -> x <> 10), ','), '')
         |    AS minus_10
-        |FROM g ORDER BY l_orderkey""".stripMargin
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+
+    // same pruned extent search (the pruning is lossless, so this IS
+    // word_similarity); DuckDB comprehensions mirror the Spark HOFs
+    "q_trgm_word_sim" -> {
+      def sml(src: String): String = {
+        val d = s"list_distinct($src)"
+        val c = s"CAST(len(list_intersect($d, q)) AS BIGINT)"
+        val u2 = s"CAST(len($d) AS BIGINT)"
+        s"(2000000 * $c + (u1 + $u2 - $c)) // (2 * (u1 + $u2 - $c))"
+      }
+      s"""WITH probe AS (
+         |  SELECT list_distinct(flatten(list_transform(
+         |    list_filter(string_split_regex(lower('table value part'),
+         |                                   '[^a-z0-9]+'),
+         |                w -> len(w) > 0),
+         |    w -> [substr('  ' || w || ' ', i, 3)
+         |          for i in range(1, len(w) + 2)]))) AS qt),
+         |w AS (SELECT doc_id,
+         |    list_transform(
+         |      list_filter(string_split_regex(lower(substr(text, 1, 48)),
+         |                                     '[^a-z0-9]+'),
+         |                  w -> len(w) > 0),
+         |      w -> [substr('  ' || w || ' ', i, 3)
+         |            for i in range(1, len(w) + 2)]) AS wt
+         |  FROM documents),
+         |f AS (SELECT doc_id, wt, flatten(wt) AS t,
+         |    (SELECT qt FROM probe) AS q,
+         |    CAST(len((SELECT qt FROM probe)) AS BIGINT) AS u1
+         |  FROM w),
+         |fp AS (SELECT doc_id, wt, t, q, u1,
+         |    [i for i in range(1, len(t) + 1) if list_contains(q, t[i])] AS fi,
+         |    [a for a in range(1, len(wt) + 1)
+         |       if len(list_intersect(list_distinct(wt[a]), q)) > 0] AS fw
+         |  FROM f)
+         |SELECT doc_id,
+         |  coalesce(list_max(flatten([[${sml("t[i:j]")}
+         |    for j in fi if j >= i] for i in fi])), 0) AS wsim_u,
+         |  coalesce(list_max(flatten([[${sml("flatten(wt[a:b])")}
+         |    for b in fw if b >= a] for a in fw])), 0) AS swsim_u
+         |FROM fp ORDER BY doc_id""".stripMargin
+    },
+
+    // brute-force ALL-pairs with no candidate filter: hash equality
+    // proves the Spark side's prefix filter lossless on this corpus
+    "q_trgm_join" ->
+      """WITH s AS (SELECT DISTINCT
+        |    array_to_string((string_split(text, ' '))[1:4], ' ') AS name
+        |  FROM documents),
+        |t AS (SELECT name, list_distinct(flatten(list_transform(
+        |    list_filter(string_split_regex(lower(name), '[^a-z0-9]+'),
+        |                w -> len(w) > 0),
+        |    w -> [substr('  ' || w || ' ', i, 3)
+        |          for i in range(1, len(w) + 2)]))) AS tg
+        |  FROM s),
+        |p AS (SELECT a.name AS name_a, b.name AS name_b,
+        |    CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS inter,
+        |    CAST(len(a.tg) AS BIGINT) + CAST(len(b.tg) AS BIGINT)
+        |      - CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS uni
+        |  FROM t a JOIN t b ON a.name < b.name)
+        |SELECT name_a, name_b,
+        |  (2000000 * inter + uni) // (2 * uni) AS sim_u
+        |FROM p WHERE (2000000 * inter + uni) // (2 * uni) >= 450000
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

@@ -70,7 +70,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // pg_hint_plan-analogue hinted shapes (r14): the pinned plan IS the
     // adherence proof — SortMergeJoin + ShuffledHashJoin where cost
     // would broadcast, and the REPARTITION/BROADCAST pair
-    "q_hint_join_strategy", "q_hint_broadcast_parallel")
+    "q_hint_join_strategy", "q_hint_broadcast_parallel",
+    // prefix-filtered trigram similarity join (r14): pins the
+    // posting/prefix/verify join topology
+    "q_trgm_join")
 
   snapshotQueries.foreach { name =>
     test(s"plan snapshot: $name") {
