@@ -249,10 +249,26 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         call_function("simhash48", col("text")).as("sig")))
+    // Block-permutation banding (Manku, Jain & Sarma, WWW'07 §3 — the
+    // production simhash-dedup table scheme): the 48-bit signature splits
+    // into six 8-bit blocks; Hamming <= 3 flips bits in at most 3 blocks,
+    // so for every qualifying pair SOME 3-block subset is untouched —
+    // keying each of the C(6,3) = 20 subsets (24-bit keys) preserves the
+    // pigeonhole full-recall guarantee of the old 4 x 12-bit contiguous
+    // bands while cutting the chance-collision candidate mass from
+    // n^2/2^12 to n^2/2^24 per table: candidates scale with the actual
+    // near-dup population, not quadratically with the corpus. 20n band
+    // rows of (long, int, int) is the price — a narrow, linear shuffle.
+    val bandExprs = (0 until 6).combinations(3).toSeq.zipWithIndex
+      .map { case (blocks, b) =>
+        val key = blocks.zipWithIndex
+          .map { case (blk, pos) =>
+            s"shiftleft(shiftright(sig, ${8 * blk}) & 255, ${8 * pos})" }
+          .mkString(" | ")
+        s"struct($b as band, ($key) as key)"
+      }
     val banded = sig.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b*12) & 4095 as key))"))
-        .as("bk"))
+        explode(expr(s"array(${bandExprs.mkString(", ")})")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     cappedBucketPairs(banded, Seq("band", "key"), MaxBucket)
       .distinct()
@@ -475,12 +491,14 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dup: 48-bit signature over word hashes, 4-band blocking,
-    // Hamming <= 3 verified with bit_count. Word hashes come from md5 (an
-    // engine-independent digest), so the oracle reproduces the signatures
-    // bit-exactly and brute-forces the same pair set — and 4 bands x 12
-    // bits guarantee full recall at distance <= 3 (pigeonhole), making
-    // LSH output == brute force output exactly BELOW the bucket cap. A
+    // SimHash near-dup: 48-bit signature over word hashes, Manku-style
+    // block-permutation blocking (20 tables of 3-of-6 8-bit blocks — see
+    // simhashRepPairs), Hamming <= 3 verified with bit_count. Word hashes
+    // come from md5 (an engine-independent digest), so the oracle
+    // reproduces the signatures bit-exactly and brute-forces the same
+    // pair set — and any 3 flipped bits leave some keyed 3-block subset
+    // untouched (pigeonhole), guaranteeing full recall at distance <= 3,
+    // making LSH output == brute force output exactly BELOW the bucket cap. A
     // bucket driven past MaxBucket distinct payloads degrades to star
     // candidates around the bucket minimum: connectivity is preserved but
     // qualifying pairs between two non-center members are not emitted, so
