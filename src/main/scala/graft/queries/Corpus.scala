@@ -800,11 +800,19 @@ object Corpus extends QueryModule {
     // corpus count > 1 (within-doc repeats count too, as in the paper),
     // and merging overlapping-or-adjacent duplicated starts per doc via
     // gaps-and-islands recovers exactly the MAXIMAL duplicated spans.
-    // Scale shape: the only corpus-sized shuffles carry (digest) and
-    // (digest, doc, start) pairs — never text; the digest groupBy is
-    // partial-aggregated map-side; the islands pass is one partition-by-
-    // doc window. The spans_digest hash-pins the exact span extents per
-    // doc, so the oracle proves the geometry, not just counts.
+    // Scale shape (r14 rewrite): the window set is exploded and hashed
+    // exactly ONCE — corpus-count>1 marking is a count() window over the
+    // digest partitions (one shuffle of (doc, start, digest16) rows, no
+    // self-join whose probe branch would recompute the explode, which is
+    // what the r13 groupBy+join formulation did) — and counts + maximal
+    // spans come from ONE groupBy(doc_id): duplicated starts are
+    // collected sorted and the gaps-and-islands merge runs as an
+    // aggregate() fold over that per-doc array (bounded by doc length,
+    // the same bound the old per-doc window pass buffered). Digests
+    // shuffle as 16-byte binary (unhex(md5)), not 32-char hex strings;
+    // text never leaves the document row. The spans_digest hash-pins the
+    // exact span extents per doc, so the oracle proves the geometry, not
+    // just counts.
     "d_dedup_substring" -> ((s, dir) => {
       val K = 8
       val base = t(s, dir, "documents")
@@ -813,38 +821,44 @@ object Corpus extends QueryModule {
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, size(w) - ${K - 1}), " +
             s"i -> struct(i AS start, " +
-            s"md5(concat_ws(' ', slice(w, i, $K))) AS dg))")).as("x"))
+            s"unhex(md5(concat_ws(' ', slice(w, i, $K)))) AS dg))")).as("x"))
         .select(col("doc_id"), col("x.start").as("start"),
           col("x.dg").as("dg"))
-      val dup = wins.groupBy(col("dg")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).select(col("dg"), lit(1).as("isdup"))
-      val marked = wins.join(dup, Seq("dg"), "left")
-      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-      val spans = marked.filter(col("isdup").isNotNull)
-        .withColumn("prev", lag(col("start"), 1).over(byDoc))
-        .withColumn("isl", sum(when(col("prev").isNull ||
-            col("start") - col("prev") > K, 1).otherwise(0)).over(byDoc))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(min(col("start")).as("s"),
-             (max(col("start")) + (K - 1)).as("e"))
-      val perDocSpans = spans.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("e") - col("s") + 1).as("dup_tokens"),
-          md5(concat_ws(",", sort_array(collect_list(
-            concat(col("s"), lit("-"), col("e"))))))
-            .as("spans_digest"))
-      val counts = marked.groupBy(col("doc_id"))
+      val marked = wins
+        .withColumn("isdup",
+          (count(lit(1)).over(Window.partitionBy(col("dg"))) > 1)
+            .cast("long"))
+        .drop("dg")
+      val perDoc = marked.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_windows"),
-          sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup"))
+          sum(col("isdup")).as("n_dup"),
+          array_sort(collect_list(when(col("isdup") === 1, col("start"))))
+            .as("ss"))
+        // gaps-and-islands over the sorted duplicated starts: a start
+        // within K of the running island's last start extends it (the
+        // windows overlap or touch), otherwise a new island opens;
+        // island (first, last) pairs ARE the maximal spans [s, last+K-1]
+        .withColumn("spans", expr(
+          s"""aggregate(ss,
+             |  CAST(array() AS array<struct<s:int,l:int>>),
+             |  (acc, x) -> CASE
+             |    WHEN size(acc) = 0 OR x - element_at(acc, -1).l > $K
+             |      THEN concat(acc, array(struct(x AS s, x AS l)))
+             |    ELSE concat(slice(acc, 1, size(acc) - 1),
+             |      array(struct(element_at(acc, -1).s AS s, x AS l)))
+             |  END)""".stripMargin))
       base.select(col("doc_id"))
-        .join(counts, Seq("doc_id"), "left")
-        .join(perDocSpans, Seq("doc_id"), "left")
+        .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_windows"), lit(0L)).as("n_windows"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-          coalesce(col("spans_digest"), lit("")).as("spans_digest"))
+          coalesce(size(col("spans")).cast("long"), lit(0L)).as("n_spans"),
+          coalesce(expr(s"aggregate(spans, 0L, " +
+            s"(a, p) -> a + (p.l - p.s + $K))"), lit(0L)).as("dup_tokens"),
+          coalesce(when(size(col("spans")) > 0, md5(concat_ws(",",
+            sort_array(expr(s"transform(spans, " +
+              s"p -> concat(p.s, '-', p.l + ${K - 1}))"))))),
+            lit("")).as("spans_digest"))
         .withColumn("dup_frac_u",
           expr("CASE WHEN n_windows > 0 THEN " +
             "(2000000 * n_dup + n_windows) div (2 * n_windows) " +

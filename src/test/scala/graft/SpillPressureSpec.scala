@@ -91,6 +91,23 @@ class SpillPressureSpec extends AnyFunSuite {
     s
   }
 
+  /** Tightest profile, for lanes whose only buffered operators are
+    * tiny-group windows (the r14 substring rewrite counts duplicates
+    * with a window over DIGEST partitions — most groups are 1-2 rows, so
+    * the 4-row threshold above never trips) and collect_list object
+    * aggregation: 1-row window buffers spill every duplicated-digest
+    * group, and the ObjectHashAggregate sort-based fallback after 1 key
+    * drives the per-doc array aggregation onto its spill path. */
+  private lazy val bufTight: SparkSession = {
+    val s = base.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "1")
+    s.conf.set("spark.sql.windowExec.buffer.spill.threshold", "1")
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s
+  }
+
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
@@ -107,11 +124,14 @@ class SpillPressureSpec extends AnyFunSuite {
     * broadcast-off), candidate ranking windows, shortlist rerank joins
     * — driven by the lighter profile (see [[bufLight]]). */
   private val lightShapes = Seq("d_semdedup_probes", "s_ann_ivfpq_topk",
-    "s_ann_mmr_topk", "q_hybrid_rrf", "d_dedup_substring")
+    "s_ann_mmr_topk", "q_hybrid_rrf")
+
+  private val tightShapes = Seq("d_dedup_substring")
 
   (shapes.map { case (n, agg) => (n, if (agg) () => aggPressured
                                      else () => bufPressured) } ++
-   lightShapes.map(n => (n, () => bufLight))).foreach { case (name, prof) =>
+   lightShapes.map(n => (n, () => bufLight)) ++
+   tightShapes.map(n => (n, () => bufTight))).foreach { case (name, prof) =>
     test(s"$name spills under pressure and stays hash-identical") {
       val fn = SparkEntry.queries(name)
       val pressured = prof()
