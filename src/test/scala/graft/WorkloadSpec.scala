@@ -1,0 +1,268 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.{ResourceQueue, WorkloadManager}
+
+/** Resource-queue admission semantics (the reference's
+  * resource_queue.sql / resource_group.sql regress + the isolation
+  * suite's concurrent-session checks): concurrency threshold, cost
+  * threshold with overcommit and min-cost waves, FIFO wake order,
+  * queue isolation, alter-wakes-waiters, the statement_mem rule, the
+  * scheduler-pool tagging, and the status view. */
+class WorkloadSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def await(l: CountDownLatch): Unit =
+    assert(l.await(30, TimeUnit.SECONDS), "latch timed out")
+
+  private def inThread(body: => Unit): Thread = {
+    val t = new Thread(() => body)
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  test("ACTIVE THRESHOLD caps concurrency at exactly the limit") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("etl", activeStatements = 2))
+    val running = new AtomicInteger(0)
+    val maxSeen = new AtomicInteger(0)
+    val done = new CountDownLatch(8)
+    (1 to 8).foreach { _ =>
+      inThread {
+        wm.run(spark, "etl", cost = 1.0) {
+          val n = running.incrementAndGet()
+          maxSeen.getAndUpdate(m => math.max(m, n))
+          Thread.sleep(50)
+          running.decrementAndGet()
+        }
+        done.countDown()
+      }
+    }
+    await(done)
+    assert(maxSeen.get() == 2,
+      s"expected the 2-slot queue to reach and never exceed 2 concurrent, saw ${maxSeen.get}")
+  }
+
+  test("waiters are admitted in arrival order (FIFO, head-of-line)") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("serial", activeStatements = 1))
+    val order = mutable.ArrayBuffer.empty[Int]
+    val blockFirst = new CountDownLatch(1)
+    val firstIn = new CountDownLatch(1)
+    val done = new CountDownLatch(6)
+    inThread {
+      wm.run(spark, "serial", 1.0) { firstIn.countDown(); await(blockFirst) }
+      done.countDown()
+    }
+    await(firstIn)
+    // enqueue 2..6 one at a time, confirming each is REGISTERED as a
+    // waiter before the next arrives — that pins the arrival order
+    (2 to 6).foreach { i =>
+      val waitersBefore = waiterCount(wm)
+      inThread {
+        wm.run(spark, "serial", 1.0) { order.synchronized { order += i } }
+        done.countDown()
+      }
+      eventually(waiterCount(wm) == waitersBefore + 1)
+    }
+    blockFirst.countDown()
+    await(done)
+    assert(order.toSeq == Seq(2, 3, 4, 5, 6))
+  }
+
+  private def waiterCount(wm: WorkloadManager): Int =
+    wm.status(spark).selectExpr("sum(rsqwaiters)").collect()(0).getLong(0).toInt
+
+  private def eventually(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (!cond) {
+      assert(System.nanoTime() < deadline, "condition never became true")
+      Thread.sleep(5)
+    }
+  }
+
+  test("COST THRESHOLD admits by summed cost and frees on release") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("costq", maxCost = 100))
+    val firstIn = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val secondRan = new CountDownLatch(1)
+    val overlapped = new AtomicInteger(0)
+    inThread {
+      wm.run(spark, "costq", 60) { firstIn.countDown(); await(release) }
+    }
+    await(firstIn)
+    inThread {
+      wm.run(spark, "costq", 60) {   // 60+60 > 100: must wait
+        overlapped.set(
+          wm.status(spark).filter("rsqname = 'costq'")
+            .selectExpr("rsqcountvalue").collect()(0).getInt(0))
+        secondRan.countDown()
+      }
+    }
+    // the waiting 60 must not run while the first holds 60 of the 100
+    Thread.sleep(100)
+    assert(secondRan.getCount == 1, "second 60-cost statement jumped the cost limit")
+    // and a later statement queues BEHIND it (head-of-line order, as
+    // the reference runs each queue's statements in arrival order)
+    val fit = new CountDownLatch(1)
+    inThread { wm.run(spark, "costq", 50) { fit.countDown() } }
+    Thread.sleep(100)
+    assert(fit.getCount == 1, "50-cost statement overtook the queue head")
+    release.countDown()
+    await(secondRan)
+    assert(overlapped.get() == 1, "waiter should have run alone after release")
+  }
+
+  test("a statement alone over MAX_COST is rejected without overcommit") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("strict", maxCost = 100))
+    val e = intercept[IllegalStateException] {
+      wm.run(spark, "strict", 150) { fail("must not run") }
+    }
+    assert(e.getMessage.contains("COST THRESHOLD"))
+  }
+
+  test("COST OVERCOMMIT defers an over-limit statement to an idle queue") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("oc", maxCost = 100, costOvercommit = true))
+    val firstIn = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val bigRan = new CountDownLatch(1)
+    inThread { wm.run(spark, "oc", 60) { firstIn.countDown(); await(release) } }
+    await(firstIn)
+    inThread {
+      wm.run(spark, "oc", 150) {   // over the whole limit: waits for idle
+        bigRan.countDown()
+      }
+    }
+    Thread.sleep(100)
+    assert(bigRan.getCount == 1, "overcommitted statement ran while queue busy")
+    release.countDown()
+    await(bigRan)
+  }
+
+  test("statements under MIN_COST bypass a saturated queue") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("waved", activeStatements = 1, minCost = 10))
+    val holderIn = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    inThread { wm.run(spark, "waved", 50) { holderIn.countDown(); await(release) } }
+    await(holderIn)
+    val cheap = new CountDownLatch(1)
+    inThread { wm.run(spark, "waved", 5) { cheap.countDown() } }
+    await(cheap)   // ran concurrently despite the 1-slot queue being held
+    val bypassed = wm.status(spark).filter("rsqname = 'waved'")
+      .selectExpr("rsqholders_bypassed").collect()(0).getLong(0)
+    assert(bypassed == 1)
+    release.countDown()
+  }
+
+  test("ALTER raising the threshold wakes waiters") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("grow", activeStatements = 1))
+    val holderIn = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val waiterRan = new CountDownLatch(1)
+    inThread { wm.run(spark, "grow", 1.0) { holderIn.countDown(); await(release) } }
+    await(holderIn)
+    inThread { wm.run(spark, "grow", 1.0) { waiterRan.countDown() } }
+    eventually(waiterCount(wm) == 1)
+    wm.alterQueue(ResourceQueue("grow", activeStatements = 2))
+    await(waiterRan)   // admitted while the first holder still runs
+    release.countDown()
+  }
+
+  test("queues are isolated: saturating one never delays another") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("busy", activeStatements = 1))
+    wm.createQueue(ResourceQueue("idle", activeStatements = 1))
+    val holderIn = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    inThread { wm.run(spark, "busy", 1.0) { holderIn.countDown(); await(release) } }
+    await(holderIn)
+    val other = new CountDownLatch(1)
+    inThread { wm.run(spark, "idle", 1.0) { other.countDown() } }
+    await(other)
+    release.countDown()
+  }
+
+  test("statement_mem = MEMORY_LIMIT / ACTIVE_STATEMENTS, set as a local property") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("mem", activeStatements = 4,
+      memoryLimitMb = 2000))
+    var seenMem: String = null
+    var seenPool: String = null
+    wm.run(spark, "mem", 1.0) {
+      seenMem = spark.sparkContext.getLocalProperty(
+        WorkloadManager.StatementMemProp)
+      seenPool = spark.sparkContext.getLocalProperty(
+        WorkloadManager.SchedulerPoolProp)
+    }
+    assert(seenMem == "500")
+    assert(seenPool == "graft_mem")
+    assert(spark.sparkContext.getLocalProperty(
+      WorkloadManager.SchedulerPoolProp) == null,
+      "pool property must be restored after the statement")
+  }
+
+  test("planCost derives from the optimizer's size statistics") {
+    val wm = new WorkloadManager
+    val small = Tables.t(spark, sf, "nation")
+    val large = Tables.t(spark, sf, "lineitem")
+    assert(wm.planCost(small) > 0)
+    assert(wm.planCost(large) > wm.planCost(small))
+    // pruning is visible to admission: fewer columns -> cheaper statement
+    assert(wm.planCost(large.select("l_orderkey")) < wm.planCost(large))
+  }
+
+  test("status view exposes limits, holders, waiters, and DDL guards fire") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("view", activeStatements = 3, maxCost = 50,
+      priority = "HIGH", memoryLimitMb = 900))
+    val in = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    inThread { wm.run(spark, "view", 20) { in.countDown(); await(release) } }
+    await(in)
+    val r = wm.status(spark).filter("rsqname = 'view'").collect()(0)
+    assert(r.getAs[Int]("rsqcountlimit") == 3)
+    assert(r.getAs[Int]("rsqcountvalue") == 1)
+    assert(r.getAs[Double]("rsqcostvalue") == 20.0)
+    assert(r.getAs[Long]("statement_mem_mb") == 300)
+    assert(r.getAs[String]("priority") == "HIGH")
+    intercept[IllegalStateException] { wm.dropQueue("view") }   // busy
+    release.countDown()
+    eventually(wm.status(spark).filter("rsqname = 'view'")
+      .selectExpr("rsqcountvalue").collect()(0).getInt(0) == 0)
+    wm.dropQueue("view")
+    intercept[NoSuchElementException] { wm.run(spark, "view", 1.0) {} }
+    intercept[IllegalStateException] {
+      wm.createQueue(ResourceQueue("dup")); wm.createQueue(ResourceQueue("dup"))
+    }
+    intercept[IllegalArgumentException] {
+      ResourceQueue("bad", priority = "funky")   // WITH(PRIORITY=funky)
+    }
+    intercept[IllegalArgumentException] {
+      ResourceQueue("bad", activeStatements = -10)   // negative regress case
+    }
+  }
+
+  test("allocation XML carries the reference's priority weights") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("fast", priority = "MAX"))
+    wm.createQueue(ResourceQueue("slow", priority = "MIN"))
+    val xml = wm.allocationFileXml
+    assert(xml.contains("<pool name=\"graft_fast\">"))
+    assert(xml.contains("<weight>1500</weight>"))
+    assert(xml.contains("<weight>100</weight>"))
+    assert(xml.contains("<schedulingMode>FAIR</schedulingMode>"))
+  }
+}
