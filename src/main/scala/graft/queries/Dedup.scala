@@ -280,18 +280,28 @@ object Dedup extends QueryModule {
   }
 
   /** Sign-LSH banding parameters for the embedding near-dup scale path:
-    * 48 hyperplanes from the shared [[Hyperplanes]] family, banded as
-    * 6 bands x 8 bits. For a pair at angle theta (per-plane agreement
-    * p = 1 - theta/pi), candidate recall is 1 - (1 - p^8)^6 — designed
-    * for genuine near-duplicates: ~0.9999 at cos 0.999, ~0.7 at cos 0.9,
-    * and intentionally low far from 1 (~0.1 at the audit threshold 0.45,
-    * where "pairs" are background correlation, not duplicates). On
-    * balanced buckets the banded join touches ~2^8/6 ~ 43x fewer pairs
-    * than all-pairs; at higher corpus density, widen the bands (more
-    * planes per band) — recall at near-1 cosine decays slowly while the
-    * candidate volume divides by 2^bits. */
-  private[graft] val EmbBands = 6
-  private[graft] val EmbBandBits = 8
+    * 60 hyperplanes from the shared [[Hyperplanes]] family, banded as
+    * 5 bands x 12 bits (the signature stays one long). For a pair at
+    * angle theta (per-plane agreement p = 1 - theta/pi), candidate
+    * recall is 1 - (1 - p^12)^5 — designed for genuine near-duplicates:
+    * ~0.9998 at cos 0.999, ~0.57 at cos 0.9, and intentionally low far
+    * from 1 (background correlation at the 0.45 audit threshold is not
+    * duplication).
+    *
+    * Band WIDTH is the n-dependent knob, and this is the load-bearing
+    * scaling law: in-bucket verification work is sum-over-buckets of
+    * C(k,2), so with 2^bits keys per band the background term is
+    * ~bands * n^2 / 2^(bits+1) — QUADRATIC at fixed bits. Keeping
+    * buckets bounded needs bits ~ log2(n / targetBucketSize): the r14
+    * fourth-decade probe caught the old 6x8-bit geometry at 12.8x per
+    * decade (500k vectors pack 2k-row buckets at 256 keys/band); 12-bit
+    * keys hold the same decade at a bounded bucket (~122 rows average).
+    * Past ~10^8 vectors, move to 16-bit bands (4 bands keeps the
+    * signature in a long; recall at cos 0.999 is still ~0.998) or shard
+    * the corpus — drops only need a lower-id witness, so shards are
+    * independent. */
+  private[graft] val EmbBands = 5
+  private[graft] val EmbBandBits = 12
 
   /** 48-bit sign signature of an `array<double>` vector: bit j is
     * sign(v . plane_j). Pure per-row map-side work (codegen'd vec_dot
@@ -350,64 +360,82 @@ object Dedup extends QueryModule {
   private[graft] def embeddingLshPairs(e: DataFrame, maxBucket: Int,
                                        threshold: Double): DataFrame = {
     val sp = e.sparkSession; import sp.implicits._
-    val w = Window.partitionBy(col("band"), col("key"))
-    val annotated = embeddingBanded(e)
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__bmin", min(col("doc_id")).over(w))
     // same defensive pre-guard as the exact kernel: HALF_UP to 6dp moves
     // a value by at most 5e-7 (+1e-7 headroom against the guard constant
     // itself landing one ulp high), so only near-threshold values pay the
     // BigDecimal round-trip
     val guard = threshold - 6e-7
-    val small = annotated.filter(col("__n") <= maxBucket)
+    // ONE payload shuffle (r14 rewrite): co-locate each (band, key)
+    // bucket and sort its run by doc_id, then iterate runs in-partition.
+    // The previous shape paid the payload THREE times — a window sort to
+    // annotate counts/min, a second full shuffle because groupByKey's
+    // lambda key can't reuse the window's partitioning, and a star
+    // join-back re-fetching vectors; on a fully-degraded corpus (every
+    // bucket oversized — the x1000 probe's regime) that was pure plan
+    // overhead around an O(n) star output. Sorting by doc_id makes the
+    // run head the star CENTER, so the oversized path streams (min,
+    // member) pairs with only the small-path buffer ever materialized —
+    // per-task memory stays bounded by maxBucket rows regardless of how
+    // hot a bucket gets.
+    def verify(a: (Long, Array[Double], Double),
+               b: (Long, Array[Double], Double)): Option[(Long, Long, Double)] = {
+      val va = a._2; val vb = b._2
+      var d = 0.0; var k = 0
+      val n = math.min(va.length, vb.length)
+      while (k < n) { d += va(k) * vb(k); k += 1 }
+      val raw = d / math.sqrt(a._3 * b._3)
+      if (raw >= guard) {
+        val cos = round6(raw)
+        if (cos >= threshold) {
+          Some(if (a._1 < b._1) (a._1, b._1, cos) else (b._1, a._1, cos))
+        } else None
+      } else None
+    }
+    embeddingBanded(e)
       .select(col("band").cast("int"), col("key").cast("long"),
               col("doc_id"), col("v"), col("nrm"))
       .as[(Int, Long, Long, Array[Double], Double)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_, it: Iterator[(Int, Long, Long, Array[Double], Double)]) =>
-        val rows = it.toArray // <= maxBucket rows by the filter above
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < rows.length) {
-          val a = rows(i)
-          var j = i + 1
-          while (j < rows.length) {
-            val b = rows(j)
-            val va = a._4; val vb = b._4
-            var d = 0.0; var k = 0
-            val n = math.min(va.length, vb.length)
-            while (k < n) { d += va(k) * vb(k); k += 1 }
-            val raw = d / math.sqrt(a._5 * b._5)
-            if (raw >= guard) {
-              val cos = round6(raw)
-              if (cos >= threshold) {
-                if (a._3 < b._3) out += ((a._3, b._3, cos))
-                else out += ((b._3, a._3, cos))
+      .repartition(col("band"), col("key"))
+      .sortWithinPartitions(col("band"), col("key"), col("doc_id"))
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[(Long, Long, Double)] {
+          private var queue: Iterator[(Long, Long, Double)] = Iterator.empty
+          private def advance(): Unit =
+            while (!queue.hasNext && in.hasNext) {
+              val band = in.head._1; val key = in.head._2
+              def inRun = in.hasNext && in.head._1 == band && in.head._2 == key
+              val buf = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Array[Double], Double)]
+              while (inRun && buf.length < maxBucket) {
+                val r = in.next(); buf += ((r._3, r._4, r._5))
               }
+              queue =
+                if (!inRun) {
+                  // small bucket: exact all-pairs verification in-buffer
+                  buf.indices.iterator.flatMap { i =>
+                    (i + 1 until buf.length).iterator
+                      .flatMap(j => verify(buf(i), buf(j)))
+                  }
+                } else {
+                  // oversized: star around the run head (== bucket min by
+                  // the doc_id sort) — buffered members first, then the
+                  // run tail streamed without materializing it
+                  val center = buf.head
+                  buf.iterator.drop(1).flatMap(m => verify(center, m)) ++
+                    new Iterator[(Long, Array[Double], Double)] {
+                      def hasNext: Boolean = inRun
+                      def next(): (Long, Array[Double], Double) = {
+                        val r = in.next(); (r._3, r._4, r._5)
+                      }
+                    }.flatMap(m => verify(center, m))
+                }
             }
-            j += 1
-          }
-          i += 1
+          def hasNext: Boolean = { advance(); queue.hasNext }
+          def next(): (Long, Long, Double) = { advance(); queue.next() }
         }
-        out.iterator
       }.toDF("id_a", "id_b", "cos")
-    // star fallback: id_a = bucket min < id_b always, matching the small
-    // path's ordering; vectors joined back only for these rare pairs
-    val starIds = annotated
-      .filter(col("__n") > maxBucket && col("doc_id") =!= col("__bmin"))
-      .select(col("__bmin").as("id_a"), col("doc_id").as("id_b")).distinct()
-    val side = e.select(col("vec_id"), col("v"),
-      call_function("vec_norm_sq", col("v")).as("nrm"))
-    val star = starIds
-      .join(side.select(col("vec_id").as("id_a"), col("v").as("va"),
-                        col("nrm").as("na")), "id_a")
-      .join(side.select(col("vec_id").as("id_b"), col("v").as("vb"),
-                        col("nrm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(call_function("vec_dot", col("va"), col("vb")) /
-          sqrt(col("na") * col("nb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
-    small.unionAll(star).distinct()
+      .distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
