@@ -813,9 +813,17 @@ object Corpus extends QueryModule {
     // text never leaves the document row. The spans_digest hash-pins the
     // exact span extents per doc, so the oracle proves the geometry, not
     // just counts.
-    "d_dedup_substring" -> ((s, dir) => {
+    "d_dedup_substring" -> ((s, dir) =>
+      substringDedupSpans(t(s, dir, "documents")))
+  )
+
+  /** The d_dedup_substring engine over any (doc_id, text) relation —
+    * factored out so the generative fuzz lane (FuzzParitySpec) can drive
+    * it on constructed corpora against an independent pure-Scala model. */
+  private[graft] def substringDedupSpans(docs: DataFrame): DataFrame = {
+    {
       val K = 8
-      val base = t(s, dir, "documents")
+      val base = docs
         .select(col("doc_id"), split(col("text"), " ").as("w"))
       val wins = base.filter(size(col("w")) >= K)
         .select(col("doc_id"), explode(expr(
@@ -864,8 +872,8 @@ object Corpus extends QueryModule {
             "(2000000 * n_dup + n_windows) div (2 * n_windows) " +
             "ELSE 0 END"))
         .orderBy(col("doc_id"))
-    })
-  )
+    }
+  }
 
   private val decontaminateOracle =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -26,7 +26,7 @@ import graft.Tables._
   * oracle bit-exactly. One definition, two renderings — a Column of
   * literals for the Spark plan and a SQL array literal for the oracle —
   * so both engines see bit-identical planes by construction. */
-private[queries] object Hyperplanes {
+private[graft] object Hyperplanes {
   val dim = 64
   def plane(j: Int): Seq[Double] =
     Seq.tabulate(dim)(k => math.rint(math.sin(j * dim + k + 1) * 1e6) / 1e6)

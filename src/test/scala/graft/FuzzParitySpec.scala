@@ -19,13 +19,15 @@ import org.scalacheck.rng.Seed
   *
   * Any divergence means a graft rule broke bag semantics, an
   * expression's interpreted path disagrees with codegen, or a result
-  * silently depends on partitioning. The 312 fixed CORRECTNESS queries
+  * silently depends on partitioning. The fixed CORRECTNESS queries
   * prove chosen paths; this hunts unchosen ones. Seeded (fixed initial
   * seed → reproducible failures) with ScalaCheck shrinking on the
-  * generated case structure. 9 properties × 63 cases = 567 generated
-  * queries per run (r13 added IGNORE NULLS navigation and the
-  * hstore/jsonpath row-local kernels); [[TlpFuzzSpec]] adds 200
-  * metamorphic cases on the same lanes.
+  * generated case structure. 11 properties × 63 cases = 693 generated
+  * cases per run (r13 added IGNORE NULLS navigation and the
+  * hstore/jsonpath row-local kernels; r14 adds pure-Scala-model
+  * differentials for the rewritten substring-dedup and embedding
+  * sign-LSH operators, star fallback included); [[TlpFuzzSpec]] adds
+  * 200 metamorphic cases on the same lanes.
   *
   * Float discipline: double SUM/AVG group-aggregates are excluded from
   * the grammar (addition order legitimately varies with partitioning);
@@ -266,6 +268,145 @@ object FuzzParitySpec extends Properties("FuzzParity") {
       val exp = expected.map { case (i, v) => (i, v: Option[Any]) }
       (a == exp && b == exp) :| {
         s"left=$left\nright=$rlist\nexpected=$exp\nstock=$a\ngraft=$b"
+      }
+    }
+
+  // ---- substring dedup vs a pure-Scala model -------------------------
+  // The r14 single-pass rewrite (window count over digests + islands
+  // fold — Corpus.substringDedupSpans) gets the same treatment as the
+  // as-of operator: tiny-vocab corpora force dense duplicated 8-gram
+  // structure (adjacent, overlapping, within-doc, cross-doc, straddling
+  // span merges), and every output column — including the exact span
+  // geometry behind spans_digest — is recomputed by an independent
+  // model. Both engine lanes (codegen/32-part vs interpreted/5-part)
+  // must match it, so digest grouping, the window, and the aggregate()
+  // fold are all partition-independent.
+  private val corpusGen: Gen[List[List[String]]] = for {
+    nd <- Gen.choose(0, 8)
+    docs <- Gen.listOfN(nd, for {
+      len <- Gen.frequency(2 -> Gen.choose(0, 7), 5 -> Gen.choose(8, 28))
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield ws)
+  } yield docs
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  property("substring dedup vs pure-Scala span model") =
+    Prop.forAll(corpusGen) { docs =>
+      val K = 8
+      // model: global window multiset over ALL docs, then per-doc spans
+      val wins = docs.zipWithIndex.flatMap { case (ws, d) =>
+        (0 to ws.length - K).map(i => (d.toLong, i + 1, ws.slice(i, i + K)))
+      }
+      val counts = wins.groupBy(_._3).map { case (k, v) => (k, v.size) }
+      val expected = docs.indices.map { d =>
+        val mine = wins.filter(_._1 == d.toLong)
+        val dupStarts = mine.filter(w => counts(w._3) > 1).map(_._2).sorted
+        val spans = dupStarts.foldLeft(List.empty[(Int, Int)]) {
+          case (Nil, x) => List((x, x))
+          case ((s, l) :: rest, x) =>
+            if (x - l > K) (x, x) :: (s, l) :: rest else (s, x) :: rest
+        }.reverse.map { case (s, l) => (s, l + K - 1) }
+        val digest = if (spans.isEmpty) ""
+          else md5hex(spans.map(p => s"${p._1}-${p._2}").sorted.mkString(","))
+        val nw = mine.size.toLong; val ndup = dupStarts.size.toLong
+        (d.toLong, nw, ndup, spans.size.toLong,
+          spans.map(p => p._2 - p._1 + 1).sum.toLong, digest,
+          if (nw > 0) (2000000L * ndup + nw) / (2 * nw) else 0L)
+      }.toList
+      def run(s: SparkSession): List[(Long, Long, Long, Long, Long, String, Long)] = {
+        val sp = s; import sp.implicits._
+        val df = docs.zipWithIndex
+          .map { case (ws, d) => (d.toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        graft.queries.Corpus.substringDedupSpans(df).collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+           r.getLong(4), r.getString(5), r.getLong(6))).toList
+      }
+      val a = run(stockLane); val b = run(graftLane)
+      (a == expected && b == expected) :| {
+        s"docs=$docs\nexpected=$expected\nstock=$a\ngraft=$b"
+      }
+    }
+
+  // ---- embedding sign-LSH vs a pure-Scala model ----------------------
+  // The r14 single-shuffle run iterator (Dedup.embeddingLshPairs) —
+  // small-bucket all-pairs AND the star fallback — against a direct
+  // model of the contract: group by (band, key) over the SAME shared
+  // hyperplane signatures, buckets <= maxBucket emit every verified
+  // pair, oversized buckets emit verified (bucket-min, member) pairs
+  // only. maxBucket is fuzzed down to 2 so star degradation triggers
+  // constantly (clustered prototypes + exact copies force hot buckets);
+  // both engine lanes must match the model set exactly.
+  private val lshGen: Gen[(List[Array[Double]], Int)] = {
+    val dim = 64
+    val proto: Gen[Int] = Gen.choose(0, 2)
+    val vec: Gen[Array[Double]] = for {
+      p <- proto
+      noise <- Gen.choose(0, 3)
+      flip <- Gen.choose(0, dim - 1)
+    } yield {
+      val v = Array.tabulate(dim)(i =>
+        math.sin(p * 31 + i * 0.7) + (if (i == flip) noise * 0.05 else 0.0))
+      v
+    }
+    for {
+      n <- Gen.choose(0, 40)
+      vs <- Gen.listOfN(n, vec)
+      cap <- Gen.choose(2, 6)
+    } yield (vs, cap)
+  }
+
+  property("embedding sign-LSH (incl. star fallback) vs pure-Scala model") =
+    Prop.forAll(lshGen) { case (vs, cap) =>
+      val threshold = 0.45
+      val bands = graft.queries.Dedup.EmbBands
+      val bits = graft.queries.Dedup.EmbBandBits
+      val planes = (0 until bands * bits)
+        .map(j => graft.queries.Hyperplanes.plane(j).toArray)
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val ids = vs.indices.map(_.toLong)
+      val sigs = vs.map { v =>
+        (0 until bands * bits).map(j => if (dot(v, planes(j)) > 0) 1L << j else 0L).sum
+      }
+      val nrm = vs.map(v => dot(v, v))
+      def cosOk(i: Int, j: Int): Option[(Long, Long, Double)] = {
+        val c = round6(dot(vs(i), vs(j)) / math.sqrt(nrm(i) * nrm(j)))
+        if (c >= threshold) Some((math.min(ids(i), ids(j)),
+          math.max(ids(i), ids(j)), c)) else None
+      }
+      val expected = (0 until bands).flatMap { b =>
+        val mask = (1L << bits) - 1
+        vs.indices.groupBy(i => (sigs(i) >> (b * bits)) & mask).values.flatMap {
+          bucket =>
+            if (bucket.size <= cap)
+              bucket.combinations(2).flatMap(p => cosOk(p(0), p(1)))
+            else {
+              val center = bucket.min   // ids are indices: min id == min index
+              bucket.filter(_ != center).flatMap(m => cosOk(center, m))
+            }
+        }
+      }.toSet
+      def run(s: SparkSession): Set[(Long, Long, Double)] = {
+        val sp = s; import sp.implicits._
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "v")
+        graft.queries.Dedup.embeddingLshPairs(df, cap, threshold).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      val a = run(stockLane); val b = run(graftLane)
+      (a == expected && b == expected) :| {
+        s"n=${vs.size} cap=$cap\nmissing=${(expected -- a).take(4)}\n" +
+          s"extra=${(a -- expected).take(4)}\ngraft-diff=${(b -- expected).take(4)}"
       }
     }
 }
