@@ -45,7 +45,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):   # Spark-written table (GenScale replicas)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out)
