@@ -35,11 +35,14 @@ import org.apache.spark.sql.types._
   * arguments entirely from the outer child). Decimal sums/averages are
   * excluded: re-aggregating a decimal sum widens its precision, which would
   * change the output schema. Enabled BY DEFAULT since r13
-  * (disable via `spark.graft.eagerAgg.enabled=false`): the r13 RuleSweep
-  * measured the fired TPC-H shapes (q20/q21) at >= neutral at sf0.1 and a
-  * 12% win on q20 at x10 — and the 600-case fuzz battery pins semantics.
-  * The reference's traceflag `EopttraceEnableEagerAgg` gates the same
-  * xform.
+  * (disable via `spark.graft.eagerAgg.enabled=false`), re-gated r14 with
+  * isolated min-of-N process runs across four scales (SCALING.md): the
+  * fired TPC-H shapes measure q20 0.86x at x100 and q20 0.93x / q21
+  * 0.92x at x1000 — wins grow with the probe side, exactly the
+  * transform's theory — with no scale showing a loss outside the
+  * measured identical-plan noise envelope; the 693-case fuzz battery
+  * pins semantics. The reference's traceflag `EopttraceEnableEagerAgg`
+  * gates the same xform.
   *
   * At 100 TB this is the transform that turns "join 100 TB of facts, then
   * aggregate" into "aggregate each scan partition down to its group cube
