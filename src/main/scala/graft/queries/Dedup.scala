@@ -350,12 +350,17 @@ object Dedup extends QueryModule {
     * Same capped-bucket discipline as [[cappedBucketPairs]], fused with
     * verification: buckets <= maxBucket verify all intra-bucket pairs in
     * a tight per-task kernel (bounded buffer: maxBucket rows x vector),
-    * emitting only matches; oversized buckets degrade to the star
-    * fallback (bucket-min vs members — narrow ID pairs, vectors joined
-    * back candidate-sized, rare by construction). A pair sharing several
-    * bands yields bit-identical (id_a, id_b, cos) rows in each — the
-    * dot products are sequential index-order sums in both the kernel and
-    * the codegen'd vec_dot, and both paths round HALF_UP — so the final
+    * emitting only matches; oversized buckets degrade to the verified
+    * star (bucket-min vs every member — O(bucket) output). Star is not
+    * an error path: on a corpus that IS one giant near-dup family (the
+    * x1000 probe's regime — BucketProbe showed 100% of band rows in
+    * oversized buckets) it is the production answer, emitting cluster
+    * assignments instead of the quadratic within-family pair set, at
+    * the documented cost that non-center member pairs are not emitted.
+    *
+    * A pair sharing several bands yields bit-identical (id_a, id_b,
+    * cos) rows in each — the dot products are sequential index-order
+    * sums in both paths and both round HALF_UP — so the final
     * distinct() collapses them exactly. */
   private[graft] def embeddingLshPairs(e: DataFrame, maxBucket: Int,
                                        threshold: Double): DataFrame = {
