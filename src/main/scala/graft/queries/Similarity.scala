@@ -241,9 +241,13 @@ object Similarity extends QueryModule {
     val e = ivfE(s, dir)
     // cached per fixture version — no per-execution count() job (r13 #4)
     val n = rowCount(s, dir, "embeddings")
-    val k1 = math.max(4, math.ceil(math.cbrt(n.toDouble)).toInt)
-    val step = math.max(1L,
-      math.ceil(n.toDouble / (k1.toLong * k1)).toLong)
+    // integer-exact knob derivation (min k with k^3 >= n == ceil(cbrt n),
+    // ceil division for the stride) so the oracle can compute the SAME
+    // values in SQL with no transcendental edge — the sf0.1 full-battery
+    // sweep caught the old oracle HARDCODING sf0.01's k1=8/step=8
+    val k1 = math.max(4, Iterator.from(1)
+      .find(k => k.toLong * k * k >= n).get)
+    val step = math.max(1L, (n + k1.toLong * k1 - 1) / (k1.toLong * k1))
     // coarse anchors: the K1 lowest-vec_id vectors (same seeding idiom
     // as ivfFit; K1-bounded driver state)
     val coarse: Array[Array[Double]] =
@@ -1617,16 +1621,25 @@ object Similarity extends QueryModule {
     "d_semdedup_probes" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+         |kk AS (
+         |  SELECT n, GREATEST(4, (SELECT MIN(r.range) FROM range(1, 2000) r
+         |    WHERE r.range * r.range * r.range >= nn.n)) AS k1 FROM nn),
+         |params AS (
+         |  SELECT k1, GREATEST(1, (n + k1 * k1 - 1) // (k1 * k1)) AS step
+         |  FROM kk),
          |ca AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-         |    v AS c
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+         |  SELECT CAST(rn - 1 AS INT) AS cell, v AS c
+         |  FROM (SELECT vec_id, v,
+         |      row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+         |  WHERE rn <= (SELECT k1 FROM params)),
          |fac AS (
          |  SELECT fid, fv, cell AS ccell FROM (
          |    SELECT f.vec_id AS fid, f.v AS fv, c.cell,
          |      row_number() OVER (PARTITION BY f.vec_id
          |        ORDER BY ${ivfDistSql("f.v", "c.c")}, c.cell) AS rk
-         |    FROM e f, ca c WHERE f.vec_id % 8 = 0) WHERE rk = 1),
+         |    FROM e f, ca c
+         |    WHERE f.vec_id % (SELECT step FROM params) = 0) WHERE rk = 1),
          |probes AS (
          |  SELECT vec_id, v, cell AS ccell FROM (
          |    SELECT e.vec_id, e.v, c.cell,
