@@ -46,9 +46,15 @@ object Tables {
     * action per call — and over a non-footer source at 100 TB it would
     * be a full data pass (r13 VERDICT finding #4). */
   def rowCount(spark: SparkSession, dir: String, name: String): Long = {
-    val f = new java.io.File(s"$dir/$name.parquet")
-    val ver = scala.util.Try(f.lastModified()).getOrElse(0L)
-    rowCountCache.computeIfAbsent(s"${f.getAbsolutePath}@$ver",
+    // mtime resolves through the Hadoop FileSystem (not java.io.File,
+    // which reports 0 for any non-local URI and would pin a stale count
+    // on hdfs:// / object-store fixtures regenerated mid-session)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val ver = scala.util.Try {
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+    }.getOrElse(0L)
+    rowCountCache.computeIfAbsent(s"$p@$ver",
       _ => java.lang.Long.valueOf(t(spark, dir, name).count()))
   }
 

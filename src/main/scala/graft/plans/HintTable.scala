@@ -103,21 +103,60 @@ object HintTable {
     }
   }
 
+  /** End offset of the OUTERMOST `SELECT` keyword in `text`: the first
+    * depth-0 occurrence outside string literals and comments. Depth
+    * tracking makes `WITH c AS (SELECT ...) SELECT ...` resolve to the
+    * outer statement's SELECT, and the literal scan keeps the word
+    * "select" inside a quoted string from being treated as the keyword. */
+  private[graft] def outerSelectEnd(text: String): Option[Int] = {
+    var i = 0; var depth = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'') {
+        i += 1
+        while (i < text.length &&
+               !(text.charAt(i) == '\'' &&
+                 (i + 1 >= text.length || text.charAt(i + 1) != '\''))) {
+          if (text.charAt(i) == '\'') i += 1 // the escaped half
+          i += 1
+        }
+        i += 1
+      } else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
+        while (i < text.length && text.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < text.length &&
+               !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) i += 1
+        i += 2
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < text.length &&
+               (text.charAt(i).isLetterOrDigit || text.charAt(i) == '_')) i += 1
+        if (depth == 0 && text.substring(start, i).equalsIgnoreCase("select"))
+          return Some(i)
+      } else i += 1
+    }
+    None
+  }
+
   /** Run `queryText`, injecting any registered hint for its fingerprint
-    * as a comment hint into the first SELECT. Disabled (the default) or
-    * no-match → the text runs unchanged. */
+    * as a comment hint into the outermost SELECT (literal- and
+    * CTE-aware — see [[outerSelectEnd]]). Disabled (the default), no
+    * match, or no outer SELECT → the text runs unchanged. */
   def sql(spark: SparkSession, queryText: String): DataFrame = {
     val enabled = spark.conf.get(EnabledConf, "false") == "true"
     val rewritten = if (!enabled) queryText
     else lookup(spark, queryText) match {
       case Some(h) =>
-        // first SELECT only (the reference attaches hints to the whole
-        // statement; nested blocks inherit via Catalyst's hint scoping)
-        val re = "(?i)\\bselect\\b".r
-        re.findFirstMatchIn(queryText) match {
-          case Some(m) =>
-            queryText.substring(0, m.end) + s" /*+ $h */" +
-              queryText.substring(m.end)
+        // outermost statement block only (the reference attaches hints
+        // to the whole statement; nested blocks inherit via Catalyst's
+        // hint scoping)
+        outerSelectEnd(queryText) match {
+          case Some(end) =>
+            queryText.substring(0, end) + s" /*+ $h */" +
+              queryText.substring(end)
           case None => queryText
         }
       case None => queryText

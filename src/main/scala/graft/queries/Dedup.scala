@@ -303,10 +303,11 @@ object Dedup extends QueryModule {
   private[graft] val EmbBands = 5
   private[graft] val EmbBandBits = 12
 
-  /** 48-bit sign signature of an `array<double>` vector: bit j is
+  /** EmbBands*EmbBandBits-bit (60-bit at the current 5x12 geometry)
+    * sign signature of an `array<double>` vector: bit j is
     * sign(v . plane_j). Pure per-row map-side work (codegen'd vec_dot
-    * against 48 plane literal arrays) — zero shuffle, like the minhash16
-    * / simhash48 kernels. */
+    * against the plane literal arrays) — zero shuffle, like the
+    * minhash16 / simhash48 kernels. */
   private[graft] def embeddingSig(v: Column): Column =
     (0 until EmbBands * EmbBandBits).map { j =>
       when(call_function("vec_dot", v, Hyperplanes.planeCol(j)) > 0,

@@ -92,7 +92,13 @@ object Matviews {
           fs.mkdirs(new Path(path))
           val out = fs.create(new Path(path, s".claim_v$n"), false)
           out.close(); won = true
-        } catch { case _: java.io.IOException => n += 1 }
+        } catch {
+          // Only a lost race advances the number; a persistent failure
+          // (permissions, quota, FS outage) must surface, not spin.
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => n += 1
+          case e: java.io.IOException =>
+            if (fs.exists(new Path(path, s".claim_v$n"))) n += 1 else throw e
+        }
       }
       n
     }

@@ -193,7 +193,16 @@ final class WorkloadManager {
           (if (cost > q.maxCost) st.holders == 0    // overcommit: idle only
            else st.costInUse + cost <= q.maxCost))
     }
-    while (!canEnter) st.wait()
+    try while (!canEnter) st.wait()
+    catch {
+      case t: Throwable =>
+        // a cancelled statement must not leave its ticket at the head of
+        // the FIFO: later waiters would block behind it forever and
+        // dropQueue would refuse (waiters nonzero)
+        st.waiting -= ticket
+        st.notifyAll()
+        throw t
+    }
     st.waiting -= ticket
     st.holders += 1
     st.costInUse += cost

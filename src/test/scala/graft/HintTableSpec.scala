@@ -102,6 +102,34 @@ class HintTableSpec extends AnyFunSuite {
     }
   }
 
+  test("injection targets the OUTERMOST select, never literals or CTEs") {
+    // the word select inside a string literal is not a keyword
+    assert(HintTable.outerSelectEnd("SELECT 'select' AS v") == Some(6))
+    val cte = "WITH c AS (SELECT o_custkey AS k FROM orders) " +
+      "SELECT count(*) AS n FROM c"
+    // the outer statement's SELECT, not the CTE body's
+    assert(HintTable.outerSelectEnd(cte) == Some(cte.indexOf("SELECT count") + 6))
+    // a leading comment containing select is skipped
+    assert(HintTable.outerSelectEnd("/* select */ SELECT 1 AS x") == Some(19))
+    // literal-only / non-select text -> None (pass-through)
+    assert(HintTable.outerSelectEnd("INSERT INTO t VALUES (1)").isEmpty)
+    // end-to-end: the hint lands on the outer block of a CTE query
+    views()
+    HintTable.clear()
+    try {
+      spark.conf.set(HintTable.EnabledConf, "true")
+      val q = "WITH big AS (SELECT * FROM orders) " +
+        "SELECT count(*) AS n FROM big JOIN customer ON o_custkey = c_custkey"
+      HintTable.register(q, "MERGE(customer)")
+      val p = plan(HintTable.sql(spark, q))
+      assert(p.contains("SortMergeJoin"))
+      assert(HintTable.sql(spark, q).collect().toSeq ==
+        spark.sql(q).collect().toSeq)
+    } finally {
+      spark.conf.unset(HintTable.EnabledConf); HintTable.clear()
+    }
+  }
+
   test("rows load from a DataFrame with the reference's table shape") {
     views()
     HintTable.clear()

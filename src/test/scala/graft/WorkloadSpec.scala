@@ -89,6 +89,40 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("a cancelled waiter releases its ticket — later waiters still advance") {
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("cancelq", activeStatements = 1))
+    val blockFirst = new CountDownLatch(1)
+    val firstIn = new CountDownLatch(1)
+    val interrupted = new CountDownLatch(1)
+    val thirdRan = new CountDownLatch(1)
+    val first = inThread {
+      wm.run(spark, "cancelq", 1.0) { firstIn.countDown(); await(blockFirst) }
+    }
+    await(firstIn)
+    // the statement to cancel: head of the waiting FIFO
+    val victim = inThread {
+      try wm.run(spark, "cancelq", 1.0) { fail("victim must not run") }
+      catch { case _: InterruptedException => interrupted.countDown() }
+    }
+    eventually(waiterCount(wm) == 1)
+    // a later statement queued BEHIND the victim
+    inThread {
+      wm.run(spark, "cancelq", 1.0) { thirdRan.countDown() }
+    }
+    eventually(waiterCount(wm) == 2)
+    victim.interrupt()
+    await(interrupted)
+    // the cancelled head must not wedge the queue: its ticket is gone
+    eventually(waiterCount(wm) == 1)
+    blockFirst.countDown()
+    await(thirdRan)
+    first.join(30000)
+    // and with no phantom waiters, DROP RESOURCE QUEUE succeeds
+    eventually(waiterCount(wm) == 0)
+    wm.dropQueue("cancelq")
+  }
+
   test("COST THRESHOLD admits by summed cost and frees on release") {
     val wm = new WorkloadManager
     wm.createQueue(ResourceQueue("costq", maxCost = 100))
