@@ -52,6 +52,11 @@ object Bench {
     // the production scale path that flattens the legacy lane's second
     // decade (no Lloyd fit, n^(4/3) pair term; SCALING.md r13)
     "d_semdedup_probes",
+    // r15: the LINEAR semdedup successor — sign-LSH banded candidates
+    // feeding the same cosine-threshold lower-id drop policy; past the
+    // probes lane's ~10^9-vector n^(4/3) crossover this is the shape
+    // that ships (SCALING.md r15 race at x1000)
+    "d_semdedup_lsh",
     // r13b: greedy MMR diversified top-k, lexical+semantic RRF fusion.
     // The in-plan composed IVF+PQ sibling (s_ann_ivfpq_topk) was
     // removed from the headline in r14: its two Lloyd fits per

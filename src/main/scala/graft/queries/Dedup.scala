@@ -733,6 +733,47 @@ object Dedup extends QueryModule {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       embeddingLshPairs(e, MaxBucket, 0.45)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SemDeDup by sign-LSH candidates — the LINEAR successor to
+    // d_semdedup_probes (Similarity.scala's two-level sampled-anchor
+    // lane, pair term O(n^(4/3))): candidate generation is the banded
+    // sign-LSH of d_dedup_embedding_lsh (one payload shuffle, bounded
+    // buckets, star degrade above the cap), and the DROP POLICY is
+    // SemDeDup's (Abbas et al. 2023, arXiv:2303.09540, same contract as
+    // Similarity.semdedupDetail): b is dropped iff some LOWER-id a
+    // shares a band bucket at cosine >= SemTau. embeddingLshPairs
+    // already orients every verified pair (id_a < id_b), so the drop
+    // set is exactly the distinct id_b side. Output is the same
+    // hash-checked global survivor summary as d_semdedup_probes — n,
+    // dropped, kept, and the md5 digest of the sorted dropped-id list —
+    // so the oracle compare proves the exact drop SET.
+    //
+    // Scale role (r14 VERDICT #1): probes measures exactly its designed
+    // n^(4/3) exponent; past its ~10^9-vector crossover SCALING.md
+    // prescribed "sign-LSH banding feeding the same cosine-threshold
+    // lower-id drop" as the linear path — this lane IS that path, as a
+    // measured green row instead of prose. Candidate recall differs by
+    // construction: probes recalls pairs its fine cells co-locate
+    // (measured 0.69 at sf0.01), sign-LSH recalls pairs sharing one of
+    // EmbBands 12-bit sign bands (recall rises toward 1 with cosine —
+    // at the SemTau=0.4 margin it is the banding recall documented at
+    // EmbBands; SimilaritySpec reports both side by side).
+    "d_semdedup_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val drops = embeddingLshPairs(e, MaxBucket, Similarity.SemTau)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("is_drop", lit(1))
+      e.join(drops, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n"),
+          count(col("is_drop")).as("dropped"),
+          (count(lit(1)) - count(col("is_drop"))).as("kept"),
+          md5(concat_ws(",",
+            transform(
+              sort_array(collect_list(when(col("is_drop") === 1,
+                col("vec_id")))),
+              _.cast("string")))).as("dropped_digest"))
     })
   )
 
@@ -852,6 +893,27 @@ object Dedup extends QueryModule {
          |  ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6) AS cos
          |FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($embBandSql)
          |WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6) >= 0.45
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the sign-LSH SemDeDup lane replicated predicate-for-predicate:
+    // identical plane literals -> identical signatures -> identical
+    // shares-a-band candidate set -> identical cosine drop policy at
+    // SemTau; the digest proves the exact drop set
+    "d_semdedup_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+         |                (acc, x) -> acc + x * x) AS nrm
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, v, nrm, CAST($embSigSql AS BIGINT) AS sig FROM e),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id AS bid
+         |  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($embBandSql)
+         |  WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6)
+         |    >= ${Similarity.SemTau})
+         |SELECT (SELECT COUNT(*) FROM e) AS n,
+         |  (SELECT COUNT(*) FROM drops) AS dropped,
+         |  (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM drops) AS kept,
+         |  md5(coalesce((SELECT string_agg(CAST(bid AS VARCHAR), ','
+         |    ORDER BY bid) FROM drops), '')) AS dropped_digest""".stripMargin
   )
 }

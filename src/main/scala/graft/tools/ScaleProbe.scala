@@ -45,7 +45,7 @@ object ScaleProbe {
     val qs = sys.env.get("SPARK_GRAFT_PROBE_QS")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("d_dedup_minhash_lsh", "d_semdedup",
-        "d_semdedup_probes", "d_dedup_substring",
+        "d_semdedup_probes", "d_semdedup_lsh", "d_dedup_substring",
         "s_ann_ivfpq_topk", "s_ann_ivfpq_score"))
     val baseName = base.replaceAll("/+$", "").split('/').last
 

@@ -52,7 +52,7 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "t_bm25_rank", "d_countmin_heavy", "q_asof_native",
     "q_triangle_count", "d_bpe_encode", "d_feature_mi",
     "d_boilerplate_strip", "d_semdedup", "d_chunk_cdc",
-    "d_semdedup_probes", "d_dedup_substring",
+    "d_semdedup_probes", "d_semdedup_lsh", "d_dedup_substring",
     "s_ann_ivfpq_topk", "s_ann_mmr_topk", "q_hybrid_rrf",
     "s_ann_ivfpq_score",
     // TPC-H suite — ALL 22 planner shapes pinned (q1/q3/q5 are in the
