@@ -103,6 +103,65 @@ case class NormSq(child: Expression)
     copy(child = newChild)
 }
 
+/** Static kernels shared by interpreted eval and generated code. */
+object VectorKernels {
+  /** Sign signature of `v` against `nPlanes` stacked hyperplanes (flat
+    * row-major `planes`, each `dim` wide): bit j = dot(v, plane_j) > 0.
+    * ONE v materialization + a planes reference object per generated
+    * class — the fused replacement for nPlanes separate `vec_dot(v,
+    * <array literal>)` calls, each of which re-materialized BOTH sides
+    * per call (the r15 LshProfile found that pattern was ~ALL of the
+    * x1000 embedding-LSH wall time: 60 dots x 2 toDoubleArray x 500k
+    * rows, with the literal side unboxing element-wise). Same
+    * left-to-right summation and strict `> 0` as the vec_dot form, so
+    * every sign decision — and hence the DuckDB oracle — is unchanged. */
+  def signSig(v: org.apache.spark.sql.catalyst.util.ArrayData,
+              planes: Array[Double], dim: Int): Long = {
+    val x = v.toDoubleArray()
+    val m = math.min(x.length, dim)
+    val nPlanes = planes.length / dim
+    var sig = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val off = j * dim
+      var d = 0.0
+      var i = 0
+      while (i < m) { d += x(i) * planes(off + i); i += 1 }
+      if (d > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Fused sign-LSH signature: all planes in one pass (see
+  * [[VectorKernels.signSig]]). Carries the plane matrix as expression
+  * state (codegen reference object), so it bypasses the function
+  * registry and is built via `GraftBridge.exprColumn`. */
+case class SignSig(child: Expression, planes: Array[Double], dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_sign_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.signSig(a.asInstanceOf[ArrayData], planes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.signSig($c, $ref, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFns {
   /** Register `vec_dot` / `vec_norm_sq` for SQL + `expr(...)` use.
     * Idempotent; call at the top of any query that needs them. */

@@ -305,14 +305,24 @@ object Dedup extends QueryModule {
 
   /** EmbBands*EmbBandBits-bit (60-bit at the current 5x12 geometry)
     * sign signature of an `array<double>` vector: bit j is
-    * sign(v . plane_j). Pure per-row map-side work (codegen'd vec_dot
-    * against the plane literal arrays) — zero shuffle, like the
-    * minhash16 / simhash48 kernels. */
-  private[graft] def embeddingSig(v: Column): Column =
-    (0 until EmbBands * EmbBandBits).map { j =>
-      when(call_function("vec_dot", v, Hyperplanes.planeCol(j)) > 0,
-           lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * sign(v . plane_j). Pure per-row map-side work — zero shuffle, like
+    * the minhash16 / simhash48 kernels. Fused into ONE native
+    * expression over the stacked plane matrix (r15): the previous form
+    * — 60 separate `vec_dot(v, <plane literal>)` calls — was measured
+    * by LshProfile as essentially the WHOLE x1000 lane cost (~80 of
+    * 77-93 s), because every call re-materialized both the vector and
+    * the boxed literal array. [[graft.functions.SignSig]] materializes
+    * v once and keeps the planes as a primitive codegen reference
+    * object; sign decisions (and the DuckDB oracle) are bit-identical. */
+  private[graft] def embeddingSig(v: Column): Column = {
+    val dim = Hyperplanes.dim
+    val flat = new Array[Double](EmbBands * EmbBandBits * dim)
+    for (j <- 0 until EmbBands * EmbBandBits; i <- 0 until dim)
+      flat(j * dim + i) = Hyperplanes.plane(j)(i)
+    org.apache.spark.sql.GraftBridge.exprColumn(
+      graft.functions.SignSig(
+        org.apache.spark.sql.GraftBridge.columnExpr(v), flat, dim))
+  }
 
   /** Every vector exploded to its [[EmbBands]] (band, key) bucket keys
     * WITH the payload (v, nrm) carried along. Carrying the payload is the
@@ -383,6 +393,15 @@ object Dedup extends QueryModule {
     // member) pairs with only the small-path buffer ever materialized —
     // per-task memory stays bounded by maxBucket rows regardless of how
     // hot a bucket gets.
+    // Kernel I/O: typed Dataset mapPartitions. The r15 A/B (LshProfile
+    // stage D vs C at x1000, min-of-3: 1.67 vs 1.74 s) DISPROVED the r14
+    // encoder-overhead suspicion — an InternalRow/internalCreateDataFrame
+    // variant of this kernel measured IDENTICAL once the signature was
+    // fused (see embeddingSig: 60 per-plane vec_dot literal calls were
+    // ~the whole 80 s lane cost at x1000, now ~1 s), and it severed the
+    // plan behind a Scan ExistingRDD, hiding the banding subtree from
+    // EXPLAIN/snapshots. Typed rows keep the plan connected and the
+    // deserialization bill is noise at 2.5M rows.
     def verify(a: (Long, Array[Double], Double),
                b: (Long, Array[Double], Double)): Option[(Long, Long, Double)] = {
       val va = a._2; val vb = b._2

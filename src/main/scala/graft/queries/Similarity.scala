@@ -41,18 +41,22 @@ object Similarity extends QueryModule {
   private def planeCol(j: Int): Column = Hyperplanes.planeCol(j)
   private def planeSql(j: Int): String = Hyperplanes.planeSql(j)
 
-  /** (vec_id, v double[], bucket) with bucket = sign-LSH over the planes. */
+  /** (vec_id, v double[], bucket) with bucket = sign-LSH over the
+    * planes — the fused [[graft.functions.SignSig]] kernel (one pass
+    * over the stacked plane matrix; sign decisions identical to the
+    * per-plane vec_dot form it replaced, see Dedup.embeddingSig). */
   private def bucketed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFns.register(s)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
-    val bucketExpr = (0 until nPlanes).map { j =>
-      when(expr(s"vec_dot(v, p$j)") > 0,
-           lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    (0 until nPlanes).foldLeft(e)((df, j) => df.withColumn(s"p$j", planeCol(j)))
-      .withColumn("bucket", bucketExpr)
+    val flat = new Array[Double](nPlanes * dim)
+    for (j <- 0 until nPlanes; i <- 0 until dim)
+      flat(j * dim + i) = Hyperplanes.plane(j)(i)
+    val bucketExpr = org.apache.spark.sql.GraftBridge.exprColumn(
+      graft.functions.SignSig(
+        org.apache.spark.sql.GraftBridge.columnExpr(col("v")), flat, dim))
+    e.withColumn("bucket", bucketExpr)
       .select(col("vec_id"), col("label"), col("v"), col("bucket"))
   }
 
