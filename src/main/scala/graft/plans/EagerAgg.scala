@@ -108,15 +108,33 @@ object EagerAggRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** True when `p` is an Aggregate, seen through the attribute-only
+    * pruning Projects of ColumnPruning AND the Filters
+    * InferFiltersFromConstraints interposes between the two
+    * operator-optimization batches — either wrapper on an
+    * already-pushed aggregate must still count as "already pushed". */
+  private def aggUnderProjects(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case Project(pl, child) if pl.forall(_.isInstanceOf[Attribute]) =>
+      aggUnderProjects(child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(_, child) =>
+      aggUnderProjects(child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
       case agg @ Aggregate(groupExprs, aggExprs,
                      AggChildJoin(Join(left, right, Inner, Some(cond), hint)),
                      aggHint)
-          // the !Aggregate guard is the fixpoint: a plan this rule already
-          // rewrote has the lower aggregate as the join's outer child
-          if !left.isInstanceOf[Aggregate] &&
+          // the not-already-aggregated guard is the fixpoint: a plan this
+          // rule already rewrote has the lower aggregate as the join's
+          // outer child — possibly under the attribute-only Project that
+          // ColumnPruning interposes, which the bare isInstanceOf check
+          // missed (observed as a double push when the rule ran in two
+          // optimizer batches, r15)
+          if !aggUnderProjects(left) &&
              applicable(groupExprs, aggExprs, left) =>
         val groupAttrs = groupExprs.map(_.asInstanceOf[Attribute])
         // lower grouping keys: (original grouping cols ∪ join-predicate
@@ -186,7 +204,12 @@ object EagerAggRule extends Rule[LogicalPlan] {
   /** Idempotently attach to `spark` (same batch a production deployment
     * reaches via `spark.sql.extensions=graft.plans.GraftExtensions`). */
   def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(EagerAggRule))
+    // no-op when the session's optimizer already carries the rule — the
+    // r15 sessions register GraftExtensions session-wide, and a second
+    // registration via extraOptimizations would run the rule in TWO
+    // batches (observed: double-pushed aggregates in the q20 snapshot)
+    if (!spark.sessionState.optimizer.batches.exists(_.rules.contains(EagerAggRule)) &&
+        !spark.experimental.extraOptimizations.contains(EagerAggRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EagerAggRule
 }

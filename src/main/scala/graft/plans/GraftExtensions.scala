@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => PushJoinBelowUnionAllRule)
     e.injectOptimizerRule(_ => OrExpansionRule)
     e.injectOptimizerRule(_ => RangeBinJoinRule)
+    // Leading(...) join-order hint (pg_hint_plan analogue) — post-hoc
+    // resolution so the UnresolvedHint is consumed BEFORE the stock
+    // unknown-hint warn-and-drop sweep; see LeadingJoinRule
+    e.injectPostHocResolutionRule(_ => LeadingJoinRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -89,7 +89,12 @@ object OrExpansionRule extends Rule[LogicalPlan] {
   /** Idempotently attach to `spark` (same batch a production deployment
     * reaches via `spark.sql.extensions=graft.plans.GraftExtensions`). */
   def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(OrExpansionRule))
+    // no-op when the session's optimizer already carries the rule — the
+    // r15 sessions register GraftExtensions session-wide, and a second
+    // registration via extraOptimizations would run the rule in TWO
+    // batches (observed: double-pushed aggregates in the q20 snapshot)
+    if (!spark.sessionState.optimizer.batches.exists(_.rules.contains(OrExpansionRule)) &&
+        !spark.experimental.extraOptimizations.contains(OrExpansionRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ OrExpansionRule
 }

@@ -246,7 +246,12 @@ object RangeBinJoinRule extends Rule[LogicalPlan] {
   /** Idempotently attach to `spark` (production path:
     * `spark.sql.extensions=graft.plans.GraftExtensions`). */
   def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(RangeBinJoinRule))
+    // no-op when the session's optimizer already carries the rule — the
+    // r15 sessions register GraftExtensions session-wide, and a second
+    // registration via extraOptimizations would run the rule in TWO
+    // batches (observed: double-pushed aggregates in the q20 snapshot)
+    if (!spark.sessionState.optimizer.batches.exists(_.rules.contains(RangeBinJoinRule)) &&
+        !spark.experimental.extraOptimizations.contains(RangeBinJoinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeBinJoinRule
 }

@@ -85,6 +85,27 @@ object Hints extends QueryModule {
     else base
   }
 
+  /** `Leading(...)` join-order pinning (`pg_hint_plan.c:94` — the most
+    * common hint in the field; `plans/LeadingJoin.scala` is the rule).
+    * The authored FROM order is lineitem → orders → customer; the hint
+    * forces the dim-first order customer → orders → lineitem, so the
+    * pinned snapshot's scan order is itself the adherence proof. */
+  private val leadingBody =
+    """SELECT c_mktsegment, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(round((l_extendedprice*(1-l_discount)) * 1000000.0, 0)
+      |    AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private[graft] def leadingSql(hinted: Boolean): String =
+    if (hinted)
+      leadingBody.replaceFirst("SELECT ",
+        "SELECT /*+ LEADING(customer, orders, lineitem) */ ")
+    else leadingBody
+
   private def withViews(s: SparkSession, dir: String)(sql: String): DataFrame = {
     Seq("lineitem", "orders", "customer", "supplier", "nation")
       .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
@@ -95,12 +116,15 @@ object Hints extends QueryModule {
     "q_hint_join_strategy" -> ((s, dir) =>
       withViews(s, dir)(joinStrategySql(hinted = true))),
     "q_hint_broadcast_parallel" -> ((s, dir) =>
-      withViews(s, dir)(broadcastParallelSql(hinted = true)))
+      withViews(s, dir)(broadcastParallelSql(hinted = true))),
+    "q_hint_leading" -> ((s, dir) =>
+      withViews(s, dir)(leadingSql(hinted = true)))
   )
 
   // the oracle runs the hint-free text: identical results by contract
   val oracle: Map[String, String] = Map(
     "q_hint_join_strategy" -> joinStrategySql(hinted = false),
-    "q_hint_broadcast_parallel" -> broadcastParallelSql(hinted = false)
+    "q_hint_broadcast_parallel" -> broadcastParallelSql(hinted = false),
+    "q_hint_leading" -> leadingSql(hinted = false)
   )
 }

@@ -9,6 +9,15 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Column <-> catalyst Expression (the private[sql] columnNodeSupport
+    * pair) — for native expressions that carry non-expression state
+    * (e.g. a hyperplane matrix as a codegen reference object) and so
+    * can't go through the function registry. */
+  def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def columnExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Run `body` under a fresh SQL execution id for `df`'s OWN
     * queryExecution. Needed by EXPLAIN ANALYZE: a bare
     * `toRdd.foreach` has no execution id and shuffle-map-stage

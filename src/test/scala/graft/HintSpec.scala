@@ -94,6 +94,55 @@ class HintSpec extends AnyFunSuite {
     assert(plan(merged).contains("SortMergeJoin"))
   }
 
+  // position of a table's pruned FileScan in the rendered plan — the
+  // left-deep build order reads top-down, so scan order IS join order
+  private def scanPos(p: String, marker: String): Int = {
+    val i = p.indexOf(s"FileScan parquet [$marker")
+    assert(i >= 0, s"no scan with leading column $marker in:\n$p")
+    i
+  }
+
+  test("LEADING hint pins the join order (customer first, not authored lineitem)") {
+    val hinted = plan(sql(Hints.leadingSql(hinted = true)))
+    val unhinted = plan(sql(Hints.leadingSql(hinted = false)))
+    // unhinted keeps the authored order: lineitem drives the chain
+    assert(scanPos(unhinted, "l_orderkey") < scanPos(unhinted, "c_custkey"))
+    // hinted: LEADING(customer, orders, lineitem) — dim-first left-deep
+    assert(scanPos(hinted, "c_custkey") < scanPos(hinted, "o_orderkey"))
+    assert(scanPos(hinted, "o_orderkey") < scanPos(hinted, "l_orderkey"))
+    assert(hinted != unhinted, "hint must visibly change the join tree")
+    // purely physical: identical results
+    assert(sql(Hints.leadingSql(hinted = true)).collect().toSeq ==
+      sql(Hints.leadingSql(hinted = false)).collect().toSeq)
+  }
+
+  test("LEADING declines a non-connected order (would plant a cross join)") {
+    // customer x lineitem has no direct ON conjunct: the rule must warn
+    // and keep the optimizer's order, like the unknown-hint contract
+    val declined = plan(sql(Hints.leadingSql(hinted = false).replaceFirst(
+      "SELECT ", "SELECT /*+ LEADING(customer, lineitem, orders) */ ")))
+    assert(declined == plan(sql(Hints.leadingSql(hinted = false))))
+  }
+
+  test("LEADING declines an alias list that doesn't match the chain") {
+    val declined = plan(sql(Hints.leadingSql(hinted = false).replaceFirst(
+      "SELECT ", "SELECT /*+ LEADING(nosuch, orders, lineitem) */ ")))
+    assert(declined == plan(sql(Hints.leadingSql(hinted = false))))
+    // an incomplete list (missing customer) is also declined
+    val partial = plan(sql(Hints.leadingSql(hinted = false).replaceFirst(
+      "SELECT ", "SELECT /*+ LEADING(orders, lineitem) */ ")))
+    assert(partial == plan(sql(Hints.leadingSql(hinted = false))))
+  }
+
+  test("LEADING gate off -> hint is inert") {
+    val key = graft.plans.LeadingJoinRule.ConfKey
+    try {
+      spark.conf.set(key, "false")
+      val off = plan(sql(Hints.leadingSql(hinted = true)))
+      assert(off == plan(sql(Hints.leadingSql(hinted = false))))
+    } finally spark.conf.unset(key)
+  }
+
   test("hints are purely physical: hinted and unhinted results match") {
     val a = sql(Hints.joinStrategySql(hinted = true)).collect().toSeq
     val b = sql(Hints.joinStrategySql(hinted = false)).collect().toSeq

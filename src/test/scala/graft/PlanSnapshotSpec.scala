@@ -71,6 +71,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // adherence proof — SortMergeJoin + ShuffledHashJoin where cost
     // would broadcast, and the REPARTITION/BROADCAST pair
     "q_hint_join_strategy", "q_hint_broadcast_parallel",
+    // Leading(...) join-order pinning (r15): the dim-first scan order
+    // in the snapshot is the adherence proof
+    "q_hint_leading",
     // prefix-filtered trigram similarity join (r14): pins the
     // posting/prefix/verify join topology
     "q_trgm_join")

@@ -47,11 +47,17 @@ class PlanSpec extends AnyFunSuite {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.autoBroadcastJoinThreshold")
+      "spark.sql.autoBroadcastJoinThreshold",
+      graft.plans.EagerAggRule.ConfKey)
       .map(k => k -> conf.getOption(k)).toMap
     try {
       // make the skew detector fire on test-sized data, and forbid the
-      // broadcast fallback so a real shuffle join plans
+      // broadcast fallback so a real shuffle join plans. EagerAgg must
+      // sit this one out: with the rule on (session extensions, r15) it
+      // pre-aggregates the hot key below the join — 50k rows collapse
+      // to 1 and there is no skew left for AQE to split, which is great
+      // for the query but defeats the machinery this test pins.
+      conf.set(graft.plans.EagerAggRule.ConfKey, "false")
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")

@@ -289,6 +289,59 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("FAIR pool confinement: a MIN-priority hog cannot starve a MAX-priority statement") {
+    // Enforcement beyond admission (resgroup's cgroup CPU shares,
+    // /root/reference/src/backend/utils/resgroup/): once admitted, a
+    // runaway statement is confined to its pool's CPU share. Spark's
+    // mechanism is the FAIR scheduler + the allocation file
+    // WorkloadManager emits (weights = the reference's priority
+    // weights): no preemption — exactly cgroup cpu.shares semantics —
+    // but every slot that frees is handed out by weighted fair share,
+    // so a waiting high-priority statement drains at its weight instead
+    // of queueing behind the whole hog (FIFO's behavior). The test
+    // session runs under spark.scheduler.mode=FAIR with pools
+    // graft_batch (MIN=100) / graft_rt (MAX=1500) from allocationFileXml.
+    val sc = spark.sparkContext
+    assert(sc.getSchedulingMode.toString == "FAIR",
+      "battery must run under the FAIR scheduler for enforcement")
+    assert(sc.getPoolForName("graft_rt").exists(_.weight == 1500) &&
+           sc.getPoolForName("graft_batch").exists(_.weight == 100),
+      "allocation file pools must carry the reference's priority weights")
+    val wm = new WorkloadManager
+    wm.createQueue(ResourceQueue("batch", priority = "MIN"))
+    wm.createQueue(ResourceQueue("rt", priority = "MAX"))
+    val hogStarted = new CountDownLatch(1)
+    var hogSec = 0.0
+    val hogT = inThread {
+      val t0 = System.nanoTime()
+      wm.run(spark, "batch", 1.0) {
+        // 240 x 100 ms tasks over 8 slots: ~3 s of full saturation.
+        // The latch fires on the DRIVER thread (a latch inside the task
+        // closure is not serializable), so the sleep below covers job
+        // launch + slot occupation.
+        hogStarted.countDown()
+        spark.sparkContext.parallelize(1 to 240, 240)
+          .map { i => Thread.sleep(100); i }.count()
+      }
+      hogSec = (System.nanoTime() - t0) / 1e9
+    }
+    await(hogStarted)
+    Thread.sleep(500) // let the hog's tasks occupy every slot
+    val t0 = System.nanoTime()
+    wm.run(spark, "rt", 1.0) {
+      spark.sparkContext.parallelize(1 to 8, 8)
+        .map { i => Thread.sleep(50); i }.count()
+    }
+    val rtSec = (System.nanoTime() - t0) / 1e9
+    hogT.join(60000)
+    // FIFO would queue the rt statement behind the hog's remaining ~2.8 s
+    // of tasks; FAIR hands it freed slots at 15x the hog's weight
+    assert(rtSec < hogSec / 2,
+      s"rt statement ($rtSec s) must not drain behind the hog ($hogSec s)")
+    assert(rtSec < 1.5, s"rt statement took $rtSec s under a saturating hog")
+    assert(hogSec < 30, "and the hog itself must still complete")
+  }
+
   test("allocation XML carries the reference's priority weights") {
     val wm = new WorkloadManager
     wm.createQueue(ResourceQueue("fast", priority = "MAX"))
