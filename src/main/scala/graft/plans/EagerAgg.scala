@@ -144,8 +144,25 @@ object EagerAggRule extends Rule[LogicalPlan] {
             cond.references.toSeq.filter(left.outputSet.contains)).distinct
         // an empty key set would make the lower aggregate GLOBAL — which
         // fabricates one all-null/zero row from an empty outer child and
-        // could surface phantom groups above the join; skip the rewrite
-        if (lowerKeys.isEmpty) agg else {
+        // could surface phantom groups above the join; skip the rewrite.
+        //
+        // Variable-width (string/binary) lower keys also skip: the
+        // reference only explores this xform because ORCA COSTS both
+        // alternatives from column stats, and the win requires the lower
+        // group domain to be much smaller than its input. With CBO/NDV
+        // off (Spark's default) that ratio is unknowable, and a
+        // string/binary key (tokens, shingles, digests) is the signature
+        // of a near-unique domain where the pushed aggregate compresses
+        // nothing and just burns a hash pass — measured 1.20x on the
+        // minhash shingle-intersection count at x1000 (min-of-5,
+        // SCALING.md r15) when the rule started firing session-wide.
+        // Every measured winning push (q20/q21/q_eager_agg/triangle)
+        // groups by fixed-width keys.
+        val fixedWidthKeys = lowerKeys.forall(_.dataType match {
+          case StringType | BinaryType => false
+          case _ => true
+        })
+        if (lowerKeys.isEmpty || !fixedWidthKeys) agg else {
 
         // lower partials + the upper expression rebuilt over them; avg
         // splits into (sum, count) below and recombines sum/sum above

@@ -33,6 +33,12 @@ object ScaleProbe {
     // superlinear lanes (d_semdedup legacy) explicitly so the decades
     // can still be measured after the r14 misuse guards
     spark.conf.set("spark.graft.audit", "true")
+    // SPARK_GRAFT_PROBE_CONF="k=v;k=v" — extra session confs for A/B
+    // isolation runs (e.g. spark.graft.eagerAgg.enabled=false)
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     // d_semdedup = the legacy paper-K lane (K = sqrt(n) Lloyd, ~n^1.5,
     // headline-demoted r14); d_semdedup_probes = the r13 two-level
