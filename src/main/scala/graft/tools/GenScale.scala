@@ -60,9 +60,21 @@ object GenScale {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
     def off(name: String, key: String): Long =
       rd(name).agg(max(col(key))).head.getLong(0) + 1
-    /** Union of `reps` copies of `base`, transformed per replica. */
-    def replicate(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until reps).map(i => f(base, i)).reduce(_ unionAll _)
+    /** `reps` copies of `base`, transformed per replica. The replica
+      * index arrives as a COLUMN from a cross join against
+      * range(reps): a literal per-replica unionAll is O(reps) plan
+      * NODES, and at reps=10000 the analyzer alone runs for hours (the
+      * r15 x10000 attempt sat at 100% driver CPU with zero rows
+      * written). One nested-loop fan-out node is the same rows with a
+      * constant-size plan; the source is repartitioned first so the
+      * fan-out parallelizes across the session's cores instead of
+      * multiplying inside one or two parquet-split tasks. */
+    def replicate(base: DataFrame)(f: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
+      val cpus = spark.sessionState.conf.numShufflePartitions
+      val fanned = base.repartition(cpus)
+        .crossJoin(spark.range(reps).toDF("__rep"))
+      f(fanned, col("__rep")).drop("__rep")
+    }
 
     Seq("region", "nation").foreach(n => wr(rd(n), n))
 
@@ -97,10 +109,13 @@ object GenScale {
 
     val oD = off("documents", "doc_id")
     wr(replicate(rd("documents")) { (d, i) =>
-      val tagged = if (i == 0) d
-        else d.withColumn("text",
-          regexp_replace(col("text"), "(\\S+)", s"r$i$$1"))
-      tagged.withColumn("doc_id", col("doc_id") + i * oD)
+      // replica 0 keeps its text byte-identical; every other replica
+      // prefix-tags EVERY word (see scaladoc) — same "r<i>" scheme as
+      // the unionAll form, built as a per-row replacement string
+      d.withColumn("text", when(i === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), i.cast("string"), lit("$1")))))
+        .withColumn("doc_id", col("doc_id") + i * oD)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 
@@ -109,14 +124,14 @@ object GenScale {
     wr(replicate(rd("embeddings")) { (d, i) =>
       // rotate by i mod dim: replica 65 of a 64-dim corpus must wrap,
       // not ask slice() for a negative length (surfaced by the x100
-      // scale probe; identical to the old form for i < dim, so
-      // existing x10 replicas are unaffected)
-      val r = i % dim
-      val rot = if (r == 0) d
-        else d.withColumn("embedding", concat(
-          expr(s"slice(embedding, ${r + 1}, ${dim - r})"),
-          expr(s"slice(embedding, 1, $r)")))
-      rot.withColumn("vec_id", col("vec_id") + i * oV)
+      // scale probe); column-form slice keeps the exact per-replica
+      // rotation of the old unionAll form
+      val r = (i % dim).cast("int")
+      d.withColumn("embedding", when(r === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), r + lit(1), lit(dim) - r),
+            slice(col("embedding"), lit(1), r))))
+        .withColumn("vec_id", col("vec_id") + i * oV)
     }, "embeddings")
 
     println(s"[genscale] wrote ${reps}x $src -> $dst")
