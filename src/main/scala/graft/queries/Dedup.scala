@@ -214,18 +214,26 @@ object Dedup extends QueryModule {
 
   /** Per-doc LSH band keys (doc_id, band, sig): the [[graft.functions
     * .Minhash16]] kernel's 16 minhashes grouped into 8 bands of 2 longs,
-    * sig = the band's values joined. Pure map-side (zero shuffle);
-    * no-shingle docs (< 3 words, the kernel dropout) emit NO bands.
-    * Shared by the batch candidate stage above and the streaming
-    * admission store ([[graft.streaming.Streaming.streamingMinhashDedup]]),
-    * so batch and stream can never disagree on a signature. */
+    * sig = xxhash64 of the band's two values — one LONG instead of the
+    * r14 ":"-joined decimal string (~20+ bytes): the band table is the
+    * widest shuffled intermediate of the lane, so the key is the
+    * shuffle-width knob (r14 "Next #9"). A 64-bit hash collision
+    * between two distinct (h1, h2) bands (~n²/2⁶⁵) can only ADD a
+    * candidate pair, which exact-jaccard verification then discards —
+    * recall is untouched, precision is verification's job, and the
+    * oracle (full brute-force jaccard) never sees band keys at all.
+    * Pure map-side (zero shuffle); no-shingle docs (< 3 words, the
+    * kernel dropout) emit NO bands. Shared by the batch candidate stage
+    * above and the streaming admission store
+    * ([[graft.streaming.Streaming.streamingMinhashDedup]]), so batch
+    * and stream can never disagree on a signature. */
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     graft.functions.SigFns.register(docs.sparkSession)
     docs.select(col("doc_id"), call_function("minhash16", col("text")).as("mh"))
       .filter(size(col("mh")) === 16)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, 7), b -> " +
-          "struct(b as band, concat_ws(':', mh[b*2], mh[b*2+1]) as sig))"))
+          "struct(b as band, xxhash64(mh[b*2], mh[b*2+1]) as sig))"))
         .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }

@@ -700,7 +700,7 @@ object Streaming {
             // explicit schema: an all-tiny-docs batch commits an EMPTY
             // bands dir, which must not break inference on later probes
             val store = sess.read.option("basePath", bandsRoot)
-              .schema("band INT, sig STRING, owner_doc BIGINT, pfx INT, batch BIGINT")
+              .schema("band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT")
               .parquet(prior.map(m => s"$bandsRoot/batch=$m"): _*)
               .filter(col("pfx").isin(pfxs: _*)) // partition-pruned probe
             b.join(store, Seq("band", "sig")).select(col("doc_id")).distinct()

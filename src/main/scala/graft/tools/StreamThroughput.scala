@@ -83,7 +83,7 @@ object StreamThroughput {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(p)) 0L
         else spark.read.option("basePath", s"$store/bands")
-          .schema("band INT, sig STRING, owner_doc BIGINT, pfx INT, batch BIGINT")
+          .schema("band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT")
           .parquet(s"$store/bands").count()
       })
 

@@ -48,12 +48,12 @@ class StreamingDedupSpec extends AnyFunSuite {
       5L -> textC, 6L -> textC, 7L -> "hi", 8L -> textC, 9L -> textB)
     val bands = graft.queries.Dedup
       .minhashBands(allDocs.toDF("doc_id", "text"))
-      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val batches = decisions.select("doc_id", "batch").collect()
       .map(r => r.getLong(0) -> r.getLong(2 - 1)).groupBy(_._2)
       .toSeq.sortBy(_._1).map(_._2.map(_._1).sorted)
-    var storeSigs = Set.empty[(Int, String)]
+    var storeSigs = Set.empty[(Int, Long)]
     val replayDup = scala.collection.mutable.Map.empty[Long, Boolean]
     batches.foreach { ids =>
       val storeDups = ids.filter(id =>
@@ -76,7 +76,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     // the store holds bands of ADMITTED docs only, with UNIQUE keys —
     // the probe is a key join with no fan-out
     val storeDf = spark.read.option("basePath", s"$store/bands")
-      .schema("band INT, sig STRING, owner_doc BIGINT, pfx INT, batch BIGINT")
+      .schema("band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT")
       .parquet(s"$store/bands")
     val dupKeys = storeDf.groupBy("band", "sig")
       .count().filter(col("count") > 1).count()
