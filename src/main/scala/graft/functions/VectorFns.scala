@@ -160,6 +160,22 @@ case class SignSig(child: Expression, planes: Array[Double], dim: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Array[Double] fields get reference equality from the case-class
+  // machinery, which would make two semantically identical signature
+  // expressions never compare equal — defeating canonicalization,
+  // subexpression elimination, and exchange reuse. Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case s: SignSig =>
+      dim == s.dim && child == s.child &&
+        java.util.Arrays.equals(planes, s.planes)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = 31 * h + java.util.Arrays.hashCode(planes)
+    31 * h + dim
+  }
 }
 
 object VectorFns {

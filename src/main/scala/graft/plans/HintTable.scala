@@ -112,12 +112,16 @@ object HintTable {
     var i = 0; var depth = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == '\'') {
+      if (c == '\'' || c == '"' || c == '`') {
+        // skip the quoted run: single-quoted literals, double-quoted
+        // strings (Spark's default string delimiter), and backtick
+        // identifiers — all escape their delimiter by doubling it
+        val q = c
         i += 1
         while (i < text.length &&
-               !(text.charAt(i) == '\'' &&
-                 (i + 1 >= text.length || text.charAt(i + 1) != '\''))) {
-          if (text.charAt(i) == '\'') i += 1 // the escaped half
+               !(text.charAt(i) == q &&
+                 (i + 1 >= text.length || text.charAt(i + 1) != q))) {
+          if (text.charAt(i) == q) i += 1 // the escaped half
           i += 1
         }
         i += 1

@@ -653,12 +653,52 @@ object Streaming {
     * never self-matched. Decisions land in
     * `<storeDir>/decisions/batch=M` under the same protocol and the
     * final table (doc_id, is_dup, batch) is returned. */
+  /** Stamp/verify a durable store's on-disk format version.
+    *
+    * New store (no committed data): writes `_format` = `version`.
+    * Existing store with a matching `_format`: no-op. Existing store with
+    * data but a missing or older `_format` (written by a previous code
+    * version with an incompatible schema): fail fast with an explicit
+    * regenerate message rather than letting the explicit-schema parquet
+    * probe die on a type mismatch mid-stream. */
+  private[graft] def ensureStoreFormat(
+      hconf: org.apache.hadoop.conf.Configuration, storeDir: String,
+      dataRoot: String, version: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir).getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(storeDir, "_format")
+    val dataPath = new org.apache.hadoop.fs.Path(dataRoot)
+    val hasData = fs.exists(dataPath) &&
+      fs.listStatus(dataPath).exists(_.getPath.getName.startsWith("batch="))
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      require(found == version.toString,
+        s"dedup store at $storeDir is format v$found but this build writes " +
+          s"v$version; regenerate the store (delete $storeDir and the " +
+          "checkpoint, then replay the source)")
+    } else if (hasData) {
+      throw new IllegalStateException(
+        s"dedup store at $storeDir predates format versioning (v1, STRING " +
+          s"band signatures) but this build writes v$version (BIGINT " +
+          s"xxhash64 signatures); regenerate the store (delete $storeDir " +
+          "and the checkpoint, then replay the source)")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   def streamingMinhashDedup(spark: SparkSession, srcDir: String,
                             storeDir: String,
                             checkpointDir: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val bandsRoot = s"$storeDir/bands"
     val decRoot = s"$storeDir/decisions"
+    // v2: band signatures are xxhash64 BIGINTs (v1 stored decimal-joined
+    // STRINGs). A restart over a v1 store would fail the explicit-schema
+    // probe with an opaque parquet type mismatch; refuse up front instead.
+    ensureStoreFormat(hconf, storeDir, bandsRoot, version = 2)
 
     def committedBatches(root: String): Seq[Long] = {
       val p = new org.apache.hadoop.fs.Path(root)

@@ -113,6 +113,19 @@ class HintTableSpec extends AnyFunSuite {
     assert(HintTable.outerSelectEnd("/* select */ SELECT 1 AS x") == Some(19))
     // literal-only / non-select text -> None (pass-through)
     assert(HintTable.outerSelectEnd("INSERT INTO t VALUES (1)").isEmpty)
+    // double-quoted strings (Spark's default string delimiter) and
+    // backtick identifiers are skipped like single-quoted literals
+    assert(HintTable.outerSelectEnd("""SELECT "select" AS v""") == Some(6))
+    val bt = "SELECT `select col` FROM t"
+    assert(HintTable.outerSelectEnd(bt) == Some(6))
+    // a depth-0 quoted 'select' BEFORE the keyword must not steal it
+    // (a backtick CTE name here would have misplaced the injected hint)
+    val dq = "WITH `select` AS (SELECT 1 AS x) " +
+      "SELECT count(*) AS n FROM `select`"
+    assert(HintTable.outerSelectEnd(dq) == Some(dq.indexOf("SELECT count") + 6))
+    // doubled-delimiter escapes inside each quote kind stay inside
+    assert(HintTable.outerSelectEnd("SELECT \"se\"\"lect\" AS v") == Some(6))
+    assert(HintTable.outerSelectEnd("SELECT `se``lect` FROM t") == Some(6))
     // end-to-end: the hint lands on the outer block of a CTE query
     views()
     HintTable.clear()

@@ -98,5 +98,47 @@ class StreamingDedupSpec extends AnyFunSuite {
     val again = Streaming.streamingMinhashDedup(spark, src, store, ckpt)
     assert(again.collect().map(_.toSeq).toSet == before)
     assert(storeDf.count() == storeBefore)
+
+    // a fresh store is stamped with the current format version
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(store, "_format")).trim == "2")
+  }
+
+  test("a store written by an incompatible format version is refused") {
+    def newDirs() = (
+      java.nio.file.Files.createTempDirectory("sfmt_src").toString,
+      java.nio.file.Files.createTempDirectory("sfmt_store").toString,
+      java.nio.file.Files.createTempDirectory("sfmt_ckpt").toString)
+
+    // v1 store: committed band data, no _format marker (the pre-BIGINT
+    // layout). The run must refuse with a regenerate message instead of
+    // dying on a parquet type mismatch mid-stream.
+    val (src1, store1, ckpt1) = newDirs()
+    writeBatchFile(src1, Seq(1L -> textA))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store1, "bands", "batch=0"))
+    val e1 = intercept[IllegalStateException] {
+      Streaming.streamingMinhashDedup(spark, src1, store1, ckpt1)
+    }
+    assert(e1.getMessage.contains("regenerate"), e1.getMessage)
+
+    // explicit marker from a FUTURE format: also refused, clearly
+    val (src2, store2, ckpt2) = newDirs()
+    writeBatchFile(src2, Seq(1L -> textA))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store2, "_format"), "99\n")
+    val e2 = intercept[IllegalArgumentException] {
+      Streaming.streamingMinhashDedup(spark, src2, store2, ckpt2)
+    }
+    assert(e2.getMessage.contains("regenerate"), e2.getMessage)
+
+    // matching marker + empty store: runs clean (the marker is not a
+    // one-shot init side effect, it is checked/kept across restarts)
+    val (src3, store3, ckpt3) = newDirs()
+    writeBatchFile(src3, Seq(1L -> textA, 2L -> textB))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store3, "_format"), "2\n")
+    val dec = Streaming.streamingMinhashDedup(spark, src3, store3, ckpt3)
+    assert(dec.count() == 2)
   }
 }

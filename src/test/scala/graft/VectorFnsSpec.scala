@@ -28,4 +28,22 @@ class VectorFnsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
     assert(df.agg(sum("d")).head.getDouble(0) == 90.0)
   }
+
+  test("SignSig compares structurally, not by plane-array reference") {
+    import graft.functions.SignSig
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val child = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    def planes() = Array(1.0, -2.0, 3.0, 0.5) // fresh array each call
+    val a = SignSig(child, planes(), dim = 2)
+    val b = SignSig(child, planes(), dim = 2)
+    // two semantically identical signatures must canonicalize together
+    // (subexpression elimination / exchange reuse depend on this)
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val other = SignSig(child, Array(9.0, -2.0, 3.0, 0.5), dim = 2)
+    assert(a != other)
+    assert(a != SignSig(Literal.create(Seq(1.0), ArrayType(DoubleType)),
+      planes(), dim = 2))
+  }
 }
