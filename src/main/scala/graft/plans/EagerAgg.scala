@@ -52,8 +52,45 @@ import org.apache.spark.sql.types._
 object EagerAggRule extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.eagerAgg.enabled"
 
+  /** Minimum estimated rows-per-group on the outer child for a push to
+    * pay for itself when column stats are available. The pushed plan
+    * spends one extra hash-aggregate pass over the outer child; its win
+    * is joining/shuffling `groups` rows instead of `rows`. Below ~a few
+    * rows per group the compression cannot amortize the pass (measured:
+    * a unique-domain push is 1.20x pure overhead, SCALING.md r15;
+    * winning pushes q20/q21 compress >>10x). */
+  val MinReductionKey = "spark.graft.eagerAgg.minReduction"
+
   private def enabled: Boolean =
     SQLConf.get.getConfString(ConfKey, "true").toBoolean
+
+  /** Cost the push from ANALYZE column stats, when they exist.
+    *
+    * ORCA explores `CXformEagerAgg` and lets the cost model pick between
+    * the pushed and un-pushed alternatives using per-column NDV from
+    * ANALYZE. Spark's optimizer is heuristic (rules fire or not), so the
+    * analogue is a fire-time estimate: lower group count ≈ ∏ NDV(key)
+    * (the standard attribute-independence assumption, capped at the
+    * child's row count), and the push fires only when
+    * rows / groups ≥ [[MinReductionKey]].
+    *
+    * Returns None when CBO is off or any needed stat is missing — the
+    * caller then falls back to the fixed-width-key type heuristic, which
+    * is a zero-stats stand-in for exactly this estimate. */
+  private def statsDecision(left: LogicalPlan,
+                            lowerKeys: Seq[Attribute]): Option[Boolean] = {
+    if (!SQLConf.get.cboEnabled) return None
+    val st = left.stats
+    val ndvs = lowerKeys.map(k => st.attributeStats.get(k).flatMap(_.distinctCount))
+    st.rowCount match {
+      case Some(rows) if ndvs.forall(_.isDefined) =>
+        val groups = ndvs.flatten.product.min(rows).max(BigInt(1))
+        val minReduction = BigDecimal(
+          SQLConf.get.getConfString(MinReductionKey, "4.0"))
+        Some(BigDecimal(rows) >= BigDecimal(groups) * minReduction)
+      case _ => None
+    }
+  }
 
   /** Aggregates whose partial can be recombined losslessly above the join:
     * the reference's min/max/sum/count/avg set, minus decimal sum/avg
@@ -146,23 +183,28 @@ object EagerAggRule extends Rule[LogicalPlan] {
         // fabricates one all-null/zero row from an empty outer child and
         // could surface phantom groups above the join; skip the rewrite.
         //
-        // Variable-width (string/binary) lower keys also skip: the
-        // reference only explores this xform because ORCA COSTS both
-        // alternatives from column stats, and the win requires the lower
-        // group domain to be much smaller than its input. With CBO/NDV
-        // off (Spark's default) that ratio is unknowable, and a
-        // string/binary key (tokens, shingles, digests) is the signature
-        // of a near-unique domain where the pushed aggregate compresses
-        // nothing and just burns a hash pass — measured 1.20x on the
-        // minhash shingle-intersection count at x1000 (min-of-5,
-        // SCALING.md r15) when the rule started firing session-wide.
-        // Every measured winning push (q20/q21/q_eager_agg/triangle)
-        // groups by fixed-width keys.
+        // The push decision. The reference only explores this xform
+        // because ORCA COSTS both alternatives from ANALYZE stats, and
+        // the win requires the lower group domain to be much smaller
+        // than its input. When CBO is on and per-key NDV exists,
+        // statsDecision estimates that ratio directly (∏NDV vs rows) —
+        // a near-unique key of ANY type (e.g. a fixed-width xxhash64
+        // digest column) is then declined by cost. Without stats
+        // (Spark's default), fall back to the width heuristic: a
+        // string/binary key (tokens, shingles, digests) is the
+        // signature of a near-unique domain where the pushed aggregate
+        // compresses nothing and just burns a hash pass — measured
+        // 1.20x on the minhash shingle-intersection count at x1000
+        // (min-of-5, SCALING.md r15) when the rule started firing
+        // session-wide. Every measured winning push
+        // (q20/q21/q_eager_agg/triangle) groups by fixed-width keys.
         val fixedWidthKeys = lowerKeys.forall(_.dataType match {
           case StringType | BinaryType => false
           case _ => true
         })
-        if (lowerKeys.isEmpty || !fixedWidthKeys) agg else {
+        val shouldPush = lowerKeys.nonEmpty &&
+          statsDecision(left, lowerKeys).getOrElse(fixedWidthKeys)
+        if (!shouldPush) agg else {
 
         // lower partials + the upper expression rebuilt over them; avg
         // splits into (sum, count) below and recombines sum/sum above

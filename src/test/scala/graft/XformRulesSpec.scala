@@ -139,6 +139,107 @@ class XformRulesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- cost-based decision from ANALYZE stats (r16) ----------------------
+  // ORCA costs CXformEagerAgg from column NDV; with CBO on and ANALYZE
+  // stats present, the rule estimates the lower group reduction
+  // (rows / ∏NDV(keys)) and declines pushes that cannot compress —
+  // including fixed-width near-unique keys the type heuristic would pass.
+
+  private def costTables(s: org.apache.spark.sql.SparkSession): Unit =
+    if (!s.catalog.tableExists("eagercost_facts")) {
+      val li = Tables.t(s, sf, "lineitem")
+      li.select(
+          xxhash64(col("l_orderkey"), col("l_linenumber")).as("digest"),
+          pmod(col("l_orderkey"), lit(10)).as("k"),
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("v"))
+        .write.mode("overwrite").saveAsTable("eagercost_facts")
+      val f = s.table("eagercost_facts")
+      f.select(col("digest"), pmod(col("digest"), lit(5)).as("grp"))
+        .limit(500).distinct()
+        .write.mode("overwrite").saveAsTable("eagercost_dim_digest")
+      f.select(col("k"), (col("k") * 2).as("grp")).distinct()
+        .write.mode("overwrite").saveAsTable("eagercost_dim_k")
+      f.select(col("flag"), lit(1).as("grp")).distinct()
+        .write.mode("overwrite").saveAsTable("eagercost_dim_flag")
+      s.sql("ANALYZE TABLE eagercost_facts COMPUTE STATISTICS FOR ALL COLUMNS")
+      // un-analyzed clone: the no-stats fallback path
+      f.write.mode("overwrite").saveAsTable("eagercost_facts_nostats")
+    }
+
+  private def costShape(s: org.apache.spark.sql.SparkSession,
+                        factTable: String, key: String,
+                        dimTable: String): DataFrame = {
+    val f = s.table(factTable)
+    val d = s.table(dimTable)
+    f.join(d, f(key) === d(key)).groupBy(d("grp"))
+      .agg(min(f("v")).as("mv"), sum(f("v")).as("sv"))
+  }
+
+  test("eager agg declines a near-unique fixed-width key BY COST when stats exist") {
+    withRules("spark.sql.cbo.enabled" -> "true") { s =>
+      costTables(s)
+      // digest is a 64-bit xxhash64 column: fixed-width (the type
+      // heuristic would push) but NDV≈rows, so the push compresses
+      // nothing — stats must decline it
+      val byCost = costShape(s, "eagercost_facts", "digest", "eagercost_dim_digest")
+      assert(aggsInPlan(byCost.queryExecution.optimizedPlan).size == 1,
+        s"near-unique digest key must be declined by cost:\n${byCost.queryExecution.optimizedPlan}")
+    }
+    // ...and the same shape WITHOUT stats falls back to the width
+    // heuristic, which pushes (documents exactly what the cost decision
+    // buys over the r15 heuristic)
+    withRules("spark.sql.cbo.enabled" -> "true") { s =>
+      costTables(s)
+      val fallback = costShape(s, "eagercost_facts_nostats", "digest", "eagercost_dim_digest")
+      assert(aggsInPlan(fallback.queryExecution.optimizedPlan).size == 2,
+        "no stats -> fixed-width heuristic pushes")
+    }
+  }
+
+  test("eager agg stats decision overrides the heuristic in BOTH directions") {
+    withRules("spark.sql.cbo.enabled" -> "true") { s =>
+      costTables(s)
+      // low-NDV fixed-width key (10 values over ~6k rows): pushes by cost
+      val win = costShape(s, "eagercost_facts", "k", "eagercost_dim_k")
+      assert(aggsInPlan(win.queryExecution.optimizedPlan).size == 2,
+        s"600x-reduction key must push:\n${win.queryExecution.optimizedPlan}")
+      // low-NDV STRING key (3 return flags): the width heuristic would
+      // skip it, but stats prove the compression — pushes by cost
+      val str = costShape(s, "eagercost_facts", "flag", "eagercost_dim_flag")
+      assert(aggsInPlan(str.queryExecution.optimizedPlan).size == 2,
+        s"low-NDV string key must push when stats prove it:\n${str.queryExecution.optimizedPlan}")
+      // threshold is live: demanding more reduction than the key offers
+      // flips the low-NDV decision off
+      s.conf.set(EagerAggRule.MinReductionKey, "100000.0")
+      try assert(aggsInPlan(costShape(s, "eagercost_facts", "k", "eagercost_dim_k")
+        .queryExecution.optimizedPlan).size == 1,
+        "minReduction above the key's reduction must decline")
+      finally s.conf.unset(EagerAggRule.MinReductionKey)
+    }
+    // CBO off (the default): string key skipped by the heuristic as before
+    withRules() { s =>
+      costTables(s)
+      val str = costShape(s, "eagercost_facts", "flag", "eagercost_dim_flag")
+      assert(aggsInPlan(str.queryExecution.optimizedPlan).size == 1,
+        "without stats the string-key heuristic still declines")
+    }
+  }
+
+  test("eager agg cost path preserves results exactly") {
+    val off = withRules(EagerAggRule.ConfKey -> "false") { s =>
+      costTables(s)
+      sortedRows(costShape(s, "eagercost_facts", "k", "eagercost_dim_k"))
+    }
+    val on = withRules("spark.sql.cbo.enabled" -> "true") { s =>
+      costTables(s)
+      val df = costShape(s, "eagercost_facts", "k", "eagercost_dim_k")
+      assert(aggsInPlan(df.queryExecution.optimizedPlan).size == 2)
+      sortedRows(df)
+    }
+    assert(on == off)
+  }
+
   test("eager agg kill-switch disables the rewrite (default is ON since r13)") {
     withRules(EagerAggRule.ConfKey -> "false") { s =>
       assert(aggsInPlan(eagerShape(s).queryExecution.optimizedPlan).size == 1)
