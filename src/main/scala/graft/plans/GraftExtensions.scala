@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolution so the UnresolvedHint is consumed BEFORE the stock
     // unknown-hint warn-and-drop sweep; see LeadingJoinRule
     e.injectPostHocResolutionRule(_ => LeadingJoinRule)
+    // Rows(...) cardinality-correction hint — same delivery window
+    e.injectPostHocResolutionRule(_ => RowsHintRule)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

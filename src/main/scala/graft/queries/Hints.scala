@@ -24,12 +24,15 @@ import graft.Tables._
   *   - NestLoop(t ...)  → `SHUFFLE_REPLICATE_NL(t)`;
   *   - Parallel(t N)    → `REPARTITION(n[, cols])` / `REBALANCE` —
   *     distribution hints standing in for DISTRIBUTED BY;
-  *   - No-forms/Leading → no direct Spark hint; the negative forms are
+  *   - No-forms → no direct Spark hint; the negative forms are
   *     expressed by hinting the strategy you DO want (a hint on any
-  *     join side wins over cost), and join order by query structure
-  *     (Catalyst keeps the authored order unless the CBO reorders it).
-  *   - Rows(...)        → AQE's runtime re-planning replaces manual
-  *     cardinality correction (skew/broadcast decided from actuals).
+  *     join side wins over cost);
+  *   - Leading(...)     → `plans/LeadingJoin.scala` (custom post-hoc
+  *     resolution rule rebuilding the chain left-deep, r15);
+  *   - Rows(...)        → `plans/RowsHint.scala` (r16): the corrected
+  *     estimate resolves to the broadcast/no-broadcast decision it
+  *     drives; under AQE the rule declines, since runtime re-planning
+  *     supersedes manual cardinality correction.
   *
   * Hints are purely physical: both lanes here carry an oracle that runs
   * the SAME text minus hints, so the driver's hash compare proves hint
@@ -106,6 +109,31 @@ object Hints extends QueryModule {
         "SELECT /*+ LEADING(customer, orders, lineitem) */ ")
     else leadingBody
 
+  /** `Rows(...)` cardinality correction (`pg_hint_plan.c:94` — the
+    * *cause*-level fix behind most bad join orders;
+    * `plans/RowsHint.scala` is the rule). The classic underestimate
+    * scenario: customer LOOKS broadcast-small by file-size estimate, the
+    * DBA knows the post-scan reality is huge, `ROWS(customer, '*100000')`
+    * corrects the estimate up and the join falls off broadcast. The
+    * rule resolves the corrected estimate at the decision cardinality
+    * actually drives in Spark (sizeInBytes vs autoBroadcastJoinThreshold)
+    * and declines under AQE, whose runtime stats would supersede the
+    * manual estimate — so this lane runs on an AQE-off child session,
+    * the configuration the hint is documented for. */
+  private val rowsBody =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 1000000.0, 0)
+      |    AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderdate < TIMESTAMP '1998-06-01'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private[graft] def rowsSql(hinted: Boolean): String =
+    if (hinted)
+      rowsBody.replaceFirst("SELECT ",
+        "SELECT /*+ ROWS(customer, '*100000') */ ")
+    else rowsBody
+
   private def withViews(s: SparkSession, dir: String)(sql: String): DataFrame = {
     Seq("lineitem", "orders", "customer", "supplier", "nation")
       .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
@@ -118,13 +146,27 @@ object Hints extends QueryModule {
     "q_hint_broadcast_parallel" -> ((s, dir) =>
       withViews(s, dir)(broadcastParallelSql(hinted = true))),
     "q_hint_leading" -> ((s, dir) =>
-      withViews(s, dir)(leadingSql(hinted = true)))
+      withViews(s, dir)(leadingSql(hinted = true))),
+    "q_hint_rows" -> ((s, dir) => {
+      // AQE-off child session: the documented configuration for manual
+      // cardinality correction (RowsHintRule declines under AQE, whose
+      // runtime stats supersede the estimate at the same decision)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      // newSession resets runtime confs to context defaults; carry the
+      // caller's metadata render width so plan snapshots of this lane
+      // clip (or not) exactly like every other lane's
+      s2.conf.set("spark.sql.maxMetadataStringLength",
+        s.conf.get("spark.sql.maxMetadataStringLength"))
+      withViews(s2, dir)(rowsSql(hinted = true))
+    })
   )
 
   // the oracle runs the hint-free text: identical results by contract
   val oracle: Map[String, String] = Map(
     "q_hint_join_strategy" -> joinStrategySql(hinted = false),
     "q_hint_broadcast_parallel" -> broadcastParallelSql(hinted = false),
-    "q_hint_leading" -> leadingSql(hinted = false)
+    "q_hint_leading" -> leadingSql(hinted = false),
+    "q_hint_rows" -> rowsSql(hinted = false)
   )
 }

@@ -151,4 +151,109 @@ class HintSpec extends AnyFunSuite {
     val d = sql(Hints.broadcastParallelSql(hinted = false)).collect().toSeq
     assert(c == d)
   }
+
+  // ---- ROWS(...) cardinality correction (plans/RowsHint.scala, r16) -----
+
+  // AQE-off child session: the configuration the hint is documented for
+  // (RowsHintRule declines under AQE — see the decline test below)
+  private lazy val noAqe = {
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+  private def sqlNoAqe(q: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => graft.Tables.t(noAqe, sf, n).createOrReplaceTempView(n))
+    noAqe.sql(q)
+  }
+
+  test("ROWS corrects an estimate UP and the join falls off broadcast") {
+    // threshold between the PRUNED estimates (customer ~3KB, orders ~12KB —
+    // column pruning scales file-size stats by the projected width ratio)
+    // so ONLY customer is broadcast-eligible — suppressing it cannot be
+    // answered by broadcasting the other side
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = noAqe.conf.get(thr)
+    try {
+      noAqe.conf.set(thr, "8000")
+      val unhinted = plan(sqlNoAqe(Hints.rowsSql(hinted = false)))
+      val hinted = plan(sqlNoAqe(Hints.rowsSql(hinted = true)))
+      assert(unhinted.contains("BroadcastHashJoin"),
+        s"test premise: unhinted must broadcast customer:\n$unhinted")
+      // *100000 correction pushes it over the threshold: no broadcast
+      assert(!hinted.contains("BroadcastHashJoin"),
+        s"ROWS correction up must suppress the broadcast:\n$hinted")
+      // purely physical: identical results
+      assert(sqlNoAqe(Hints.rowsSql(hinted = true)).collect().toSeq ==
+        sqlNoAqe(Hints.rowsSql(hinted = false)).collect().toSeq)
+    } finally noAqe.conf.set(thr, old)
+  }
+
+  test("ROWS corrects an estimate DOWN and the side broadcasts") {
+    // suppress auto-broadcast so only the hint can cause one, then
+    // correct the absolute estimate down to 'tiny' (the reference's #n)
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = noAqe.conf.get(thr)
+    try {
+      noAqe.conf.set(thr, "1024")
+      val unhinted = plan(sqlNoAqe(Hints.rowsSql(hinted = false)))
+      assert(!unhinted.contains("BroadcastHashJoin"), unhinted)
+      val hinted = plan(sqlNoAqe(Hints.rowsSql(hinted = false).replaceFirst(
+        "SELECT ", "SELECT /*+ ROWS(customer, 3) */ ")))
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"ROWS #3 under a 1KB threshold must broadcast customer:\n$hinted")
+    } finally noAqe.conf.set(thr, old)
+  }
+
+  test("ROWS declines under AQE (runtime stats supersede the estimate)") {
+    // the shared suite session has AQE on: the hint must warn and drop,
+    // leaving the plan identical to unhinted
+    val declined = plan(sql(Hints.rowsSql(hinted = true)))
+    assert(declined == plan(sql(Hints.rowsSql(hinted = false))))
+  }
+
+  test("ROWS declines an unknown alias and a malformed spec") {
+    val base = plan(sqlNoAqe(Hints.rowsSql(hinted = false)))
+    val badAlias = plan(sqlNoAqe(Hints.rowsSql(hinted = false).replaceFirst(
+      "SELECT ", "SELECT /*+ ROWS(nosuch, 3) */ ")))
+    assert(badAlias == base, "unknown alias must fall through")
+    val badSpec = plan(sqlNoAqe(Hints.rowsSql(hinted = false).replaceFirst(
+      "SELECT ", "SELECT /*+ ROWS(customer, 'pi') */ ")))
+    assert(badSpec == base, "unparseable spec must fall through")
+  }
+
+  test("ROWS join-level form corrects the join result's estimate") {
+    // ROWS(orders customer #5): the corrected JOIN subtree becomes the
+    // broadcast side of the join above it
+    val q =
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey, c_mktsegment
+        |      FROM orders JOIN customer ON o_custkey = c_custkey) oc
+        |  ON l_orderkey = oc.o_orderkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = noAqe.conf.get(thr)
+    try {
+      noAqe.conf.set(thr, "1024")
+      val base = plan(sqlNoAqe(q))
+      assert(!base.contains("BroadcastHashJoin"), base)
+      val hinted = plan(sqlNoAqe(q.replaceFirst(
+        "SELECT c_mktsegment", "SELECT /*+ ROWS(orders, customer, 2) */ c_mktsegment")))
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"join-level ROWS must broadcast the corrected subtree:\n$hinted")
+      assert(sqlNoAqe(q).collect().toSeq == sqlNoAqe(q.replaceFirst(
+        "SELECT c_mktsegment",
+        "SELECT /*+ ROWS(orders, customer, 2) */ c_mktsegment")).collect().toSeq)
+    } finally noAqe.conf.set(thr, old)
+  }
+
+  test("ROWS gate off -> hint is inert") {
+    val key = graft.plans.RowsHintRule.ConfKey
+    try {
+      noAqe.conf.set(key, "false")
+      val off = plan(sqlNoAqe(Hints.rowsSql(hinted = true)))
+      assert(off == plan(sqlNoAqe(Hints.rowsSql(hinted = false))))
+    } finally noAqe.conf.unset(key)
+  }
 }

@@ -157,4 +157,33 @@ class HintTableSpec extends AnyFunSuite {
       spark.conf.unset(HintTable.EnabledConf); HintTable.clear()
     }
   }
+
+  test("ROWS cardinality override delivers through the hint table") {
+    // the Rows(...)-analogue's production delivery: a DBA pins the
+    // correction per query FINGERPRINT, no query edit. AQE-off child
+    // session (RowsHintRule's documented configuration).
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // threshold between the pruned estimates (customer ~3KB, orders ~12KB): only
+    // customer can broadcast, so suppressing it is visible in the plan
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "8000")
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => graft.Tables.t(s, sf, n).createOrReplaceTempView(n))
+    val q = Hints.rowsSql(hinted = false)
+    HintTable.clear()
+    try {
+      s.conf.set(HintTable.EnabledConf, "true")
+      val before = plan(HintTable.sql(s, q))
+      assert(before.contains("BroadcastHashJoin"),
+        s"premise: customer auto-broadcasts unhinted:\n$before")
+      HintTable.register(q, "ROWS(customer, '*100000')")
+      val after = plan(HintTable.sql(s, q))
+      assert(!after.contains("BroadcastHashJoin"),
+        s"table-delivered ROWS must flip the strategy:\n$after")
+      // physical-only: same rows either way
+      assert(HintTable.sql(s, q).collect().toSeq == s.sql(q).collect().toSeq)
+    } finally {
+      s.conf.unset(HintTable.EnabledConf); HintTable.clear()
+    }
+  }
 }

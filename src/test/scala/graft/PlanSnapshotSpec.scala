@@ -74,6 +74,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // Leading(...) join-order pinning (r15): the dim-first scan order
     // in the snapshot is the adherence proof
     "q_hint_leading",
+    // Rows(...) cardinality correction (r16): the lane runs AQE-off and
+    // the pinned strategy flip (customer off the build side) is the
+    // adherence proof
+    "q_hint_rows",
     // prefix-filtered trigram similarity join (r14): pins the
     // posting/prefix/verify join topology
     "q_trgm_join")
