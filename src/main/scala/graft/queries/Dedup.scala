@@ -311,6 +311,20 @@ object Dedup extends QueryModule {
   private[graft] val EmbBands = 5
   private[graft] val EmbBandBits = 12
 
+  /** High-recall alternate geometry over the SAME 60-plane signature:
+    * 10 bands x 6 bits. The recall knob the margin regime buys with it
+    * (banding law, per-plane agreement p = 1 - theta/pi): at the
+    * SemTau=0.4 margin (p ~ 0.63) candidate recall rises from
+    * 1-(1-p^12)^5 ~ 0.02 to 1-(1-p^6)^10 ~ 0.48 — and the COST is the
+    * same law read at the bucket axis: 2^6 = 64 keys per band packs
+    * n/64 rows per bucket, so the geometry degrades to the star path
+    * orders of magnitude earlier (~260k vectors at the 4096 cap vs
+    * ~17M for 12-bit keys). A user choosing it buys margin recall at
+    * small-to-mid corpus sizes; the measured recall-vs-cost table lives
+    * in SimilaritySpec + SCALING.md (r16). */
+  private[graft] val EmbBandsHR = 10
+  private[graft] val EmbBandBitsHR = 6
+
   /** EmbBands*EmbBandBits-bit (60-bit at the current 5x12 geometry)
     * sign signature of an `array<double>` vector: bit j is
     * sign(v . plane_j). Pure per-row map-side work — zero shuffle, like
@@ -341,16 +355,20 @@ object Dedup extends QueryModule {
     * per pair; the bench's sf1 scale leg caught it at 26x time for 10x
     * data on a correlation-dense corpus (candidate-pair joins shuffle
     * O(candidates) x payload — quadratic in the worst case). */
-  private[graft] def embeddingBanded(e: DataFrame): DataFrame = {
+  private[graft] def embeddingBanded(e: DataFrame,
+                                     bands: Int = EmbBands,
+                                     bits: Int = EmbBandBits): DataFrame = {
+    require(bands * bits <= EmbBands * EmbBandBits,
+      s"geometry ${bands}x$bits exceeds the ${EmbBands * EmbBandBits}-plane signature")
     graft.functions.VectorFns.register(e.sparkSession)
-    val mask = (1 << EmbBandBits) - 1
+    val mask = (1 << bits) - 1
     fanOut(e.select(col("vec_id"), col("v")))
       .select(col("vec_id").as("doc_id"), col("v"),
         call_function("vec_norm_sq", col("v")).as("nrm"),
         embeddingSig(col("v")).as("sig"))
       .select(col("doc_id"), col("v"), col("nrm"), explode(expr(
-          s"transform(sequence(0, ${EmbBands - 1}), b -> " +
-            s"struct(b as band, shiftright(sig, b*$EmbBandBits) & $mask as key))"))
+          s"transform(sequence(0, ${bands - 1}), b -> " +
+            s"struct(b as band, shiftright(sig, b*$bits) & $mask as key))"))
           .as("bk"))
       .select(col("doc_id"), col("v"), col("nrm"),
         col("bk.band").as("band"), col("bk.key").as("key"))
@@ -382,7 +400,27 @@ object Dedup extends QueryModule {
     * sums in both paths and both round HALF_UP — so the final
     * distinct() collapses them exactly. */
   private[graft] def embeddingLshPairs(e: DataFrame, maxBucket: Int,
-                                       threshold: Double): DataFrame = {
+                                       threshold: Double,
+                                       bands: Int = EmbBands,
+                                       bits: Int = EmbBandBits): DataFrame =
+    embeddingLshPairsRaw(e, maxBucket, threshold, bands, bits).distinct()
+
+  /** The drop-ID projection for SemDeDup consumers: only distinct id_b
+    * survives, so the pair-level distinct (a full-width extra
+    * aggregation over (id_a, id_b, cos)) is skipped and the dedup
+    * happens on the single column that matters. Same set by
+    * construction: distinct(project(x)) == project(distinct(x)) for the
+    * projected column. */
+  private[graft] def embeddingLshDropIds(e: DataFrame, maxBucket: Int,
+                                         threshold: Double,
+                                         bands: Int = EmbBands,
+                                         bits: Int = EmbBandBits): DataFrame =
+    embeddingLshPairsRaw(e, maxBucket, threshold, bands, bits)
+      .select(col("id_b").as("vec_id")).distinct()
+
+  private def embeddingLshPairsRaw(e: DataFrame, maxBucket: Int,
+                                   threshold: Double,
+                                   bands: Int, bits: Int): DataFrame = {
     val sp = e.sparkSession; import sp.implicits._
     // same defensive pre-guard as the exact kernel: HALF_UP to 6dp moves
     // a value by at most 5e-7 (+1e-7 headroom against the guard constant
@@ -424,7 +462,7 @@ object Dedup extends QueryModule {
         } else None
       } else None
     }
-    embeddingBanded(e)
+    embeddingBanded(e, bands, bits)
       .select(col("band").cast("int"), col("key").cast("long"),
               col("doc_id"), col("v"), col("nrm"))
       .as[(Int, Long, Long, Array[Double], Double)]
@@ -468,7 +506,6 @@ object Dedup extends QueryModule {
           def next(): (Long, Long, Double) = { advance(); queue.next() }
         }
       }.toDF("id_a", "id_b", "cos")
-      .distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -786,23 +823,45 @@ object Dedup extends QueryModule {
     // EmbBands 12-bit sign bands (recall rises toward 1 with cosine —
     // at the SemTau=0.4 margin it is the banding recall documented at
     // EmbBands; SimilaritySpec reports both side by side).
-    "d_semdedup_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val drops = embeddingLshPairs(e, MaxBucket, Similarity.SemTau)
-        .select(col("id_b").as("vec_id")).distinct()
-        .withColumn("is_drop", lit(1))
-      e.join(drops, Seq("vec_id"), "left")
-        .agg(count(lit(1)).as("n"),
-          count(col("is_drop")).as("dropped"),
-          (count(lit(1)) - count(col("is_drop"))).as("kept"),
-          md5(concat_ws(",",
-            transform(
-              sort_array(collect_list(when(col("is_drop") === 1,
-                col("vec_id")))),
-              _.cast("string")))).as("dropped_digest"))
-    })
+    "d_semdedup_lsh" -> ((s, dir) =>
+      semdedupLshSummary(s, dir, EmbBands, EmbBandBits)),
+
+    // The RECALL KNOB beside d_semdedup_lsh (r16): same 60-plane
+    // signature, banded 10x6 instead of 5x12. The margin regime
+    // (cos 0.4-0.6, where ALL small-SF victims sit) buys candidate
+    // recall per the banding law (~0.02 -> ~0.48 at the SemTau margin);
+    // the cost is 64-key bands degrading to the star path ~64x earlier
+    // in corpus size. SimilaritySpec publishes the measured
+    // recall-vs-cost table; a user picks the geometry by corpus size
+    // and how much the margin matters.
+    "d_semdedup_lsh_hr" -> ((s, dir) =>
+      semdedupLshSummary(s, dir, EmbBandsHR, EmbBandBitsHR))
   )
+
+  /** Survivor summary for the sign-LSH SemDeDup lane at a given banding
+    * geometry: n / dropped / kept and the md5 digest of the sorted
+    * dropped-id list (the digest proves the exact drop SET against the
+    * oracle's literal replication of the banding). */
+  private def semdedupLshSummary(s: SparkSession, dir: String,
+                                 bands: Int, bits: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // drop-ID projection (not the pair view): the pair-level distinct
+    // would be redundant work for this consumer — only distinct id_b
+    // feeds the drop set (r16, VERDICT brief #6)
+    val drops = embeddingLshDropIds(e, MaxBucket, Similarity.SemTau,
+        bands, bits)
+      .withColumn("is_drop", lit(1))
+    e.join(drops, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(col("is_drop")).as("dropped"),
+        (count(lit(1)) - count(col("is_drop"))).as("kept"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(when(col("is_drop") === 1,
+              col("vec_id")))),
+            _.cast("string")))).as("dropped_digest"))
+  }
 
   /** The 48-bit sign signature as DuckDB SQL over the SAME plane literals
     * the Spark plan embeds — both engines compute sequential dot products
@@ -815,12 +874,34 @@ object Dedup extends QueryModule {
     }.mkString(" + ")
 
   /** "shares at least one band" predicate between aliases a and b. */
-  private def embBandSql: String =
-    (0 until EmbBands).map { b =>
-      val sh = b * EmbBandBits
-      val mask = (1 << EmbBandBits) - 1
+  private def embBandSql: String = embBandSqlAt(EmbBands, EmbBandBits)
+
+  private def embBandSqlAt(bands: Int, bits: Int): String =
+    (0 until bands).map { b =>
+      val sh = b * bits
+      val mask = (1 << bits) - 1
       s"((a.sig >> $sh) & $mask) = ((b.sig >> $sh) & $mask)"
     }.mkString(" OR ")
+
+  /** The sign-LSH SemDeDup oracle at a given banding geometry: literal
+    * replication of signature, shares-a-band candidate set, cosine drop
+    * policy, and drop-set digest. */
+  private def semdedupLshOracle(bands: Int, bits: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+       |                (acc, x) -> acc + x * x) AS nrm
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v, nrm, CAST($embSigSql AS BIGINT) AS sig FROM e),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id AS bid
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id AND (${embBandSqlAt(bands, bits)})
+       |  WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6)
+       |    >= ${Similarity.SemTau})
+       |SELECT (SELECT COUNT(*) FROM e) AS n,
+       |  (SELECT COUNT(*) FROM drops) AS dropped,
+       |  (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM drops) AS kept,
+       |  md5(coalesce((SELECT string_agg(CAST(bid AS VARCHAR), ','
+       |    ORDER BY bid) FROM drops), '')) AS dropped_digest""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d_dedup_exact" ->
@@ -922,25 +1003,11 @@ object Dedup extends QueryModule {
          |WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6) >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // the sign-LSH SemDeDup lane replicated predicate-for-predicate:
+    // the sign-LSH SemDeDup lanes replicated predicate-for-predicate:
     // identical plane literals -> identical signatures -> identical
-    // shares-a-band candidate set -> identical cosine drop policy at
-    // SemTau; the digest proves the exact drop set
-    "d_semdedup_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
-         |                (acc, x) -> acc + x * x) AS nrm
-         |  FROM embeddings),
-         |s AS (SELECT vec_id, v, nrm, CAST($embSigSql AS BIGINT) AS sig FROM e),
-         |drops AS (
-         |  SELECT DISTINCT b.vec_id AS bid
-         |  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($embBandSql)
-         |  WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6)
-         |    >= ${Similarity.SemTau})
-         |SELECT (SELECT COUNT(*) FROM e) AS n,
-         |  (SELECT COUNT(*) FROM drops) AS dropped,
-         |  (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM drops) AS kept,
-         |  md5(coalesce((SELECT string_agg(CAST(bid AS VARCHAR), ','
-         |    ORDER BY bid) FROM drops), '')) AS dropped_digest""".stripMargin
+    // shares-a-band candidate set (at each geometry) -> identical cosine
+    // drop policy at SemTau; the digest proves the exact drop set
+    "d_semdedup_lsh" -> semdedupLshOracle(EmbBands, EmbBandBits),
+    "d_semdedup_lsh_hr" -> semdedupLshOracle(EmbBandsHR, EmbBandBitsHR)
   )
 }

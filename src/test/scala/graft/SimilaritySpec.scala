@@ -282,6 +282,42 @@ class SimilaritySpec extends AnyFunSuite {
     val row = SparkEntry.queries("d_semdedup_lsh")(spark, sf).collect()(0)
     assert(row.getLong(0) == vecs.length && row.getLong(1) == dropped.size &&
       row.getLong(2) == vecs.length - dropped.size)
+
+    // (5) the RECALL KNOB (r16): the 10x6 geometry over the same 60-plane
+    // signature. Model replication at the alternate banding, then the
+    // measured recall-vs-cost table beside the default row.
+    val maskHr = (1L << Dedup.EmbBandBitsHR) - 1
+    def sharesHr(i: Int, j: Int): Boolean =
+      (0 until Dedup.EmbBandsHR).exists { b =>
+        val sh = b * Dedup.EmbBandBitsHR
+        ((sigs(i) >> sh) & maskHr) == ((sigs(j) >> sh) & maskHr)
+      }
+    val modelDropsHr = vecs.indices.collect { case j if vecs.indices.take(j)
+        .exists(i => sharesHr(i, j) && cos(vecs(i)._2, vecs(j)._2) >= tau)
+      => vecs(j)._1 }.toSet
+    val droppedHr = Dedup.embeddingLshDropIds(e, Dedup.MaxBucket, tau,
+        Dedup.EmbBandsHR, Dedup.EmbBandBitsHR)
+      .collect().map(_.getLong(0)).toSet
+    assert(droppedHr == modelDropsHr,
+      s"hr lane/model mismatch: ${droppedHr.diff(modelDropsHr).take(3)} / " +
+        s"${modelDropsHr.diff(droppedHr).take(3)}")
+    assert(droppedHr.subsetOf(exactVictims), "hr drops must stay sound")
+    // every 12-bit band is exactly two 6-bit bands, so agreeing on a
+    // 12-bit band implies agreeing on both its halves: the 10x6
+    // candidate set is a superset and the drop set is monotone
+    assert(dropped.subsetOf(droppedHr),
+      "10x6 subdivides 5x12: every default drop must persist")
+    val recallHr = droppedHr.size.toDouble / math.max(1, exactVictims.size)
+    info(f"recall-vs-cost: 5x12 $recall%.3f (${dropped.size}) | " +
+      f"10x6 $recallHr%.3f (${droppedHr.size}) | " +
+      f"exact victims ${exactVictims.size} | probes 0.69")
+    assert(recallHr >= recall, "the knob must not lose recall")
+    assert(recallHr > recall,
+      "fixture must demonstrate the knob buying margin recall")
+    // the published hr summary row agrees
+    val rowHr = SparkEntry.queries("d_semdedup_lsh_hr")(spark, sf).collect()(0)
+    assert(rowHr.getLong(0) == vecs.length &&
+      rowHr.getLong(1) == droppedHr.size)
   }
 
   test("MMR picks are relevance-anchored and more diverse than plain top-3") {
