@@ -679,13 +679,40 @@ object Streaming {
           "checkpoint, then replay the source)")
     } else if (hasData) {
       throw new IllegalStateException(
-        s"dedup store at $storeDir predates format versioning (v1, STRING " +
-          s"band signatures) but this build writes v$version (BIGINT " +
-          s"xxhash64 signatures); regenerate the store (delete $storeDir " +
-          "and the checkpoint, then replay the source)")
+        s"dedup store at $storeDir predates format versioning but this " +
+          s"build writes v$version (for the minhash band store: v1 stored " +
+          "STRING signatures, v2 stores BIGINT xxhash64); regenerate the " +
+          s"store (delete $storeDir and the checkpoint, then replay the " +
+          "source)")
     } else {
       val out = fs.create(marker, true)
       try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Batch directories already committed under a durable-store root. */
+  private def committedBatches(
+      hconf: org.apache.hadoop.conf.Configuration, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+  }
+
+  /** Idempotent stage+rename commit of one batch's rows under `root`. */
+  private def commitBatch(
+      hconf: org.apache.hadoop.conf.Configuration, df: DataFrame,
+      root: String, batchId: Long, partitionCols: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    val dst = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    if (!fs.exists(dst)) {
+      val staged = new org.apache.hadoop.fs.Path(root, s".stage_$batchId")
+      fs.delete(staged, true)
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staged.toString)
+      require(fs.rename(staged, dst), s"rename failed: $staged -> $dst")
     }
   }
 
@@ -700,27 +727,11 @@ object Streaming {
     // probe with an opaque parquet type mismatch; refuse up front instead.
     ensureStoreFormat(hconf, storeDir, bandsRoot, version = 2)
 
-    def committedBatches(root: String): Seq[Long] = {
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(hconf)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-    }
+    def committedBatchesL(root: String): Seq[Long] = committedBatches(hconf, root)
 
     def commit(df: DataFrame, root: String, batchId: Long,
-               partitionCols: Seq[String]): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
-      val dst = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
-      if (!fs.exists(dst)) {
-        val staged = new org.apache.hadoop.fs.Path(root, s".stage_$batchId")
-        fs.delete(staged, true)
-        val w = df.write.mode("overwrite")
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-          .parquet(staged.toString)
-        require(fs.rename(staged, dst), s"rename failed: $staged -> $dst")
-      }
-    }
+               partitionCols: Seq[String]): Unit =
+      commitBatch(hconf, df, root, batchId, partitionCols)
 
     val q = spark.readStream
       .schema("doc_id BIGINT, text STRING")
@@ -733,7 +744,7 @@ object Streaming {
           .withColumn("pfx", pmod(hash(col("band"), col("sig")), lit(16)))
         // the batch's own prefixes: <= 16 values of bounded driver state
         val pfxs = b.select("pfx").distinct().collect().map(_.getInt(0)).toSeq
-        val prior = committedBatches(bandsRoot).filter(_ < batchId)
+        val prior = committedBatchesL(bandsRoot).filter(_ < batchId)
         val storeHit =
           if (prior.isEmpty || pfxs.isEmpty) batch.select(col("doc_id")).limit(0)
           else {
@@ -771,6 +782,155 @@ object Streaming {
     try q.processAllAvailable() finally q.stop()
     spark.read.option("basePath", decRoot)
       .schema("doc_id BIGINT, is_dup BOOLEAN, batch BIGINT")
+      .parquet(decRoot)
+  }
+
+  /** Streaming SEMANTIC-duplicate admission — the embedding face of
+    * [[streamingMinhashDedup]] and the ingestion-time face of the batch
+    * `d_semdedup_lsh` lane: every arriving vector is sign-LSH-banded
+    * (the SAME fused `SignSig` signature and 5x12 geometry as the batch
+    * path), probed against the persisted band store of previously
+    * ADMITTED vectors, and rejected iff a band-sharing store owner
+    * verifies at cosine >= SemTau. Unlike minhash (where a band
+    * collision IS the duplicate signal by contract), the semantic lane
+    * adds the exact-cosine verification step — band collisions below
+    * the threshold admit normally.
+    *
+    * Admission contract (deterministic; replayed literally by
+    * StreamingSemdedupSpec's independent oracle):
+    *   1. a vector sharing ANY (band, key) with a store bucket whose
+    *      OWNER verifies at cosine >= SemTau is rejected (greedy
+    *      first-wins across batches — SemDeDup's lower-id drop applied
+    *      in arrival order);
+    *   2. among the remaining vectors of one batch, each (band, key)
+    *      bucket's minimum vec_id is the center; a higher-id member is
+    *      rejected iff it verifies at >= SemTau against the center
+    *      (the batch star kernel's within-bucket policy);
+    *   3. admitted vectors append (vec_id, v, nrm) to the vector store
+    *      and claim UNOWNED (band, key) buckets, minimum vec_id winning
+    *      a contested claim — so store band keys stay UNIQUE and the
+    *      probe is a key join with no fan-out (an admitted non-duplicate
+    *      sharing an owned bucket leaves it unchanged; future arrivals
+    *      verify against the bucket owner, exactly the bounded-star
+    *      witness contract of the batch lane).
+    *
+    * Scale shape: each micro-batch costs one map-side signature pass
+    * over its own rows, one pfx-PRUNED store-band probe (<= 16 driver
+    * values), and a candidate-bounded vector fetch (vpfx-pruned) for
+    * verification — the corpus is never rescanned and store growth is
+    * <= bands rows + 1 vector row per admitted vector. Commit protocol:
+    * vectors and bands (stage+rename, idempotent) BEFORE decisions, so
+    * a crash between commits replays the batch bit-identically. */
+  def streamingSemdedupAdmission(spark: SparkSession, srcDir: String,
+                                 storeDir: String,
+                                 checkpointDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bandsRoot = s"$storeDir/bands"
+    val vecsRoot = s"$storeDir/vectors"
+    val decRoot = s"$storeDir/decisions"
+    ensureStoreFormat(hconf, storeDir, bandsRoot, version = 1)
+    val tau = graft.queries.Similarity.SemTau
+
+    val q = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+      .parquet(srcDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        graft.functions.VectorFns.register(sess)
+        // HALF_UP 6-dp cosine — the keep/drop authority the batch lanes
+        // share with the DuckDB oracle (Spark round() is HALF_UP)
+        def cos6(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
+                 ov: org.apache.spark.sql.Column,
+                 onrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          round(call_function("vec_dot", v, ov) / sqrt(nrm * onrm), 6)
+        val b = graft.queries.Dedup.embeddingBanded(batch)
+          .withColumnRenamed("doc_id", "vec_id")
+          .withColumn("pfx", pmod(hash(col("band"), col("key")), lit(16)))
+        // the batch's own prefixes: <= 16 values of bounded driver state
+        val pfxs = b.select("pfx").distinct().collect().map(_.getInt(0)).toSeq
+        val prior = committedBatches(hconf, bandsRoot).filter(_ < batchId)
+        val storeRejected: DataFrame =
+          if (prior.isEmpty || pfxs.isEmpty) batch.select(col("vec_id")).limit(0)
+          else {
+            val bandStore = sess.read.option("basePath", bandsRoot)
+              .schema("band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT")
+              .parquet(prior.map(m => s"$bandsRoot/batch=$m"): _*)
+              .filter(col("pfx").isin(pfxs: _*)) // partition-pruned probe
+            val cand = b.join(bandStore, Seq("band", "key"))
+              .select(col("vec_id"), col("v"), col("nrm"), col("owner_vec"))
+              .distinct()
+            // owners' vectors, vpfx-pruned: candidate owners name <= 16
+            // vector-store prefixes — bounded driver state again
+            val opfxs = cand
+              .select(pmod(hash(col("owner_vec")), lit(16)).as("vpfx"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            val vstore = sess.read.option("basePath", vecsRoot)
+              .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, " +
+                "vpfx INT, batch BIGINT")
+              .parquet(committedBatches(hconf, vecsRoot).filter(_ < batchId)
+                .map(m => s"$vecsRoot/batch=$m"): _*)
+              .filter(col("vpfx").isin(opfxs: _*))
+              .select(col("vec_id").as("owner_vec"), col("v").as("ov"),
+                col("nrm").as("onrm"))
+            cand.join(vstore, "owner_vec")
+              .filter(cos6(col("v"), col("nrm"), col("ov"), col("onrm")) >= tau)
+              .select(col("vec_id")).distinct()
+          }
+        val remaining = b.join(storeRejected, Seq("vec_id"), "left_anti")
+        // within-batch: bucket center = min id among remaining; members
+        // verify against the center only (the star witness contract)
+        val centers = remaining.groupBy(col("band"), col("key"))
+          .agg(min(col("vec_id")).as("center"))
+        val centerVecs = remaining
+          .select(col("vec_id").as("center"), col("v").as("cv"),
+            col("nrm").as("cnrm")).distinct()
+        val withinRejected = remaining
+          .join(centers, Seq("band", "key"))
+          .filter(col("vec_id") > col("center"))
+          .join(centerVecs, "center")
+          .filter(cos6(col("v"), col("nrm"), col("cv"), col("cnrm")) >= tau)
+          .select(col("vec_id")).distinct()
+        val rejected = storeRejected.union(withinRejected).distinct()
+          .withColumn("is_dup", lit(true))
+        val decisions = batch.select(col("vec_id"))
+          .join(rejected, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        val admittedBandRows = remaining
+          .join(withinRejected, Seq("vec_id"), "left_anti")
+        val admittedVecs = admittedBandRows
+          .select(col("vec_id"), col("v"), col("nrm"))
+          .distinct()
+          .withColumn("vpfx", pmod(hash(col("vec_id")), lit(16)))
+        // claim only UNOWNED buckets (store keys stay unique): a bucket
+        // key not colliding with the pruned probe cannot be owned, since
+        // pfx is a function of (band, key)
+        val ownedKeys =
+          if (prior.isEmpty || pfxs.isEmpty)
+            admittedBandRows.select(col("band"), col("key")).limit(0)
+          else sess.read.option("basePath", bandsRoot)
+            .schema("band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT")
+            .parquet(prior.map(m => s"$bandsRoot/batch=$m"): _*)
+            .filter(col("pfx").isin(pfxs: _*))
+            .select(col("band"), col("key"))
+        val admittedBands = admittedBandRows
+          .join(ownedKeys, Seq("band", "key"), "left_anti")
+          .groupBy(col("band"), col("key"), col("pfx"))
+          .agg(min(col("vec_id")).as("owner_vec"))
+        // store state FIRST, decisions second: the probe ignores the
+        // current batch, so a crash between commits replays identically
+        commitBatch(hconf, admittedVecs, vecsRoot, batchId, Seq("vpfx"))
+        commitBatch(hconf, admittedBands, bandsRoot, batchId, Seq("pfx"))
+        commitBatch(hconf, decisions, decRoot, batchId, Seq.empty)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.option("basePath", decRoot)
+      .schema("vec_id BIGINT, is_dup BOOLEAN, batch BIGINT")
       .parquet(decRoot)
   }
 }

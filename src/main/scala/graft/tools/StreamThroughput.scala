@@ -87,6 +87,20 @@ object StreamThroughput {
           .parquet(s"$store/bands").count()
       })
 
+    val sem = measure("semdedup_admission", "embeddings",
+      Seq("vec_id", "CAST(embedding AS array<double>) AS embedding"),
+      (src, store, ckpt) =>
+        graft.streaming.Streaming
+          .streamingSemdedupAdmission(spark, src, store, ckpt).count(),
+      store => {
+        val p = new org.apache.hadoop.fs.Path(s"$store/bands")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) 0L
+        else spark.read.option("basePath", s"$store/bands")
+          .schema("band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT")
+          .parquet(s"$store/bands").count()
+      })
+
     val ivf = measure("ivf_add", "embeddings",
       Seq("vec_id", "CAST(embedding AS array<double>) AS embedding"),
       (src, store, ckpt) => {
@@ -99,7 +113,7 @@ object StreamThroughput {
         if (!fs.exists(p)) 0L else spark.read.parquet(p.toString).count()
       })
 
-    println(s"""{"probe":"stream_throughput","sf":"$dir","waves":$waves,$mh,$ivf}""")
+    println(s"""{"probe":"stream_throughput","sf":"$dir","waves":$waves,$mh,$sem,$ivf}""")
     spark.stop()
   }
 }
