@@ -57,6 +57,10 @@ object Bench {
     // probes lane's ~10^9-vector n^(4/3) crossover this is the shape
     // that ships (SCALING.md r15 race at x1000)
     "d_semdedup_lsh",
+    // r16: the recall knob — same signature re-banded 10x6; benched so
+    // the knob's cost premium is tracked round-over-round beside the
+    // default geometry (recall-vs-cost table in SCALING.md r16)
+    "d_semdedup_lsh_hr",
     // r13b: greedy MMR diversified top-k, lexical+semantic RRF fusion.
     // The in-plan composed IVF+PQ sibling (s_ann_ivfpq_topk) was
     // removed from the headline in r14: its two Lloyd fits per
