@@ -248,6 +248,32 @@ class HintSpec extends AnyFunSuite {
     } finally noAqe.conf.set(thr, old)
   }
 
+  test("LEADING and ROWS compose in one hint comment") {
+    // the reference stacks hints freely in one comment block; both
+    // custom rules consume their own node in the same post-hoc batch
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val old = noAqe.conf.get(thr)
+    try {
+      noAqe.conf.set(thr, "8000")
+      val q = Hints.leadingSql(hinted = false).replaceFirst(
+        "SELECT ",
+        "SELECT /*+ LEADING(customer, orders, lineitem), " +
+          "ROWS(customer, '*100000') */ ")
+      val p = plan(sqlNoAqe(q))
+      // LEADING held: customer scan first (dim-first left-deep)
+      assert(scanPos(p, "c_custkey") < scanPos(p, "o_orderkey"), p)
+      assert(scanPos(p, "o_orderkey") < scanPos(p, "l_orderkey"), p)
+      // ROWS held: the corrected customer side is not broadcast
+      assert(!p.contains("BroadcastExchange") ||
+        !p.substring(0, scanPos(p, "c_custkey"))
+          .contains("BroadcastExchange"),
+        s"corrected customer must not be the broadcast side:\n$p")
+      // physical-only: identical results
+      assert(sqlNoAqe(q).collect().toSeq ==
+        sqlNoAqe(Hints.leadingSql(hinted = false)).collect().toSeq)
+    } finally noAqe.conf.set(thr, old)
+  }
+
   test("ROWS gate off -> hint is inert") {
     val key = graft.plans.RowsHintRule.ConfKey
     try {
