@@ -340,7 +340,7 @@ object FuzzParitySpec extends Properties("FuzzParity") {
   // only. maxBucket is fuzzed down to 2 so star degradation triggers
   // constantly (clustered prototypes + exact copies force hot buckets);
   // both engine lanes must match the model set exactly.
-  private val lshGen: Gen[(List[Array[Double]], Int)] = {
+  private val lshGen: Gen[(List[Array[Double]], Int, (Int, Int))] = {
     val dim = 64
     val proto: Gen[Int] = Gen.choose(0, 2)
     val vec: Gen[Array[Double]] = for {
@@ -356,14 +356,16 @@ object FuzzParitySpec extends Properties("FuzzParity") {
       n <- Gen.choose(0, 40)
       vs <- Gen.listOfN(n, vec)
       cap <- Gen.choose(2, 6)
-    } yield (vs, cap)
+      // r16: the geometry is a parameter now (the recall knob) — fuzz
+      // every banding of the shared 60-plane signature the API accepts,
+      // including ones that leave high signature bits unused
+      geo <- Gen.oneOf((5, 12), (10, 6), (6, 10), (4, 15), (12, 5), (3, 12), (2, 6))
+    } yield (vs, cap, geo)
   }
 
   property("embedding sign-LSH (incl. star fallback) vs pure-Scala model") =
-    Prop.forAll(lshGen) { case (vs, cap) =>
+    Prop.forAll(lshGen) { case (vs, cap, (bands, bits)) =>
       val threshold = 0.45
-      val bands = graft.queries.Dedup.EmbBands
-      val bits = graft.queries.Dedup.EmbBandBits
       val planes = (0 until bands * bits)
         .map(j => graft.queries.Hyperplanes.plane(j).toArray)
       def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -400,12 +402,13 @@ object FuzzParitySpec extends Properties("FuzzParity") {
         val sp = s; import sp.implicits._
         val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
           .toDF("vec_id", "v")
-        graft.queries.Dedup.embeddingLshPairs(df, cap, threshold).collect()
+        graft.queries.Dedup.embeddingLshPairs(df, cap, threshold, bands, bits)
+          .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       }
       val a = run(stockLane); val b = run(graftLane)
       (a == expected && b == expected) :| {
-        s"n=${vs.size} cap=$cap\nmissing=${(expected -- a).take(4)}\n" +
+        s"n=${vs.size} cap=$cap geo=${bands}x$bits\nmissing=${(expected -- a).take(4)}\n" +
           s"extra=${(a -- expected).take(4)}\ngraft-diff=${(b -- expected).take(4)}"
       }
     }
