@@ -192,8 +192,14 @@ object TpchSynth extends QueryModule {
       val scoped = partsupp(s, dir)
         .join(broadcast(n7supp), col("ps_suppkey") === col("s_suppkey"))
         .select(col("ps_partkey"),
+          // per-row micros fit a long (~1e13 max), but the SUMS must be
+          // staged wider: at the x10000 gate (~sf100) the global total
+          // passes 9.2e18 and an ANSI long sum overflows — DuckDB never
+          // sees this because its SUM(BIGINT) auto-promotes to HUGEINT,
+          // so decimal(38,0) is the Spark-side statement of the same
+          // 128-bit staging (caught by the r16 fifth-decade oracle gate)
           round(col("ps_supplycost") * col("ps_availqty") * 1000000.0, 0)
-            .cast("long").as("v"))
+            .cast("long").cast("decimal(38,0)").as("v"))
       val total = scoped.agg(sum(col("v")).as("tv"))
       scoped.groupBy(col("ps_partkey")).agg(sum(col("v")).as("sv"))
         .crossJoin(broadcast(total))
