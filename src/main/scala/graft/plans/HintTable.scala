@@ -113,15 +113,20 @@ object HintTable {
     while (i < text.length) {
       val c = text.charAt(i)
       if (c == '\'' || c == '"' || c == '`') {
-        // skip the quoted run: single-quoted literals, double-quoted
-        // strings (Spark's default string delimiter), and backtick
-        // identifiers — all escape their delimiter by doubling it
+        // skip the quoted run: single-quoted literals and double-quoted
+        // strings (Spark's default string delimiters) escape with a
+        // BACKSLASH (and also accept the doubled delimiter); backtick
+        // identifiers escape only by doubling. Honoring backslash
+        // matters: a literal containing \' or \" would otherwise end
+        // the scan early and a "select" later in the literal could
+        // steal the outer-SELECT offset.
         val q = c
         i += 1
         while (i < text.length &&
                !(text.charAt(i) == q &&
                  (i + 1 >= text.length || text.charAt(i + 1) != q))) {
-          if (text.charAt(i) == q) i += 1 // the escaped half
+          if (q != '`' && text.charAt(i) == '\\') i += 1 // backslash escape
+          else if (text.charAt(i) == q) i += 1           // the doubled half
           i += 1
         }
         i += 1

@@ -117,10 +117,10 @@ object RowsHintRule extends Rule[LogicalPlan] {
   /** A hint parameter as a relation alias (same forms as LEADING). */
   private def paramName(e: Any): Option[String] = e match {
     case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-      if a.nameParts.length == 1 => Some(a.nameParts.head.toLowerCase)
+      if a.nameParts.length == 1 => Some(a.nameParts.head.toLowerCase(java.util.Locale.ROOT))
     case l: org.apache.spark.sql.catalyst.expressions.Literal
       if l.dataType == org.apache.spark.sql.types.StringType =>
-      Option(l.value).map(_.toString.toLowerCase)
+      Option(l.value).map(_.toString.toLowerCase(java.util.Locale.ROOT))
     case _ => None
   }
 
@@ -153,7 +153,7 @@ object RowsHintRule extends Rule[LogicalPlan] {
   /** Collect the SubqueryAlias leaf names visible under `p` without
     * descending through a found alias (the alias IS the leaf). */
   private def leafAliases(p: LogicalPlan): Seq[String] = p match {
-    case SubqueryAlias(id, _) => Seq(id.name.toLowerCase)
+    case SubqueryAlias(id, _) => Seq(id.name.toLowerCase(java.util.Locale.ROOT))
     case other => other.children.flatMap(leafAliases)
   }
 
@@ -165,7 +165,7 @@ object RowsHintRule extends Rule[LogicalPlan] {
       case s @ SubqueryAlias(id, inner) =>
         // a non-matching alias over a derived subquery still hides the
         // chain the hint names — descend
-        if (target == Set(id.name.toLowerCase)) Some(s)
+        if (target == Set(id.name.toLowerCase(java.util.Locale.ROOT))) Some(s)
         else locate(inner, target)
       case other =>
         // prefer the deepest match: a child that already covers the set

@@ -614,6 +614,72 @@ object Streaming {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Stamp/verify a durable store's on-disk format version.
+    *
+    * New store (no committed data): writes `_format` = `version`.
+    * Existing store with a matching `_format`: no-op. Existing store with
+    * data but a missing or older `_format` (written by a previous code
+    * version with an incompatible schema): fail fast with an explicit
+    * regenerate message rather than letting the explicit-schema parquet
+    * probe die on a type mismatch mid-stream. `formatDetail`, when
+    * non-empty, is appended parenthetically to that message so each
+    * store kind (minhash bands, semdedup vectors, ...) explains its own
+    * versioning history accurately. */
+  private[graft] def ensureStoreFormat(
+      hconf: org.apache.hadoop.conf.Configuration, storeDir: String,
+      dataRoot: String, version: Int, formatDetail: String = ""): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir).getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(storeDir, "_format")
+    val dataPath = new org.apache.hadoop.fs.Path(dataRoot)
+    val hasData = fs.exists(dataPath) &&
+      fs.listStatus(dataPath).exists(_.getPath.getName.startsWith("batch="))
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      require(found == version.toString,
+        s"dedup store at $storeDir is format v$found but this build writes " +
+          s"v$version; regenerate the store (delete $storeDir and the " +
+          "checkpoint, then replay the source)")
+    } else if (hasData) {
+      val detail = if (formatDetail.isEmpty) "" else s" ($formatDetail)"
+      throw new IllegalStateException(
+        s"dedup store at $storeDir predates format versioning but this " +
+          s"build writes v$version$detail; regenerate the " +
+          s"store (delete $storeDir and the checkpoint, then replay the " +
+          "source)")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Batch directories already committed under a durable-store root. */
+  private def committedBatches(
+      hconf: org.apache.hadoop.conf.Configuration, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+  }
+
+  /** Idempotent stage+rename commit of one batch's rows under `root`. */
+  private def commitBatch(
+      hconf: org.apache.hadoop.conf.Configuration, df: DataFrame,
+      root: String, batchId: Long, partitionCols: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    val dst = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    if (!fs.exists(dst)) {
+      val staged = new org.apache.hadoop.fs.Path(root, s".stage_$batchId")
+      fs.delete(staged, true)
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staged.toString)
+      require(fs.rename(staged, dst), s"rename failed: $staged -> $dst")
+    }
+  }
+
   /** Streaming near-duplicate ADMISSION — the ingestion-time face of
     * the MinHash-LSH batch dedup (`Dedup.minhashCandidates`): every
     * arriving document is checked against the persisted band store of
@@ -653,69 +719,6 @@ object Streaming {
     * never self-matched. Decisions land in
     * `<storeDir>/decisions/batch=M` under the same protocol and the
     * final table (doc_id, is_dup, batch) is returned. */
-  /** Stamp/verify a durable store's on-disk format version.
-    *
-    * New store (no committed data): writes `_format` = `version`.
-    * Existing store with a matching `_format`: no-op. Existing store with
-    * data but a missing or older `_format` (written by a previous code
-    * version with an incompatible schema): fail fast with an explicit
-    * regenerate message rather than letting the explicit-schema parquet
-    * probe die on a type mismatch mid-stream. */
-  private[graft] def ensureStoreFormat(
-      hconf: org.apache.hadoop.conf.Configuration, storeDir: String,
-      dataRoot: String, version: Int): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(storeDir).getFileSystem(hconf)
-    val marker = new org.apache.hadoop.fs.Path(storeDir, "_format")
-    val dataPath = new org.apache.hadoop.fs.Path(dataRoot)
-    val hasData = fs.exists(dataPath) &&
-      fs.listStatus(dataPath).exists(_.getPath.getName.startsWith("batch="))
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val found = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim finally in.close()
-      require(found == version.toString,
-        s"dedup store at $storeDir is format v$found but this build writes " +
-          s"v$version; regenerate the store (delete $storeDir and the " +
-          "checkpoint, then replay the source)")
-    } else if (hasData) {
-      throw new IllegalStateException(
-        s"dedup store at $storeDir predates format versioning but this " +
-          s"build writes v$version (for the minhash band store: v1 stored " +
-          "STRING signatures, v2 stores BIGINT xxhash64); regenerate the " +
-          s"store (delete $storeDir and the checkpoint, then replay the " +
-          "source)")
-    } else {
-      val out = fs.create(marker, true)
-      try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
-    }
-  }
-
-  /** Batch directories already committed under a durable-store root. */
-  private def committedBatches(
-      hconf: org.apache.hadoop.conf.Configuration, root: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(hconf)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-  }
-
-  /** Idempotent stage+rename commit of one batch's rows under `root`. */
-  private def commitBatch(
-      hconf: org.apache.hadoop.conf.Configuration, df: DataFrame,
-      root: String, batchId: Long, partitionCols: Seq[String]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
-    val dst = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
-    if (!fs.exists(dst)) {
-      val staged = new org.apache.hadoop.fs.Path(root, s".stage_$batchId")
-      fs.delete(staged, true)
-      val w = df.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(staged.toString)
-      require(fs.rename(staged, dst), s"rename failed: $staged -> $dst")
-    }
-  }
-
   def streamingMinhashDedup(spark: SparkSession, srcDir: String,
                             storeDir: String,
                             checkpointDir: String): DataFrame = {
@@ -725,7 +728,9 @@ object Streaming {
     // v2: band signatures are xxhash64 BIGINTs (v1 stored decimal-joined
     // STRINGs). A restart over a v1 store would fail the explicit-schema
     // probe with an opaque parquet type mismatch; refuse up front instead.
-    ensureStoreFormat(hconf, storeDir, bandsRoot, version = 2)
+    ensureStoreFormat(hconf, storeDir, bandsRoot, version = 2,
+      formatDetail = "minhash band store: v1 stored STRING signatures, " +
+        "v2 stores BIGINT xxhash64")
 
     def committedBatchesL(root: String): Seq[Long] = committedBatches(hconf, root)
 
@@ -828,7 +833,9 @@ object Streaming {
     val bandsRoot = s"$storeDir/bands"
     val vecsRoot = s"$storeDir/vectors"
     val decRoot = s"$storeDir/decisions"
-    ensureStoreFormat(hconf, storeDir, bandsRoot, version = 1)
+    ensureStoreFormat(hconf, storeDir, bandsRoot, version = 1,
+      formatDetail = "semdedup store: v1 is the first banded " +
+        "(SignSig 5x12) layout")
     val tau = graft.queries.Similarity.SemTau
 
     val q = spark.readStream
@@ -841,11 +848,16 @@ object Streaming {
         val sess = batch.sparkSession
         graft.functions.VectorFns.register(sess)
         // HALF_UP 6-dp cosine — the keep/drop authority the batch lanes
-        // share with the DuckDB oracle (Spark round() is HALF_UP)
+        // share with the DuckDB oracle (Spark round() is HALF_UP).
+        // nanvl: a zero-norm pair divides 0/0 = NaN, and Spark SQL's NaN
+        // ordering would make NaN >= tau TRUE while the spec's Scala
+        // replay reads it FALSE — pin NaN below every threshold so the
+        // stream and the oracle agree on degenerate input.
         def cos6(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
                  ov: org.apache.spark.sql.Column,
                  onrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          round(call_function("vec_dot", v, ov) / sqrt(nrm * onrm), 6)
+          nanvl(round(call_function("vec_dot", v, ov) / sqrt(nrm * onrm), 6),
+            lit(-1d))
         val b = graft.queries.Dedup.embeddingBanded(batch)
           .withColumnRenamed("doc_id", "vec_id")
           .withColumn("pfx", pmod(hash(col("band"), col("key")), lit(16)))

@@ -126,6 +126,14 @@ class HintTableSpec extends AnyFunSuite {
     // doubled-delimiter escapes inside each quote kind stay inside
     assert(HintTable.outerSelectEnd("SELECT \"se\"\"lect\" AS v") == Some(6))
     assert(HintTable.outerSelectEnd("SELECT `se``lect` FROM t") == Some(6))
+    // BACKSLASH escapes (Spark's actual string escape): a \' or \" must
+    // not end the quoted run early — a 'select' later in the literal
+    // would otherwise steal the outer-SELECT offset
+    assert(HintTable.outerSelectEnd("SELECT 'a\\' select b' AS v") == Some(6))
+    assert(HintTable.outerSelectEnd("SELECT \"a\\\" select b\" AS v") == Some(6))
+    // backticks do NOT backslash-escape: \ is an ordinary identifier char
+    val btBs = "WITH `a\\` AS (SELECT 1 AS x) SELECT count(*) AS n FROM `a\\`"
+    assert(HintTable.outerSelectEnd(btBs) == Some(btBs.indexOf("SELECT count") + 6))
     // end-to-end: the hint lands on the outer block of a CTE query
     views()
     HintTable.clear()
