@@ -131,14 +131,22 @@ object Tables {
   //     discount(2dp) * tax(2dp)), so round(x*1e6) recovers the exact
   //     integer micros in both engines — x*1e6 lands within 1e-4 of an
   //     integer, never near a rounding boundary;
-  //   * SUM over BIGINT micros is exact and order-independent (64-bit sums
-  //     stay far below overflow at the hash-compared scale factors);
-  //   * the final value divides back in DOUBLE: the long sum is < 2^53 so
-  //     long->double is exact, and IEEE division is deterministic;
+  //   * the micros SUM is staged 128-bit-safe via [[lsum128]] (the r16
+  //     fifth-decade gate caught q11's per-query fix for the 2^63 class;
+  //     r17 swept the class into the shared helper — see its scaladoc for
+  //     the limb construction and the measured ~1.05x cost);
+  //   * the final value divides back in DOUBLE: the recombined sum is an
+  //     EXACT integer in both engines (Spark decimal(38,0), DuckDB
+  //     HUGEINT — DuckDB auto-promotes SUM(BIGINT)), and both convert to
+  //     double by the same correct rounding, so the hashes agree even
+  //     past 2^53;
   //   * anything inherently float (avg, stddev, corr, cosine) is ROUNDed to
   //     a fixed scale far coarser than the accumulated error.
-  // Long-backed micros beat a DECIMAL(28,6) pipeline ~3x on the q1 shape
-  // (Int128 decimal aggregation is the hot cost, measured at sf0.1).
+  // Long-backed micros beat a full DECIMAL(28,6) pipeline ~3x on the q1
+  // shape (Int128 decimal aggregation per ROW is the hot cost, measured at
+  // sf0.1); decimal(38,0)-staged ACCUMULATION of pre-rounded longs is
+  // still 2.06x (tools/MicrosStage, x1000). The limb split below keeps
+  // every per-row op in long codegen and was measured at 1.05x.
 
   /** Kept for the few call sites that stabilize *within-window* sums. */
   val Dec: DecimalType = DecimalType(28, 6)
@@ -146,13 +154,44 @@ object Tables {
   private def micros(c: Column): Column =
     round(c * 1000000.0, 0).cast(LongType)
 
+  private val LimbMask = 0x3FFFFFL // low 22 bits
+
+  /** Exact, order-independent, 128-bit-safe SUM of a long column, as
+    * decimal(38,0).
+    *
+    * A plain `sum(LONG)` overflows 2^63 once a (per-group) total passes
+    * ~9.2e18 — measured 3.45x OVER for a global extendedprice-micros sum
+    * at the fifth-decade gate (~sf100), and the q1 per-group sums clear
+    * it by only 1.7x there (negative headroom at sf1000). DuckDB never
+    * shows the class because SUM(BIGINT) auto-promotes to HUGEINT; ANSI
+    * Spark throws ARITHMETIC_OVERFLOW (how the r16 gate caught q11).
+    *
+    * Staging the accumulator as decimal(38,0) directly costs 2.06x on
+    * the q1 shape (per-row long->Decimal conversion + BigDecimal adds).
+    * Instead the value is decomposed into three base-2^22 limbs — two
+    * unsigned low digits and a SIGNED top digit, so any 64-bit value
+    * reconstructs exactly — and each limb is summed as a plain long
+    * (whole-stage codegen, map-side partial aggregation). A limb sum
+    * stays under 2^63 until ~2^41 rows per group (~2.2e12 — sf370000,
+    * far past a 100 TB corpus). The three limb sums recombine in
+    * decimal(38,0) on the FINAL aggregated rows only, so the decimal
+    * cost is O(groups), not O(rows): measured 1.05x vs the overflowing
+    * long sum (tools/MicrosStage, x1000, min-of-3 interleaved). */
+  def lsum128(v: Column): Column = {
+    val s0 = sum(v.bitwiseAND(lit(LimbMask))).cast(DecimalType(38, 0))
+    val s1 = sum(shiftright(v, 22).bitwiseAND(lit(LimbMask)))
+      .cast(DecimalType(38, 0))
+    val s2 = sum(shiftright(v, 44)).cast(DecimalType(38, 0))
+    s2 * lit(1L << 44) + s1 * lit(1L << 22) + s0
+  }
+
   /** Exact order-independent sum of a money-like double column, as double. */
   def dsum(c: Column): Column =
-    sum(micros(c)).cast(DoubleType) / 1000000.0
+    lsum128(micros(c)).cast(DoubleType) / 1000000.0
 
   /** Deterministic mean of a money-like double column, as double(4dp). */
   def davg(c: Column): Column =
-    round(sum(micros(c)).cast(DoubleType) / 1000000.0 / count(lit(1)), 4)
+    round(lsum128(micros(c)).cast(DoubleType) / 1000000.0 / count(lit(1)), 4)
 
   /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
   def sqlDsum(e: String): String =

@@ -498,8 +498,11 @@ object Advanced extends QueryModule {
     }),
 
     "q_linreg_fit" -> ((s, dir) => {
+      // lsum128: the x1*y moment sums ~1.3e10 units/row over a per-flag
+      // group — a long sum passes 2^63 near sf700, well inside the
+      // design range (r17 overflow sweep)
       def s4(c: Column) =
-        (sum(round(c * 10000.0, 0).cast("long")).cast("double") / 10000.0)
+        (lsum128(round(c * 10000.0, 0).cast("long")).cast("double") / 10000.0)
       val x1 = col("l_quantity"); val x2 = col("l_discount")
       val y = col("l_extendedprice")
       val m = t(s, dir, "lineitem")

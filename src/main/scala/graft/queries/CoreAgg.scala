@@ -250,11 +250,15 @@ object CoreAgg extends QueryModule {
     // key over 16 reducers — then combine per key. The micros-long sums
     // make the two-stage result bit-equal to the oracle's single-stage one.
     "q_salted_agg" -> ((s, dir) => {
+      // lsum128 at the salted stage: a (flag, salt) cell is 1/48 of the
+      // table — ~29x headroom at the 100 TB point as a long sum (r17
+      // sweep). qm is then decimal(38,0), so the combine stage's plain
+      // sum is already 128-bit-exact.
       val partial = t(s, dir, "lineitem")
         .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
         .groupBy(col("l_returnflag"), col("salt"))
-        .agg(sum(round(col("l_quantity") * 1000000.0, 0).cast("long")).as("qm"),
-             count(lit(1)).as("n"))
+        .agg(lsum128(round(col("l_quantity") * 1000000.0, 0).cast("long"))
+          .as("qm"), count(lit(1)).as("n"))
       partial.groupBy(col("l_returnflag"))
         .agg((sum(col("qm")).cast("double") / 1000000.0).as("sum_qty"),
              sum(col("n")).as("n"))

@@ -71,8 +71,11 @@ object TpchSuite extends QueryModule {
         col("n_regionkey").as("c_rk"))
       val nSupp = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
         col("n_name").as("supp_nation"))
-      val volMicros = sum(round(rev * 1000000.0, 0).cast("long"))
-      val volSel = sum(when(col("supp_nation") === "NATION_3",
+      // 128-bit-safe staging (lsum128): the per-year region volume is a
+      // large fraction of the GLOBAL revenue sum, which passes 2^63 near
+      // sf30 — far below the sf1000 design point (r17 overflow sweep)
+      val volMicros = lsum128(round(rev * 1000000.0, 0).cast("long"))
+      val volSel = lsum128(when(col("supp_nation") === "NATION_3",
         round(rev * 1000000.0, 0).cast("long")).otherwise(0L))
       t(s, dir, "lineitem")
         .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
@@ -130,13 +133,20 @@ object TpchSuite extends QueryModule {
         .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        // lsum128: the month-scoped GLOBAL revenue sum holds only ~13x
+        // headroom at sf100 — negative well before sf1000 (r17 sweep)
         .agg(round(lit(100.0) *
-          sum(when(col("p_type") === "PROMO", m).otherwise(0L)).cast("double") /
-          sum(m).cast("double"), 6).as("promo_revenue"))
+          lsum128(when(col("p_type") === "PROMO", m).otherwise(0L))
+            .cast("double") /
+          lsum128(m).cast("double"), 6).as("promo_revenue"))
     }),
 
     // Q15 top supplier(s): revenue kept as EXACT micros longs so the
     // `revenue = max(revenue)` equality can never be a float tie-break.
+    // Long staging is overflow-safe here: the sum is PER SUPPLIER over a
+    // one-quarter slice (~150 lineitems x ~5e10 micros ~ 7.5e12 at any
+    // SF — supplier count scales with the data, per-group size doesn't),
+    // ~1.2e6x headroom vs 2^63 (r17 sweep, SCALING.md).
     "q15_top_supplier" -> ((s, dir) => {
       val qrev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -208,8 +218,10 @@ object TpchSuite extends QueryModule {
       val codes = Seq(1, 3, 5, 7, 9, 11, 13).map(lit(_))
       val cust = t(s, dir, "customer")
         .filter(col("c_nationkey").isin(codes: _*))
+      // lsum128: a GLOBAL acctbal-micros sum over 7 nation codes holds
+      // only ~13x headroom at sf1000 (1.5e8 customers x ~4.5e9 micros)
       val thr = cust.filter(col("c_acctbal") > 0.0)
-        .agg((sum(round(col("c_acctbal") * 1000000.0, 0).cast("long"))
+        .agg((lsum128(round(col("c_acctbal") * 1000000.0, 0).cast("long"))
           .cast("double") / 1000000.0 / count(lit(1))).as("thr"))
       cust.join(broadcast(thr)).filter(col("c_acctbal") > col("thr"))
         .join(t(s, dir, "orders")

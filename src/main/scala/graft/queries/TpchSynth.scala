@@ -176,7 +176,11 @@ object TpchSynth extends QueryModule {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).as("o_year"))
-        .agg((sum(amountMicros).cast("double") / 1000000.0).as("sum_profit"))
+        // lsum128: a (nation, year) profit group is ~1/175 of the global
+        // revenue-scale sum — ~5x headroom at sf1000, negative at the
+        // 100 TB design point (r17 overflow sweep)
+        .agg((lsum128(amountMicros).cast("double") / 1000000.0)
+          .as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
@@ -195,13 +199,14 @@ object TpchSynth extends QueryModule {
           // per-row micros fit a long (~1e13 max), but the SUMS must be
           // staged wider: at the x10000 gate (~sf100) the global total
           // passes 9.2e18 and an ANSI long sum overflows — DuckDB never
-          // sees this because its SUM(BIGINT) auto-promotes to HUGEINT,
-          // so decimal(38,0) is the Spark-side statement of the same
-          // 128-bit staging (caught by the r16 fifth-decade oracle gate)
+          // sees this because its SUM(BIGINT) auto-promotes to HUGEINT.
+          // The r16 fix staged the accumulator in decimal(38,0); the r17
+          // sweep moved the class to the shared limb helper (lsum128 —
+          // same 128-bit safety, per-row work stays in long codegen)
           round(col("ps_supplycost") * col("ps_availqty") * 1000000.0, 0)
-            .cast("long").cast("decimal(38,0)").as("v"))
-      val total = scoped.agg(sum(col("v")).as("tv"))
-      scoped.groupBy(col("ps_partkey")).agg(sum(col("v")).as("sv"))
+            .cast("long").as("v"))
+      val total = scoped.agg(lsum128(col("v")).as("tv"))
+      scoped.groupBy(col("ps_partkey")).agg(lsum128(col("v")).as("sv"))
         .crossJoin(broadcast(total))
         .filter(col("sv").cast("double") > col("tv").cast("double") * 0.001)
         .select(col("ps_partkey"),
