@@ -170,6 +170,9 @@ object HintTable {
         }
       case None => queryText
     }
-    spark.sql(rewritten)
+    // route through the Set-hint wrapper so a table row can carry
+    // SET(...) alongside strategy hints (the reference applies Set hints
+    // from the hint table exactly like comment ones)
+    SetHint.sql(spark, rewritten)
   }
 }

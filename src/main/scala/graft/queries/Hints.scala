@@ -134,10 +134,39 @@ object Hints extends QueryModule {
         "SELECT /*+ ROWS(customer, '*100000') */ ")
     else rowsBody
 
+  /** `Set(key value)` per-statement conf scope (`pg_hint_plan.c:101`
+    * HINT_SET; `plans/SetHint.scala` is the wrapper). The statement
+    * plans under a killed auto-broadcast threshold and 8 shuffle
+    * partitions, with LEADING and ROWS composed in the SAME comment —
+    * all three delivery surfaces in one statement. The conf is restored
+    * when the wrapper returns (HintSpec proves the next statement plans
+    * under the original threshold). */
+  private val setBody =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 1000000.0, 0)
+      |    AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderdate < TIMESTAMP '1998-06-01'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private[graft] def setSql(hinted: Boolean): String =
+    if (hinted)
+      setBody.replaceFirst("SELECT ",
+        "SELECT /*+ SET(spark.sql.autoBroadcastJoinThreshold '-1') " +
+          "SET(spark.sql.shuffle.partitions '8') " +
+          "LEADING(customer, orders) ROWS(customer, '*100000') */ ")
+    else setBody
+
   private def withViews(s: SparkSession, dir: String)(sql: String): DataFrame = {
     Seq("lineitem", "orders", "customer", "supplier", "nation")
       .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
     s.sql(sql)
+  }
+
+  private def withViewsSet(s: SparkSession, dir: String)(sql: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    graft.plans.SetHint.sql(s, sql)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -159,6 +188,18 @@ object Hints extends QueryModule {
       s2.conf.set("spark.sql.maxMetadataStringLength",
         s.conf.get("spark.sql.maxMetadataStringLength"))
       withViews(s2, dir)(rowsSql(hinted = true))
+    }),
+    "q_hint_set" -> ((s, dir) => {
+      // AQE-off child session: the composed ROWS hint declines under
+      // AQE (same configuration note as q_hint_rows), and the SET scope
+      // itself is a PLANNING bracket — AQE's runtime re-decisions read
+      // the live (restored) conf by design, so the pinned-plan surface
+      // is the AQE-off one
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.maxMetadataStringLength",
+        s.conf.get("spark.sql.maxMetadataStringLength"))
+      withViewsSet(s2, dir)(setSql(hinted = true))
     })
   )
 
@@ -167,6 +208,7 @@ object Hints extends QueryModule {
     "q_hint_join_strategy" -> joinStrategySql(hinted = false),
     "q_hint_broadcast_parallel" -> broadcastParallelSql(hinted = false),
     "q_hint_leading" -> leadingSql(hinted = false),
-    "q_hint_rows" -> rowsSql(hinted = false)
+    "q_hint_rows" -> rowsSql(hinted = false),
+    "q_hint_set" -> setSql(hinted = false)
   )
 }

@@ -632,7 +632,9 @@ object Streaming {
     val marker = new org.apache.hadoop.fs.Path(storeDir, "_format")
     val dataPath = new org.apache.hadoop.fs.Path(dataRoot)
     val hasData = fs.exists(dataPath) &&
-      fs.listStatus(dataPath).exists(_.getPath.getName.startsWith("batch="))
+      fs.listStatus(dataPath).exists(n =>
+        n.getPath.getName.startsWith("batch=") ||
+          n.getPath.getName.startsWith("base_"))
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val found = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -662,6 +664,164 @@ object Streaming {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+  }
+
+  /** The store root's base GENERATION: every `batch=M` with M <= G has
+    * been folded by [[compactStore]] into `<root>/base_G` (with `batch`
+    * kept as a DATA column there) and is ignored by readers. -1 = no
+    * compaction has run. */
+  private def baseGenOf(
+      hconf: org.apache.hadoop.conf.Configuration, root: String): Long = {
+    val marker = new org.apache.hadoop.fs.Path(root, "_base")
+    val fs = marker.getFileSystem(hconf)
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Read a durable-store root as of `belowBatch` (exclusive): the base
+    * generation (if any) unioned with the live `batch=M` directories in
+    * (G, belowBatch). `schemaDdl` is the full row schema INCLUDING the
+    * partition-path columns and `batch` — in live dirs `batch` (and
+    * pfx/vpfx) resolve from the path, in the base generation `batch` is
+    * a data column; both reads use the same explicit schema and union by
+    * name. None = nothing to read in that range (the probe's
+    * store-is-empty fast path). */
+  private[graft] def readStore(
+      sess: SparkSession, hconf: org.apache.hadoop.conf.Configuration,
+      root: String, schemaDdl: String,
+      belowBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val g = baseGenOf(hconf, root)
+    val basePath = new org.apache.hadoop.fs.Path(root, s"base_$g")
+    val fs = basePath.getFileSystem(hconf)
+    val baseDf =
+      if (g >= 0 && fs.exists(basePath))
+        // belt-and-braces batch filter: compaction only ever folds
+        // fully-committed batches (all < any live/replayed id), but the
+        // strictly-below contract is cheap to restate as a column filter
+        Some(sess.read.option("basePath", basePath.toString)
+          .schema(schemaDdl).parquet(basePath.toString)
+          .filter(col("batch") < belowBatch))
+      else None
+    val live = committedBatches(hconf, root)
+      .filter(m => m > g && m < belowBatch)
+    val liveDf =
+      if (live.isEmpty) None
+      else Some(sess.read.option("basePath", root).schema(schemaDdl)
+        .parquet(live.map(m => s"$root/batch=$m"): _*))
+    (baseDf, liveDf) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Parquet data files anywhere under `p` (recursively). */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
+
+  /** Compact a streaming admission store — the AO-segment merge of the
+    * reference's `VACUUM` for append-optimized tables
+    * (`/root/reference/src/backend/commands/vacuum.c`), applied to the
+    * one-directory-per-committed-batch layout every streaming lane
+    * accumulates: without it, `committedBatches` listings and the
+    * decisions read-back are O(batches) (the r16 throughput row's
+    * measured late-wave drift).
+    *
+    * Protocol (idempotent; safe BETWEEN micro-batches, including after a
+    * crash that left a dangling partial commit):
+    *   1. fold set = batch ids present in EVERY root of the store
+    *      (bands [+ vectors] + decisions). Decisions are the LAST commit
+    *      of the admission protocol, so a dangling bands/vectors-only
+    *      batch (crash between commits) is NOT folded and replays
+    *      exactly as before;
+    *   2. per root: stage `base_G'` (G' = max folded id) holding the old
+    *      base generation plus the folded batch dirs — `batch` becomes a
+    *      data column, pfx/vpfx partitioning is PRESERVED so the probe's
+    *      partition pruning survives compaction;
+    *   3. atomically rename the stage to `base_G'`, then overwrite the
+    *      `_base` marker. A crash before the marker leaves readers on
+    *      the old generation (old base + batch dirs are still intact);
+    *      a crash after it leaves superseded dirs that readers already
+    *      ignore — both re-converge on the next call;
+    *   4. lazily delete superseded dirs (folded batches, the old base,
+    *      stray stages) — pure cleanup, idempotent.
+    *
+    * Returns the number of batch directories folded across all roots. */
+  def compactStore(spark: SparkSession, storeDir: String): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(storeDir).getFileSystem(hconf)
+    val roots = Seq("bands", "vectors", "decisions")
+      .map(r => s"$storeDir/$r")
+      .filter(r => fs.exists(new org.apache.hadoop.fs.Path(r)))
+    if (roots.isEmpty) return 0
+    val complete = roots.map(r => committedBatches(hconf, r).toSet)
+      .reduce(_ intersect _)
+    var folded = 0
+    roots.foreach { root =>
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      // clear stray stages from a previous crashed attempt
+      fs.listStatus(rootPath).map(_.getPath)
+        .filter(_.getName.startsWith(".stage_base_"))
+        .foreach(fs.delete(_, true))
+      val oldG = baseGenOf(hconf, root)
+      val fold = complete.filter(_ > oldG).toSeq.sorted
+      if (fold.nonEmpty) {
+        val newG = fold.max
+        val oldBase = new org.apache.hadoop.fs.Path(root, s"base_$oldG")
+        val newBase = new org.apache.hadoop.fs.Path(root, s"base_$newG")
+        // partition layout of this root, discovered from the data
+        // (bands partition on pfx, vectors on vpfx, decisions on none)
+        val pcols = (fold.map(m => s"$root/batch=$m") :+ oldBase.toString)
+          .map(new org.apache.hadoop.fs.Path(_)).filter(fs.exists)
+          .flatMap(d => fs.listStatus(d).map(_.getPath.getName)
+            .filter(n => n.contains("=") && !n.startsWith("batch=")))
+          .map(_.split("=")(0)).distinct
+        val sources =
+          (if (oldG >= 0 && fs.exists(oldBase)) Seq(oldBase) else Seq.empty) ++
+            fold.map(m => new org.apache.hadoop.fs.Path(s"$root/batch=$m"))
+        val withData = sources.filter(hasDataFiles(fs, _))
+        if (withData.nonEmpty) {
+          // schema comes from the files themselves; per-source reads
+          // union by name because `batch` is a data column in the base
+          // but a path column in live dirs
+          val merged = withData.map { src =>
+            spark.read.option("basePath", src.toString)
+              .parquet(src.toString)
+              .withColumn("batch",
+                if (src.getName.startsWith("batch="))
+                  lit(src.getName.stripPrefix("batch=").toLong)
+                else col("batch"))
+          }.reduce(_ unionByName _)
+          val stage = new org.apache.hadoop.fs.Path(root, s".stage_base_$newG")
+          val w = merged.write.mode("overwrite")
+          (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+            .parquet(stage.toString)
+          require(fs.rename(stage, newBase),
+            s"compaction rename failed: $stage -> $newBase")
+        }
+        // publish the new generation (readers switch atomically), then
+        // lazily drop the superseded dirs
+        val marker = new org.apache.hadoop.fs.Path(root, "_base")
+        val out = fs.create(marker, true)
+        try out.write(s"$newG\n".getBytes("UTF-8")) finally out.close()
+        fold.foreach(m =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/batch=$m"), true))
+        if (oldG >= 0 && oldG != newG) fs.delete(oldBase, true)
+        folded += fold.size
+      }
+    }
+    folded
   }
 
   /** Idempotent stage+rename commit of one batch's rows under `root`. */
@@ -732,8 +892,6 @@ object Streaming {
       formatDetail = "minhash band store: v1 stored STRING signatures, " +
         "v2 stores BIGINT xxhash64")
 
-    def committedBatchesL(root: String): Seq[Long] = committedBatches(hconf, root)
-
     def commit(df: DataFrame, root: String, batchId: Long,
                partitionCols: Seq[String]): Unit =
       commitBatch(hconf, df, root, batchId, partitionCols)
@@ -749,18 +907,19 @@ object Streaming {
           .withColumn("pfx", pmod(hash(col("band"), col("sig")), lit(16)))
         // the batch's own prefixes: <= 16 values of bounded driver state
         val pfxs = b.select("pfx").distinct().collect().map(_.getInt(0)).toSeq
-        val prior = committedBatchesL(bandsRoot).filter(_ < batchId)
-        val storeHit =
-          if (prior.isEmpty || pfxs.isEmpty) batch.select(col("doc_id")).limit(0)
-          else {
-            // explicit schema: an all-tiny-docs batch commits an EMPTY
-            // bands dir, which must not break inference on later probes
-            val store = sess.read.option("basePath", bandsRoot)
-              .schema("band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT")
-              .parquet(prior.map(m => s"$bandsRoot/batch=$m"): _*)
-              .filter(col("pfx").isin(pfxs: _*)) // partition-pruned probe
-            b.join(store, Seq("band", "sig")).select(col("doc_id")).distinct()
-          }
+        // explicit schema: an all-tiny-docs batch commits an EMPTY
+        // bands dir, which must not break inference on later probes;
+        // readStore folds in the compacted base generation (if any)
+        val store = readStore(sess, hconf, bandsRoot,
+          "band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT",
+          belowBatch = batchId)
+        val storeHit = store match {
+          case Some(st) if pfxs.nonEmpty =>
+            b.join(st.filter(col("pfx").isin(pfxs: _*)), // partition-pruned
+                Seq("band", "sig"))
+              .select(col("doc_id")).distinct()
+          case _ => batch.select(col("doc_id")).limit(0)
+        }
         val remaining = b.join(storeHit, Seq("doc_id"), "left_anti")
         val withinDup = remaining.as("x")
           .join(remaining.as("y"),
@@ -785,9 +944,10 @@ object Streaming {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.option("basePath", decRoot)
-      .schema("doc_id BIGINT, is_dup BOOLEAN, batch BIGINT")
-      .parquet(decRoot)
+    readStore(spark, spark.sparkContext.hadoopConfiguration, decRoot,
+      "doc_id BIGINT, is_dup BOOLEAN, batch BIGINT")
+      .getOrElse(spark.range(0).selectExpr("id AS doc_id",
+        "CAST(null AS BOOLEAN) AS is_dup", "id AS batch"))
   }
 
   /** Streaming SEMANTIC-duplicate admission — the embedding face of
@@ -863,15 +1023,17 @@ object Streaming {
           .withColumn("pfx", pmod(hash(col("band"), col("key")), lit(16)))
         // the batch's own prefixes: <= 16 values of bounded driver state
         val pfxs = b.select("pfx").distinct().collect().map(_.getInt(0)).toSeq
-        val prior = committedBatches(hconf, bandsRoot).filter(_ < batchId)
-        val storeRejected: DataFrame =
-          if (prior.isEmpty || pfxs.isEmpty) batch.select(col("vec_id")).limit(0)
-          else {
-            val bandStore = sess.read.option("basePath", bandsRoot)
-              .schema("band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT")
-              .parquet(prior.map(m => s"$bandsRoot/batch=$m"): _*)
-              .filter(col("pfx").isin(pfxs: _*)) // partition-pruned probe
-            val cand = b.join(bandStore, Seq("band", "key"))
+        // band + vector stores as of this batch (compacted base + live)
+        val bandStoreOpt = readStore(sess, hconf, bandsRoot,
+          "band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT",
+          belowBatch = batchId)
+        val storeRejected: DataFrame = bandStoreOpt match {
+          case None => batch.select(col("vec_id")).limit(0)
+          case _ if pfxs.isEmpty => batch.select(col("vec_id")).limit(0)
+          case Some(bandStore) =>
+            val cand = b.join(
+                bandStore.filter(col("pfx").isin(pfxs: _*)), // pruned probe
+                Seq("band", "key"))
               .select(col("vec_id"), col("v"), col("nrm"), col("owner_vec"))
               .distinct()
             // owners' vectors, vpfx-pruned: candidate owners name <= 16
@@ -879,18 +1041,18 @@ object Streaming {
             val opfxs = cand
               .select(pmod(hash(col("owner_vec")), lit(16)).as("vpfx"))
               .distinct().collect().map(_.getInt(0)).toSeq
-            val vstore = sess.read.option("basePath", vecsRoot)
-              .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, " +
-                "vpfx INT, batch BIGINT")
-              .parquet(committedBatches(hconf, vecsRoot).filter(_ < batchId)
-                .map(m => s"$vecsRoot/batch=$m"): _*)
-              .filter(col("vpfx").isin(opfxs: _*))
-              .select(col("vec_id").as("owner_vec"), col("v").as("ov"),
-                col("nrm").as("onrm"))
+            val vstore = readStore(sess, hconf, vecsRoot,
+              "vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, " +
+                "vpfx INT, batch BIGINT", belowBatch = batchId)
+              .map(_.filter(col("vpfx").isin(opfxs: _*))
+                .select(col("vec_id").as("owner_vec"), col("v").as("ov"),
+                  col("nrm").as("onrm")))
+              .getOrElse(cand.select(col("owner_vec"),
+                col("v").as("ov"), col("nrm").as("onrm")).limit(0))
             cand.join(vstore, "owner_vec")
               .filter(cos6(col("v"), col("nrm"), col("ov"), col("onrm")) >= tau)
               .select(col("vec_id")).distinct()
-          }
+        }
         val remaining = b.join(storeRejected, Seq("vec_id"), "left_anti")
         // within-batch: bucket center = min id among remaining; members
         // verify against the center only (the star witness contract)
@@ -920,14 +1082,12 @@ object Streaming {
         // claim only UNOWNED buckets (store keys stay unique): a bucket
         // key not colliding with the pruned probe cannot be owned, since
         // pfx is a function of (band, key)
-        val ownedKeys =
-          if (prior.isEmpty || pfxs.isEmpty)
-            admittedBandRows.select(col("band"), col("key")).limit(0)
-          else sess.read.option("basePath", bandsRoot)
-            .schema("band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT")
-            .parquet(prior.map(m => s"$bandsRoot/batch=$m"): _*)
-            .filter(col("pfx").isin(pfxs: _*))
-            .select(col("band"), col("key"))
+        val ownedKeys = bandStoreOpt match {
+          case Some(bandStore) if pfxs.nonEmpty =>
+            bandStore.filter(col("pfx").isin(pfxs: _*))
+              .select(col("band"), col("key"))
+          case _ => admittedBandRows.select(col("band"), col("key")).limit(0)
+        }
         val admittedBands = admittedBandRows
           .join(ownedKeys, Seq("band", "key"), "left_anti")
           .groupBy(col("band"), col("key"), col("pfx"))
@@ -941,8 +1101,9 @@ object Streaming {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.option("basePath", decRoot)
-      .schema("vec_id BIGINT, is_dup BOOLEAN, batch BIGINT")
-      .parquet(decRoot)
+    readStore(spark, spark.sparkContext.hadoopConfiguration, decRoot,
+      "vec_id BIGINT, is_dup BOOLEAN, batch BIGINT")
+      .getOrElse(spark.range(0).selectExpr("id AS vec_id",
+        "CAST(null AS BOOLEAN) AS is_dup", "id AS batch"))
   }
 }

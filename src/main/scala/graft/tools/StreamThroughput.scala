@@ -39,9 +39,20 @@ object StreamThroughput {
 
     val root = java.nio.file.Files.createTempDirectory("graft_stream_tp").toString
 
+    // SPARK_GRAFT_TP_COMPACT: "none" (r16 behavior), "mid" (default —
+    // one compaction at the midpoint wave, the drift A/B the r17 brief
+    // asks for), or an integer N (compact every N waves)
+    val compactMode = sys.env.getOrElse("SPARK_GRAFT_TP_COMPACT", "mid")
+    def compactAfter(w: Int): Boolean = compactMode match {
+      case "none" => false
+      case "mid" => w == waves / 2 - 1
+      case n => (w + 1) % n.toInt == 0
+    }
+
     def measure(lane: String, table: String, cols: Seq[String],
                 drive: (String, String, String) => Unit,
-                storeRows: String => Long): String = {
+                storeRows: String => Long,
+                compactable: Boolean = false): String = {
       val src = s"$root/$lane/src"; val store = s"$root/$lane/store"
       val ckpt = s"$root/$lane/ckpt"
       val full = graft.Tables.t(spark, dir, table).selectExpr(cols: _*)
@@ -61,12 +72,24 @@ object StreamThroughput {
         System.err.println(
           f"[stream-tp] $lane wave $w: $rows rows in $dt%.2f s " +
             f"(${rows / dt}%.0f rows/s), store=$sRows rows")
-        (rows, dt, sRows)
+        val cSec =
+          if (compactable && compactAfter(w)) {
+            val c0 = System.nanoTime()
+            val folded = graft.streaming.Streaming.compactStore(spark, store)
+            val cdt = (System.nanoTime() - c0) / 1e9
+            System.err.println(
+              f"[stream-tp] $lane compacted $folded batch dirs after " +
+                f"wave $w in $cdt%.2f s")
+            cdt
+          } else 0.0
+        (rows, dt, sRows, cSec)
       }
       val total = stats.map(_._1).sum
       val wall = stats.map(_._2).sum
-      val perWave = stats.map { case (r, t, s) =>
-        f"""{"rows":$r,"sec":$t%.2f,"store_rows":$s}""" }.mkString("[", ",", "]")
+      val perWave = stats.map { case (r, t, s, c) =>
+        f"""{"rows":$r,"sec":$t%.2f,"store_rows":$s""" +
+          (if (c > 0) f""","compact_sec":$c%.2f}""" else "}")
+      }.mkString("[", ",", "]")
       f""""$lane":{"rows":$total,"wall_sec":$wall%.2f,""" +
         f""""rows_per_sec":${total / wall}%.0f,"waves":$perWave}"""
     }
@@ -78,28 +101,22 @@ object StreamThroughput {
       (src, store, ckpt) =>
         graft.streaming.Streaming
           .streamingMinhashDedup(spark, src, store, ckpt).count(),
-      store => {
-        val p = new org.apache.hadoop.fs.Path(s"$store/bands")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) 0L
-        else spark.read.option("basePath", s"$store/bands")
-          .schema("band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT")
-          .parquet(s"$store/bands").count()
-      })
+      store => graft.streaming.Streaming.readStore(spark,
+        spark.sparkContext.hadoopConfiguration, s"$store/bands",
+        "band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT")
+        .map(_.count()).getOrElse(0L),
+      compactable = true)
 
     val sem = measure("semdedup_admission", "embeddings",
       Seq("vec_id", "CAST(embedding AS array<double>) AS embedding"),
       (src, store, ckpt) =>
         graft.streaming.Streaming
           .streamingSemdedupAdmission(spark, src, store, ckpt).count(),
-      store => {
-        val p = new org.apache.hadoop.fs.Path(s"$store/bands")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) 0L
-        else spark.read.option("basePath", s"$store/bands")
-          .schema("band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT")
-          .parquet(s"$store/bands").count()
-      })
+      store => graft.streaming.Streaming.readStore(spark,
+        spark.sparkContext.hadoopConfiguration, s"$store/bands",
+        "band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT")
+        .map(_.count()).getOrElse(0L),
+      compactable = true)
 
     val ivf = measure("ivf_add", "embeddings",
       Seq("vec_id", "CAST(embedding AS array<double>) AS embedding"),

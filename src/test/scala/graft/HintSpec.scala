@@ -282,4 +282,118 @@ class HintSpec extends AnyFunSuite {
       assert(off == plan(sqlNoAqe(Hints.rowsSql(hinted = false))))
     } finally noAqe.conf.unset(key)
   }
+
+  // ---- SET(...) — the per-statement conf scope (plans/SetHint.scala) ----
+
+  import graft.plans.SetHint
+
+  private def setSqlNoAqe(q: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => graft.Tables.t(noAqe, sf, n).createOrReplaceTempView(n))
+    SetHint.sql(noAqe, q)
+  }
+
+  test("SET flips the broadcast threshold for exactly one statement") {
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val before = noAqe.conf.get(thr)
+    // premise: under the session default the customer side broadcasts
+    val unhinted = plan(sqlNoAqe(Hints.setSql(hinted = false)))
+    assert(unhinted.contains("BroadcastHashJoin"), unhinted)
+    // SET -1 inside the statement: planned WITHOUT broadcast...
+    val hinted = plan(setSqlNoAqe(Hints.setSql(hinted = true)))
+    assert(!hinted.contains("BroadcastHashJoin"),
+      s"SET(autoBroadcastJoinThreshold -1) must suppress the broadcast:\n$hinted")
+    // ...and a scoped shuffle-partitions value (3 — distinct from the
+    // test session's default 8) shapes the exchanges it planned
+    val partsBefore = noAqe.conf.get("spark.sql.shuffle.partitions")
+    val raw = setSqlNoAqe(Hints.setSql(hinted = true).replace(
+        "SET(spark.sql.shuffle.partitions '8')",
+        "SET(spark.sql.shuffle.partitions '3')"))
+      .queryExecution.executedPlan.toString
+    assert(raw.contains(", 3)"),
+      s"SET(shuffle.partitions 3) must shape the scoped exchanges:\n$raw")
+    // RESTORE: the conf is back, and the NEXT statement broadcasts again
+    assert(noAqe.conf.get(thr) == before,
+      "the scope must restore the threshold after planning")
+    assert(noAqe.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+    val after = plan(sqlNoAqe(Hints.setSql(hinted = false)))
+    assert(after.contains("BroadcastHashJoin"),
+      "a statement AFTER the scope must plan under the original conf")
+  }
+
+  test("SET composes with LEADING and ROWS in one comment") {
+    // the lane text carries SET + SET + LEADING + ROWS; LEADING must
+    // still reorder (customer scanned before orders) while both SETs
+    // apply — proof the stripper leaves sibling hints intact
+    val hinted = setSqlNoAqe(Hints.setSql(hinted = true))
+    val shape = plan(hinted)
+    // the SETs applied (threshold -1 => sort-merge, never broadcast)...
+    assert(!shape.contains("BroadcastHashJoin"), shape)
+    assert(shape.contains("SortMergeJoin"), shape)
+    // ...and LEADING survived the strip: customer is the LEFT side of
+    // the join (the authored order is orders JOIN customer)
+    val joined = hinted.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.get
+    assert(joined.left.output.exists(_.name == "c_custkey"),
+      s"LEADING(customer, orders) must put customer on the left:\n$joined")
+    // purely physical: identical results with and without every hint
+    assert(setSqlNoAqe(Hints.setSql(hinted = true)).collect().toSeq ==
+      sqlNoAqe(Hints.setSql(hinted = false)).collect().toSeq)
+  }
+
+  test("SET declines a non-whitelisted key and leaves the conf untouched") {
+    val before = noAqe.conf.get("spark.sql.ansi.enabled", "true")
+    val df = setSqlNoAqe(Hints.setSql(hinted = false).replaceFirst(
+      "SELECT ", "SELECT /*+ SET(spark.sql.ansi.enabled 'false') */ "))
+    df.collect() // runs fine, hint consumed
+    assert(noAqe.conf.get("spark.sql.ansi.enabled", "true") == before,
+      "a declined key must never be applied")
+  }
+
+  test("SET restores the conf when planning FAILS (finally bracket)") {
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val before = noAqe.conf.get(thr)
+    intercept[Exception] {
+      setSqlNoAqe(
+        """SELECT /*+ SET(spark.sql.autoBroadcastJoinThreshold '-1') */
+          |no_such_column FROM customer""".stripMargin)
+    }
+    assert(noAqe.conf.get(thr) == before,
+      "the scope must restore even when analysis throws")
+  }
+
+  test("SET gate off -> items consumed but never applied") {
+    try {
+      noAqe.conf.set(SetHint.EnabledConf, "false")
+      val thr = "spark.sql.autoBroadcastJoinThreshold"
+      val before = noAqe.conf.get(thr)
+      val q = Hints.setSql(hinted = false).replaceFirst(
+        "SELECT ", "SELECT /*+ SET(spark.sql.autoBroadcastJoinThreshold '-1') */ ")
+      val off = plan(setSqlNoAqe(q))
+      assert(off.contains("BroadcastHashJoin"),
+        "gated off, the SET must not apply")
+      assert(noAqe.conf.get(thr) == before)
+    } finally noAqe.conf.unset(SetHint.EnabledConf)
+  }
+
+  test("SET scanner: strips only SET items, leaves siblings, fails open") {
+    val s1 = SetHint.scan(
+      "SELECT /*+ SET(a.b 'x'), BROADCAST(t) SET(c.d, 42) */ 1")
+    assert(s1.sets == Seq("a.b" -> "x", "c.d" -> "42"))
+    assert(s1.cleanSql == "SELECT /*+ BROADCAST(t) */ 1")
+    // a comment reduced to nothing is dropped entirely
+    val s2 = SetHint.scan("SELECT /*+ SET(k v) */ 1")
+    assert(s2.cleanSql == "SELECT  1" && s2.sets == Seq("k" -> "v"))
+    // quoted value keeps inner spaces and '' unescapes
+    val s3 = SetHint.scan("SELECT /*+ SET(k 'a b''c') */ 1")
+    assert(s3.sets == Seq("k" -> "a b'c"))
+    // unbalanced body: left byte-identical, no sets extracted
+    val bad = "SELECT /*+ SET(k 'v) oops */ 1"
+    val s4 = SetHint.scan(bad)
+    assert(s4.cleanSql == bad && s4.sets.isEmpty)
+    // non-hint comments and plain text untouched
+    val s5 = SetHint.scan("SELECT /* SET(k v) */ 1")
+    assert(s5.cleanSql == "SELECT /* SET(k v) */ 1" && s5.sets.isEmpty)
+  }
 }

@@ -194,4 +194,33 @@ class HintTableSpec extends AnyFunSuite {
       s.conf.unset(HintTable.EnabledConf); HintTable.clear()
     }
   }
+
+  test("SET conf scope delivers through the hint table and restores") {
+    // pg_hint_plan applies table-delivered Set hints exactly like
+    // comment ones (per-statement GUC scope); here the registered row
+    // kills auto-broadcast for one fingerprint, and the conf is back
+    // before the next statement plans
+    val s = SparkTestSession.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => graft.Tables.t(s, sf, n).createOrReplaceTempView(n))
+    val q = Hints.setSql(hinted = false)
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val before = s.conf.get(thr)
+    HintTable.clear()
+    try {
+      s.conf.set(HintTable.EnabledConf, "true")
+      val unpinned = plan(HintTable.sql(s, q))
+      assert(unpinned.contains("BroadcastHashJoin"), unpinned)
+      HintTable.register(q, "SET(spark.sql.autoBroadcastJoinThreshold '-1')")
+      val pinned = plan(HintTable.sql(s, q))
+      assert(!pinned.contains("BroadcastHashJoin"),
+        s"table-delivered SET must kill the broadcast:\n$pinned")
+      assert(s.conf.get(thr) == before,
+        "the scope must restore after the table-hinted statement")
+      assert(HintTable.sql(s, q).collect().toSeq == s.sql(q).collect().toSeq)
+    } finally {
+      s.conf.unset(HintTable.EnabledConf); HintTable.clear()
+    }
+  }
 }

@@ -35,6 +35,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     // batch 1: a store dup of textA, a new text (twice), a tiny doc
     writeBatchFile(src, Seq(4L -> textA, 5L -> textC, 6L -> textC, 7L -> "hi"))
     Streaming.streamingMinhashDedup(spark, src, store, ckpt)
+    // MID-STREAM compaction: batches 0-1 fold into a base generation;
+    // batch 2 must replay against the compacted store bit-identically
+    assert(Streaming.compactStore(spark, store) > 0,
+      "two committed batches must fold")
     // batch 2: store dups of both earlier survivors
     writeBatchFile(src, Seq(8L -> textC, 9L -> textB))
     val decisions = Streaming.streamingMinhashDedup(spark, src, store, ckpt)
@@ -74,10 +78,18 @@ class StreamingDedupSpec extends AnyFunSuite {
 
     // ---- structural invariants ---------------------------------------
     // the store holds bands of ADMITTED docs only, with UNIQUE keys —
-    // the probe is a key join with no fan-out
-    val storeDf = spark.read.option("basePath", s"$store/bands")
-      .schema("band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT")
-      .parquet(s"$store/bands")
+    // the probe is a key join with no fan-out. Read through the
+    // generation-aware reader: after the mid-stream compaction the root
+    // holds base_1 (batches 0-1 folded, batch now a data column) plus
+    // the live batch=2 dir.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def storeDf = Streaming.readStore(spark, hconf, s"$store/bands",
+      "band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT").get
+    // the folded dirs are gone from disk (listing is O(live batches))
+    val bandDirs = new java.io.File(s"$store/bands").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(bandDirs == Set("batch=2"),
+      s"batches 0-1 must be folded away, saw $bandDirs")
     val dupKeys = storeDf.groupBy("band", "sig")
       .count().filter(col("count") > 1).count()
     assert(dupKeys == 0, "store (band,sig) keys must stay unique")
@@ -97,6 +109,14 @@ class StreamingDedupSpec extends AnyFunSuite {
     val storeBefore = storeDf.count()
     val again = Streaming.streamingMinhashDedup(spark, src, store, ckpt)
     assert(again.collect().map(_.toSeq).toSet == before)
+    assert(storeDf.count() == storeBefore)
+
+    // ---- compaction is idempotent and preserves the batch column -----
+    Streaming.compactStore(spark, store) // folds batch 2
+    assert(Streaming.compactStore(spark, store) == 0, "nothing left to fold")
+    val compacted = Streaming.streamingMinhashDedup(spark, src, store, ckpt)
+    assert(compacted.collect().map(_.toSeq).toSet == before,
+      "decisions (including original batch ids) survive full compaction")
     assert(storeDf.count() == storeBefore)
 
     // a fresh store is stamped with the current format version

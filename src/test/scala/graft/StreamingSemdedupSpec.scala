@@ -50,9 +50,13 @@ class StreamingSemdedupSpec extends AnyFunSuite {
         .write.mode("append").parquet(src)
     }
     var decisions: org.apache.spark.sql.DataFrame = null
-    batches.foreach { w =>
+    batches.zipWithIndex.foreach { case (w, i) =>
       writeWave(w)
       decisions = Streaming.streamingSemdedupAdmission(spark, src, store, ckpt)
+      // MID-STREAM compaction after wave 1: batches 0-1 (vectors, bands,
+      // decisions) fold into base generations; wave 2 must probe the
+      // compacted store and reproduce the replay oracle bit-identically
+      if (i == 1) assert(Streaming.compactStore(spark, store) > 0)
     }
     val got = decisions.select("vec_id", "is_dup").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
@@ -107,18 +111,19 @@ class StreamingSemdedupSpec extends AnyFunSuite {
       got.valuesIterator.exists(!_), "fixture must be nontrivial")
 
     // ---- structural invariants ---------------------------------------
-    val bandStore = spark.read.option("basePath", s"$store/bands")
-      .schema("band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT")
-      .parquet(s"$store/bands")
+    // generation-aware read: after the mid-stream compaction the roots
+    // hold base_1 plus the live batch=2 dir
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bandStore = Streaming.readStore(spark, hconf, s"$store/bands",
+      "band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT").get
     assert(bandStore.groupBy("band", "key").count()
       .filter(col("count") > 1).count() == 0,
       "store (band, key) keys must stay unique")
     assert(bandStore.collect().map(r => (r.getInt(0), r.getLong(1)) ->
       r.getLong(2)).toMap == storeModel.toMap,
       "store ownership must equal the replay model's")
-    val vecStore = spark.read.option("basePath", s"$store/vectors")
-      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, vpfx INT, batch BIGINT")
-      .parquet(s"$store/vectors")
+    val vecStore = Streaming.readStore(spark, hconf, s"$store/vectors",
+      "vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, vpfx INT, batch BIGINT").get
     assert(vecStore.groupBy("vec_id").count()
       .filter(col("count") > 1).count() == 0,
       "one vector-store row per admitted vector")
