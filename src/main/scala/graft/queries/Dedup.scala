@@ -325,6 +325,24 @@ object Dedup extends QueryModule {
   private[graft] val EmbBandsHR = 10
   private[graft] val EmbBandBitsHR = 6
 
+  /** The SCALE-PROPER recall lift (r17): widen the signature instead of
+    * shrinking the keys. 10 bands x 12 bits over 120 planes — the first
+    * 60 planes ARE the 5x12 signature (bands 0-4 identical, so the
+    * candidate set is a provable superset of the default's), and five
+    * more 12-bit bands over fresh planes double the band count at
+    * UNCHANGED key space (4096/band). By the banding law, candidate
+    * recall at per-plane agreement p goes 1-(1-p^12)^5 -> 1-(1-p^12)^10
+    * (~2x in the SemTau margin where p^12 is small), while the
+    * background-collision term stays ~n^2/2^13 PER BAND — the bucket
+    * degradation point is the SAME ~17M vectors as the default, not the
+    * hr knob's ~260k. Cost is ~2x band fan-out (10 vs 5 payload
+    * copies); the measured recall-vs-cost row lives beside the 10x6 row
+    * in SCALING.md. Signature no longer fits one long: the fused
+    * [[graft.functions.SignBandKeys]] kernel emits the per-band keys
+    * directly (same bit layout as `(sig >> b*bits) & mask`). */
+  private[graft] val EmbBandsWide = 10
+  private[graft] val EmbBandBitsWide = 12
+
   /** EmbBands*EmbBandBits-bit (60-bit at the current 5x12 geometry)
     * sign signature of an `array<double>` vector: bit j is
     * sign(v . plane_j). Pure per-row map-side work — zero shuffle, like
@@ -358,20 +376,51 @@ object Dedup extends QueryModule {
   private[graft] def embeddingBanded(e: DataFrame,
                                      bands: Int = EmbBands,
                                      bits: Int = EmbBandBits): DataFrame = {
-    require(bands * bits <= EmbBands * EmbBandBits,
-      s"geometry ${bands}x$bits exceeds the ${EmbBands * EmbBandBits}-plane signature")
     graft.functions.VectorFns.register(e.sparkSession)
-    val mask = (1 << bits) - 1
-    fanOut(e.select(col("vec_id"), col("v")))
-      .select(col("vec_id").as("doc_id"), col("v"),
-        call_function("vec_norm_sq", col("v")).as("nrm"),
-        embeddingSig(col("v")).as("sig"))
-      .select(col("doc_id"), col("v"), col("nrm"), explode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> " +
-            s"struct(b as band, shiftright(sig, b*$bits) & $mask as key))"))
-          .as("bk"))
-      .select(col("doc_id"), col("v"), col("nrm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    if (bands * bits <= EmbBands * EmbBandBits) {
+      // packed-long signature: all bands are shift/mask views of ONE
+      // 60-bit SignSig word (the default and hr geometries)
+      val mask = (1 << bits) - 1
+      fanOut(e.select(col("vec_id"), col("v")))
+        .select(col("vec_id").as("doc_id"), col("v"),
+          call_function("vec_norm_sq", col("v")).as("nrm"),
+          embeddingSig(col("v")).as("sig"))
+        .select(col("doc_id"), col("v"), col("nrm"), explode(expr(
+            s"transform(sequence(0, ${bands - 1}), b -> " +
+              s"struct(b as band, shiftright(sig, b*$bits) & $mask as key))"))
+            .as("bk"))
+        .select(col("doc_id"), col("v"), col("nrm"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    } else {
+      // wide signature (> 64 planes, e.g. the 10x12 geometry): the
+      // fused kernel emits per-band keys directly as array<long>;
+      // posexplode's position IS the band id, so the downstream
+      // (band, key) shuffle shape — and the star/cap semantics behind
+      // it — are identical to the packed path's
+      fanOut(e.select(col("vec_id"), col("v")))
+        .select(col("vec_id").as("doc_id"), col("v"),
+          call_function("vec_norm_sq", col("v")).as("nrm"),
+          embeddingBandKeys(col("v"), bands, bits).as("keys"))
+        .select(col("doc_id"), col("v"), col("nrm"),
+          posexplode(col("keys")).as(Seq("band", "key")))
+    }
+  }
+
+  /** Wide-geometry per-band keys: one fused [[graft.functions
+    * .SignBandKeys]] pass over a `bands * bits`-plane matrix from the
+    * same deterministic [[Hyperplanes]] family (plane j is plane j in
+    * EVERY geometry, which is what makes wide candidate sets supersets
+    * of narrower same-bits ones). */
+  private[graft] def embeddingBandKeys(v: Column, bands: Int,
+                                       bits: Int): Column = {
+    val dim = Hyperplanes.dim
+    val flat = new Array[Double](bands * bits * dim)
+    for (j <- 0 until bands * bits; i <- 0 until dim)
+      flat(j * dim + i) = Hyperplanes.plane(j)(i)
+    org.apache.spark.sql.GraftBridge.exprColumn(
+      graft.functions.SignBandKeys(
+        org.apache.spark.sql.GraftBridge.columnExpr(v), flat, dim,
+        bands, bits))
   }
 
   /** HALF_UP 6-dp round — the keep/drop authority both engines share. */
@@ -835,7 +884,21 @@ object Dedup extends QueryModule {
     // recall-vs-cost table; a user picks the geometry by corpus size
     // and how much the margin matters.
     "d_semdedup_lsh_hr" -> ((s, dir) =>
-      semdedupLshSummary(s, dir, EmbBandsHR, EmbBandBitsHR))
+      semdedupLshSummary(s, dir, EmbBandsHR, EmbBandBitsHR)),
+
+    // The SCALE-PROPER recall lift (r17): 10 bands x 12 bits over a
+    // WIDENED 120-plane signature (see EmbBandsWide). Where the hr knob
+    // buys margin recall by shrinking keys (64-key buckets degrade to
+    // the star ~260k vectors), this one buys it by adding bands at
+    // unchanged 4096-key buckets — the degradation point stays the
+    // default geometry's ~17M vectors, so the recall lift survives
+    // corpus growth. Bands 0-4 are bit-identical to d_semdedup_lsh's
+    // (same plane family), so its candidate set — and hence drop set —
+    // is a provable superset of the default's (SimilaritySpec pins the
+    // monotonicity, the banding contract, and the measured recall
+    // beside both other geometries).
+    "d_semdedup_lsh_wide" -> ((s, dir) =>
+      semdedupLshSummary(s, dir, EmbBandsWide, EmbBandBitsWide))
   )
 
   /** Survivor summary for the sign-LSH SemDeDup lane at a given banding
@@ -902,6 +965,42 @@ object Dedup extends QueryModule {
        |  (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM drops) AS kept,
        |  md5(coalesce((SELECT string_agg(CAST(bid AS VARCHAR), ','
        |    ORDER BY bid) FROM drops), '')) AS dropped_digest""".stripMargin
+
+  /** The sign-LSH SemDeDup oracle for WIDE geometries (> 63 planes,
+    * where a single BIGINT sig can't carry the signature): each band's
+    * key is computed directly from its own plane dots — bit k of k{b} =
+    * sign(list_dot_product(v, plane_{b*bits+k})) — which is the exact
+    * per-band view `(sig >> b*bits) & mask` takes of the packed form.
+    * Same plane literals, same sequential dot order, same drop policy
+    * and digest as [[semdedupLshOracle]]. */
+  private def semdedupLshOracleKeys(bands: Int, bits: Int): String = {
+    val keyCols = (0 until bands).map { b =>
+      val e = (0 until bits).map { k =>
+        val j = b * bits + k
+        s"(CASE WHEN list_dot_product(v, ${Hyperplanes.planeSql(j)}) > 0" +
+          s" THEN ${1L << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($e AS BIGINT) AS k$b"
+    }.mkString(",\n    ")
+    val sharesBand =
+      (0 until bands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+       |                (acc, x) -> acc + x * x) AS nrm
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v, nrm,
+       |    $keyCols FROM e),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id AS bid
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($sharesBand)
+       |  WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(a.nrm * b.nrm), 6)
+       |    >= ${Similarity.SemTau})
+       |SELECT (SELECT COUNT(*) FROM e) AS n,
+       |  (SELECT COUNT(*) FROM drops) AS dropped,
+       |  (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM drops) AS kept,
+       |  md5(coalesce((SELECT string_agg(CAST(bid AS VARCHAR), ','
+       |    ORDER BY bid) FROM drops), '')) AS dropped_digest""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "d_dedup_exact" ->
@@ -1008,6 +1107,8 @@ object Dedup extends QueryModule {
     // shares-a-band candidate set (at each geometry) -> identical cosine
     // drop policy at SemTau; the digest proves the exact drop set
     "d_semdedup_lsh" -> semdedupLshOracle(EmbBands, EmbBandBits),
-    "d_semdedup_lsh_hr" -> semdedupLshOracle(EmbBandsHR, EmbBandBitsHR)
+    "d_semdedup_lsh_hr" -> semdedupLshOracle(EmbBandsHR, EmbBandBitsHR),
+    "d_semdedup_lsh_wide" ->
+      semdedupLshOracleKeys(EmbBandsWide, EmbBandBitsWide)
   )
 }

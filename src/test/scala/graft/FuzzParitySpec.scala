@@ -358,8 +358,11 @@ object FuzzParitySpec extends Properties("FuzzParity") {
       cap <- Gen.choose(2, 6)
       // r16: the geometry is a parameter now (the recall knob) — fuzz
       // every banding of the shared 60-plane signature the API accepts,
-      // including ones that leave high signature bits unused
-      geo <- Gen.oneOf((5, 12), (10, 6), (6, 10), (4, 15), (12, 5), (3, 12), (2, 6))
+      // including ones that leave high signature bits unused; r17 adds
+      // WIDE geometries (> 64 planes — the SignBandKeys kernel path,
+      // incl. the production 10x12 and a non-multiple-of-60 shape)
+      geo <- Gen.oneOf((5, 12), (10, 6), (6, 10), (4, 15), (12, 5),
+        (3, 12), (2, 6), (10, 12), (7, 11))
     } yield (vs, cap, geo)
   }
 
@@ -377,8 +380,14 @@ object FuzzParitySpec extends Properties("FuzzParity") {
       def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       val ids = vs.indices.map(_.toLong)
-      val sigs = vs.map { v =>
-        (0 until bands * bits).map(j => if (dot(v, planes(j)) > 0) 1L << j else 0L).sum
+      // per-band keys directly (bit k of band b = sign of plane b*bits+k)
+      // — the packed-long sig view and the wide SignBandKeys view are
+      // both exactly this, so ONE model covers both engine paths
+      val keys = vs.map { v =>
+        (0 until bands).map { b =>
+          (0 until bits).map(k =>
+            if (dot(v, planes(b * bits + k)) > 0) 1L << k else 0L).sum
+        }
       }
       val nrm = vs.map(v => dot(v, v))
       def cosOk(i: Int, j: Int): Option[(Long, Long, Double)] = {
@@ -387,8 +396,7 @@ object FuzzParitySpec extends Properties("FuzzParity") {
           math.max(ids(i), ids(j)), c)) else None
       }
       val expected = (0 until bands).flatMap { b =>
-        val mask = (1L << bits) - 1
-        vs.indices.groupBy(i => (sigs(i) >> (b * bits)) & mask).values.flatMap {
+        vs.indices.groupBy(i => keys(i)(b)).values.flatMap {
           bucket =>
             if (bucket.size <= cap)
               bucket.combinations(2).flatMap(p => cosOk(p(0), p(1)))
