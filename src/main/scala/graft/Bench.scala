@@ -61,6 +61,10 @@ object Bench {
     // the knob's cost premium is tracked round-over-round beside the
     // default geometry (recall-vs-cost table in SCALING.md r16)
     "d_semdedup_lsh_hr",
+    // r17: the scale-proper recall lift — 10x12 over the widened
+    // 120-plane signature (SignBandKeys wide kernel path); benched so
+    // the wide premium tracks beside both sibling geometries
+    "d_semdedup_lsh_wide",
     // r13b: greedy MMR diversified top-k, lexical+semantic RRF fusion.
     // The in-plan composed IVF+PQ sibling (s_ann_ivfpq_topk) was
     // removed from the headline in r14: its two Lloyd fits per

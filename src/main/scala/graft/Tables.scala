@@ -185,13 +185,36 @@ object Tables {
     s2 * lit(1L << 44) + s1 * lit(1L << 22) + s0
   }
 
-  /** Exact order-independent sum of a money-like double column, as double. */
+  /** TWO-limb variant of [[lsum128]] for MAGNITUDE-BOUNDED inputs:
+    * requires |v| < 2^44 PER ROW (so the signed high limb `v >> 22` is
+    * under 2^22 in magnitude and its plain-long sum holds to the same
+    * ~2^41 rows/group as the 3-limb form). Every money/quantity micros
+    * column satisfies it with >100x margin (|value| < 1e7 => |micros| <
+    * 1e13 < 1.76e13 = 2^44); arbitrary 64-bit longs do NOT — use
+    * [[lsum128]] there.
+    *
+    * Why it exists: the limb count is amplified by ExpandExec — on the
+    * multi-distinct shape the 3-limb form measured 2.34x the plain long
+    * sum (tools/MicrosStage mdqa, x1000, min-of-3 interleaved; caught
+    * by the r17 paired bench A/B at 1.31x) while this 2-limb form
+    * measures 1.03x, and 1.11x vs 1.09x on the q1 shape — parity
+    * everywhere, identical overflow capacity under the bound. */
+  def lsum128b(v: Column): Column = {
+    val s0 = sum(v.bitwiseAND(lit(LimbMask))).cast(DecimalType(38, 0))
+    val s1 = sum(shiftright(v, 22)).cast(DecimalType(38, 0))
+    s1 * lit(1L << 22) + s0
+  }
+
+  /** Exact order-independent sum of a money-like double column, as double.
+    * Money-like contract: <= 6 true decimal digits AND |value| < 1e7 per
+    * row (the [[lsum128b]] magnitude bound, >100x clear of every corpus
+    * money/quantity column). */
   def dsum(c: Column): Column =
-    lsum128(micros(c)).cast(DoubleType) / 1000000.0
+    lsum128b(micros(c)).cast(DoubleType) / 1000000.0
 
   /** Deterministic mean of a money-like double column, as double(4dp). */
   def davg(c: Column): Column =
-    round(lsum128(micros(c)).cast(DoubleType) / 1000000.0 / count(lit(1)), 4)
+    round(lsum128b(micros(c)).cast(DoubleType) / 1000000.0 / count(lit(1)), 4)
 
   /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
   def sqlDsum(e: String): String =

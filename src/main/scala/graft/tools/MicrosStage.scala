@@ -60,6 +60,20 @@ object MicrosStage {
         s0.cast("decimal(38,0)")).cast("double") / 1000000.0)
     }
 
+    // D. 2-limb split (r17b): for MAGNITUDE-BOUNDED inputs (every dsum
+    // money/quantity column: |value| < 1e7 => |micros| < 1e13 < 2^44,
+    // so the signed high limb is < 2^22 per row and its sum holds to
+    // ~2^41 rows/group — the SAME capacity as the 3-limb form) one
+    // limb extraction and one sum buffer fewer. Matters where Expand
+    // multiplies agg buffers (multi-distinct shapes).
+    def dsumSplit2(c: org.apache.spark.sql.Column) = {
+      val v = micros(c)
+      val s0 = sum(v.bitwiseAND(lit(0x3FFFFFL)))
+      val s1 = sum(shiftright(v, 22))
+      ((s1.cast("decimal(38,0)") * lit(4194304L) +
+        s0.cast("decimal(38,0)")).cast("double") / 1000000.0)
+    }
+
     def q1(ds: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
       graft.Tables.t(spark, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -72,23 +86,42 @@ object MicrosStage {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+    // The multi-DQA shape (q_agg_multi_distinct): ExpandExec multiplies
+    // rows 4x and every expanded row carries the sum's agg buffers, so
+    // limb count is amplified here like nowhere else — the r17 paired
+    // bench A/B read the 3-limb flip at 1.31x on this lane (vs 1.05x
+    // on q1), which this shape isolates.
+    def mdqa(ds: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+      graft.Tables.t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd_line"),
+          count(lit(1)).as("n"),
+          ds(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+
     // warm file listing / page cache outside the timed region
     graft.Tables.t(spark, dir, "lineitem").limit(1).collect()
 
     val variants = Seq("long" -> dsumLong _, "dec38" -> dsumDec _,
-      "split" -> dsumSplit _)
+      "split" -> dsumSplit _, "split2" -> dsumSplit2 _)
+    val shapes = Seq("q1" -> q1 _, "mdqa" -> mdqa _)
     // interleave A,B,A,B so ambient drift hits both arms equally
     val times = collection.mutable.Map[String, List[Double]]()
-    for (_ <- 1 to runs; (name, f) <- variants) {
+    for (_ <- 1 to runs; (sname, shape) <- shapes; (name, f) <- variants) {
       val t0 = System.nanoTime()
-      val rows = q1(f).collect()
+      val rows = shape(f).collect()
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[micros-stage] $name: $dt%.2f s (${rows.length} groups)")
-      times(name) = dt :: times.getOrElse(name, Nil)
+      System.err.println(f"[micros-stage] $sname/$name: $dt%.2f s (${rows.length} groups)")
+      times(s"$sname/$name") = dt :: times.getOrElse(s"$sname/$name", Nil)
     }
-    val a = times("long").min; val b = times("dec38").min
-    val c = times("split").min
-    println(f"""{"probe":"micros_stage","dir":"$dir","long":$a%.3f,"dec38":$b%.3f,"split":$c%.3f,"dec_ratio":${b / a}%.3f,"split_ratio":${c / a}%.3f}""")
+    val mins = shapes.flatMap { case (sname, _) =>
+      variants.map { case (vname, _) =>
+        f""""$sname/$vname":${times(s"$sname/$vname").min}%.3f""" }
+    }
+    println(s"""{"probe":"micros_stage","dir":"$dir",${mins.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -67,6 +67,12 @@ def main():
             totals[arm].append(res["value"])
             for q, s in res.get("queries", {}).items():
                 lanes[arm].setdefault(q, []).append(s)
+            # Bench's internal 10x scale leg (queries_sf1) is the
+            # host-day-sensitive one this tool exists to adjudicate —
+            # pair it too, as "<lane>:x10" rows
+            for q, s in (res.get("queries_sf1") or {}).items():
+                if s is not None:
+                    lanes[arm].setdefault(f"{q}:x10", []).append(s)
             sys.stderr.write(
                 f"[bench-ab] round {r} {arm}: {res['value']:.2f} s\n")
 
