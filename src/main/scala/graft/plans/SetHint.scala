@@ -26,11 +26,19 @@ import org.apache.spark.internal.Logging
   * original conf, exactly like the reference (GUCs are restored when
   * standard_planner returns, before the executor runs).
   *
-  * Honesty clause (the ROWS precedent): under AQE, *runtime re-planning*
-  * consults the live session conf, so a Set-scoped threshold governs the
-  * initial physical plan but not AQE's later re-decisions — the
-  * documented configuration for plan-pinning hints is AQE off, and the
-  * spec pins adherence there.
+  * AQE scope (r18, closes the r17 honesty clause): under AQE, *runtime
+  * re-planning* consults the live session conf — a restore-after-planning
+  * bracket would govern the initial physical plan but not AQE's later
+  * re-decisions. pg_hint_plan's Set governs the WHOLE planning of the
+  * statement, and Spark's runtime re-planning is planning; so when AQE
+  * is on (or [[CloneScopeConf]] forces it), the statement runs on a
+  * statement-scoped SESSION CLONE (`cloneSession()` — full session state:
+  * conf, temp views, functions; shared SparkContext and catalog) with the
+  * whitelisted keys applied to the CLONE's conf only. AQE re-decisions
+  * then see the scoped values for the statement's entire life, and
+  * restore on the caller's session holds by construction — it is never
+  * touched. `spark.graft.hints.set.cloneScope` = auto (default: clone
+  * iff AQE is on) | true | false (the r17 plan-window bracket).
   *
   * Whitelist: per-statement scope only makes sense for PLANNING knobs,
   * so only those are accepted — exact keys in [[WhitelistKeys]] plus the
@@ -52,11 +60,18 @@ object SetHint extends Logging {
 
   val EnabledConf = "spark.graft.hints.set.enabled"
 
+  /** Statement-scope mechanism under AQE: "auto" (clone a session iff
+    * AQE is enabled), "true" (always clone), "false" (r17 behavior:
+    * apply + plan + restore on the caller's session — AQE re-decisions
+    * then see the restored conf). */
+  val CloneScopeConf = "spark.graft.hints.set.cloneScope"
+
   /** Exact whitelisted keys: the planning knobs a per-statement scope
     * legitimately tunes (the Spark analogues of the reference's
     * enable_seqscan / work_mem planner GUC family). */
   val WhitelistKeys: Set[String] = Set(
     "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
     "spark.sql.shuffle.partitions",
     "spark.sql.files.maxPartitionBytes",
     "spark.sql.adaptive.enabled",
@@ -228,23 +243,44 @@ object SetHint extends Logging {
         s"${WhitelistKeys.mkString(", ")} and the " +
         s"${WhitelistPrefixes.mkString("/")} namespaces)")
     }
-    val saved: Seq[(String, Option[String])] =
-      applied.map(_._1).distinct.map(k => k -> spark.conf.getOption(k))
-    try {
+    if (applied.isEmpty) return spark.sql(scanned.cleanSql)
+    val aqeOn = spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    val useClone = spark.conf.get(CloneScopeConf, "auto") match {
+      case "true" => true
+      case "false" => false
+      case _ => aqeOn
+    }
+    if (useClone) {
+      // statement-scoped session clone: AQE's runtime re-planning reads
+      // the conf of the session the plan was built on, so applying the
+      // keys to a clone scopes them to this statement's WHOLE life —
+      // initial plan and every re-decision — while the caller's session
+      // is never touched (restore by construction)
+      val scoped = org.apache.spark.sql.GraftSessionClone.cloneSession(spark)
       applied.foreach { case (k, v) =>
-        logInfo(s"SET hint: $k = $v (statement scope)")
-        spark.conf.set(k, v)
+        logInfo(s"SET hint: $k = $v (statement-scoped session clone)")
+        scoped.conf.set(k, v)
       }
-      val df = spark.sql(scanned.cleanSql)
-      // force the whole planning pipeline inside the scope — this is
-      // the window pg_hint_plan brackets (plan now, execute later
-      // under the restored conf)
-      df.queryExecution.executedPlan
-      df
-    } finally {
-      saved.foreach {
-        case (k, Some(prior)) => spark.conf.set(k, prior)
-        case (k, None) => spark.conf.unset(k)
+      scoped.sql(scanned.cleanSql)
+    } else {
+      val saved: Seq[(String, Option[String])] =
+        applied.map(_._1).distinct.map(k => k -> spark.conf.getOption(k))
+      try {
+        applied.foreach { case (k, v) =>
+          logInfo(s"SET hint: $k = $v (statement scope)")
+          spark.conf.set(k, v)
+        }
+        val df = spark.sql(scanned.cleanSql)
+        // force the whole planning pipeline inside the scope — this is
+        // the window pg_hint_plan brackets (plan now, execute later
+        // under the restored conf)
+        df.queryExecution.executedPlan
+        df
+      } finally {
+        saved.foreach {
+          case (k, Some(prior)) => spark.conf.set(k, prior)
+          case (k, None) => spark.conf.unset(k)
+        }
       }
     }
   }

@@ -377,6 +377,57 @@ class HintSpec extends AnyFunSuite {
     } finally noAqe.conf.unset(SetHint.EnabledConf)
   }
 
+  test("SET governs AQE runtime re-decisions via the statement-scoped clone") {
+    // r17's honesty clause closed (r18 brief #7): with AQE ON, SetHint
+    // runs the statement on a session CLONE carrying the scoped conf, so
+    // a Set(...) threshold governs not just the initial plan but AQE's
+    // runtime RE-decisions — here the SMJ->BHJ conversion, which only
+    // the adaptive threshold (consulted at re-planning time, against
+    // materialized shuffle stats) can produce when the static threshold
+    // is -1. Restore on the caller's session is by construction; both
+    // asserted below.
+    val sp = spark // the shared session: AQE on (SparkTestSession)
+    Seq("orders", "customer")
+      .foreach(n => graft.Tables.t(sp, sf, n).createOrReplaceTempView(n))
+    val static = "spark.sql.autoBroadcastJoinThreshold"
+    val adaptive = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val savedStatic = sp.conf.get(static)
+    val savedAdaptive = sp.conf.getOption(adaptive)
+    def finalPlan(df: DataFrame): String = {
+      df.collect() // materialize so AQE finishes re-planning
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+    }
+    try {
+      sp.conf.set(static, "-1") // initial plan: sort-merge, never broadcast
+      assert(sp.conf.get("spark.sql.adaptive.enabled") == "true")
+      val body = """SELECT o_orderkey, c_name FROM orders
+                   |JOIN customer ON o_custkey = c_custkey""".stripMargin
+      // unhinted: the adaptive threshold falls back to the static -1, so
+      // AQE leaves the sort-merge join in place
+      assert(!finalPlan(sp.sql(body)).contains("BroadcastHashJoin"))
+      // hinted: same session, same static -1 — the ONLY delta is the
+      // adaptive threshold on the statement-scoped clone, so the
+      // broadcast in the final plan is an AQE re-decision under the hint
+      val hinted = SetHint.sql(sp,
+        s"SELECT /*+ SET($adaptive '10m') */ " + body.stripPrefix("SELECT "))
+      assert(finalPlan(hinted).contains("BroadcastHashJoin"),
+        "the scoped adaptive threshold must govern the AQE re-decision")
+      // the caller's session was never touched
+      assert(sp.conf.getOption(adaptive) == savedAdaptive,
+        "statement scope must not leak into the caller's session")
+      assert(sp.conf.get(static) == "-1")
+      // and a statement AFTER the scope still sees the caller's conf
+      assert(!finalPlan(sp.sql(body)).contains("BroadcastHashJoin"))
+    } finally {
+      sp.conf.set(static, savedStatic)
+      savedAdaptive.fold(sp.conf.unset(adaptive))(v => sp.conf.set(adaptive, v))
+    }
+  }
+
   test("SET scanner: strips only SET items, leaves siblings, fails open") {
     val s1 = SetHint.scan(
       "SELECT /*+ SET(a.b 'x'), BROADCAST(t) SET(c.d, 42) */ 1")
