@@ -18,6 +18,15 @@ import graft.Tables
   * test parquet (file-source + memory sink, `processAllAvailable`) and
   * returns the result — which the specs compare 1:1 against the equivalent
   * batch query (stream/batch parity is the correctness contract).
+  *
+  * Production deployment note (r18 throughput diagnosis): a long-running
+  * driver executing many short micro-batch jobs accumulates shuffle and
+  * broadcast state that Spark's ContextCleaner frees only on driver GC —
+  * on a large heap that seldom collects, per-batch cost drifts upward
+  * (measured: +48% over 64 waves, eliminated by a forced GC A/B —
+  * SCALING.md r18). Set `spark.cleaner.periodicGC.interval` well below
+  * its 30min default (e.g. 1min) on any driver hosting these admission
+  * lanes; `tools/StreamThroughput` does so and carries the measurement.
   */
 object Streaming {
 

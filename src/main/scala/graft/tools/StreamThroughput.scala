@@ -41,14 +41,35 @@ object StreamThroughput {
     val waves = args.lift(1).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // r18 diagnosis: the late-wave drift (r17's semdedup Q4 uptick) is
+      // GC-driven ContextCleaner LAG, not checkpoint or store growth —
+      // shuffle/broadcast state from prior micro-batches is only cleaned
+      // when the driver JVM GCs, and back-to-back synchronous batches on
+      // a multi-GB heap seldom trigger one (proven by the TP_GC=1 A/B:
+      // growth vanishes with a forced GC per wave). This is Spark's own
+      // remedy for exactly that class, tightened from its 30min default
+      // to match the harness's wave cadence; any long-running driver
+      // with many short jobs wants the same conf in production.
+      .config("spark.cleaner.periodicGC.interval", "1min")
+    // SPARK_GRAFT_TP_CONF="k=v;k=v" — extra STATIC confs for isolation
+    // experiments (e.g. spark.sql.ui.retainedExecutions=8); set at
+    // builder time because status-store retention is not a runtime conf
+    sys.env.get("SPARK_GRAFT_TP_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_TP_GC=1 — force a full GC between waves: discriminates
+    // heap/cleaner-lag growth (broadcasts and shuffle state are cleaned
+    // by the GC-driven ContextCleaner) from genuine per-wave work growth
+    val gcPerWave = sys.env.get("SPARK_GRAFT_TP_GC").contains("1")
 
     val root = java.nio.file.Files.createTempDirectory("graft_stream_tp").toString
 
@@ -115,6 +136,7 @@ object StreamThroughput {
         val wave = full.filter(col(idCol) >= lo && col(idCol) < hi)
         val rows = wave.count() // ids need not be dense; count the wave
         wave.coalesce(1).write.mode(SaveMode.Append).parquet(src)
+        if (gcPerWave) { System.gc(); Thread.sleep(50) }
         progressBuf.clear()
         val t0 = System.nanoTime()
         val decisions = drive(src, store, ckpt)
@@ -169,10 +191,21 @@ object StreamThroughput {
         f""""rows_per_sec":${total / wall}%.0f,"waves":$perWave}"""
     }
 
-    // IVF store fit once (offline model job, untimed — Bench contract)
-    graft.queries.Similarity.ivfEnsurePersisted(spark, dir, s"$root/ivfstore")
+    // SPARK_GRAFT_TP_LANES=comma,list restricts the lanes — the
+    // isolation knob for session-order confounds (a lane that only ever
+    // runs 64 waves into the JVM inherits whatever driver-side state the
+    // earlier lanes accumulated; running it ALONE separates lane-caused
+    // growth from session-caused growth)
+    val laneFilter = sys.env.get("SPARK_GRAFT_TP_LANES")
+      .map(_.split(",").map(_.trim).toSet)
+    def enabled(lane: String): Boolean = laneFilter.forall(_.contains(lane))
 
-    val mh = measure("minhash_dedup", "documents", Seq("doc_id", "text"),
+    // IVF store fit once (offline model job, untimed — Bench contract)
+    if (enabled("ivf_add"))
+      graft.queries.Similarity.ivfEnsurePersisted(spark, dir, s"$root/ivfstore")
+
+    val mh = if (!enabled("minhash_dedup")) "" else
+      measure("minhash_dedup", "documents", Seq("doc_id", "text"),
       (src, store, ckpt) =>
         Some(graft.streaming.Streaming
           .streamingMinhashDedup(spark, src, store, ckpt)),
@@ -182,7 +215,8 @@ object StreamThroughput {
         .map(_.count()).getOrElse(0L),
       compactable = true)
 
-    val sem = measure("semdedup_admission", "embeddings",
+    val sem = if (!enabled("semdedup_admission")) "" else
+      measure("semdedup_admission", "embeddings",
       Seq("vec_id", "CAST(embedding AS array<double>) AS embedding"),
       (src, store, ckpt) =>
         Some(graft.streaming.Streaming
@@ -193,7 +227,8 @@ object StreamThroughput {
         .map(_.count()).getOrElse(0L),
       compactable = true)
 
-    val ivf = measure("ivf_add", "embeddings",
+    val ivf = if (!enabled("ivf_add")) "" else
+      measure("ivf_add", "embeddings",
       Seq("vec_id", "CAST(embedding AS array<double>) AS embedding"),
       (src, store, ckpt) => {
         graft.streaming.Streaming
@@ -206,7 +241,8 @@ object StreamThroughput {
         if (!fs.exists(p)) 0L else spark.read.parquet(p.toString).count()
       })
 
-    println(s"""{"probe":"stream_throughput","sf":"$dir","waves":$waves,$mh,$sem,$ivf}""")
+    val lanesJson = Seq(mh, sem, ivf).filter(_.nonEmpty).mkString(",")
+    println(s"""{"probe":"stream_throughput","sf":"$dir","waves":$waves,$lanesJson}""")
     spark.stop()
   }
 }

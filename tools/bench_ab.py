@@ -85,12 +85,22 @@ def main():
     to, tn = sum(r[1] for r in rows), sum(r[2] for r in rows)
     print(f"| **total (common lanes, min-of-{runs})** | {to:.2f} | "
           f"{tn:.2f} | {tn / to:.2f}x |")
-    print(json.dumps({
+    payload = {
         "probe": "bench_ab", "baseline": sha, "sf_dir": sf_dir, "runs": runs,
         "total_old": round(to, 2), "total_new": round(tn, 2),
         "ratio": round(tn / to, 3),
         "lanes": {q: {"old": round(o, 2), "new": round(n, 2),
-                      "ratio": round(n / o, 3)} for q, o, n in rows}}))
+                      "ratio": round(n / o, 3)} for q, o, n in rows}}
+    print(json.dumps(payload))
+    # persist the per-lane record — the r17 round lost its closing paired
+    # table because it lived only on stdout; every run now lands in the
+    # repo so the round-close can paste/commit it
+    outdir = os.path.join(REPO, ".bench_ab")
+    os.makedirs(outdir, exist_ok=True)
+    head = subprocess.check_output(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, text=True).strip()
+    with open(os.path.join(outdir, f"{sha}_vs_{head}.json"), "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
