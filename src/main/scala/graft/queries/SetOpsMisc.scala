@@ -278,6 +278,41 @@ object SetOpsMisc extends QueryModule {
              sum(col("l_orderkey")).as("key_sum"))
     }),
 
+    // TidScan (`/root/reference/src/backend/executor/nodeTidscan.c:440`):
+    // Postgres fetches tuples by physical address, ctid = (block, offset).
+    // Parquet's physical tuple address is (file, row position), and Spark
+    // exposes exactly that pair through the hidden `_metadata` struct
+    // (`file_path`, `row_index`) — so WHERE ctid IN (...) maps to a scan
+    // whose predicate is a per-file row_index IN-list. Scale shape:
+    // `_metadata.file_path` equality is a METADATA filter — Catalyst
+    // prunes non-matching files out of the FileIndex listing before any
+    // I/O (at 100 TB a 10-tid fetch touches only the named files), and
+    // row_index selects physical rows inside them without reading a key
+    // column. Phase 1 harvests the tids of the 10 highest-value orders
+    // (bounded TakeOrdered, 10-row collect — the same bounded-driver-state
+    // idiom as the pfx lists); phase 2 re-fetches those rows BY TID ONLY
+    // and outputs their business columns, which is what the oracle
+    // hash-checks — a fetch that resolved tids to the wrong physical rows
+    // would surface the wrong orders.
+    "q_tid_scan" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val tids = orders
+        .select(col("_metadata.file_path").as("fp"),
+                col("_metadata.row_index").as("ri"),
+                col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10)
+        .select(col("fp"), col("ri")).collect()
+      val fetchPred = tids.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .map { case (fp, rows) =>
+          col("_metadata.file_path") === fp &&
+            col("_metadata.row_index").isin(rows.map(r => Long.box(r.getLong(1))): _*)
+        }.reduce(_ || _)
+      orders.filter(fetchPred)
+        .select(col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // PIVOT (reference pivot.c / groupBy().pivot()).
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -540,6 +575,14 @@ object SetOpsMisc extends QueryModule {
         |  MIN(h) AS h_min, MAX(h) AS h_max,
         |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
         |FROM s""".stripMargin,
+
+    // tid-fetch round trip: the oracle states WHICH rows the tids must
+    // resolve to (top-10 by price, orderkey tie-break); the Spark side
+    // reaches them through the physical (file_path, row_index) address
+    "q_tid_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,

@@ -12,6 +12,37 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("tid fetch resolves physical addresses and prunes non-matching files") {
+    import org.apache.spark.sql.functions._
+    // a 4-file table, so (file_path, row_index) addresses are genuinely
+    // two-dimensional and file pruning is observable
+    val dir = java.nio.file.Files.createTempDirectory("tidscan").toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_tid_scan")(spark, dir)
+    val expect = spark.read.parquet(s"$dir/orders.parquet")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(out.select("o_orderkey").collect().map(_.getLong(0)).sorted
+      .sameElements(expect), "tid fetch returned the wrong physical rows")
+    // pruning: address ONE row in ONE file — the fetch scan must list
+    // exactly that file, not all 4 (metadata file_path filters prune at
+    // the FileIndex, before any parquet I/O)
+    val one = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("_metadata.file_path").as("fp"),
+              col("_metadata.row_index").as("ri"))
+      .limit(1).collect().head
+    val fetch = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("_metadata.file_path") === one.getString(0) &&
+              col("_metadata.row_index") === one.getLong(1))
+    assert(fetch.collect().length == 1)  // executes THIS QueryExecution
+    val scan = fetch.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.size == 1)
+    assert(scan.head.metrics("numFiles").value == 1,
+      s"tid fetch read ${scan.head.metrics("numFiles").value} files, want 1")
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val p = planOf("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
