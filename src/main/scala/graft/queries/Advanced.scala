@@ -40,6 +40,71 @@ object Advanced extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Triggers + transition tables (commands/trigger.c; AFTER STATEMENT
+    // bodies scan the captured change set via NamedTuplestoreScan,
+    // nodeNamedtuplestorescan.c:23). Four DML statements against a
+    // TriggeredTable: two INSERTs (BEFORE ROW suppression + rewrite fused
+    // into the write plan; per-statement NEW TABLE capture → two distinct
+    // audit rows), one UPDATE (OLD+NEW transition tables; the audit reads
+    // the delta across them; a BEFORE UPDATE trigger re-derives vip), one
+    // DELETE (OLD TABLE audit). Output = the audit trail the AFTER
+    // STATEMENT triggers produced by running Spark aggregates OVER the
+    // transition DataFrames, plus the final table state — the oracle
+    // restates the whole flow declaratively, so a wrong suppression,
+    // rewrite, capture scope, or delta hash-mismatches. Integer micros
+    // throughout (exact across write/read).
+    "q_trigger_transition" -> ((s, dir) => {
+      import graft.sources.Triggers._
+      val sp = s; import sp.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("trg").toString
+      val path = s"$tmp/orders_t.parquet"
+      val audit = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+      var stmt = 0
+      def agg1(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), coalesce(sum(col("price_u")), lit(0L)))
+          .collect().head  // 1-row statement summary, bounded
+        (r.getLong(0), r.getLong(1))
+      }
+      val tab = new TriggeredTable(s, path,
+        beforeRow = Seq(
+          BeforeRow("t0_reject_small", Set("INSERT"),
+            suppress = Some(col("price_u") < 20000000000L)),
+          BeforeRow("t1_vip", Set("INSERT"),
+            set = Map("vip" -> (col("price_u") >= 300000000000L))),
+          BeforeRow("t2_revip", Set("UPDATE"),
+            set = Map("vip" -> (col("price_u") >= 300000000000L)))),
+        afterStatement = Seq(
+          AfterStatement("t9_audit", Set("INSERT", "UPDATE", "DELETE"),
+            (event, oldTab, newTab) => {
+              stmt += 1
+              val (n, v) = (event, oldTab, newTab) match {
+                case ("INSERT", _, Some(nt)) => agg1(nt)
+                case ("UPDATE", Some(ot), Some(nt)) =>
+                  val (nn, nv) = agg1(nt); val (_, ov) = agg1(ot)
+                  (nn, nv - ov)            // statement-level net change
+                case ("DELETE", Some(ot), _) => agg1(ot)
+                case other => sys.error(s"transition matrix violated: $other")
+              }
+              audit += ((stmt, event, n, v))
+            })))
+      val base = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          split(col("o_orderpriority"), "-").getItem(1).as("prio"),
+          round(col("o_totalprice") * 1000000.0, 0).cast("long").as("price_u"))
+      tab.insert(base.filter(col("c") % 2 === 0))
+      tab.insert(base.filter(col("c") % 2 === 1))
+      tab.update(Map("price_u" -> (col("price_u") + 1000000L)),
+                 col("prio") === "URGENT")
+      tab.delete(col("price_u") >= 450000000000L)
+      val fin = s.read.parquet(path)
+      val Array(finN, finV) = fin
+        .agg(count(lit(1)), sum(col("price_u"))).collect().head
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val nVip = fin.filter(col("vip")).count()
+      (audit.toSeq ++ Seq((5, "TABLE", finN, finV), (6, "TABLE_VIP", nVip, 0L)))
+        .toDF("stmt", "event", "n", "v").orderBy(col("stmt"))
+    }),
+
     // Typed UDTF over grouped input (GP TableFunction with SCATTER BY,
     // `nodeTableFunction.c:235` + `gram.y:16492`): groupByKey = the
     // scatter, flatMapGroups = the table function emitting 0..n rows.
@@ -708,6 +773,41 @@ object Advanced extends QueryModule {
         |    / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 4) AS wavg_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // declarative restatement of the triggered DML flow: suppression =
+    // WHERE NOT, BEFORE ROW rewrites = projected CASEs, per-statement
+    // transition audits = aggregates over each statement's change set
+    "q_trigger_transition" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |    split_part(o_orderpriority, '-', 2) AS prio,
+        |    CAST(round(o_totalprice * 1000000.0, 0) AS BIGINT) AS price_u
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |ins AS (
+        |  SELECT k, c, prio, price_u, price_u >= 300000000000 AS vip
+        |  FROM base WHERE NOT (price_u < 20000000000)),
+        |upd AS (
+        |  SELECT k, c, prio,
+        |    CASE WHEN prio = 'URGENT' THEN price_u + 1000000
+        |         ELSE price_u END AS price_u,
+        |    CASE WHEN prio = 'URGENT' THEN price_u + 1000000 >= 300000000000
+        |         ELSE vip END AS vip
+        |  FROM ins),
+        |fin AS (SELECT * FROM upd WHERE NOT (price_u >= 450000000000)),
+        |audit AS (
+        |  SELECT 1 AS stmt, 'INSERT' AS event, COUNT(*) AS n,
+        |    SUM(price_u) AS v FROM ins WHERE c % 2 = 0
+        |  UNION ALL SELECT 2, 'INSERT', COUNT(*), SUM(price_u)
+        |    FROM ins WHERE c % 2 = 1
+        |  UNION ALL SELECT 3, 'UPDATE', COUNT(*), 1000000 * COUNT(*)
+        |    FROM ins WHERE prio = 'URGENT'
+        |  UNION ALL SELECT 4, 'DELETE', COUNT(*), SUM(price_u)
+        |    FROM upd WHERE price_u >= 450000000000
+        |  UNION ALL SELECT 5, 'TABLE', COUNT(*), SUM(price_u) FROM fin
+        |  UNION ALL SELECT 6, 'TABLE_VIP',
+        |    SUM(CASE WHEN vip THEN 1 ELSE 0 END), 0 FROM fin)
+        |SELECT stmt, event, CAST(n AS BIGINT) AS n, CAST(v AS BIGINT) AS v
+        |FROM audit ORDER BY stmt""".stripMargin,
 
     "q_udtf_scatter" ->
       """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS INT) AS n,

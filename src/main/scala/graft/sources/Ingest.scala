@@ -161,8 +161,8 @@ object Ingest {
     * rename result is checked, and the backup is only discarded after the
     * new table is verifiably in place — a failed swap never deletes the
     * sole remaining copy. */
-  private def replaceTable(spark: SparkSession, df: DataFrame,
-                           path: String): DataFrame = {
+  private[sources] def replaceTable(spark: SparkSession, df: DataFrame,
+                                    path: String): DataFrame = {
     val staged = stageDir(path)
     df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
     val fs = fsOf(spark, path)
