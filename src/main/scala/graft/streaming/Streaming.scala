@@ -912,8 +912,17 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
-        val b = graft.queries.Dedup.minhashBands(batch)
-          .withColumn("pfx", pmod(hash(col("band"), col("sig")), lit(16)))
+        // pin the frames multiple actions reuse: without this the whole
+        // shingle->minhash DAG re-executes for every downstream action
+        // (pfx collect + 2 commits = 3x), and every re-execution leaves
+        // fresh shuffle/broadcast state for the GC-driven ContextCleaner
+        // to lag behind (the r18 drift mechanism). Explicit unpersist
+        // frees the blocks at batch end — not at the next driver GC.
+        val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def pin(df: DataFrame): DataFrame = { pinned += df; df.persist() }
+        try {
+        val b = pin(graft.queries.Dedup.minhashBands(batch)
+          .withColumn("pfx", pmod(hash(col("band"), col("sig")), lit(16))))
         // the batch's own prefixes: <= 16 values of bounded driver state
         val pfxs = b.select("pfx").distinct().collect().map(_.getInt(0)).toSeq
         // explicit schema: an all-tiny-docs batch commits an EMPTY
@@ -922,19 +931,19 @@ object Streaming {
         val store = readStore(sess, hconf, bandsRoot,
           "band INT, sig BIGINT, owner_doc BIGINT, pfx INT, batch BIGINT",
           belowBatch = batchId)
-        val storeHit = store match {
+        val storeHit = pin(store match {
           case Some(st) if pfxs.nonEmpty =>
             b.join(st.filter(col("pfx").isin(pfxs: _*)), // partition-pruned
                 Seq("band", "sig"))
               .select(col("doc_id")).distinct()
           case _ => batch.select(col("doc_id")).limit(0)
-        }
+        })
         val remaining = b.join(storeHit, Seq("doc_id"), "left_anti")
-        val withinDup = remaining.as("x")
+        val withinDup = pin(remaining.as("x")
           .join(remaining.as("y"),
             col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
               col("x.doc_id") > col("y.doc_id"))
-          .select(col("x.doc_id")).distinct()
+          .select(col("x.doc_id")).distinct())
         val dupIds = storeHit.union(withinDup).distinct()
           .withColumn("is_dup", lit(true))
         val decisions = batch.select(col("doc_id"))
@@ -949,6 +958,7 @@ object Streaming {
         // replays this batch bit-identically on restart
         commit(admittedBands, bandsRoot, batchId, Seq("pfx"))
         commit(decisions, decRoot, batchId, Seq.empty)
+        } finally pinned.foreach(_.unpersist(false))
         ()
       }
       .start()
@@ -1027,24 +1037,32 @@ object Streaming {
                  onrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           nanvl(round(call_function("vec_dot", v, ov) / sqrt(nrm * onrm), 6),
             lit(-1d))
-        val b = graft.queries.Dedup.embeddingBanded(batch)
+        // pin multi-action frames (same rationale as the minhash lane):
+        // the signature pass, store probe, and verification joins would
+        // otherwise re-execute for every downstream action (2 collects +
+        // 3 commits), multiplying both CPU and the per-wave shuffle/
+        // broadcast garbage the ContextCleaner only frees on driver GC
+        val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def pin(df: DataFrame): DataFrame = { pinned += df; df.persist() }
+        try {
+        val b = pin(graft.queries.Dedup.embeddingBanded(batch)
           .withColumnRenamed("doc_id", "vec_id")
-          .withColumn("pfx", pmod(hash(col("band"), col("key")), lit(16)))
+          .withColumn("pfx", pmod(hash(col("band"), col("key")), lit(16))))
         // the batch's own prefixes: <= 16 values of bounded driver state
         val pfxs = b.select("pfx").distinct().collect().map(_.getInt(0)).toSeq
         // band + vector stores as of this batch (compacted base + live)
         val bandStoreOpt = readStore(sess, hconf, bandsRoot,
           "band INT, key BIGINT, owner_vec BIGINT, pfx INT, batch BIGINT",
           belowBatch = batchId)
-        val storeRejected: DataFrame = bandStoreOpt match {
+        val storeRejected: DataFrame = pin(bandStoreOpt match {
           case None => batch.select(col("vec_id")).limit(0)
           case _ if pfxs.isEmpty => batch.select(col("vec_id")).limit(0)
           case Some(bandStore) =>
-            val cand = b.join(
+            val cand = pin(b.join(
                 bandStore.filter(col("pfx").isin(pfxs: _*)), // pruned probe
                 Seq("band", "key"))
               .select(col("vec_id"), col("v"), col("nrm"), col("owner_vec"))
-              .distinct()
+              .distinct())
             // owners' vectors, vpfx-pruned: candidate owners name <= 16
             // vector-store prefixes — bounded driver state again
             val opfxs = cand
@@ -1061,7 +1079,7 @@ object Streaming {
             cand.join(vstore, "owner_vec")
               .filter(cos6(col("v"), col("nrm"), col("ov"), col("onrm")) >= tau)
               .select(col("vec_id")).distinct()
-        }
+        })
         val remaining = b.join(storeRejected, Seq("vec_id"), "left_anti")
         // within-batch: bucket center = min id among remaining; members
         // verify against the center only (the star witness contract)
@@ -1070,20 +1088,20 @@ object Streaming {
         val centerVecs = remaining
           .select(col("vec_id").as("center"), col("v").as("cv"),
             col("nrm").as("cnrm")).distinct()
-        val withinRejected = remaining
+        val withinRejected = pin(remaining
           .join(centers, Seq("band", "key"))
           .filter(col("vec_id") > col("center"))
           .join(centerVecs, "center")
           .filter(cos6(col("v"), col("nrm"), col("cv"), col("cnrm")) >= tau)
-          .select(col("vec_id")).distinct()
+          .select(col("vec_id")).distinct())
         val rejected = storeRejected.union(withinRejected).distinct()
           .withColumn("is_dup", lit(true))
         val decisions = batch.select(col("vec_id"))
           .join(rejected, Seq("vec_id"), "left")
           .select(col("vec_id"),
             coalesce(col("is_dup"), lit(false)).as("is_dup"))
-        val admittedBandRows = remaining
-          .join(withinRejected, Seq("vec_id"), "left_anti")
+        val admittedBandRows = pin(remaining
+          .join(withinRejected, Seq("vec_id"), "left_anti"))
         val admittedVecs = admittedBandRows
           .select(col("vec_id"), col("v"), col("nrm"))
           .distinct()
@@ -1106,6 +1124,7 @@ object Streaming {
         commitBatch(hconf, admittedVecs, vecsRoot, batchId, Seq("vpfx"))
         commitBatch(hconf, admittedBands, bandsRoot, batchId, Seq("pfx"))
         commitBatch(hconf, decisions, decRoot, batchId, Seq.empty)
+        } finally pinned.foreach(_.unpersist(false))
         ()
       }
       .start()
