@@ -48,19 +48,56 @@ object Notify {
     private def fs = new Path(root).getFileSystem(hconf)
 
     private val SegRe = "tx_(\\d{12})".r
+    private val ClaimRe = "tx_(\\d{12})\\.claim".r
 
-    private def segs(): Seq[(Long, Path)] = {
-      val p = new Path(root)
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.flatMap { st =>
-        st.getPath.getName match {
-          case SegRe(n) => Some((n.toLong, st.getPath))
-          case _        => None
-        }
-      }.sortBy(_._1)
+    /** Committed segments (directories). */
+    private def segs(): Seq[(Long, Path)] = list { (name, p) =>
+      name match { case SegRe(n) => Some((n.toLong, p)); case _ => None }
     }
 
-    private def tailSeq(): Long = segs().lastOption.map(_._1).getOrElse(0L)
+    /** Claimed sequence slots (claim marker files — may not have a
+      * committed directory YET; see [[commit]]). */
+    private def claims(): Seq[Long] = list { (name, _) =>
+      name match { case ClaimRe(n) => Some((n.toLong, ())); case _ => None }
+    }.map(_._1)
+
+    private def list[A](f: (String, Path) => Option[(Long, A)]): Seq[(Long, A)] = {
+      val p = new Path(root)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .flatMap(st => f(st.getPath.getName, st.getPath)).sortBy(_._1)
+    }
+
+    private def tailSeq(): Long =
+      (segs().map(_._1) ++ claims()).foldLeft(0L)(math.max)
+
+    /** Highest sequence safe to DELIVER: every slot up to it is claimed
+      * AND committed. A claim whose directory hasn't landed yet (a
+      * committer between its two steps) holds the horizon back, so a
+      * slow committer can never be skipped past and then lost — the
+      * ordering guarantee PG gets from inserting under the queue lock. */
+    private def horizon(): Long = {
+      val committed = segs().map(_._1).toSet
+      val pendingClaim = claims().filterNot(committed).sorted.headOption
+      pendingClaim.map(_ - 1).getOrElse(tailSeq())
+    }
+
+    /** O_EXCL claim-file creation. Hadoop's local create(overwrite=false)
+      * is check-then-create (racy) and local rename onto an existing
+      * directory moves the source INTO it (POSIX mv semantics) — both
+      * were observed to let two racing commits share a slot. On local
+      * paths java.io.File.createNewFile is a true atomic O_CREAT|O_EXCL;
+      * on HDFS-like stores create(overwrite=false) is atomic already. */
+    private def atomicClaim(p: Path): Boolean = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val f = new java.io.File(p.toUri.getPath)
+        try f.createNewFile()
+        catch { case _: java.io.IOException => false }
+      case other =>
+        try { other.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
 
     /** Begin a notifying transaction. */
     def begin(): Tx = new Tx
@@ -94,11 +131,19 @@ object Notify {
         val staging = new Path(root, s".staging_tx_${java.util.UUID.randomUUID}")
         rows.toDF("idx", "channel", "payload").coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        // two-step publish: (1) claim the next slot with an O_EXCL
+        // marker — losers see the claim in tailSeq() and move up; (2)
+        // rename the staged segment into the claimed slot. Readers only
+        // deliver up to the claimed-AND-committed horizon, so the window
+        // between the steps delays delivery, never reorders or drops it.
         var attempts = 0
         while (true) {
           val next = tailSeq() + 1
-          val dst = new Path(root, f"tx_$next%012d")
-          if (fs.rename(staging, dst)) return next
+          if (atomicClaim(new Path(root, f"tx_$next%012d.claim"))) {
+            val dst = new Path(root, f"tx_$next%012d")
+            require(fs.rename(staging, dst), s"rename failed: $staging -> $dst")
+            return next
+          }
           attempts += 1
           require(attempts < 1000, s"could not claim a queue slot under $root")
         }
@@ -122,9 +167,12 @@ object Notify {
       def position: Long = pos
 
       /** Drain notifications committed since the last poll, in commit
-        * order; advances the cursor. Reads only the new segments. */
+        * order; advances the cursor. Reads only the new segments, and
+        * only up to the claimed-AND-committed horizon (a racing
+        * committer mid-publish is waited out, not skipped). */
       def poll(): Seq[Notification] = {
-        val fresh = segs().filter(_._1 > pos)
+        val h = horizon()
+        val fresh = segs().filter(s => s._1 > pos && s._1 <= h)
         if (fresh.isEmpty) return Nil
         val paths = fresh.map(_._2.toString)
         val out = spark.read.parquet(paths: _*)
@@ -156,10 +204,15 @@ object Notify {
     }
 
     /** asyncQueueAdvanceTail analogue: drop segments every listener has
-      * passed (callers supply the min listener position). */
+      * passed (callers supply the min listener position). Claim markers
+      * for dropped slots go too; markers for NEVER-committed slots stay,
+      * pinning the horizon until an operator inspects the crash. */
     def truncate(minListenerPos: Long): Int = {
+      val committed = segs().map(_._1).toSet
       val dead = segs().filter(_._1 <= minListenerPos)
       dead.foreach { case (_, p) => fs.delete(p, true) }
+      claims().filter(n => n <= minListenerPos && committed(n))
+        .foreach(n => fs.delete(new Path(root, f"tx_$n%012d.claim"), false))
       dead.size
     }
   }

@@ -59,6 +59,23 @@ class NotifySpec extends AnyFunSuite {
     assert(got.map(_.seq) == got.map(_.seq).sorted)
   }
 
+  test("a claimed-but-uncommitted slot holds the delivery horizon") {
+    val root = java.nio.file.Files.createTempDirectory("notify").toString + "/q"
+    val q = new NotifyQueue(spark, root)
+    val l = q.listen(Set("ch"))
+    val t0 = q.begin(); t0.notify("ch", "first"); t0.commit() // seq 1
+    // a committer stalled between claim and publish at seq 2
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val claim = new java.io.File(root, "tx_000000000002.claim")
+    assert(claim.createNewFile())
+    val t1 = q.begin(); t1.notify("ch", "third"); t1.commit() // gets seq 3
+    // seq 3 is committed but seq 2 is in flight: deliver only up to 1
+    assert(l.poll().map(_.payload) == Seq("first"))
+    assert(l.poll().isEmpty)
+    assert(claim.delete()) // the in-flight committer died; operator reaps
+    assert(l.poll().map(_.payload) == Seq("third")) // horizon recovers
+  }
+
   test("payload cap and truncation") {
     val q = freshQueue()
     val t = q.begin()
