@@ -17,7 +17,7 @@ object SparkEntry {
     CoreAgg, Joins, Windows, SetOpsMisc, ScalarFns, ScalarParity, TypeOps,
     GeoOps, Events, Dedup, Corpus, Similarity, TextOps, Multimodal, Advanced,
     SqlParity, Xforms, SparseOps, XmlOps, TpchSuite, TpchSynth, Stats,
-    Sketches, HstoreOps, MoneyOps, TimeTzOps, Hints
+    Sketches, HstoreOps, MoneyOps, TimeTzOps, Hints, PlFuncs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables._
+import graft.functions.PlPgSql
+
+/** CREATE FUNCTION … LANGUAGE plpgsql/sql, compiled Froid-style to native
+  * Catalyst expressions — see [[graft.functions.PlPgSql]] for the compiler
+  * (reference: `src/pl/plpgsql/src/pl_exec.c` statement interpreter,
+  * `src/backend/optimizer/util/clauses.c` inline_function,
+  * `src/test/regress/sql/plpgsql.sql:1437` recursion_test).
+  *
+  * Each lane DEFINES a function in PL/pgSQL source text, compiles it, and
+  * applies it per row over lineitem, aggregating to a bounded output. The
+  * oracles are INDEPENDENT hand-derivations of each function's semantics
+  * (nested CASE / unrolled arithmetic / per-depth concatenation written
+  * from the spec, not from the compiler output), so a compiler bug cannot
+  * cancel out of the comparison. Inputs are staged to integer micros /
+  * percent with the shared-text discipline (`CAST(round(x*1e6,0) AS
+  * BIGINT)`), keeping every compared value exact integer/string in both
+  * engines.
+  *
+  * Scale shape: all four lanes are pure map-side expression work over the
+  * scan (one shuffle for the final small-key aggregate). The compiled body
+  * is ordinary Catalyst CASE/arithmetic, so it rides whole-stage codegen —
+  * the reference pays a per-row interpreter frame for the same function
+  * (pl_exec.c exec_stmt), which is the part that does not survive 100 TB.
+  */
+object PlFuncs extends QueryModule {
+
+  // ---- staged inputs (shared text, both engines) ----
+
+  private val stagedSql =
+    """SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |  CAST(round(l_extendedprice * 1000000.0, 0) AS BIGINT) AS price_m,
+      |  CAST(round(l_discount * 100.0, 0) AS BIGINT) AS disc_pct,
+      |  l_orderkey, CAST(l_orderkey % 5 AS BIGINT) AS m,
+      |  CAST(l_suppkey % 100 AS BIGINT) AS b,
+      |  l_returnflag
+      |FROM lineitem""".stripMargin
+
+  // ---- the functions (PL/pgSQL source, compiled once) ----
+
+  /** DECLARE + early RETURN + IF/ELSIF/ELSE + conditional reassignment. */
+  private val freightClass = PlPgSql.compile(
+    """create function freight_class(qty bigint, price_m bigint,
+      |                              disc_pct bigint) returns string as $$
+      |declare
+      |  adj bigint;
+      |  label string;
+      |begin
+      |  if qty <= 0 then return 'empty'; end if;
+      |  adj := price_m * (100 - disc_pct);
+      |  if adj < 100000000000 * qty then
+      |    label := 'light';
+      |  elsif adj < 150000000000 * qty then
+      |    label := 'mid';
+      |  else
+      |    label := 'heavy';
+      |  end if;
+      |  if disc_pct >= 6 and label = 'heavy' then
+      |    label := label || '+disc';
+      |  end if;
+      |  return label;
+      |end;
+      |$$ language plpgsql""".stripMargin)
+
+  /** FOR loop (unrolled) with parameter reassignment — a digit-Horner
+    * digest of the order key. */
+  private val keyDigest = PlPgSql.compile(
+    """create function key_digest(k bigint) returns bigint as $$
+      |declare
+      |  h bigint := 7;
+      |  d bigint;
+      |begin
+      |  for i in 1..6 loop
+      |    d := k % 10;
+      |    h := h * 31 + d * i;
+      |    k := cast(floor(k / 10) as bigint);
+      |  end loop;
+      |  return h % 1000003;
+      |end;
+      |$$ language plpgsql""".stripMargin)
+
+  /** The regress's recursion_test (plpgsql.sql:1437) verbatim in shape:
+    * '…' body quoting with doubled quotes, `=` assignment, bounded
+    * self-recursion (argument is `% 5`, so depth 6 covers every row). */
+  private val recursionTest = PlPgSql.compile(
+    """CREATE FUNCTION recursion_test(i bigint, b bigint) RETURNS string AS '
+      |DECLARE rslt string;
+      |BEGIN
+      |    IF i <= 0 THEN
+      |        rslt = CAST(b AS STRING);
+      |    ELSE
+      |        rslt = CAST(i AS STRING) || '','' || recursion_test(i - 1, b);
+      |    END IF;
+      |    RETURN rslt;
+      |END;' LANGUAGE plpgsql""".stripMargin,
+    maxInlineDepth = 6)
+
+  /** LANGUAGE sql scalar — the clauses.c:inline_function analogue. */
+  private val discPriceM = PlPgSql.compile(
+    """create function disc_price_m(price_m bigint, disc_pct bigint)
+      |returns bigint as
+      |'select cast(floor(price_m * (100 - disc_pct) / 100.0) as bigint)'
+      |language sql""".stripMargin)
+
+  private def staged(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(stagedSql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_plpgsql_scalar" -> ((s, dir) => {
+      staged(s, dir).createOrReplaceTempView("pl_staged")
+      s.sql(
+        s"""SELECT ${freightClass.call("qty", "price_m", "disc_pct")} AS fclass,
+           |  COUNT(*) AS cnt, SUM(qty) AS sum_qty
+           |FROM pl_staged GROUP BY fclass ORDER BY fclass""".stripMargin)
+    }),
+    "q_plpgsql_loop" -> ((s, dir) => {
+      staged(s, dir).createOrReplaceTempView("pl_staged")
+      s.sql(
+        s"""SELECT dg % 97 AS bucket, COUNT(*) AS cnt,
+           |  MIN(dg) AS min_dg, MAX(dg) AS max_dg
+           |FROM (SELECT ${keyDigest.call("l_orderkey")} AS dg FROM pl_staged)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    }),
+    "q_plpgsql_recursive" -> ((s, dir) => {
+      staged(s, dir).createOrReplaceTempView("pl_staged")
+      s.sql(
+        s"""SELECT ${recursionTest.call("m", "b")} AS res, COUNT(*) AS cnt
+           |FROM pl_staged GROUP BY res ORDER BY res""".stripMargin)
+    }),
+    "q_sql_fn_inline" -> ((s, dir) => {
+      staged(s, dir).createOrReplaceTempView("pl_staged")
+      // the sum is limb-split (lsum128b): disc-priced micros are bounded
+      // |v| <= ~1.1e11 << 2^44, and the long sum would clip 2^63 at ~sf800
+      val base = s.sql(
+        s"""SELECT l_returnflag,
+           |  ${discPriceM.call("price_m", "disc_pct")} AS v
+           |FROM pl_staged""".stripMargin)
+      base.groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          lsum128b(org.apache.spark.sql.functions.col("v")).as("sum_disc_m"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  // Independent oracles: hand-derived semantics, DuckDB-native idioms
+  // (integer division `//`), NOT the compiler's output text.
+  val oracle: Map[String, String] = Map(
+    "q_plpgsql_scalar" ->
+      s"""WITH pl_staged AS ($stagedSql)
+         |SELECT CASE
+         |    WHEN qty <= 0 THEN 'empty'
+         |    WHEN disc_pct >= 6
+         |      AND NOT (price_m * (100 - disc_pct) < 150000000000 * qty)
+         |      THEN 'heavy+disc'
+         |    WHEN price_m * (100 - disc_pct) < 100000000000 * qty
+         |      THEN 'light'
+         |    WHEN price_m * (100 - disc_pct) < 150000000000 * qty
+         |      THEN 'mid'
+         |    ELSE 'heavy' END AS fclass,
+         |  COUNT(*) AS cnt, CAST(SUM(qty) AS BIGINT) AS sum_qty
+         |FROM pl_staged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_plpgsql_loop" ->
+      s"""WITH pl_staged AS ($stagedSql),
+         |d AS (SELECT ((((((7*31 + ((l_orderkey // 1) % 10) * 1) * 31
+         |  + ((l_orderkey // 10) % 10) * 2) * 31
+         |  + ((l_orderkey // 100) % 10) * 3) * 31
+         |  + ((l_orderkey // 1000) % 10) * 4) * 31
+         |  + ((l_orderkey // 10000) % 10) * 5) * 31
+         |  + ((l_orderkey // 100000) % 10) * 6) % 1000003 AS dg
+         |  FROM pl_staged)
+         |SELECT dg % 97 AS bucket, COUNT(*) AS cnt,
+         |  CAST(MIN(dg) AS BIGINT) AS min_dg, CAST(MAX(dg) AS BIGINT) AS max_dg
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_plpgsql_recursive" ->
+      s"""WITH pl_staged AS ($stagedSql)
+         |SELECT CASE m WHEN 0 THEN CAST(b AS STRING)
+         |    WHEN 1 THEN '1,' || CAST(b AS STRING)
+         |    WHEN 2 THEN '2,1,' || CAST(b AS STRING)
+         |    WHEN 3 THEN '3,2,1,' || CAST(b AS STRING)
+         |    ELSE '4,3,2,1,' || CAST(b AS STRING) END AS res,
+         |  COUNT(*) AS cnt
+         |FROM pl_staged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_fn_inline" ->
+      s"""WITH pl_staged AS ($stagedSql)
+         |SELECT l_returnflag, COUNT(*) AS cnt,
+         |  CAST(SUM(CAST(FLOOR(price_m * (100 - disc_pct) / 100.0) AS BIGINT))
+         |    AS DECIMAL(38,0)) AS sum_disc_m
+         |FROM pl_staged GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
