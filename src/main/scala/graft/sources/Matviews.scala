@@ -144,7 +144,7 @@ object Matviews {
     // refresh can never write the same directory
     val next = claimVersion(fs, path)
     writeVersion(spark, path, next)
-    versions(fs, path).filter(_ < cur)
+    committedVersions(fs, path).filter(_ < cur)
       .foreach(v => dropVersion(fs, path, v))
     read(spark, path)
   }
@@ -162,8 +162,15 @@ object Matviews {
     * the MVCC protocol into TIME TRAVEL (`contrib/spi/timetravel.c`
     * keeps superseded row versions for as-of queries; here superseded
     * SNAPSHOT versions stay readable via [[readVersion]]/[[readAsOf]]).
-    * Marker-less (crashed) writes below the retention horizon are
-    * swept with the expired versions. */
+    *
+    * The retention sweep drops only COMMITTED (marker-bearing) versions.
+    * A marker-less directory below the cutoff is indistinguishable from
+    * a concurrent writer mid-write: a racing writer that claimed vN and
+    * is still writing while a later claimant commits first would have
+    * its directory torn out from under its tasks (caught live by
+    * MatviewRaceSpec — both of the victim job's attempt dirs vanished
+    * at the winner's sweep). Crashed leftovers are reaped by the
+    * explicit [[vacuumCrashed]] instead, behind an age horizon. */
   def writeSnapshot(spark: SparkSession, path: String, df: DataFrame,
                     keepVersions: Int): Unit = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
@@ -171,11 +178,47 @@ object Matviews {
     fs.mkdirs(new Path(path))
     val next = claimVersion(fs, path)
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/v$next")
-    val committed = versions(fs, path)
-      .filter(v => fs.exists(new Path(s"$path/v$v/_SUCCESS")))
+    val committed = committedVersions(fs, path)
     committed.sorted.takeRight(keepVersions).headOption.foreach(cutoff =>
-      versions(fs, path).filter(_ < cutoff)
+      committed.filter(_ < cutoff)
         .foreach(v => dropVersion(fs, path, v)))
+  }
+
+  private def committedVersions(fs: FileSystem, path: String): Seq[Int] =
+    versions(fs, path)
+      .filter(v => fs.exists(new Path(s"$path/v$v/_SUCCESS")))
+
+  /** VACUUM for crashed snapshot writes (the vacuumlo/autovacuum analogue
+    * of this file's MVCC protocol): delete marker-less version
+    * directories — claims whose writer died before commit — together
+    * with their claim markers, but ONLY when nothing under the directory
+    * has been touched for `olderThanMs`. The horizon is this protocol's
+    * xmin: like PG's VACUUM, which may not remove tuples a live
+    * transaction can still see, this may not remove a directory a live
+    * writer can still be writing — callers pick a horizon longer than
+    * their longest plausible write (the default 24h dwarfs any sane
+    * snapshot job). Retention sweeps in [[writeSnapshot]] /
+    * [[refreshIncremental]] deliberately never touch marker-less
+    * directories, whatever their age; this explicit call is the only
+    * reaper. Bare claim markers with no directory are left alone — the
+    * writer may not have started its write yet, and an unused number
+    * costs one empty file. Returns the reaped version numbers. */
+  def vacuumCrashed(spark: SparkSession, path: String,
+                    olderThanMs: Long = 24L * 3600 * 1000): Seq[Int] = {
+    val fs = fsOf(spark, path)
+    val horizon = System.currentTimeMillis() - olderThanMs
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+    }
+    val stale = versions(fs, path).filter { v =>
+      val dir = new Path(s"$path/v$v")
+      !fs.exists(new Path(dir, "_SUCCESS")) && newestMtime(dir) < horizon
+    }
+    stale.foreach(v => dropVersion(fs, path, v))
+    stale
   }
 
   /** Committed (marker-bearing) versions with their commit times,
@@ -359,7 +402,7 @@ object Matviews {
     val out = fs.create(filesListPath(path, next), false)
     try out.write((done ++ fresh).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    parent.foreach(c => versions(fs, path).filter(_ < c)
+    parent.foreach(c => committedVersions(fs, path).filter(_ < c)
       .foreach(v => dropVersion(fs, path, v)))
     read(spark, path)
   }

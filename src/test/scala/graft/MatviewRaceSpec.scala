@@ -137,4 +137,65 @@ class MatviewRaceSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("retention sweep never reaps an in-flight (marker-less) version") {
+    // The exact shape that tore a live write in the full-battery run:
+    // writer A claims v1 and is still writing (claim marker + marker-less
+    // directory on disk — constructed here directly, since the protocol
+    // is purely file-based) while later claimants commit and sweep with
+    // an aggressive retention. The sweep must leave v1 alone: marker-less
+    // is indistinguishable from in-flight.
+    val path = tmp("mv_sweep_inflight")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/v1/_temporary/0"))
+    fs.create(new org.apache.hadoop.fs.Path(path, ".claim_v1"), false).close()
+
+    def df(tag: String) = spark.range(10)
+      .select(col("id").as("k"), lit(tag).as("tag"))
+    Matviews.writeSnapshot(spark, path, df("b"), keepVersions = 1) // claims v2
+    Matviews.writeSnapshot(spark, path, df("c"), keepVersions = 1) // claims v3, sweeps v2
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/v1/_temporary")),
+      "in-flight v1 was reaped by the retention sweep")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, ".claim_v1")),
+      "in-flight v1's claim marker was reaped")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v2")),
+      "superseded committed v2 should have been swept")
+
+    // A's write completes: its directory is intact, the commit is clean
+    df("a").write.mode("overwrite").parquet(s"$path/v1")
+    assert(Matviews.readVersion(spark, path, 1)
+      .select("tag").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(Matviews.listVersions(spark, path).map(_._1).sorted == Seq(1, 3))
+  }
+
+  test("vacuumCrashed reaps stale marker-less versions, nothing else") {
+    val path = tmp("mv_vacuum")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Matviews.writeSnapshot(spark, path,
+      spark.range(5).select(col("id").as("k")), keepVersions = 100) // v1 committed
+    // crashed leftover: claim + partial directory
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/v2/_temporary/0"))
+    fs.create(new org.apache.hadoop.fs.Path(path, ".claim_v2"), false).close()
+    // bare claim, writer never started writing
+    fs.create(new org.apache.hadoop.fs.Path(path, ".claim_v3"), false).close()
+
+    // inside the horizon: nothing is reaped (could still be in flight)
+    assert(Matviews.vacuumCrashed(spark, path, olderThanMs = 3600 * 1000L).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/v2")))
+
+    Thread.sleep(20)
+    // past the horizon: the crashed directory goes, with its claim;
+    // the committed v1 and the bare v3 claim stay
+    assert(Matviews.vacuumCrashed(spark, path, olderThanMs = 10L) == Seq(2))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, ".claim_v2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, ".claim_v3")))
+    assert(Matviews.listVersions(spark, path).map(_._1) == Seq(1))
+    // next claim still advances past every number ever claimed
+    Matviews.writeSnapshot(spark, path,
+      spark.range(5).select(col("id").as("k")), keepVersions = 100)
+    assert(Matviews.listVersions(spark, path).map(_._1).sorted == Seq(1, 4))
+  }
 }
