@@ -463,6 +463,44 @@ object PlPgSql {
       "(" + substituteParams(expressionSql, args) + ")"
   }
 
+  /** Register `fn` in the session's function registry so SQL can call it
+    * BY NAME — the full `CREATE FUNCTION … ; SELECT f(col) FROM t` shape
+    * (the reference resolves pg_proc and interprets per row; here name
+    * resolution happens once at registration and every call site splices
+    * the compiled expression tree inline, exactly like the reference's
+    * LANGUAGE sql inlining in clauses.c:inline_function — so the planner
+    * sees plain Catalyst operators, never an opaque function). The body
+    * is parsed ONCE; each call transforms the parameter attributes into
+    * the call site's argument expressions. Requires named parameters
+    * (positional-only `$n` functions have no attribute form to bind). */
+  def register(spark: org.apache.spark.sql.SparkSession,
+               fn: PlFunction): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    require(fn.paramNames.forall(!_.startsWith("$")),
+      s"register needs named parameters; ${fn.name} has positional-only")
+    val template = spark.sessionState.sqlParser.parseExpression(fn.expressionSql)
+    val lowered = fn.paramNames.map(_.toLowerCase(java.util.Locale.ROOT))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fn.name,
+      (children: Seq[Expression]) => {
+        require(children.length == fn.paramNames.length,
+          s"${fn.name} expects ${fn.paramNames.length} args, " +
+            s"got ${children.length}")
+        val byName = lowered.zip(children).toMap
+        template.transformUp {
+          case a: UnresolvedAttribute
+            if a.nameParts.length == 1 &&
+              byName.contains(a.name.toLowerCase(java.util.Locale.ROOT)) =>
+            byName(a.name.toLowerCase(java.util.Locale.ROOT))
+        }
+      },
+      // the registry's closed source vocabulary: sql_udf is the honest
+      // label — the function arrived as SQL-ish source text and lowers
+      // to a plain expression, the same thing Spark's own SQL UDFs do
+      "sql_udf")
+  }
+
   // ---------- CREATE FUNCTION front door ----------
 
   /** Compile `CREATE [OR REPLACE] FUNCTION name(params) RETURNS type AS

@@ -265,4 +265,39 @@ class PlPgSqlSpec extends AnyFunSuite {
         "'select count(*) from lineitem' language sql")
     assert(msg.contains("FROM"), msg)
   }
+
+  test("register: compiled functions are callable BY NAME from SQL") {
+    PlPgSql.register(spark, freight)
+    PlPgSql.register(spark, digest)
+    assert(evalStr("fc(10, 12000000000, 0)") ==
+      freightModel(10, 12000000000L, 0)) // per-unit $1.2k → mid
+    assert(evalStr("fc(0, 5, 0)") == "empty")
+    assert(evalStr("kd(123456)") == digestModel(123456L).toString)
+    // over a real column, the by-name call equals the inline-text call
+    Tables.t(spark, SparkTestSession.sf, "lineitem")
+      .limit(2000).createOrReplaceTempView("pl_reg_li")
+    val byName = spark.sql(
+      """SELECT fc(CAST(l_quantity AS BIGINT),
+        |  CAST(round(l_extendedprice * 1000000.0, 0) AS BIGINT),
+        |  CAST(round(l_discount * 100.0, 0) AS BIGINT)) AS c, count(*) AS n
+        |FROM pl_reg_li GROUP BY c ORDER BY c""".stripMargin).collect()
+    val inline = spark.sql(
+      s"""SELECT ${freight.call(
+           "CAST(l_quantity AS BIGINT)",
+           "CAST(round(l_extendedprice * 1000000.0, 0) AS BIGINT)",
+           "CAST(round(l_discount * 100.0, 0) AS BIGINT)")} AS c, count(*) AS n
+         |FROM pl_reg_li GROUP BY c ORDER BY c""".stripMargin).collect()
+    assert(byName.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+    // wrong arity fails at analysis, loudly
+    val e = intercept[Throwable](spark.sql("SELECT fc(1)").collect())
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+      .contains("3 args"))
+    // positional-only functions cannot register
+    val pos = PlPgSql.compile(
+      "create function p1(int) returns int as 'select $1 + 1' language sql")
+    val m = intercept[IllegalArgumentException](
+      PlPgSql.register(spark, pos)).getMessage
+    assert(m.contains("named"), m)
+  }
 }
