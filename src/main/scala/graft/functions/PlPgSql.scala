@@ -20,6 +20,13 @@ package graft.functions
   *     with shadowing per PL/pgSQL scoping)
   *   - assignments (`:=` / `=`), statement `NULL`
   *   - IF / ELSIF / ELSE with early RETURN on any path
+  *   - CASE statements, searched and simple (multi-value WHEN lists);
+  *     a missing ELSE raises 'case not found' (ERRCODE_CASE_NOT_FOUND,
+  *     pl_exec.c:2604)
+  *   - RAISE EXCEPTION with %-formatting (`%%` literal, `<NULL>` for
+  *     null args — exec_stmt_raise), compiled to `raise_error`; lower
+  *     severities are logging and drop (an expression has nowhere to
+  *     log); ASSERT cond [, 'msg'] desugars to IF NOT … RAISE
   *   - FOR i IN [REVERSE] <int>..<int> LOOP (literal bounds — unrolled;
   *     the reference interprets, we pay compile-time size instead)
   *   - RETURN expr; falling off the end yields CAST(NULL AS ret) (the
@@ -152,6 +159,11 @@ object PlPgSql {
       reverse: Boolean, body: Vector[Stmt]) extends Stmt
   private final case class SubBlock(decls: Vector[Decl],
       body: Vector[Stmt]) extends Stmt
+  /** RAISE EXCEPTION 'msg with %' , arg, … — terminal like RETURN.
+    * Lower severities (NOTICE/WARNING/…) are logging, which a pure
+    * expression has nowhere to emit — parsed and dropped, documented. */
+  private final case class Raise(msg: String,
+      args: Vector[Vector[Tok]]) extends Stmt
   private case object NullStmt extends Stmt
 
   /** Identifiers that may never be variable/parameter names — they appear
@@ -162,7 +174,8 @@ object PlPgSql {
     "and", "or", "not", "null", "true", "false", "cast", "as", "in",
     "like", "between", "is", "if", "elsif", "elseif", "loop", "for",
     "while", "begin", "declare", "return", "reverse", "into", "exists",
-    "distinct", "order", "by", "group", "exit", "continue", "coalesce")
+    "distinct", "order", "by", "group", "exit", "continue", "coalesce",
+    "raise", "assert", "using", "exception")
 
   // ---------- parser ----------
 
@@ -280,6 +293,110 @@ object PlPgSql {
 
       case Some(Id("return")) =>
         next(); Ret(exprUntil(Set.empty))
+
+      // CASE statement, searched and simple (pl_exec.c:2532
+      // exec_stmt_case; pl_gram.y stmt_case) — desugared to the IF
+      // machinery. Simple form compiles each WHEN's value list to
+      // `(scrutinee) IN (v, …)` (exec_stmt_case builds the same
+      // equality; a NULL scrutinee matches nothing either way). A
+      // missing ELSE raises 'case not found' exactly like
+      // ERRCODE_CASE_NOT_FOUND.
+      case Some(Id("case")) =>
+        next()
+        val scrutinee: Option[Vector[Tok]] =
+          if (isId("when")) None else Some(exprUntil(Set("when")))
+        val branches = Vector.newBuilder[(Vector[Tok], Vector[Stmt])]
+        var els: Option[Vector[Stmt]] = None
+        var done = false
+        while (!done) {
+          peek match {
+            case Some(Id("when")) =>
+              next()
+              val head = exprUntil(Set("then")); expectId("then")
+              val cond = scrutinee match {
+                case None => head
+                case Some(s) =>
+                  (Op("(") +: s :+ Op(")")) ++
+                    (Id("in") +: Op("(") +: head :+ Op(")"))
+              }
+              branches += ((cond,
+                parseStmts(Set("when", "else", "end"))))
+            case Some(Id("else")) =>
+              next(); els = Some(parseStmts(Set("end")))
+            case Some(Id("end")) =>
+              next(); expectId("case"); expectOp(";"); done = true
+            case t => throw new IllegalArgumentException(
+              s"unterminated CASE statement (found ${t.map(_.sql)})")
+          }
+        }
+        val bs = branches.result()
+        require(bs.nonEmpty, "CASE statement with no WHEN arm")
+        IfStmt(bs, els.getOrElse(Vector(Raise("case not found", Vector.empty))))
+
+      // RAISE level 'message % with % holes', arg, …  (pl_exec.c
+      // exec_stmt_raise). EXCEPTION is terminal (compiles to
+      // raise_error with the %-formatted message, <NULL> for null args
+      // like the reference); NOTICE/WARNING/INFO/LOG/DEBUG are pure
+      // logging — an expression has nowhere to log, so they parse and
+      // drop. USING and bare re-throw RAISE are rejected.
+      case Some(Id("raise")) =>
+        next()
+        val level = peek match {
+          case Some(Id(l)) if Set("exception", "notice", "warning",
+            "info", "log", "debug")(l) => next(); l
+          case t => throw new IllegalArgumentException(
+            s"RAISE needs an explicit level (found ${t.map(_.sql)}); " +
+              "bare re-throw RAISE only makes sense in an exception " +
+              "block, which compiled scalar functions do not have")
+        }
+        val body = exprUntil(Set.empty)
+        require(!body.exists(_ == Id("using")),
+          "RAISE ... USING is not supported (structured errdata has no " +
+            "expression form); put the detail in the message")
+        val (msgTok, argToks) = body match {
+          case Str(m) +: rest =>
+            // rest = (, arg)* — split on top-level commas
+            val args = Vector.newBuilder[Vector[Tok]]
+            if (rest.nonEmpty) {
+              require(rest.head == Op(","),
+                s"expected ',' after RAISE message, found '${rest.head.sql}'")
+              var depth = 0
+              val cur = Vector.newBuilder[Tok]
+              rest.tail.foreach {
+                case Op("(") => depth += 1; cur += Op("(")
+                case Op(")") => depth -= 1; cur += Op(")")
+                case Op(",") if depth == 0 =>
+                  args += cur.result(); cur.clear()
+                case t => cur += t
+              }
+              args += cur.result()
+            }
+            (m, args.result())
+          case _ => throw new IllegalArgumentException(
+            "RAISE needs a string-literal message")
+        }
+        argToks.foreach(a => require(a.nonEmpty, "empty RAISE parameter"))
+        if (level == "exception") Raise(msgTok, argToks) else NullStmt
+
+      // ASSERT cond [, 'message'] (pl_exec.c exec_stmt_assert) —
+      // desugars to IF NOT (cond) THEN RAISE EXCEPTION.
+      case Some(Id("assert")) =>
+        next()
+        val cond = exprUntil(Set(","))
+        val msg = peek match {
+          case Some(Op(",")) =>
+            next()
+            val m = next() match {
+              case Str(s) => s
+              case t => throw new IllegalArgumentException(
+                s"ASSERT message must be a string literal, found '${t.sql}'")
+            }
+            expectOp(";"); m
+          case _ => "assertion failed" // terminator ';' already consumed
+        }
+        IfStmt(Vector((
+          Id("not") +: Op("(") +: cond :+ Op(")"),
+          Vector(Raise(msg, Vector.empty)))), Vector.empty)
 
       case Some(Id("for")) =>
         next()
@@ -631,6 +748,35 @@ object PlPgSql {
     (header, body, langM.get.group(1).toLowerCase(java.util.Locale.ROOT))
   }
 
+  /** The %-formatted RAISE message as one string expression: literal
+    * segments concatenated with each argument rendered via
+    * COALESCE(CAST(arg AS STRING), '<NULL>') — exec_stmt_raise prints
+    * `<NULL>` for null parameters; `%%` is a literal percent. Counts
+    * must match, like the reference's "too many/few parameters" errors.
+    */
+  private def raiseMsgSql(msg: String, args: Seq[String]): String = {
+    val segs = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var holes = 0
+    while (i < msg.length) {
+      if (msg(i) == '%') {
+        if (i + 1 < msg.length && msg(i + 1) == '%') { cur += '%'; i += 2 }
+        else { segs += cur.toString; cur.clear(); holes += 1; i += 1 }
+      } else { cur += msg(i); i += 1 }
+    }
+    segs += cur.toString
+    val ss = segs.result()
+    require(holes == args.length,
+      s"RAISE message has $holes % placeholders but ${args.length} " +
+        "parameters (the reference raises the same complaint)")
+    val lit = ss.map(s => Str(s).sql)
+    if (args.isEmpty) lit.head
+    else args.indices.map(j =>
+      s"${lit(j)} || COALESCE(CAST((${args(j)}) AS STRING), '<NULL>') || ")
+      .mkString + lit.last
+  }
+
   // ---------- the Froid core ----------
 
   private def compileBody(block: SubBlock, paramNames: Vector[String],
@@ -648,6 +794,9 @@ object PlPgSql {
         go(rest, env + (v -> render(subst(e, env))), k)
       case Ret(e) :: _ =>
         render(subst(e, env))
+      case Raise(msg, args) :: _ =>
+        val argSqls = args.map(a => render(subst(a, env)))
+        s"CAST(RAISE_ERROR(${raiseMsgSql(msg, argSqls)}) AS $retType)"
       case NullStmt :: rest => go(rest, env, k)
       case IfStmt(branches, els) :: rest =>
         val cont: Map[String, String] => String = e2 => go(rest, e2, k)

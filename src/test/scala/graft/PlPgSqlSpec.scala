@@ -300,4 +300,108 @@ class PlPgSqlSpec extends AnyFunSuite {
       PlPgSql.register(spark, pos)).getMessage
     assert(m.contains("named"), m)
   }
+
+  // ---- CASE statements, RAISE, ASSERT (pl_exec.c exec_stmt_case/raise/assert) ----
+
+  test("searched CASE statement: arms, ELSE, and 'case not found'") {
+    val f = PlPgSql.compile(
+      """create function grade(x bigint) returns string as $$
+        |begin
+        |  case
+        |    when x >= 90 then return 'A';
+        |    when x >= 80 then return 'B';
+        |    else return 'C';
+        |  end case;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("95")) == "A")
+    assert(evalStr(f.call("85")) == "B")
+    assert(evalStr(f.call("10")) == "C")
+
+    val g = PlPgSql.compile(
+      """create function g2(x bigint) returns string as $$
+        |declare r string;
+        |begin
+        |  case when x > 0 then r := 'pos'; end case;
+        |  return r;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(g.call("1")) == "pos")
+    val e = intercept[Throwable](evalStr(g.call("-1")))
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+      .contains("case not found"))
+  }
+
+  test("simple CASE statement with multi-value WHEN lists") {
+    val f = PlPgSql.compile(
+      """create function season(m bigint) returns string as $$
+        |declare s string;
+        |begin
+        |  case m
+        |    when 12, 1, 2 then s := 'winter';
+        |    when 3, 4, 5 then s := 'spring';
+        |    when 6, 7, 8 then s := 'summer';
+        |    else s := 'autumn';
+        |  end case;
+        |  return s;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("1")) == "winter")
+    assert(evalStr(f.call("4")) == "spring")
+    assert(evalStr(f.call("7")) == "summer")
+    assert(evalStr(f.call("10")) == "autumn")
+  }
+
+  test("RAISE EXCEPTION %-formats args like exec_stmt_raise; lower levels drop") {
+    // the regress's own shape: raise exception 'Room % does not exist', roomno
+    val f = PlPgSql.compile(
+      """create function chk(roomno bigint) returns bigint as $$
+        |begin
+        |  if roomno < 0 then
+        |    raise exception 'Room % does not exist (pct: 100%%)', roomno;
+        |  end if;
+        |  raise notice 'checked %', roomno;
+        |  return roomno;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("7")) == "7")
+    val e = intercept[Throwable](evalStr(f.call("-3")))
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+    assert(chain.contains("Room -3 does not exist (pct: 100%)"), chain)
+
+    // null parameter renders <NULL> (exec_stmt_raise)
+    val g = PlPgSql.compile(
+      """create function nn(x bigint) returns bigint as $$
+        |declare y bigint;
+        |begin
+        |  raise exception 'got %', y;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    val e2 = intercept[Throwable](evalStr(g.call("1")))
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ").contains("got <NULL>"))
+
+    // placeholder/arg count mismatch fails at COMPILE time
+    val m = intercept[IllegalArgumentException](PlPgSql.compile(
+      "create function bad(x int) returns int as $$ begin " +
+        "raise exception 'a % b %', x; end; $$ language plpgsql")).getMessage
+    assert(m.contains("placeholders"), m)
+  }
+
+  test("ASSERT raises on violation, passes through otherwise") {
+    val f = PlPgSql.compile(
+      """create function inv(x bigint) returns bigint as $$
+        |begin
+        |  assert x <> 0, 'x must be nonzero';
+        |  return cast(floor(1000 / x) as bigint);
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("8")) == "125")
+    val e = intercept[Throwable](evalStr(f.call("0")))
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+      .contains("x must be nonzero"))
+  }
 }
