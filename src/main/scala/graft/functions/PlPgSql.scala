@@ -28,7 +28,10 @@ package graft.functions
   *     severities are logging and drop (an expression has nowhere to
   *     log); ASSERT cond [, 'msg'] desugars to IF NOT … RAISE
   *   - FOR i IN [REVERSE] <int>..<int> LOOP (literal bounds — unrolled;
-  *     the reference interprets, we pay compile-time size instead)
+  *     the reference interprets, we pay compile-time size instead),
+  *     with EXIT [WHEN] / CONTINUE [WHEN] (exec_stmt_exit): the unroll
+  *     gives every iteration a precise next-iteration continuation, so
+  *     both jumps compile to plain CASE arms (no labels)
   *   - RETURN expr; falling off the end yields CAST(NULL AS ret) (the
   *     reference raises at runtime — a scalar expression has no raise, and
   *     NULL is the honest SQL value for "no value produced")
@@ -49,8 +52,8 @@ package graft.functions
   * function body runs INSIDE whole-stage codegen and is visible to the
   * optimizer (constant folding, pushdown through the usual rules).
   *
-  * Deliberately rejected (loud errors, documented): WHILE / EXIT /
-  * CONTINUE (unbounded iteration has no finite expression form), SELECT
+  * Deliberately rejected (loud errors, documented): WHILE (unbounded
+  * iteration has no finite expression form), loop labels, SELECT
   * INTO and any statement touching relations (a scalar expression cannot
   * embed a scan; the reference's regress uses those only in trigger
   * bodies, whose set-based replacement is `sources/Triggers.scala`), OUT
@@ -164,6 +167,11 @@ object PlPgSql {
     * expression has nowhere to emit — parsed and dropped, documented. */
   private final case class Raise(msg: String,
       args: Vector[Vector[Tok]]) extends Stmt
+  /** EXIT/CONTINUE [WHEN cond] inside a FOR loop (exec_stmt_exit).
+    * The loop is unrolled, so these compile to jumps into the loop-end
+    * (EXIT) or next-iteration (CONTINUE) continuations. */
+  private final case class LoopJump(isExit: Boolean,
+      when: Option[Vector[Tok]]) extends Stmt
   private case object NullStmt extends Stmt
 
   /** Identifiers that may never be variable/parameter names — they appear
@@ -421,11 +429,22 @@ object PlPgSql {
       case Some(Id("declare")) | Some(Id("begin")) =>
         parseBlock()
 
-      case Some(Id(k)) if Set("while", "exit", "continue")(k) =>
+      case Some(Id("while")) =>
         throw new IllegalArgumentException(
-          s"PL/pgSQL '$k' is not supported: unbounded iteration has no " +
+          "PL/pgSQL 'while' is not supported: unbounded iteration has no " +
             "finite expression form (use FOR with literal bounds, or " +
             "restate set-wise over a DataFrame)")
+
+      case Some(Id(j)) if j == "exit" || j == "continue" =>
+        next()
+        val when = peek match {
+          case Some(Op(";")) => next(); None
+          case Some(Id("when")) => next(); Some(exprUntil(Set.empty))
+          case t => throw new IllegalArgumentException(
+            s"'$j' takes only an optional WHEN clause (loop labels are " +
+              s"not supported); found ${t.map(_.sql)}")
+        }
+        LoopJump(isExit = j == "exit", when)
       case Some(Id("select")) | Some(Id("perform")) |
            Some(Id("insert")) | Some(Id("update")) | Some(Id("delete")) =>
         throw new IllegalArgumentException(
@@ -784,26 +803,44 @@ object PlPgSql {
     paramNames.foreach(p => require(!reserved(p),
       s"parameter name '$p' is a reserved word"))
 
-    // continuation-passing execution: k(env) = SQL for "control fell past"
-    def go(stmts: List[Stmt], env: Map[String, String],
-        k: Map[String, String] => String): String = stmts match {
+    // continuation-passing execution: k(env) = SQL for "control fell
+    // past these statements". Inside a FOR loop two more continuations
+    // exist — exitK (EXIT: jump past all remaining iterations) and
+    // nextK (CONTINUE: jump to the next iteration) — threaded through
+    // every construct and RE-WRAPPED by SubBlock so a jump out of a
+    // nested block pops that block's declarations first (PG block scope
+    // ends at the jump, pl_exec.c exec_stmt_exit unwinding).
+    type K = Map[String, String] => String
+    def go(stmts: List[Stmt], env: Map[String, String], k: K,
+        exitK: Option[K], nextK: Option[K]): String = stmts match {
       case Nil => k(env)
       case Assign(v, e) :: rest =>
         require(env.contains(v),
           s"assignment to undeclared variable '$v'")
-        go(rest, env + (v -> render(subst(e, env))), k)
+        go(rest, env + (v -> render(subst(e, env))), k, exitK, nextK)
       case Ret(e) :: _ =>
         render(subst(e, env))
       case Raise(msg, args) :: _ =>
         val argSqls = args.map(a => render(subst(a, env)))
         s"CAST(RAISE_ERROR(${raiseMsgSql(msg, argSqls)}) AS $retType)"
-      case NullStmt :: rest => go(rest, env, k)
-      case IfStmt(branches, els) :: rest =>
-        val cont: Map[String, String] => String = e2 => go(rest, e2, k)
-        val arms = branches.map { case (c, body) =>
-          s"WHEN ${render(subst(c, env))} THEN (${go(body.toList, env, cont)})"
+      case LoopJump(isExit, when) :: rest =>
+        val jump = (if (isExit) exitK else nextK).getOrElse(
+          throw new IllegalArgumentException(
+            s"${if (isExit) "EXIT" else "CONTINUE"} outside a loop"))
+        when match {
+          case None => jump(env)
+          case Some(c) =>
+            s"CASE WHEN ${render(subst(c, env))} THEN (${jump(env)}) " +
+              s"ELSE (${go(rest, env, k, exitK, nextK)}) END"
         }
-        val elseSql = go(els.toList, env, cont)
+      case NullStmt :: rest => go(rest, env, k, exitK, nextK)
+      case IfStmt(branches, els) :: rest =>
+        val cont: K = e2 => go(rest, e2, k, exitK, nextK)
+        val arms = branches.map { case (c, body) =>
+          s"WHEN ${render(subst(c, env))} THEN " +
+            s"(${go(body.toList, env, cont, exitK, nextK)})"
+        }
+        val elseSql = go(els.toList, env, cont, exitK, nextK)
         s"CASE ${arms.mkString(" ")} ELSE ($elseSql) END"
       case ForLoop(v, lo, hi, rev, body) :: rest =>
         // REVERSE iterates first-bound DOWN to second (pl_exec.c
@@ -811,13 +848,20 @@ object PlPgSql {
         val idxs = if (rev) lo.to(hi, -1L) else lo.to(hi)
         // loop var is auto-declared for the loop's scope (pl_gram.y for_control)
         val saved = env.get(v)
-        val unrolled: List[Stmt] = idxs.toList.flatMap { i =>
-          Assign(v, Vector(if (i < 0) Raw(s"($i)") else Num(i.toString))) ::
-            body.toList
-        }
-        val restore: Map[String, String] => String = e2 =>
-          go(rest, saved.fold(e2 - v)(old => e2 + (v -> old)), k)
-        go(unrolled, env + (v -> lo.toString), restore)
+        val after: K = e2 =>
+          go(rest, saved.fold(e2 - v)(old => e2 + (v -> old)), k, exitK, nextK)
+        // one iteration at a time so CONTINUE has a precise "rest of the
+        // iterations" continuation; EXIT jumps straight to `after`
+        def iter(remaining: List[Long], e: Map[String, String]): String =
+          remaining match {
+            case Nil => after(e)
+            case i :: tail =>
+              val bound = e + (v -> (if (i < 0) s"($i)" else i.toString))
+              val toNext: K = e2 => iter(tail, e2)
+              go(body.toList, bound, toNext,
+                exitK = Some(after), nextK = Some(toNext))
+          }
+        iter(idxs.toList, env)
       case SubBlock(decls, body) :: rest =>
         var e = env
         val shadowed = decls.map(d => d.name -> env.get(d.name))
@@ -827,14 +871,15 @@ object PlPgSql {
             .getOrElse(s"CAST(NULL AS ${d.sqlType})")
           e = e + (d.name -> init)
         }
-        val restore: Map[String, String] => String = e2 => {
-          val popped = shadowed.foldLeft(e2) {
+        val pop: Map[String, String] => Map[String, String] = e2 =>
+          shadowed.foldLeft(e2) {
             case (m, (nm, Some(old))) => m + (nm -> old)
             case (m, (nm, None)) => m - nm
           }
-          go(rest, popped, k)
-        }
-        go(body.toList, e, restore)
+        val restore: K = e2 => go(rest, pop(e2), k, exitK, nextK)
+        go(body.toList, e, restore,
+          exitK.map(x => (e2: Map[String, String]) => x(pop(e2))),
+          nextK.map(n => (e2: Map[String, String]) => n(pop(e2))))
     }
 
     // Parameters seed the environment mapped to THEMSELVES: unassigned
@@ -850,6 +895,6 @@ object PlPgSql {
         .getOrElse(s"CAST(NULL AS ${d.sqlType})")
       env = env + (d.name -> init)
     }
-    go(block.body.toList, env, _ => s"CAST(NULL AS $retType)")
+    go(block.body.toList, env, _ => s"CAST(NULL AS $retType)", None, None)
   }
 }

@@ -404,4 +404,92 @@ class PlPgSqlSpec extends AnyFunSuite {
       .flatMap(t => Option(t.getMessage)).mkString(" ")
       .contains("x must be nonzero"))
   }
+
+  test("EXIT/CONTINUE [WHEN] jump within unrolled loops (exec_stmt_exit)") {
+    val first = PlPgSql.compile(
+      """create function firstbig(k bigint) returns bigint as $$
+        |declare pos bigint := 0; d bigint;
+        |begin
+        |  for i in 1..6 loop
+        |    d := k % 10;
+        |    exit when d >= 5;
+        |    k := cast(floor(k / 10) as bigint);
+        |    pos := i;
+        |  end loop;
+        |  return pos;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    def firstModel(k0: Long): Long = {
+      var k = k0; var pos = 0L; var i = 1
+      while (i <= 6) {
+        val d = k % 10
+        if (d >= 5) return pos
+        k = k / 10; pos = i; i += 1
+      }
+      pos
+    }
+    Seq(0L, 5L, 51L, 15L, 123456L, 444444L, 999999L, 111111L).foreach { k =>
+      assert(evalStr(first.call(k.toString)) == firstModel(k).toString,
+        s"k=$k")
+    }
+
+    val odd = PlPgSql.compile(
+      """create function oddsum(k bigint) returns bigint as $$
+        |declare s bigint := 0; d bigint;
+        |begin
+        |  for i in 1..6 loop
+        |    d := k % 10;
+        |    k := cast(floor(k / 10) as bigint);
+        |    continue when d % 2 = 0;
+        |    s := s + d;
+        |  end loop;
+        |  return s;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    def oddModel(k0: Long): Long = {
+      var k = k0; var s = 0L
+      for (_ <- 1 to 6) { val d = k % 10; k = k / 10; if (d % 2 != 0) s += d }
+      s
+    }
+    Seq(0L, 7L, 24680L, 13579L, 987654L).foreach { k =>
+      assert(evalStr(odd.call(k.toString)) == oddModel(k).toString, s"k=$k")
+    }
+  }
+
+  test("EXIT from a nested block pops the block's shadowing first") {
+    val f = PlPgSql.compile(
+      """create function exsh() returns string as $$
+        |declare v string := 'outer'; r string := '';
+        |begin
+        |  for i in 1..3 loop
+        |    declare v string := 'inner';
+        |    begin
+        |      exit when i = 2;
+        |      r := r || v;
+        |    end;
+        |    r := r || v;
+        |  end loop;
+        |  return r || '/' || v;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    // i=1 appends inner+outer, i=2 exits from inside the block; the
+    // final v must be the OUTER one even though the jump crossed the
+    // block boundary
+    assert(evalStr(f.call()) == "innerouter/outer")
+  }
+
+  test("EXIT outside a loop and loop labels are rejected") {
+    assert(compileError(
+      "create function e1() returns int as $$ begin exit; return 1; end; " +
+        "$$ language plpgsql").contains("outside a loop"))
+    assert(compileError(
+      """create function e2() returns int as $$
+        |begin
+        |  for i in 1..2 loop
+        |    exit outer_loop;
+        |  end loop;
+        |  return 1;
+        |end;
+        |$$ language plpgsql""".stripMargin).contains("label"))
+  }
 }
