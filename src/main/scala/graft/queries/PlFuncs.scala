@@ -36,6 +36,7 @@ object PlFuncs extends QueryModule {
       |  CAST(round(l_discount * 100.0, 0) AS BIGINT) AS disc_pct,
       |  l_orderkey, CAST(l_orderkey % 5 AS BIGINT) AS m,
       |  CAST(l_suppkey % 100 AS BIGINT) AS b,
+      |  CAST(month(l_shipdate) AS BIGINT) AS shipmon,
       |  l_returnflag
       |FROM lineitem""".stripMargin
 
@@ -98,6 +99,34 @@ object PlFuncs extends QueryModule {
       |END;' LANGUAGE plpgsql""".stripMargin,
     maxInlineDepth = 6)
 
+  /** Simple CASE statement + CONTINUE WHEN + IF merge in one body —
+    * the statement forms added after the base compiler (exec_stmt_case,
+    * exec_stmt_exit), oracle-backed rather than spec-only. */
+  private val shipBucket = PlPgSql.compile(
+    """create function ship_bucket(m bigint, qty bigint) returns string as $$
+      |declare s string; n bigint := 0; d bigint;
+      |begin
+      |  case m
+      |    when 12, 1, 2 then s := 'winter';
+      |    when 3, 4, 5 then s := 'spring';
+      |    when 6, 7, 8 then s := 'summer';
+      |    else s := 'autumn';
+      |  end case;
+      |  for i in 1..2 loop
+      |    d := qty % 10;
+      |    qty := cast(floor(qty / 10) as bigint);
+      |    continue when d % 2 = 0;
+      |    n := n + 1;
+      |  end loop;
+      |  if n = 0 then
+      |    s := s || '/even';
+      |  else
+      |    s := s || '/odd' || cast(n as string);
+      |  end if;
+      |  return s;
+      |end;
+      |$$ language plpgsql""".stripMargin)
+
   /** LANGUAGE sql scalar — the clauses.c:inline_function analogue. */
   private val discPriceM = PlPgSql.compile(
     """create function disc_price_m(price_m bigint, disc_pct bigint)
@@ -131,6 +160,13 @@ object PlFuncs extends QueryModule {
       s.sql(
         s"""SELECT ${recursionTest.call("m", "b")} AS res, COUNT(*) AS cnt
            |FROM pl_staged GROUP BY res ORDER BY res""".stripMargin)
+    }),
+    "q_plpgsql_caseloop" -> ((s, dir) => {
+      staged(s, dir).createOrReplaceTempView("pl_staged")
+      s.sql(
+        s"""SELECT ${shipBucket.call("shipmon", "qty")} AS bucket,
+           |  COUNT(*) AS cnt
+           |FROM pl_staged GROUP BY bucket ORDER BY bucket""".stripMargin)
     }),
     "q_sql_fn_inline" -> ((s, dir) => {
       staged(s, dir).createOrReplaceTempView("pl_staged")
@@ -186,6 +222,21 @@ object PlFuncs extends QueryModule {
          |    ELSE '4,3,2,1,' || CAST(b AS STRING) END AS res,
          |  COUNT(*) AS cnt
          |FROM pl_staged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_plpgsql_caseloop" ->
+      // independent restatement: season CASE over the month, odd-digit
+      // count over qty's two digits as closed-form parity arithmetic
+      s"""WITH pl_staged AS ($stagedSql),
+         |b AS (SELECT
+         |  CASE WHEN shipmon IN (12, 1, 2) THEN 'winter'
+         |       WHEN shipmon IN (3, 4, 5) THEN 'spring'
+         |       WHEN shipmon IN (6, 7, 8) THEN 'summer'
+         |       ELSE 'autumn' END AS season,
+         |  (qty % 10) % 2 + ((qty // 10) % 10) % 2 AS n
+         |  FROM pl_staged)
+         |SELECT season || CASE WHEN n = 0 THEN '/even'
+         |  ELSE '/odd' || CAST(n AS STRING) END AS bucket,
+         |  COUNT(*) AS cnt
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sql_fn_inline" ->
       s"""WITH pl_staged AS ($stagedSql)
          |SELECT l_returnflag, COUNT(*) AS cnt,
