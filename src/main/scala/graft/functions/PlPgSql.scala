@@ -137,6 +137,16 @@ object PlPgSql {
             seenDot = true; i += 1
           } else cont = false
         }
+        // scientific notation: 1e6 / 2.5e-3 — without this, `e6` would
+        // lex as a separate identifier (and even be eligible for
+        // variable substitution), yielding broken SQL far from the cause
+        if (i < n && (text(i) == 'e' || text(i) == 'E')) {
+          val sgn = if (i + 1 < n && (text(i + 1) == '+' || text(i + 1) == '-')) 1 else 0
+          if (i + 1 + sgn < n && text(i + 1 + sgn).isDigit) {
+            i += 1 + sgn
+            while (i < n && text(i).isDigit) i += 1
+          }
+        }
         out += Num(text.substring(st, i))
       } else {
         multiOps.find(op => text.startsWith(op, i)) match {
@@ -203,20 +213,29 @@ object PlPgSql {
     }
 
     /** Collect expression tokens until a depth-0 terminator (consumed when
-      * it is `;`, left in place otherwise — callers eat keywords).
+      * it is `;`, left in place otherwise — callers eat keywords). Depth
+      * counts BOTH parens and CASE…END expression nesting: a SQL CASE
+      * expression inside an IF/EXIT/FOR condition carries `when`/`then`/
+      * `else`/`end` identifiers that must not terminate the slice.
       */
     def exprUntil(stops: Set[String]): Vector[Tok] = {
       val b = Vector.newBuilder[Tok]
       var depth = 0
+      var caseDepth = 0
       var done = false
       while (!done) {
         require(!atEnd, s"unterminated expression (expected one of $stops)")
         peek.get match {
           case Op("(") => depth += 1; b += next()
           case Op(")") if depth > 0 => depth -= 1; b += next()
-          case Op(";") if depth == 0 => next(); done = true
-          case Id(k) if depth == 0 && stops(k) => done = true
-          case Op(k) if depth == 0 && stops(k) && k != ";" => done = true
+          case Id("case") => caseDepth += 1; b += next()
+          case Id("end") if caseDepth > 0 => caseDepth -= 1; b += next()
+          case Op(";") if depth == 0 && caseDepth == 0 => next(); done = true
+          case Id(k) if depth == 0 && caseDepth == 0 && stops(k) => done = true
+          case Op(k) if depth == 0 && caseDepth == 0 && stops(k) && k != ";" =>
+            done = true
+          case Id(k) if caseDepth > 0 &&
+            Set("when", "then", "else")(k) => b += next()
           case _ => b += next()
         }
       }
@@ -384,6 +403,13 @@ object PlPgSql {
             "RAISE needs a string-literal message")
         }
         argToks.foreach(a => require(a.nonEmpty, "empty RAISE parameter"))
+        // every level gets the %-count check — PG raises "too many/few
+        // parameters" at run time for NOTICE too, so a dropped level
+        // must not silently accept a malformed format string
+        require(countHoles(msgTok) == argToks.length,
+          s"RAISE message has ${countHoles(msgTok)} % placeholders but " +
+            s"${argToks.length} parameters (the reference raises the " +
+            "same complaint)")
         if (level == "exception") Raise(msgTok, argToks) else NullStmt
 
       // ASSERT cond [, 'message'] (pl_exec.c exec_stmt_assert) —
@@ -643,7 +669,8 @@ object PlPgSql {
     * <body> LANGUAGE {plpgsql|sql}`. Body quoting: \$\$…\$\$, \$tag\$…\$tag\$,
     * or '…' with doubled quotes (the reference's regress uses all three).
     */
-  def compile(createSql: String, maxInlineDepth: Int = 8): PlFunction = {
+  def compile(createSql: String, maxInlineDepth: Int = 8,
+              maxLoopUnroll: Int = 1000): PlFunction = {
     val (header, body, language) = splitCreate(createSql)
     val h = new P(lex(header))
     h.expectId("create")
@@ -655,7 +682,7 @@ object PlPgSql {
         s"bad function name '${t.sql}'")
     }
     h.expectOp("(")
-    val params = Vector.newBuilder[String]
+    val params = Vector.newBuilder[(String, String)] // name -> mapped type
     var pi = 0
     while (!h.peek.contains(Op(")"))) {
       // one param: [IN] [name] type…  — collect tokens to ',' or ')'
@@ -674,19 +701,20 @@ object PlPgSql {
         case _ =>
       }
       // named iff ≥2 tokens and the first is a non-reserved, non-type id
-      val pname = toks match {
+      val (pname, tyToks) = toks match {
         case Id(s) +: rest if rest.nonEmpty && !reserved(s) &&
-          scala.util.Try(mapType(s)).isFailure => s
-        case _ => "$" + pi
+          scala.util.Try(mapType(s)).isFailure => (s, rest)
+        case _ => ("$" + pi, toks)
       }
-      params += pname
+      params += ((pname, mapType(render(tyToks))))
     }
     h.expectOp(")")
     h.expectId("returns")
     val retToks = Vector.newBuilder[Tok]
     while (!h.atEnd && !h.isId("as")) retToks += h.next()
     val retType = mapType(render(retToks.result()))
-    val paramNames = params.result()
+    val paramPairs = params.result()
+    val paramNames = paramPairs.map(_._1)
     require(paramNames.distinct.length == paramNames.length,
       "duplicate parameter names")
 
@@ -701,19 +729,36 @@ object PlPgSql {
         }
         val block = p.parseBlock()
         require(p.atEnd, "trailing tokens after END in PL/pgSQL body")
-        compileBody(block, paramNames, retType)
+        // compilation recurses once per unrolled iteration through the
+        // continuation chain; a dedicated big-stack thread keeps large
+        // (but budgeted) loops from overflowing the caller's stack —
+        // compile-time only, never on the query path
+        withDeepStack(compileBody(block, paramPairs, retType, maxLoopUnroll))
       case "sql" =>
         val toks = lex(body)
         val inner = toks match {
           case Id("select") +: rest => rest
           case other => other
         }
-        require(!inner.exists(_ == Id("from")),
-          "LANGUAGE sql bodies must be a single scalar SELECT expression " +
-            "(no FROM): table access belongs in the calling query")
+        // only a TOP-LEVEL FROM is table access: EXTRACT(x FROM y),
+        // SUBSTRING(s FROM n), TRIM(LEADING FROM s) carry FROM inside
+        // their own parens and are plain scalar syntax
+        var fromDepth = 0
+        inner.foreach {
+          case Op("(") => fromDepth += 1
+          case Op(")") => fromDepth -= 1
+          case Id("from") if fromDepth == 0 =>
+            throw new IllegalArgumentException(
+              "LANGUAGE sql bodies must be a single scalar SELECT " +
+                "expression (no FROM): table access belongs in the " +
+                "calling query")
+          case _ =>
+        }
         val trimmed = if (inner.lastOption.contains(Op(";")))
           inner.dropRight(1) else inner
-        render(trimmed)
+        // PG coerces the SQL function's result to the declared return
+        // type (check_sql_fn_retval)
+        s"CAST((${render(trimmed)}) AS $retType)"
       case other => throw new IllegalArgumentException(
         s"unsupported LANGUAGE $other (plpgsql and sql are compiled)")
     }
@@ -773,6 +818,18 @@ object PlPgSql {
     * `<NULL>` for null parameters; `%%` is a literal percent. Counts
     * must match, like the reference's "too many/few parameters" errors.
     */
+  /** Count % placeholders in a RAISE message (%% is a literal). */
+  private def countHoles(msg: String): Int = {
+    var i = 0; var holes = 0
+    while (i < msg.length) {
+      if (msg(i) == '%') {
+        if (i + 1 < msg.length && msg(i + 1) == '%') i += 2
+        else { holes += 1; i += 1 }
+      } else i += 1
+    }
+    holes
+  }
+
   private def raiseMsgSql(msg: String, args: Seq[String]): String = {
     val segs = Vector.newBuilder[String]
     val cur = new StringBuilder
@@ -796,10 +853,23 @@ object PlPgSql {
       .mkString + lit.last
   }
 
+  /** Run `f` on a dedicated thread with a large stack (the scalac
+    * idiom for deep recursive compilation). */
+  private def withDeepStack[T](f: => T): T = {
+    var out: Either[Throwable, T] = Left(new IllegalStateException("no result"))
+    val t = new Thread(null, () => {
+      out = try Right(f) catch { case e: Throwable => Left(e) }
+    }, "plpgsql-compile", 256L * 1024 * 1024)
+    t.start()
+    t.join()
+    out.fold(e => throw e, identity)
+  }
+
   // ---------- the Froid core ----------
 
-  private def compileBody(block: SubBlock, paramNames: Vector[String],
-      retType: String): String = {
+  private def compileBody(block: SubBlock, paramPairs: Vector[(String, String)],
+      retType: String, maxLoopUnroll: Int): String = {
+    val paramNames = paramPairs.map(_._1)
     paramNames.foreach(p => require(!reserved(p),
       s"parameter name '$p' is a reserved word"))
 
@@ -810,16 +880,29 @@ object PlPgSql {
     // every construct and RE-WRAPPED by SubBlock so a jump out of a
     // nested block pops that block's declarations first (PG block scope
     // ends at the jump, pl_exec.c exec_stmt_exit unwinding).
+    // `types` carries each in-scope variable's declared SQL type: every
+    // assignment, initializer and RETURN is CAST to it, because PG
+    // evaluates those through the variable's type — `d := x / 2` on
+    // bigints is INTEGER division (trunc toward zero) in the reference,
+    // while the raw substituted text would float through Spark's
+    // fractional `/`. CAST-on-assign reproduces the truncation exactly
+    // (both engines truncate toward zero casting to integral types).
+    // Residual documented divergence: assigning a FRACTIONAL value to an
+    // integer variable ROUNDS in PG (numeric->int cast) but truncates
+    // here; integer-`/`-integer, the shape that matters, is exact, and
+    // bigint quotients are exact up to 2^52 (the double mantissa).
     type K = Map[String, String] => String
-    def go(stmts: List[Stmt], env: Map[String, String], k: K,
-        exitK: Option[K], nextK: Option[K]): String = stmts match {
+    type Types = Map[String, String]
+    def go(stmts: List[Stmt], env: Map[String, String], types: Types,
+        k: K, exitK: Option[K], nextK: Option[K]): String = stmts match {
       case Nil => k(env)
       case Assign(v, e) :: rest =>
         require(env.contains(v),
           s"assignment to undeclared variable '$v'")
-        go(rest, env + (v -> render(subst(e, env))), k, exitK, nextK)
+        val cast = s"CAST((${render(subst(e, env))}) AS ${types(v)})"
+        go(rest, env + (v -> cast), types, k, exitK, nextK)
       case Ret(e) :: _ =>
-        render(subst(e, env))
+        s"CAST((${render(subst(e, env))}) AS $retType)"
       case Raise(msg, args) :: _ =>
         val argSqls = args.map(a => render(subst(a, env)))
         s"CAST(RAISE_ERROR(${raiseMsgSql(msg, argSqls)}) AS $retType)"
@@ -831,25 +914,32 @@ object PlPgSql {
           case None => jump(env)
           case Some(c) =>
             s"CASE WHEN ${render(subst(c, env))} THEN (${jump(env)}) " +
-              s"ELSE (${go(rest, env, k, exitK, nextK)}) END"
+              s"ELSE (${go(rest, env, types, k, exitK, nextK)}) END"
         }
-      case NullStmt :: rest => go(rest, env, k, exitK, nextK)
+      case NullStmt :: rest => go(rest, env, types, k, exitK, nextK)
       case IfStmt(branches, els) :: rest =>
-        val cont: K = e2 => go(rest, e2, k, exitK, nextK)
+        val cont: K = e2 => go(rest, e2, types, k, exitK, nextK)
         val arms = branches.map { case (c, body) =>
           s"WHEN ${render(subst(c, env))} THEN " +
-            s"(${go(body.toList, env, cont, exitK, nextK)})"
+            s"(${go(body.toList, env, types, cont, exitK, nextK)})"
         }
-        val elseSql = go(els.toList, env, cont, exitK, nextK)
+        val elseSql = go(els.toList, env, types, cont, exitK, nextK)
         s"CASE ${arms.mkString(" ")} ELSE ($elseSql) END"
       case ForLoop(v, lo, hi, rev, body) :: rest =>
         // REVERSE iterates first-bound DOWN to second (pl_exec.c
         // exec_stmt_fori: reverse swaps the step, not the bounds)
         val idxs = if (rev) lo.to(hi, -1L) else lo.to(hi)
+        require(idxs.length <= maxLoopUnroll,
+          s"FOR loop spans ${idxs.length} iterations, above the " +
+            s"$maxLoopUnroll unroll budget (maxLoopUnroll): each " +
+            "iteration becomes expression text, so huge literal ranges " +
+            "belong in a set-wise rewrite, not a scalar function")
         // loop var is auto-declared for the loop's scope (pl_gram.y for_control)
         val saved = env.get(v)
         val after: K = e2 =>
-          go(rest, saved.fold(e2 - v)(old => e2 + (v -> old)), k, exitK, nextK)
+          go(rest, saved.fold(e2 - v)(old => e2 + (v -> old)),
+            types, k, exitK, nextK)
+        val bodyTypes = types + (v -> "BIGINT")
         // one iteration at a time so CONTINUE has a precise "rest of the
         // iterations" continuation; EXIT jumps straight to `after`
         def iter(remaining: List[Long], e: Map[String, String]): String =
@@ -858,26 +948,29 @@ object PlPgSql {
             case i :: tail =>
               val bound = e + (v -> (if (i < 0) s"($i)" else i.toString))
               val toNext: K = e2 => iter(tail, e2)
-              go(body.toList, bound, toNext,
+              go(body.toList, bound, bodyTypes, toNext,
                 exitK = Some(after), nextK = Some(toNext))
           }
         iter(idxs.toList, env)
       case SubBlock(decls, body) :: rest =>
         var e = env
-        val shadowed = decls.map(d => d.name -> env.get(d.name))
+        var t2 = types
+        val shadowed = decls.map(d =>
+          d.name -> (env.get(d.name), types.get(d.name)))
         decls.foreach { d =>
           require(!reserved(d.name), s"reserved variable name '${d.name}'")
-          val init = d.init.map(t => render(subst(t, e)))
+          val init = d.init.map(x => s"CAST((${render(subst(x, e))}) AS ${d.sqlType})")
             .getOrElse(s"CAST(NULL AS ${d.sqlType})")
           e = e + (d.name -> init)
+          t2 = t2 + (d.name -> d.sqlType)
         }
         val pop: Map[String, String] => Map[String, String] = e2 =>
           shadowed.foldLeft(e2) {
-            case (m, (nm, Some(old))) => m + (nm -> old)
-            case (m, (nm, None)) => m - nm
+            case (m, (nm, (Some(old), _))) => m + (nm -> old)
+            case (m, (nm, (None, _))) => m - nm
           }
-        val restore: K = e2 => go(rest, pop(e2), k, exitK, nextK)
-        go(body.toList, e, restore,
+        val restore: K = e2 => go(rest, pop(e2), types, k, exitK, nextK)
+        go(body.toList, e, t2, restore,
           exitK.map(x => (e2: Map[String, String]) => x(pop(e2))),
           nextK.map(n => (e2: Map[String, String]) => n(pop(e2))))
     }
@@ -887,14 +980,17 @@ object PlPgSql {
     // assignment to a parameter (legal PL/pgSQL — recursion_test's regress
     // siblings do it) just rebinds the env entry like any variable.
     var env: Map[String, String] = paramNames.map(p => p -> p).toMap
+    var types: Types = paramPairs.toMap
     block.decls.foreach { d =>
       require(!reserved(d.name), s"reserved variable name '${d.name}'")
       require(!paramNames.contains(d.name),
         s"variable '${d.name}' shadows a parameter")
-      val init = d.init.map(t => render(subst(t, env)))
+      val init = d.init.map(t => s"CAST((${render(subst(t, env))}) AS ${d.sqlType})")
         .getOrElse(s"CAST(NULL AS ${d.sqlType})")
       env = env + (d.name -> init)
+      types = types + (d.name -> d.sqlType)
     }
-    go(block.body.toList, env, _ => s"CAST(NULL AS $retType)", None, None)
+    go(block.body.toList, env, types,
+      _ => s"CAST(NULL AS $retType)", None, None)
   }
 }

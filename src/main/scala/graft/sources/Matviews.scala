@@ -215,7 +215,12 @@ object Matviews {
     }
     val stale = versions(fs, path).filter { v =>
       val dir = new Path(s"$path/v$v")
-      !fs.exists(new Path(dir, "_SUCCESS")) && newestMtime(dir) < horizon
+      // a concurrent retention sweep (or second vacuum) may delete the
+      // directory between the listing and the stat — and a live writer
+      // renames attempt dirs under it; a vanished entry is simply not
+      // ours to vacuum this round
+      try !fs.exists(new Path(dir, "_SUCCESS")) && newestMtime(dir) < horizon
+      catch { case _: java.io.FileNotFoundException => false }
     }
     stale.foreach(v => dropVersion(fs, path, v))
     stale

@@ -492,4 +492,91 @@ class PlPgSqlSpec extends AnyFunSuite {
         |end;
         |$$ language plpgsql""".stripMargin).contains("label"))
   }
+
+  // ---- review-found classes: declared-type coercion, budgets, slicing ----
+
+  test("assignment and RETURN coerce through the declared type: " +
+    "integer division truncates like the reference") {
+    val f = PlPgSql.compile(
+      """create function halve(x bigint) returns bigint as $$
+        |declare d bigint;
+        |begin
+        |  d := x / 2;
+        |  return d;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("5")) == "2")    // PG: bigint/bigint truncates
+    assert(evalStr(f.call("-5")) == "-2")  // toward zero, both engines
+    val g = PlPgSql.compile(
+      "create function h2(x bigint) returns bigint as $$ begin " +
+        "return x / 4; end; $$ language plpgsql")
+    assert(evalStr(g.call("11")) == "2")
+  }
+
+  test("FOR ranges above the unroll budget fail loudly at compile time") {
+    val msg = compileError(
+      """create function big() returns bigint as $$
+        |declare s bigint := 0;
+        |begin
+        |  for i in 1..100000 loop s := s + i; end loop;
+        |  return s;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(msg.contains("unroll") && msg.contains("set-wise"), msg)
+    // a custom budget admits what a tighter one rejects
+    val f = PlPgSql.compile(
+      """create function okbig() returns bigint as $$
+        |declare s bigint := 0;
+        |begin
+        |  for i in 1..250 loop s := s + 1; end loop;
+        |  return s;
+        |end;
+        |$$ language plpgsql""".stripMargin, maxLoopUnroll = 300)
+    assert(evalStr(f.call()) == "250")
+    val tight = intercept[IllegalArgumentException](PlPgSql.compile(
+      "create function tb() returns bigint as $$ begin " +
+        "for i in 1..250 loop null; end loop; return 1; end; " +
+        "$$ language plpgsql", maxLoopUnroll = 100)).getMessage
+    assert(tight.contains("unroll"), tight)
+  }
+
+  test("a CASE expression inside an IF condition parses (depth-aware slicing)") {
+    val f = PlPgSql.compile(
+      """create function ce(x bigint) returns string as $$
+        |begin
+        |  if case when x > 0 then 1 else 0 end = 1 then
+        |    return 'pos';
+        |  end if;
+        |  return 'nonpos';
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("3")) == "pos")
+    assert(evalStr(f.call("-3")) == "nonpos")
+  }
+
+  test("LANGUAGE sql: EXTRACT-style inner FROM is scalar syntax, not table access") {
+    val f = PlPgSql.compile(
+      "create function yr(d date) returns int as " +
+        "'select extract(year from d)' language sql")
+    assert(evalStr(f.call("DATE '2020-05-04'")) == "2020")
+  }
+
+  test("scientific-notation literals lex as one number") {
+    val f = PlPgSql.compile(
+      """create function sci(x bigint) returns bigint as $$
+        |declare y double := 1.5e3;
+        |begin
+        |  y := y + x;
+        |  return cast(y as bigint);
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("25")) == "1525")
+  }
+
+  test("RAISE format-count validation applies to dropped levels too") {
+    val msg = compileError(
+      "create function rn2(x int) returns int as $$ begin " +
+        "raise notice 'a % b %', x; return x; end; $$ language plpgsql")
+    assert(msg.contains("placeholders"), msg)
+  }
 }
