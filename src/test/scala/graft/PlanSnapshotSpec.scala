@@ -80,7 +80,11 @@ class PlanSnapshotSpec extends AnyFunSuite {
     "q_hint_rows",
     // prefix-filtered trigram similarity join (r14): pins the
     // posting/prefix/verify join topology
-    "q_trgm_join")
+    "q_trgm_join",
+    // compiled PL/pgSQL (r18): the pinned plan IS the compilation
+    // proof — the whole function body appears as one CASE tree fused
+    // into the partial-aggregate grouping expression, no UDF node
+    "q_plpgsql_scalar", "q_plpgsql_caseloop")
 
   snapshotQueries.foreach { name =>
     test(s"plan snapshot: $name") {
