@@ -27,20 +27,47 @@ package graft.functions
   *     null args — exec_stmt_raise), compiled to `raise_error`; lower
   *     severities are logging and drop (an expression has nowhere to
   *     log); ASSERT cond [, 'msg'] desugars to IF NOT … RAISE
-  *   - FOR i IN [REVERSE] <int>..<int> LOOP (literal bounds — unrolled;
-  *     the reference interprets, we pay compile-time size instead),
-  *     with EXIT [WHEN] / CONTINUE [WHEN] (exec_stmt_exit): the unroll
-  *     gives every iteration a precise next-iteration continuation, so
-  *     both jumps compile to plain CASE arms (no labels)
-  *   - RETURN expr; falling off the end yields CAST(NULL AS ret) (the
-  *     reference raises at runtime — a scalar expression has no raise, and
-  *     NULL is the honest SQL value for "no value produced")
+  *   - FOR i IN [REVERSE] lo..hi LOOP — literal bounds unroll exactly
+  *     (the reference interprets, we pay compile-time size instead);
+  *     NON-literal bounds evaluate once at entry (exec_stmt_fori) and
+  *     unroll to `maxCondLoopUnroll` guarded iterations. EXIT [WHEN] /
+  *     CONTINUE [WHEN] (exec_stmt_exit): the unroll gives every
+  *     iteration a precise next-iteration continuation, so both jumps
+  *     compile to plain CASE arms (no labels)
+  *   - WHILE cond LOOP (exec_stmt_while) — unrolled to
+  *     `maxCondLoopUnroll` condition-guarded iterations; a loop still
+  *     live past the budget raises LOUDLY at run time. The compiled
+  *     form is for short loops (digit scans, bounded convergence);
+  *     unbounded iteration belongs in a set-wise rewrite
+  *   - BEGIN … EXCEPTION WHEN cond THEN … END (exec_stmt_block's
+  *     subtransaction path, pl_exec.c:1685) for the statically-
+  *     enumerable error classes a compiled body can raise:
+  *     raise_exception, assert_failure, case_not_found,
+  *     division_by_zero (every division in the protected region gets a
+  *     divisor-zero guard), and OTHERS (which, like the reference,
+  *     does not catch assert_failure). Handlers see variables at their
+  *     error-time values plus SQLERRM/SQLSTATE; bare RAISE re-throws
+  *   - RETURNS SETOF t with RETURN NEXT / RETURN QUERY (FROM-less
+  *     SELECT and VALUES rows) — the body compiles to ONE ARRAY<t>
+  *     expression and callers explode() it: the Generator lowering of
+  *     the reference's per-row tuplestore (exec_stmt_return_next)
+  *   - RETURN expr; falling off the end of a scalar body raises
+  *     'control reached end of function without RETURN' like the
+  *     reference (SETOF bodies legally end their result set)
   *   - bounded self-recursion: self-calls inline to `maxInlineDepth`
-  *     frames, beyond which the value is CAST(NULL AS ret) (the reference
-  *     would still be recursing; callers declare the depth their data
-  *     needs — see q_plpgsql_recursive, whose argument bounds the depth)
+  *     frames; the depth-0 frame raises 'recursion depth exceeded'
+  *     loudly (callers declare the depth their data needs — see
+  *     q_plpgsql_recursive, whose argument bounds the depth)
   *   - LANGUAGE sql bodies (`SELECT <expr>`) — direct inline, the
   *     clauses.c:inline_function analogue
+  *
+  * PG integer semantics: `/` between provably-integral operands is
+  * rewritten to the truncating `div` operator in EVERY position
+  * (conditions and compound expressions included — int4div/int8div),
+  * and fractional values assigned/returned into integer-typed slots go
+  * through round(x, 0) first, matching the reference's
+  * half-away-from-zero numeric→int cast. Both analyses are
+  * conservative: unknown grammar leaves the slice untouched.
   *
   * Compilation is continuation-passing over the statement list: an
   * environment maps each variable to the SQL expression that computes its
@@ -52,12 +79,12 @@ package graft.functions
   * function body runs INSIDE whole-stage codegen and is visible to the
   * optimizer (constant folding, pushdown through the usual rules).
   *
-  * Deliberately rejected (loud errors, documented): WHILE (unbounded
-  * iteration has no finite expression form), loop labels, SELECT
+  * Deliberately rejected (loud errors, documented): loop labels, SELECT
   * INTO and any statement touching relations (a scalar expression cannot
   * embed a scan; the reference's regress uses those only in trigger
   * bodies, whose set-based replacement is `sources/Triggers.scala`), OUT
-  * params / SETOF (table-valued — Spark-side these are DataFrames).
+  * params, RETURN QUERY with FROM (table-valued — DataFrames), and
+  * exception conditions outside the statically-enumerable set.
   *
   * Expression text is engine-portable by construction: statements carry
   * raw SQL expression slices through untouched, so the lane author keeps
@@ -162,27 +189,64 @@ object PlPgSql {
 
   private final case class Decl(name: String, sqlType: String,
       init: Option[Vector[Tok]])
+  /** One EXCEPTION clause arm: `WHEN cond [OR cond…] THEN stmts`.
+    * Conditions are the statically-enumerable error classes the
+    * compiled body can raise (exception_matches_conditions,
+    * pl_exec.c:1556). */
+  private final case class Handler(conds: Vector[String],
+      body: Vector[Stmt])
   private sealed trait Stmt
   private final case class Assign(name: String, expr: Vector[Tok]) extends Stmt
   private final case class IfStmt(
       branches: Vector[(Vector[Tok], Vector[Stmt])],
       els: Vector[Stmt]) extends Stmt
   private final case class Ret(expr: Vector[Tok]) extends Stmt
+  /** Bare `RETURN;` — legal only in SETOF bodies (ends the result set). */
+  private case object BareRet extends Stmt
+  /** `RETURN NEXT expr;` — appends one element to the SETOF result. */
+  private final case class RetNext(expr: Vector[Tok]) extends Stmt
+  /** `RETURN QUERY SELECT e;` / `RETURN QUERY VALUES (e1),(e2)…;` —
+    * appends the listed scalar rows to the SETOF result (the FROM-less
+    * compilable subset of exec_stmt_return_query). */
+  private final case class RetQueryRows(rows: Vector[Vector[Tok]]) extends Stmt
   private final case class ForLoop(v: String, lo: Long, hi: Long,
       reverse: Boolean, body: Vector[Stmt]) extends Stmt
-  private final case class SubBlock(decls: Vector[Decl],
+  /** FOR with non-literal bounds: both bound expressions are evaluated
+    * ONCE at loop entry (exec_stmt_fori), then the loop unrolls to the
+    * condition-guarded budget like WHILE. */
+  private final case class ForLoopDyn(v: String, lo: Vector[Tok],
+      hi: Vector[Tok], reverse: Boolean, body: Vector[Stmt]) extends Stmt
+  /** WHILE cond LOOP — unrolled to `maxCondLoopUnroll` condition-guarded
+    * iterations; exceeding the budget at RUN time raises loudly. */
+  private final case class WhileLoop(cond: Vector[Tok],
       body: Vector[Stmt]) extends Stmt
-  /** RAISE EXCEPTION 'msg with %' , arg, … — terminal like RETURN.
+  private final case class SubBlock(decls: Vector[Decl],
+      handlers: Vector[Handler], body: Vector[Stmt]) extends Stmt
+  /** RAISE EXCEPTION 'msg with %' , arg, … — terminal like RETURN
+    * unless an enclosing block's EXCEPTION clause catches `cls`.
     * Lower severities (NOTICE/WARNING/…) are logging, which a pure
     * expression has nowhere to emit — parsed and dropped, documented. */
-  private final case class Raise(msg: String,
+  private final case class Raise(cls: String, msg: String,
       args: Vector[Vector[Tok]]) extends Stmt
-  /** EXIT/CONTINUE [WHEN cond] inside a FOR loop (exec_stmt_exit).
+  /** Bare `RAISE;` — re-throws the caught error, only inside a handler. */
+  private case object ReRaise extends Stmt
+  /** EXIT/CONTINUE [WHEN cond] inside a loop (exec_stmt_exit).
     * The loop is unrolled, so these compile to jumps into the loop-end
     * (EXIT) or next-iteration (CONTINUE) continuations. */
   private final case class LoopJump(isExit: Boolean,
       when: Option[Vector[Tok]]) extends Stmt
   private case object NullStmt extends Stmt
+
+  /** The exception-condition names a compiled handler may catch — each
+    * maps to a raise site the compiler itself plants, so matching is
+    * decidable at compile time (What compiled bodies can throw:
+    * RAISE EXCEPTION, ASSERT, CASE-not-found, and guarded divisions). */
+  private val knownConds: Map[String, String] = Map(      // name -> SQLSTATE
+    "others" -> "",
+    "division_by_zero" -> "22012",
+    "raise_exception" -> "P0001",
+    "assert_failure" -> "P0004",
+    "case_not_found" -> "20000")
 
   /** Identifiers that may never be variable/parameter names — they appear
     * bare inside expression slices and substitution must not rewrite them.
@@ -197,7 +261,7 @@ object PlPgSql {
 
   // ---------- parser ----------
 
-  private final class P(toks: Vector[Tok]) {
+  private final class P(toks: Vector[Tok], setof: Boolean = false) {
     private var pos = 0
     def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -244,6 +308,25 @@ object PlPgSql {
       e
     }
 
+    /** Reject a RETURN QUERY SELECT slice that tries table access or
+      * multiple output columns. */
+    def rejectTableish(e: Vector[Tok], what: String): Unit = {
+      var depth = 0
+      e.foreach {
+        case Op("(") => depth += 1
+        case Op(")") => depth -= 1
+        case Id("from") if depth == 0 =>
+          throw new IllegalArgumentException(
+            s"$what with FROM is not supported in compiled functions: " +
+              "table access belongs in the calling query (set-wise)")
+        case Op(",") if depth == 0 =>
+          throw new IllegalArgumentException(
+            s"$what must produce a single column " +
+              "(SETOF scalar functions return one column)")
+        case _ =>
+      }
+    }
+
     def parseBlock(): SubBlock = {
       val decls = Vector.newBuilder[Decl]
       if (isId("declare")) {
@@ -276,11 +359,43 @@ object PlPgSql {
         }
       }
       expectId("begin")
-      val body = parseStmts(Set("end"))
+      val body = parseStmts(Set("end", "exception"))
+      // EXCEPTION WHEN cond [OR cond…] THEN stmts …  (pl_exec.c:1685
+      // exec_stmt_block's BEGIN … EXCEPTION subtransaction path; the
+      // compilable subset is handlers over the statically-enumerable
+      // classes in [[knownConds]] — anything else rejects loudly).
+      val handlers = Vector.newBuilder[Handler]
+      if (isId("exception")) {
+        next()
+        while (isId("when")) {
+          next()
+          val conds = Vector.newBuilder[String]
+          var more = true
+          while (more) {
+            val c = next() match {
+              case Id(s) => s
+              case t => throw new IllegalArgumentException(
+                s"bad exception condition '${t.sql}'")
+            }
+            require(knownConds.contains(c),
+              s"unsupported exception condition '$c': compiled handlers " +
+                s"cover the statically-enumerable classes " +
+                s"${knownConds.keys.toSeq.sorted.mkString(", ")} " +
+                "(pl_exec.c:1556 exception_matches_conditions)")
+            conds += c
+            if (isId("or")) next() else more = false
+          }
+          expectId("then")
+          handlers += Handler(conds.result(),
+            parseStmts(Set("when", "end")))
+        }
+        require(handlers.result().nonEmpty,
+          "EXCEPTION section with no WHEN handler")
+      }
       expectId("end")
       // optional trailing label/semicolon handled by caller
       if (peek.contains(Op(";"))) next()
-      SubBlock(decls.result(), body)
+      SubBlock(decls.result(), handlers.result(), body)
     }
 
     def parseStmts(stops: Set[String]): Vector[Stmt] = {
@@ -319,7 +434,61 @@ object PlPgSql {
         IfStmt(branches.result(), els)
 
       case Some(Id("return")) =>
-        next(); Ret(exprUntil(Set.empty))
+        next()
+        peek match {
+          case Some(Op(";")) =>
+            next(); BareRet
+          case Some(Id("next")) if setof =>
+            next(); RetNext(exprUntil(Set.empty))
+          case Some(Id("query")) if setof =>
+            next()
+            peek match {
+              case Some(Id("select")) =>
+                next()
+                val e = exprUntil(Set.empty)
+                rejectTableish(e, "RETURN QUERY SELECT")
+                RetQueryRows(Vector(e))
+              case Some(Id("values")) =>
+                next()
+                val rows = Vector.newBuilder[Vector[Tok]]
+                var more = true
+                while (more) {
+                  expectOp("(")
+                  val row = Vector.newBuilder[Tok]
+                  var depth = 0
+                  var closed = false
+                  while (!closed) {
+                    require(!atEnd, "unterminated VALUES row")
+                    next() match {
+                      case Op("(") => depth += 1; row += Op("(")
+                      case Op(")") if depth == 0 => closed = true
+                      case Op(")") => depth -= 1; row += Op(")")
+                      case Op(",") if depth == 0 =>
+                        throw new IllegalArgumentException(
+                          "RETURN QUERY VALUES rows must be single-column " +
+                            "(SETOF scalar functions return one column)")
+                      case t => row += t
+                    }
+                  }
+                  val r = row.result()
+                  require(r.nonEmpty, "empty VALUES row")
+                  rows += r
+                  peek match {
+                    case Some(Op(",")) => next()
+                    case Some(Op(";")) => next(); more = false
+                    case t => throw new IllegalArgumentException(
+                      s"expected ',' or ';' after VALUES row, found " +
+                        s"${t.map(_.sql)}")
+                  }
+                }
+                RetQueryRows(rows.result())
+              case t => throw new IllegalArgumentException(
+                "RETURN QUERY supports only the FROM-less SELECT <expr> " +
+                  s"and VALUES (e),(e)… forms (found ${t.map(_.sql)}); " +
+                  "table-reading set functions belong in a DataFrame")
+            }
+          case _ => Ret(exprUntil(Set.empty))
+        }
 
       // CASE statement, searched and simple (pl_exec.c:2532
       // exec_stmt_case; pl_gram.y stmt_case) — desugared to the IF
@@ -358,7 +527,8 @@ object PlPgSql {
         }
         val bs = branches.result()
         require(bs.nonEmpty, "CASE statement with no WHEN arm")
-        IfStmt(bs, els.getOrElse(Vector(Raise("case not found", Vector.empty))))
+        IfStmt(bs, els.getOrElse(Vector(
+          Raise("case_not_found", "case not found", Vector.empty))))
 
       // RAISE level 'message % with % holes', arg, …  (pl_exec.c
       // exec_stmt_raise). EXCEPTION is terminal (compiles to
@@ -368,13 +538,18 @@ object PlPgSql {
       // drop. USING and bare re-throw RAISE are rejected.
       case Some(Id("raise")) =>
         next()
+        if (peek.contains(Op(";"))) {
+          // bare re-throw — validated against handler context at compile
+          next()
+          return ReRaise
+        }
         val level = peek match {
           case Some(Id(l)) if Set("exception", "notice", "warning",
             "info", "log", "debug")(l) => next(); l
           case t => throw new IllegalArgumentException(
             s"RAISE needs an explicit level (found ${t.map(_.sql)}); " +
-              "bare re-throw RAISE only makes sense in an exception " +
-              "block, which compiled scalar functions do not have")
+              "bare re-throw RAISE is only valid inside an exception " +
+              "handler")
         }
         val body = exprUntil(Set.empty)
         require(!body.exists(_ == Id("using")),
@@ -410,7 +585,8 @@ object PlPgSql {
           s"RAISE message has ${countHoles(msgTok)} % placeholders but " +
             s"${argToks.length} parameters (the reference raises the " +
             "same complaint)")
-        if (level == "exception") Raise(msgTok, argToks) else NullStmt
+        if (level == "exception") Raise("raise_exception", msgTok, argToks)
+        else NullStmt
 
       // ASSERT cond [, 'message'] (pl_exec.c exec_stmt_assert) —
       // desugars to IF NOT (cond) THEN RAISE EXCEPTION.
@@ -430,7 +606,7 @@ object PlPgSql {
         }
         IfStmt(Vector((
           Id("not") +: Op("(") +: cond :+ Op(")"),
-          Vector(Raise(msg, Vector.empty)))), Vector.empty)
+          Vector(Raise("assert_failure", msg, Vector.empty)))), Vector.empty)
 
       case Some(Id("for")) =>
         next()
@@ -441,13 +617,19 @@ object PlPgSql {
         }
         expectId("in")
         val reverse = if (isId("reverse")) { next(); true } else false
-        val lo = intLit(exprUntil(Set("..")), "FOR lower bound")
+        val loE = exprUntil(Set(".."))
         expectOp("..")
-        val hi = intLit(exprUntil(Set("loop")), "FOR upper bound")
+        val hiE = exprUntil(Set("loop"))
         expectId("loop")
         val body = parseStmts(Set("end"))
         expectId("end"); expectId("loop"); expectOp(";")
-        ForLoop(v, lo, hi, reverse, body)
+        (intLit(loE), intLit(hiE)) match {
+          case (Some(lo), Some(hi)) => ForLoop(v, lo, hi, reverse, body)
+          case _ =>
+            // non-literal bounds (exec_stmt_fori evaluates them once at
+            // entry): compiles to the condition-guarded budgeted unroll
+            ForLoopDyn(v, loE, hiE, reverse, body)
+        }
 
       case Some(Id("null")) =>
         next(); expectOp(";"); NullStmt
@@ -456,10 +638,12 @@ object PlPgSql {
         parseBlock()
 
       case Some(Id("while")) =>
-        throw new IllegalArgumentException(
-          "PL/pgSQL 'while' is not supported: unbounded iteration has no " +
-            "finite expression form (use FOR with literal bounds, or " +
-            "restate set-wise over a DataFrame)")
+        next()
+        val cond = exprUntil(Set("loop"))
+        expectId("loop")
+        val body = parseStmts(Set("end"))
+        expectId("end"); expectId("loop"); expectOp(";")
+        WhileLoop(cond, body)
 
       case Some(Id(j)) if j == "exit" || j == "continue" =>
         next()
@@ -491,12 +675,10 @@ object PlPgSql {
         s"unsupported statement start: ${t.map(_.sql)}")
     }
 
-    private def intLit(toks: Vector[Tok], what: String): Long = toks match {
-      case Vector(Num(s)) if !s.contains('.') => s.toLong
-      case Vector(Op("-"), Num(s)) if !s.contains('.') => -s.toLong
-      case _ => throw new IllegalArgumentException(
-        s"$what must be an integer literal (got '${render(toks)}'): loop " +
-          "unrolling needs compile-time bounds")
+    private def intLit(toks: Vector[Tok]): Option[Long] = toks match {
+      case Vector(Num(s)) if !s.contains('.') => Some(s.toLong)
+      case Vector(Op("-"), Num(s)) if !s.contains('.') => Some(-s.toLong)
+      case _ => None
     }
   }
 
@@ -519,6 +701,307 @@ object PlPgSql {
       case other => throw new IllegalArgumentException(
         s"unsupported PL/pgSQL type '$other'")
     }
+
+  // ---------- slice typing, integer-division rewrite, divisor harvest ----
+
+  /** Coarse expression type lattice — just enough to decide (a) which
+    * `/` operators sit between two integral operands (PG evaluates those
+    * as truncating integer division, pl_exec.c via int4div/int8div;
+    * Spark's `/` is always fractional, so they rewrite to the infix
+    * `div` operator, same precedence tier in SqlBaseParser), and (b)
+    * whether a value assigned to an integer variable may be fractional
+    * (PG's numeric→int cast ROUNDS half away from zero; a plain Spark
+    * CAST truncates, so those casts go through round(x, 0) first). */
+  private sealed trait Ty
+  private case object TInt extends Ty
+  private case object TFrac extends Ty
+  private case object TStr extends Ty
+  private case object TBool extends Ty
+  private case object TOther extends Ty // dates, nulls, unknown calls
+
+  private def tyOfDecl(t: String): Ty = {
+    val s = t.trim.toUpperCase(java.util.Locale.ROOT)
+    if (s == "INT" || s == "SMALLINT" || s == "BIGINT" || s == "TINYINT")
+      TInt
+    else if (s == "FLOAT" || s == "DOUBLE" || s.startsWith("DECIMAL") ||
+      s.startsWith("NUMERIC")) TFrac
+    else if (s == "STRING") TStr
+    else if (s == "BOOLEAN") TBool
+    else TOther
+  }
+
+  private def tyOfTypeName(raw: String): Ty = {
+    val s = raw.trim.toLowerCase(java.util.Locale.ROOT)
+    if (s.matches("(tiny|small|big)?int(eger)?[248]?")) TInt
+    else if (s.startsWith("decimal") || s.startsWith("numeric") ||
+      Set("double", "float", "real", "double precision")(s)) TFrac
+    else if (Set("string", "text", "varchar", "char", "bpchar")(s)) TStr
+    else if (Set("boolean", "bool")(s)) TBool
+    else TOther
+  }
+
+  private def numCombine(l: Ty, r: Ty): Ty =
+    if (l == TInt && r == TInt) TInt
+    else if ((l == TInt || l == TFrac) && (r == TInt || r == TFrac)) TFrac
+    else TOther
+  private def combineSame(l: Ty, r: Ty): Ty =
+    if (l == r) l
+    else if ((l == TInt || l == TFrac) && (r == TInt || r == TFrac)) TFrac
+    else TOther
+
+  /** Result of analyzing one expression slice. When `ok` is false the
+    * parse did not cover the slice's grammar — the tokens are returned
+    * untouched and no division facts are known (conservative). */
+  private final case class Analyzed(toks: Vector[Tok], ty: Ty,
+      divisors: Vector[Vector[Tok]], ok: Boolean)
+
+  /** A recursive-descent pass over one expression slice that (1) infers
+    * the coarse type, (2) marks `/` operators whose operands are both
+    * integral for the div rewrite, and (3) harvests every divisor
+    * operand (of `/`, `%`, `div`) for division_by_zero guards. Fails
+    * (→ conservative no-op) on grammar it does not model, e.g.
+    * EXTRACT(x FROM y) or typed literals. */
+  private final class SliceTyper(toks: Vector[Tok],
+      types: Map[String, String]) {
+    private var i = 0
+    val swaps = scala.collection.mutable.BitSet()
+    val divisorRanges =
+      scala.collection.mutable.ArrayBuffer[(Int, Int)]() // [start, end)
+    private def peek: Option[Tok] =
+      if (i < toks.length) Some(toks(i)) else None
+    private def bump(): Tok = { val t = toks(i); i += 1; t }
+    private def fail(msg: String): Nothing =
+      throw new IllegalStateException(msg)
+    private def expect(t: Tok): Unit =
+      if (!peek.contains(t)) fail(s"expected ${t.sql}") else bump()
+
+    def run(): Ty = {
+      val t = parseExpr()
+      if (i != toks.length) fail("trailing tokens")
+      t
+    }
+
+    private def parseExpr(): Ty = parseOr()
+    private def parseOr(): Ty = {
+      var t = parseAnd()
+      while (peek.contains(Id("or"))) { bump(); parseAnd(); t = TBool }
+      t
+    }
+    private def parseAnd(): Ty = {
+      var t = parseNot()
+      while (peek.contains(Id("and"))) { bump(); parseNot(); t = TBool }
+      t
+    }
+    private def parseNot(): Ty =
+      if (peek.contains(Id("not"))) { bump(); parseNot(); TBool }
+      else parseCmp()
+    private def parseCmp(): Ty = {
+      val l = parseAdd()
+      peek match {
+        case Some(Op(o))
+          if Set("=", "<>", "!=", "<", "<=", ">", ">=")(o) =>
+          bump(); parseAdd(); TBool
+        case Some(Id("is")) =>
+          bump()
+          if (peek.contains(Id("not"))) bump()
+          peek match {
+            case Some(Id("null")) | Some(Id("true")) | Some(Id("false")) =>
+              bump(); TBool
+            case _ => fail("IS <what>")
+          }
+        case Some(Id("between")) => bump(); parseBetween()
+        case Some(Id("in")) => bump(); parseIn()
+        case Some(Id("like")) => bump(); parseAdd(); TBool
+        case Some(Id("not")) =>
+          bump()
+          peek match {
+            case Some(Id("between")) => bump(); parseBetween()
+            case Some(Id("in")) => bump(); parseIn()
+            case Some(Id("like")) => bump(); parseAdd(); TBool
+            case _ => fail("NOT <what>")
+          }
+        case _ => l
+      }
+    }
+    private def parseBetween(): Ty = {
+      parseAdd()
+      expect(Id("and"))
+      parseAdd()
+      TBool
+    }
+    private def parseIn(): Ty = {
+      expect(Op("("))
+      parseExpr()
+      while (peek.contains(Op(","))) { bump(); parseExpr() }
+      expect(Op(")"))
+      TBool
+    }
+    private def parseAdd(): Ty = {
+      var t = parseMul()
+      var cont = true
+      while (cont) peek match {
+        case Some(Op("+")) | Some(Op("-")) =>
+          bump(); t = numCombine(t, parseMul())
+        case Some(Op("||")) => bump(); parseMul(); t = TStr
+        case _ => cont = false
+      }
+      t
+    }
+    private def parseMul(): Ty = {
+      var t = parseUnary()
+      var cont = true
+      while (cont) peek match {
+        case Some(Op("*")) => bump(); t = numCombine(t, parseUnary())
+        case Some(Op("/")) =>
+          val pos = i
+          bump()
+          val ds = i
+          val r = parseUnary()
+          divisorRanges += ((ds, i))
+          if (t == TInt && r == TInt) { swaps += pos; t = TInt }
+          else t = if ((t == TInt || t == TFrac) &&
+            (r == TInt || r == TFrac)) TFrac else TOther
+        case Some(Op("%")) =>
+          bump()
+          val ds = i
+          val r = parseUnary()
+          divisorRanges += ((ds, i))
+          t = numCombine(t, r)
+        case Some(Id("div")) =>
+          bump()
+          val ds = i
+          parseUnary()
+          divisorRanges += ((ds, i))
+          t = TInt
+        case _ => cont = false
+      }
+      t
+    }
+    private def parseUnary(): Ty = {
+      while (peek.contains(Op("+")) || peek.contains(Op("-"))) bump()
+      parsePrimary()
+    }
+    private def parsePrimary(): Ty = peek match {
+      case Some(Num(s)) =>
+        bump()
+        if (s.exists(c => c == '.' || c == 'e' || c == 'E')) TFrac else TInt
+      case Some(_: Str) => bump(); TStr
+      case Some(_: Raw) => bump(); TOther
+      case Some(Op("(")) =>
+        bump()
+        val t = parseExpr()
+        expect(Op(")"))
+        t
+      case Some(Id("case")) => parseCase()
+      case Some(Id("cast")) =>
+        bump()
+        expect(Op("("))
+        parseExpr()
+        expect(Id("as"))
+        val tb = new StringBuilder
+        var depth = 0
+        var done = false
+        while (!done) peek match {
+          case None => fail("unterminated CAST")
+          case Some(Op("(")) => depth += 1; tb.append('('); bump()
+          case Some(Op(")")) if depth == 0 => bump(); done = true
+          case Some(Op(")")) => depth -= 1; tb.append(')'); bump()
+          case Some(t0) => tb.append(t0.sql).append(' '); bump()
+        }
+        tyOfTypeName(tb.toString)
+      case Some(Id("null")) => bump(); TOther
+      case Some(Id("true")) | Some(Id("false")) => bump(); TBool
+      case Some(Id("coalesce")) => bump(); parseCallArgs("coalesce")
+      case Some(Id(name)) if !reserved(name) =>
+        bump()
+        if (peek.contains(Op("("))) parseCallArgs(name)
+        else types.get(name).map(tyOfDecl).getOrElse(TOther)
+      case t => fail(s"unexpected ${t.map(_.sql)}")
+    }
+    private def parseCallArgs(name: String): Ty = {
+      expect(Op("("))
+      val argTys = scala.collection.mutable.ArrayBuffer[Ty]()
+      if (!peek.contains(Op(")"))) {
+        argTys += parseExpr()
+        while (peek.contains(Op(","))) { bump(); argTys += parseExpr() }
+      }
+      expect(Op(")"))
+      fnTy(name, argTys.toSeq)
+    }
+    private def parseCase(): Ty = {
+      bump() // case
+      if (!peek.contains(Id("when"))) parseExpr() // simple-case scrutinee
+      var res: Option[Ty] = None
+      while (peek.contains(Id("when"))) {
+        bump()
+        parseExpr()
+        expect(Id("then"))
+        val t = parseExpr()
+        res = Some(res.fold(t)(combineSame(_, t)))
+      }
+      if (peek.contains(Id("else"))) {
+        bump()
+        val t = parseExpr()
+        res = Some(res.fold(t)(combineSame(_, t)))
+      }
+      expect(Id("end"))
+      res.getOrElse(TOther)
+    }
+    private def fnTy(name: String, args: Seq[Ty]): Ty = name match {
+      // floor/ceil are integral in Spark (BIGINT for double input,
+      // scale-0 DECIMAL for decimal input — both accepted by div)
+      case "floor" | "ceil" | "ceiling" => TInt
+      case "abs" | "round" | "trunc" => args.headOption.getOrElse(TOther)
+      case "mod" | "pmod" =>
+        if (args.length == 2) numCombine(args(0), args(1)) else TOther
+      case "coalesce" | "least" | "greatest" | "nullif" =>
+        args.reduceOption(combineSame).getOrElse(TOther)
+      case "length" | "char_length" | "character_length" | "octet_length" |
+           "ascii" | "instr" | "position" => TInt
+      case "pow" | "power" | "sqrt" | "exp" | "ln" | "log" | "log10" |
+           "log2" | "sin" | "cos" | "tan" | "atan" | "atan2" | "radians" |
+           "degrees" => TFrac
+      case "concat" | "substr" | "substring" | "upper" | "lower" | "trim" |
+           "ltrim" | "rtrim" | "lpad" | "rpad" | "replace" | "repeat" |
+           "reverse" | "left" | "right" | "translate" | "format_string" =>
+        TStr
+      case _ => TOther
+    }
+  }
+
+  /** Analyze one slice with the in-scope declared types: returns the
+    * (possibly div-rewritten) tokens, the inferred type, and the
+    * divisor slices. On unmodeled grammar, returns the slice untouched
+    * with ok=false. */
+  private def analyzeSlice(toks: Vector[Tok],
+      types: Map[String, String]): Analyzed = {
+    val st = new SliceTyper(toks, types)
+    try {
+      val ty = st.run()
+      val rewritten = toks.zipWithIndex.map {
+        case (Op("/"), ix) if st.swaps(ix) => Id("div"): Tok
+        case (t, _) => t
+      }
+      val divs = st.divisorRanges.toVector
+        .map { case (s, e) => rewritten.slice(s, e) }
+      Analyzed(rewritten, ty, divs, ok = true)
+    } catch {
+      case _: IllegalStateException | _: IndexOutOfBoundsException =>
+        Analyzed(toks, TOther, Vector.empty, ok = false)
+    }
+  }
+
+  /** Divisors that are provably nonzero literals need no runtime guard
+    * (the zero-check would constant-fold anyway — skipping keeps the
+    * emitted text small). */
+  private def nonzeroLiteral(d: Vector[Tok]): Boolean = d match {
+    case Vector(Num(s)) => BigDecimal(s) != 0
+    case Vector(Op("-"), Num(s)) => BigDecimal(s) != 0
+    case Vector(Op("("), Num(s), Op(")")) => BigDecimal(s) != 0
+    case _ => false
+  }
+
+  private def integralDecl(t: String): Boolean = tyOfDecl(t) == TInt
 
   // ---------- substitution ----------
 
@@ -544,7 +1027,13 @@ object PlPgSql {
       paramNames: Vector[String],
       returnType: String,
       private val bodyExpr: String,
-      private val maxInlineDepth: Int) {
+      private val maxInlineDepth: Int,
+      isSetof: Boolean = false) {
+
+    /** The SQL type of the compiled expression: SETOF functions compile
+      * to an ARRAY of the declared element type (the caller explodes). */
+    def outSqlType: String =
+      if (isSetof) s"ARRAY<$returnType>" else returnType
 
     /** The function body as one SQL expression at full inline depth, with
       * parameters still free identifiers — useful for inspection/tests.
@@ -560,8 +1049,15 @@ object PlPgSql {
       depthCache.get(d) match {
         case Some(s) => s
         case None =>
+          // the depth-0 frame raises LOUDLY at run time (the r18 form
+          // yielded typed NULL — silent and indistinguishable from a
+          // legitimate result when a caller's data exceeds the declared
+          // depth); only rows that actually recurse past the budget
+          // evaluate it (lazy CASE arm)
           val v =
-            if (d <= 0) s"CAST(NULL AS $returnType)"
+            if (d <= 0)
+              s"CAST(RAISE_ERROR('recursion depth $maxInlineDepth " +
+                s"exceeded in $name (maxInlineDepth)') AS $outSqlType)"
             else inlineSelf(lex(bodyExpr), d - 1)
           depthCache(d) = v
           v
@@ -643,12 +1139,37 @@ object PlPgSql {
       s"register needs named parameters; ${fn.name} has positional-only")
     val template = spark.sessionState.sqlParser.parseExpression(fn.expressionSql)
     val lowered = fn.paramNames.map(_.toLowerCase(java.util.Locale.ROOT))
+    // each parameter occurrence splices the argument expression, so an
+    // argument referenced N times evaluates N times — PG evaluates call
+    // arguments ONCE. Deterministic args are value-identical (and
+    // subexpression elimination recovers the cost); a NON-deterministic
+    // arg (rand(), uuid()) would silently produce N different values,
+    // so those are rejected unless the parameter is referenced exactly
+    // once.
+    val occurrences: Map[String, Int] = {
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      template.foreach {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          val n = a.name.toLowerCase(java.util.Locale.ROOT)
+          if (lowered.contains(n)) counts(n) = counts.getOrElse(n, 0) + 1
+        case _ =>
+      }
+      lowered.map(p => p -> counts.getOrElse(p, 0)).toMap
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fn.name,
       (children: Seq[Expression]) => {
         require(children.length == fn.paramNames.length,
           s"${fn.name} expects ${fn.paramNames.length} args, " +
             s"got ${children.length}")
+        lowered.zip(children).foreach { case (p, ch) =>
+          require(ch.deterministic || occurrences(p) == 1,
+            s"argument for parameter '$p' of ${fn.name} is " +
+              s"non-deterministic and the parameter is referenced " +
+              s"${occurrences(p)} times in the compiled body — the " +
+              "reference evaluates call arguments once; bind the value " +
+              "in the calling query instead")
+        }
         val byName = lowered.zip(children).toMap
         template.transformUp {
           case a: UnresolvedAttribute
@@ -670,7 +1191,8 @@ object PlPgSql {
     * or '…' with doubled quotes (the reference's regress uses all three).
     */
   def compile(createSql: String, maxInlineDepth: Int = 8,
-              maxLoopUnroll: Int = 1000): PlFunction = {
+              maxLoopUnroll: Int = 1000, maxCondLoopUnroll: Int = 64,
+              maxEmitChars: Int = 4000000): PlFunction = {
     val (header, body, language) = splitCreate(createSql)
     val h = new P(lex(header))
     h.expectId("create")
@@ -710,6 +1232,10 @@ object PlPgSql {
     }
     h.expectOp(")")
     h.expectId("returns")
+    // RETURNS SETOF <type>: the function compiles to one ARRAY<type>
+    // expression; callers explode() it (the Generator lowering of
+    // exec_stmt_return_next — regress rangefuncs.sql)
+    val isSetof = if (h.isId("setof")) { h.next(); true } else false
     val retToks = Vector.newBuilder[Tok]
     while (!h.atEnd && !h.isId("as")) retToks += h.next()
     val retType = mapType(render(retToks.result()))
@@ -720,7 +1246,7 @@ object PlPgSql {
 
     val bodyExpr = language match {
       case "plpgsql" =>
-        val p = new P(lex(body))
+        val p = new P(lex(body), isSetof)
         // optional <<label>> before the block
         if (p.peek.contains(Op("<"))) {
           p.expectOp("<"); p.expectOp("<")
@@ -733,8 +1259,13 @@ object PlPgSql {
         // continuation chain; a dedicated big-stack thread keeps large
         // (but budgeted) loops from overflowing the caller's stack —
         // compile-time only, never on the query path
-        withDeepStack(compileBody(block, paramPairs, retType, maxLoopUnroll))
+        withDeepStack(compileBody(block, fname, paramPairs, retType,
+          isSetof, maxLoopUnroll, maxCondLoopUnroll, maxEmitChars))
       case "sql" =>
+        require(!isSetof,
+          "RETURNS SETOF is compiled for LANGUAGE plpgsql bodies " +
+            "(RETURN NEXT / RETURN QUERY); a LANGUAGE sql set function " +
+            "is a table — express it as a DataFrame")
         val toks = lex(body)
         val inner = toks match {
           case Id("select") +: rest => rest
@@ -756,13 +1287,18 @@ object PlPgSql {
         }
         val trimmed = if (inner.lastOption.contains(Op(";")))
           inner.dropRight(1) else inner
+        // PG evaluates `/` between integer-typed operands as truncating
+        // integer division inside SQL bodies too — same rewrite as the
+        // plpgsql path (conservative: only provably-integral pairs)
+        val rewritten = analyzeSlice(trimmed, paramPairs.toMap).toks
         // PG coerces the SQL function's result to the declared return
         // type (check_sql_fn_retval)
-        s"CAST((${render(trimmed)}) AS $retType)"
+        s"CAST((${render(rewritten)}) AS $retType)"
       case other => throw new IllegalArgumentException(
         s"unsupported LANGUAGE $other (plpgsql and sql are compiled)")
     }
-    PlFunction(fname, paramNames, retType, bodyExpr, maxInlineDepth)
+    PlFunction(fname, paramNames, retType, bodyExpr, maxInlineDepth,
+      isSetof)
   }
 
   /** Split CREATE FUNCTION text into (header, body, language) across the
@@ -867,130 +1403,445 @@ object PlPgSql {
 
   // ---------- the Froid core ----------
 
-  private def compileBody(block: SubBlock, paramPairs: Vector[(String, String)],
-      retType: String, maxLoopUnroll: Int): String = {
+  /** SETOF accumulator's env key — '#' cannot lex as an identifier, so
+    * no expression token can ever collide with (or substitute) it. */
+  private val AccKey = "#acc"
+
+  private def compileBody(block: SubBlock, fname: String,
+      paramPairs: Vector[(String, String)], retType: String,
+      setof: Boolean, maxLoopUnroll: Int, maxCondLoopUnroll: Int,
+      maxEmitChars: Int): String = {
     val paramNames = paramPairs.map(_._1)
     paramNames.foreach(p => require(!reserved(p),
       s"parameter name '$p' is a reserved word"))
+    val outType = if (setof) s"ARRAY<$retType>" else retType
 
     // continuation-passing execution: k(env) = SQL for "control fell
-    // past these statements". Inside a FOR loop two more continuations
-    // exist — exitK (EXIT: jump past all remaining iterations) and
-    // nextK (CONTINUE: jump to the next iteration) — threaded through
-    // every construct and RE-WRAPPED by SubBlock so a jump out of a
-    // nested block pops that block's declarations first (PG block scope
-    // ends at the jump, pl_exec.c exec_stmt_exit unwinding).
-    // `types` carries each in-scope variable's declared SQL type: every
-    // assignment, initializer and RETURN is CAST to it, because PG
-    // evaluates those through the variable's type — `d := x / 2` on
-    // bigints is INTEGER division (trunc toward zero) in the reference,
-    // while the raw substituted text would float through Spark's
-    // fractional `/`. CAST-on-assign reproduces the truncation exactly
-    // (both engines truncate toward zero casting to integral types).
-    // Residual documented divergence: assigning a FRACTIONAL value to an
-    // integer variable ROUNDS in PG (numeric->int cast) but truncates
-    // here; integer-`/`-integer, the shape that matters, is exact, and
-    // bigint quotients are exact up to 2^52 (the double mantissa).
-    type K = Map[String, String] => String
-    type Types = Map[String, String]
-    def go(stmts: List[Stmt], env: Map[String, String], types: Types,
-        k: K, exitK: Option[K], nextK: Option[K]): String = stmts match {
-      case Nil => k(env)
-      case Assign(v, e) :: rest =>
-        require(env.contains(v),
-          s"assignment to undeclared variable '$v'")
-        val cast = s"CAST((${render(subst(e, env))}) AS ${types(v)})"
-        go(rest, env + (v -> cast), types, k, exitK, nextK)
-      case Ret(e) :: _ =>
-        s"CAST((${render(subst(e, env))}) AS $retType)"
-      case Raise(msg, args) :: _ =>
-        val argSqls = args.map(a => render(subst(a, env)))
-        s"CAST(RAISE_ERROR(${raiseMsgSql(msg, argSqls)}) AS $retType)"
-      case LoopJump(isExit, when) :: rest =>
-        val jump = (if (isExit) exitK else nextK).getOrElse(
-          throw new IllegalArgumentException(
-            s"${if (isExit) "EXIT" else "CONTINUE"} outside a loop"))
-        when match {
-          case None => jump(env)
-          case Some(c) =>
-            s"CASE WHEN ${render(subst(c, env))} THEN (${jump(env)}) " +
-              s"ELSE (${go(rest, env, types, k, exitK, nextK)}) END"
-        }
-      case NullStmt :: rest => go(rest, env, types, k, exitK, nextK)
-      case IfStmt(branches, els) :: rest =>
-        val cont: K = e2 => go(rest, e2, types, k, exitK, nextK)
-        val arms = branches.map { case (c, body) =>
-          s"WHEN ${render(subst(c, env))} THEN " +
-            s"(${go(body.toList, env, types, cont, exitK, nextK)})"
-        }
-        val elseSql = go(els.toList, env, types, cont, exitK, nextK)
-        s"CASE ${arms.mkString(" ")} ELSE ($elseSql) END"
-      case ForLoop(v, lo, hi, rev, body) :: rest =>
-        // REVERSE iterates first-bound DOWN to second (pl_exec.c
-        // exec_stmt_fori: reverse swaps the step, not the bounds)
-        val idxs = if (rev) lo.to(hi, -1L) else lo.to(hi)
-        require(idxs.length <= maxLoopUnroll,
-          s"FOR loop spans ${idxs.length} iterations, above the " +
-            s"$maxLoopUnroll unroll budget (maxLoopUnroll): each " +
-            "iteration becomes expression text, so huge literal ranges " +
-            "belong in a set-wise rewrite, not a scalar function")
-        // loop var is auto-declared for the loop's scope (pl_gram.y for_control)
-        val saved = env.get(v)
-        val after: K = e2 =>
-          go(rest, saved.fold(e2 - v)(old => e2 + (v -> old)),
-            types, k, exitK, nextK)
-        val bodyTypes = types + (v -> "BIGINT")
-        // one iteration at a time so CONTINUE has a precise "rest of the
-        // iterations" continuation; EXIT jumps straight to `after`
-        def iter(remaining: List[Long], e: Map[String, String]): String =
-          remaining match {
-            case Nil => after(e)
-            case i :: tail =>
-              val bound = e + (v -> (if (i < 0) s"($i)" else i.toString))
-              val toNext: K = e2 => iter(tail, e2)
-              go(body.toList, bound, bodyTypes, toNext,
-                exitK = Some(after), nextK = Some(toNext))
-          }
-        iter(idxs.toList, env)
-      case SubBlock(decls, body) :: rest =>
-        var e = env
-        var t2 = types
-        val shadowed = decls.map(d =>
-          d.name -> (env.get(d.name), types.get(d.name)))
-        decls.foreach { d =>
-          require(!reserved(d.name), s"reserved variable name '${d.name}'")
-          val init = d.init.map(x => s"CAST((${render(subst(x, e))}) AS ${d.sqlType})")
-            .getOrElse(s"CAST(NULL AS ${d.sqlType})")
-          e = e + (d.name -> init)
-          t2 = t2 + (d.name -> d.sqlType)
-        }
-        val pop: Map[String, String] => Map[String, String] = e2 =>
-          shadowed.foldLeft(e2) {
-            case (m, (nm, (Some(old), _))) => m + (nm -> old)
-            case (m, (nm, (None, _))) => m - nm
-          }
-        val restore: K = e2 => go(rest, pop(e2), types, k, exitK, nextK)
-        go(body.toList, e, t2, restore,
-          exitK.map(x => (e2: Map[String, String]) => x(pop(e2))),
-          nextK.map(n => (e2: Map[String, String]) => n(pop(e2))))
+    // past these statements". The context carries the loop jump
+    // continuations (exitK/nextK), the nearest EXCEPTION clause's raise
+    // continuation (raiseK — None means raise_error), the caught error
+    // inside a handler (for bare re-RAISE), the in-scope declared types
+    // and whether any enclosing handler can catch division_by_zero
+    // (which forces divisor guards onto every division). Jumps are
+    // RE-WRAPPED by SubBlock so leaving a nested block pops that
+    // block's declarations first (pl_exec.c exec_stmt_exit unwinding).
+    //
+    // Declared-type discipline: every assignment, initializer and
+    // RETURN is CAST through the target's declared type, because PG
+    // evaluates those through the variable's type. Integer division is
+    // handled UPSTREAM of the cast: analyzeSlice rewrites `/` between
+    // provably-integral operands to the truncating `div` operator
+    // (int4div/int8div semantics — exact at any magnitude and correct
+    // in ANY position, conditions and compound expressions included),
+    // and a fractional (or unknown) value assigned to an integer
+    // variable goes through round(x, 0) first, reproducing PG's
+    // half-away-from-zero numeric→int cast instead of Spark's
+    // truncating CAST.
+    type Env = Map[String, String]
+    type K = Env => String
+    type RaiseK = (String, String, Env) => String
+    final case class Ctx(types: Map[String, String], exitK: Option[K],
+        nextK: Option[K], raiseK: Option[RaiseK],
+        caught: Option[(String, String)], divGuard: Boolean)
+
+    // emitted-text budget: branch continuations duplicate the rest of
+    // the body per arm and condition-guarded loops emit every budgeted
+    // iteration, so pathological nesting is O(2^N) TEXT — this counter
+    // turns that into a loud compile error instead of a hang/OOM
+    var emitted = 0L
+    def emit(s: String): String = {
+      emitted += s.length
+      if (emitted > maxEmitChars) throw new IllegalArgumentException(
+        s"compiling $fname emitted over $maxEmitChars characters of " +
+          "expression text (maxEmitChars): conditional branches inside " +
+          "loops recompile the remaining iterations per arm — reduce " +
+          "maxLoopUnroll/maxCondLoopUnroll or restate the loop set-wise")
+      s
     }
+
+    def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+    def hardRaise(msg: String): String =
+      s"CAST(RAISE_ERROR(${sq(msg)}) AS $outType)"
+
+    /** Raise `cls` with message expression `msg` — into the nearest
+      * EXCEPTION clause if one exists, else a run-time error. */
+    def raise(ctx: Ctx, cls: String, msg: String, env: Env): String =
+      ctx.raiseK match {
+        case Some(rk) => rk(cls, msg, env)
+        case None => emit(s"CAST(RAISE_ERROR($msg) AS $outType)")
+      }
+
+    /** Wrap `inner` in the division_by_zero guards the analyzed slices
+      * require. Outside a catching block this is the identity (ANSI
+      * Spark already raises on x/0, matching an uncaught PG error). */
+    def guard(as: Seq[Analyzed], raws: Seq[Vector[Tok]], env: Env,
+        ctx: Ctx)(inner: => String): String = {
+      if (!ctx.divGuard) inner
+      else {
+        as.zip(raws).foreach { case (a, raw) =>
+          if (!a.ok && raw.exists(t => t == Op("/") || t == Op("%")))
+            throw new IllegalArgumentException(
+              s"cannot statically analyze the divisions in " +
+                s"'${render(raw)}' inside a block handling " +
+                "division_by_zero — simplify the expression or drop " +
+                "the handler")
+        }
+        val checks = as.flatMap(_.divisors).filterNot(nonzeroLiteral)
+          .map(d => s"(${render(subst(d, env))}) = 0")
+        if (checks.isEmpty) inner
+        else emit(s"CASE WHEN ${checks.mkString(" OR ")} THEN " +
+          s"(${raise(ctx, "division_by_zero", "'division by zero'", env)})" +
+          s" ELSE (${inner}) END")
+      }
+    }
+
+    /** Analyze + substitute + cast a slice to `target` with PG's
+      * assignment semantics (round-half-away for fractional→integer). */
+    def castTo(e: Vector[Tok], env: Env, target: String,
+        ctx: Ctx): (String, Analyzed) = {
+      val a = analyzeSlice(e, ctx.types)
+      val inner = render(subst(a.toks, env))
+      val sql =
+        if (integralDecl(target) && a.ty != TInt && a.ty != TStr &&
+          a.ty != TBool)
+          s"CAST(ROUND(($inner), 0) AS $target)"
+        else s"CAST(($inner) AS $target)"
+      (sql, a)
+    }
+
+    def go(stmts: List[Stmt], env: Env, ctx: Ctx, k: K): String =
+      stmts match {
+        case Nil => k(env)
+
+        case Assign(v, e) :: rest =>
+          require(env.contains(v),
+            s"assignment to undeclared variable '$v'")
+          val (sql, a) = castTo(e, env, ctx.types(v), ctx)
+          guard(Seq(a), Seq(e), env, ctx) {
+            go(rest, env + (v -> sql), ctx, k)
+          }
+
+        case Ret(e) :: _ =>
+          if (setof) throw new IllegalArgumentException(
+            "RETURN with a value in a SETOF function — use RETURN NEXT " +
+              "(exec_stmt_return rejects the same shape)")
+          val (sql, a) = castTo(e, env, retType, ctx)
+          guard(Seq(a), Seq(e), env, ctx)(emit(sql))
+
+        case BareRet :: _ =>
+          if (setof) emit(env(AccKey))
+          else throw new IllegalArgumentException(
+            "RETURN without a value is only legal in SETOF functions " +
+              "(or with OUT parameters, which are unsupported)")
+
+        case RetNext(e) :: rest =>
+          require(setof, "RETURN NEXT outside a SETOF function")
+          val (sql, a) = castTo(e, env, retType, ctx)
+          guard(Seq(a), Seq(e), env, ctx) {
+            go(rest,
+              env + (AccKey -> s"concat(${env(AccKey)}, array($sql))"),
+              ctx, k)
+          }
+
+        case RetQueryRows(rows) :: rest =>
+          require(setof, "RETURN QUERY outside a SETOF function")
+          val cast = rows.map(r => castTo(r, env, retType, ctx))
+          guard(cast.map(_._2), rows, env, ctx) {
+            val arr = cast.map(_._1).mkString(", ")
+            go(rest,
+              env + (AccKey -> s"concat(${env(AccKey)}, array($arr))"),
+              ctx, k)
+          }
+
+        case Raise(cls, msg, args) :: _ =>
+          val as = args.map(a => analyzeSlice(a, ctx.types))
+          val argSqls = as.map(a => render(subst(a.toks, env)))
+          guard(as, args, env, ctx) {
+            raise(ctx, cls, raiseMsgSql(msg, argSqls), env)
+          }
+
+        case ReRaise :: _ =>
+          val (cls, msg) = ctx.caught.getOrElse(
+            throw new IllegalArgumentException(
+              "bare RAISE is only valid inside an exception handler"))
+          // ctx.raiseK here is already the ENCLOSING block's (a handler
+          // compiles with its own block's handlers out of scope), so
+          // the re-throw propagates outward like exec_stmt_raise
+          raise(ctx, cls, msg, env)
+
+        case LoopJump(isExit, when) :: rest =>
+          val jump = (if (isExit) ctx.exitK else ctx.nextK).getOrElse(
+            throw new IllegalArgumentException(
+              s"${if (isExit) "EXIT" else "CONTINUE"} outside a loop"))
+          when match {
+            case None => jump(env)
+            case Some(c) =>
+              val a = analyzeSlice(c, ctx.types)
+              guard(Seq(a), Seq(c), env, ctx) {
+                emit(s"CASE WHEN ${render(subst(a.toks, env))} THEN " +
+                  s"(${jump(env)}) ELSE (${go(rest, env, ctx, k)}) END")
+              }
+          }
+
+        case NullStmt :: rest => go(rest, env, ctx, k)
+
+        case IfStmt(branches, els) :: rest =>
+          val cont: K = e2 => go(rest, e2, ctx, k)
+          if (!ctx.divGuard) {
+            // flat first-match-wins CASE (the compact form); conditions
+            // still get the integer-division rewrite
+            val arms = branches.map { case (c, body) =>
+              val a = analyzeSlice(c, ctx.types)
+              s"WHEN ${render(subst(a.toks, env))} THEN " +
+                s"(${go(body.toList, env, ctx, cont)})"
+            }
+            val elseSql = go(els.toList, env, ctx, cont)
+            emit(s"CASE ${arms.mkString(" ")} ELSE ($elseSql) END")
+          } else {
+            // guarded conditions evaluate strictly in order, each arm's
+            // divisor checks firing before ITS condition runs
+            def arm(bs: List[(Vector[Tok], Vector[Stmt])]): String =
+              bs match {
+                case Nil => go(els.toList, env, ctx, cont)
+                case (c, body) :: more =>
+                  val a = analyzeSlice(c, ctx.types)
+                  guard(Seq(a), Seq(c), env, ctx) {
+                    emit(s"CASE WHEN ${render(subst(a.toks, env))} THEN " +
+                      s"(${go(body.toList, env, ctx, cont)}) ELSE " +
+                      s"(${arm(more)}) END")
+                  }
+              }
+            arm(branches.toList)
+          }
+
+        case ForLoop(v, lo, hi, rev, body) :: rest =>
+          // REVERSE iterates first-bound DOWN to second (pl_exec.c
+          // exec_stmt_fori: reverse swaps the step, not the bounds)
+          val idxs = if (rev) lo.to(hi, -1L) else lo.to(hi)
+          require(idxs.length <= maxLoopUnroll,
+            s"FOR loop spans ${idxs.length} iterations, above the " +
+              s"$maxLoopUnroll unroll budget (maxLoopUnroll): each " +
+              "iteration becomes expression text, so huge literal " +
+              "ranges belong in a set-wise rewrite, not a scalar " +
+              "function")
+          // loop var is auto-declared for the loop's scope
+          val saved = env.get(v)
+          val after: K = e2 =>
+            go(rest, saved.fold(e2 - v)(old => e2 + (v -> old)), ctx, k)
+          val bodyCtx0 = ctx.copy(types = ctx.types + (v -> "BIGINT"))
+          // one iteration at a time so CONTINUE has a precise "rest of
+          // the iterations" continuation; EXIT jumps straight to after
+          def iter(remaining: List[Long], e: Env): String =
+            remaining match {
+              case Nil => after(e)
+              case i :: tail =>
+                val bound =
+                  e + (v -> (if (i < 0) s"($i)" else i.toString))
+                val toNext: K = e2 => iter(tail, e2)
+                go(body.toList, bound,
+                  bodyCtx0.copy(exitK = Some(after), nextK = Some(toNext)),
+                  toNext)
+            }
+          iter(idxs.toList, env)
+
+        case WhileLoop(cond, body) :: rest =>
+          // unrolled to maxCondLoopUnroll condition-guarded iterations;
+          // a loop still live past the budget raises LOUDLY at run time
+          // (never a silent wrong value). WHILE NULL exits like WHILE
+          // FALSE (a null CASE condition falls to ELSE), matching
+          // exec_stmt_while's !isnull && value gate.
+          val after: K = e2 => go(rest, e2, ctx, k)
+          val a = analyzeSlice(cond, ctx.types)
+          def iter(n: Int, e: Env): String = {
+            val thenSql =
+              if (n >= maxCondLoopUnroll)
+                hardRaise(s"WHILE loop in $fname still running after " +
+                  s"$maxCondLoopUnroll iterations (maxCondLoopUnroll): " +
+                  "raise the budget or restate the loop set-wise")
+              else {
+                val toNext: K = e2 => iter(n + 1, e2)
+                go(body.toList, e,
+                  ctx.copy(exitK = Some(after), nextK = Some(toNext)),
+                  toNext)
+              }
+            guard(Seq(a), Seq(cond), e, ctx) {
+              emit(s"CASE WHEN ${render(subst(a.toks, e))} THEN " +
+                s"($thenSql) ELSE (${after(e)}) END")
+            }
+          }
+          iter(0, env)
+
+        case ForLoopDyn(v, loE, hiE, rev, body) :: rest =>
+          // both bounds evaluate ONCE at entry (exec_stmt_fori) — the
+          // rendered bound text is captured against the ENTRY env, so
+          // body writes to bound variables cannot move the goalposts
+          val aLo = analyzeSlice(loE, ctx.types)
+          val aHi = analyzeSlice(hiE, ctx.types)
+          val loSql = s"CAST((${render(subst(aLo.toks, env))}) AS BIGINT)"
+          val hiSql = s"CAST((${render(subst(aHi.toks, env))}) AS BIGINT)"
+          val saved = env.get(v)
+          val after: K = e2 =>
+            go(rest, saved.fold(e2 - v)(old => e2 + (v -> old)), ctx, k)
+          val bodyCtx0 = ctx.copy(types = ctx.types + (v -> "BIGINT"))
+          val (step, cmp) = if (rev) ("-", ">=") else ("+", "<=")
+          def cur(n: Int): String = s"(($loSql) $step $n)"
+          def iter(n: Int, e: Env): String = {
+            val thenSql =
+              if (n >= maxCondLoopUnroll)
+                hardRaise(s"FOR loop in $fname still running after " +
+                  s"$maxCondLoopUnroll iterations (maxCondLoopUnroll): " +
+                  "raise the budget or restate the loop set-wise")
+              else {
+                val bound = e + (v -> cur(n))
+                val toNext: K = e2 => iter(n + 1, e2)
+                go(body.toList, bound,
+                  bodyCtx0.copy(exitK = Some(after), nextK = Some(toNext)),
+                  toNext)
+              }
+            emit(s"CASE WHEN ${cur(n)} $cmp ($hiSql) THEN ($thenSql) " +
+              s"ELSE (${after(e)}) END")
+          }
+          guard(Seq(aLo, aHi), Seq(loE, hiE), env, ctx) {
+            // PG raises for null bounds (exec_stmt_fori); without this
+            // the CASE guard would silently run zero iterations
+            emit(s"CASE WHEN ($loSql) IS NULL OR ($hiSql) IS NULL THEN " +
+              s"(${hardRaise(s"lower/upper bound of FOR loop in $fname " +
+                "cannot be null")}) ELSE (${iter(0, env)}) END")
+          }
+
+        case SubBlock(decls, handlers, body) :: rest =>
+          var e = env
+          var t2 = ctx.types
+          val shadowed = decls.map(d => d.name -> env.get(d.name))
+          val initChecks = Vector.newBuilder[String]
+          decls.foreach { d =>
+            require(!reserved(d.name),
+              s"reserved variable name '${d.name}'")
+            val init = d.init match {
+              case Some(x) =>
+                val a = analyzeSlice(x, t2)
+                // errors in DECLARE initializers are NOT caught by this
+                // block's own EXCEPTION clause (PG: "handler does not
+                // cover the declarations") — guards use the OUTER ctx
+                if (ctx.divGuard) {
+                  if (!a.ok &&
+                    x.exists(t => t == Op("/") || t == Op("%")))
+                    throw new IllegalArgumentException(
+                      s"cannot statically analyze the divisions in " +
+                        s"'${render(x)}' inside a block handling " +
+                        "division_by_zero")
+                  a.divisors.filterNot(nonzeroLiteral).foreach(dv =>
+                    initChecks += s"(${render(subst(dv, e))}) = 0")
+                }
+                val inner = render(subst(a.toks, e))
+                if (integralDecl(d.sqlType) && a.ty != TInt &&
+                  a.ty != TStr && a.ty != TBool)
+                  s"CAST(ROUND(($inner), 0) AS ${d.sqlType})"
+                else s"CAST(($inner) AS ${d.sqlType})"
+              case None => s"CAST(NULL AS ${d.sqlType})"
+            }
+            e = e + (d.name -> init)
+            t2 = t2 + (d.name -> d.sqlType)
+          }
+          val pop: Env => Env = e2 =>
+            shadowed.foldLeft(e2) {
+              case (m, (nm, Some(old))) => m + (nm -> old)
+              case (m, (nm, None)) => m - nm
+            }
+          val restore: K = e2 => go(rest, pop(e2), ctx, k)
+          val exitW = ctx.exitK.map(x => (e2: Env) => x(pop(e2)))
+          val nextW = ctx.nextK.map(x => (e2: Env) => x(pop(e2)))
+          val canCatchDiv = handlers.exists(_.conds.exists(c =>
+            c == "division_by_zero" || c == "others"))
+          def handlerMatches(conds: Vector[String], cls: String): Boolean =
+            conds.exists(c => c == cls ||
+              // OTHERS matches everything except assert_failure (and
+              // query_canceled, which has no compiled raise site) —
+              // exception_matches_conditions, pl_exec.c:1556
+              (c == "others" && cls != "assert_failure"))
+          val blockRaiseK: Option[RaiseK] =
+            if (handlers.isEmpty) ctx.raiseK
+            else Some { (cls, msg, envAt) =>
+              handlers.find(h => handlerMatches(h.conds, cls)) match {
+                case Some(h) =>
+                  // PG semantics: variables keep their values as of the
+                  // error; SQLERRM/SQLSTATE describe the caught error;
+                  // errors inside the handler (incl. bare RAISE)
+                  // propagate OUT of this block (ctx.raiseK)
+                  val priorErr = envAt.get("sqlerrm")
+                  val priorSt = envAt.get("sqlstate")
+                  val henv = envAt +
+                    ("sqlerrm" -> s"CAST(($msg) AS STRING)") +
+                    ("sqlstate" -> sq(knownConds(cls)))
+                  val hpop: Env => Env = e2 => {
+                    val b = pop(e2)
+                    val b2 = priorErr.fold(b - "sqlerrm")(v =>
+                      b + ("sqlerrm" -> v))
+                    priorSt.fold(b2 - "sqlstate")(v =>
+                      b2 + ("sqlstate" -> v))
+                  }
+                  go(h.body.toList, henv,
+                    ctx.copy(
+                      types = t2 + ("sqlerrm" -> "STRING") +
+                        ("sqlstate" -> "STRING"),
+                      exitK = ctx.exitK.map(x => (e2: Env) => x(hpop(e2))),
+                      nextK = ctx.nextK.map(x => (e2: Env) => x(hpop(e2))),
+                      caught = Some((cls, msg))),
+                    e2 => go(rest, hpop(e2), ctx, k))
+                case None =>
+                  // no handler matches — propagate to the enclosing
+                  // block with this block's locals out of scope
+                  raise(ctx, cls, msg, pop(envAt))
+              }
+            }
+          val bodyCtx = ctx.copy(types = t2, exitK = exitW, nextK = nextW,
+            raiseK = blockRaiseK,
+            divGuard = ctx.divGuard || canCatchDiv)
+          val inner = go(body.toList, e, bodyCtx, restore)
+          val checks = initChecks.result()
+          if (checks.isEmpty) inner
+          else emit(s"CASE WHEN ${checks.mkString(" OR ")} THEN " +
+            s"(${raise(ctx, "division_by_zero", "'division by zero'", env)})" +
+            s" ELSE ($inner) END")
+      }
 
     // Parameters seed the environment mapped to THEMSELVES: unassigned
     // ones stay free identifiers for call-time substitution, while
-    // assignment to a parameter (legal PL/pgSQL — recursion_test's regress
-    // siblings do it) just rebinds the env entry like any variable.
+    // assignment to a parameter (legal PL/pgSQL — recursion_test's
+    // regress siblings do it) rebinds the env entry like any variable.
     var env: Map[String, String] = paramNames.map(p => p -> p).toMap
-    var types: Types = paramPairs.toMap
+    var types: Map[String, String] = paramPairs.toMap
+    if (setof) env = env + (AccKey -> s"CAST(ARRAY() AS ARRAY<$retType>)")
     block.decls.foreach { d =>
       require(!reserved(d.name), s"reserved variable name '${d.name}'")
       require(!paramNames.contains(d.name),
         s"variable '${d.name}' shadows a parameter")
-      val init = d.init.map(t => s"CAST((${render(subst(t, env))}) AS ${d.sqlType})")
-        .getOrElse(s"CAST(NULL AS ${d.sqlType})")
+      val a = analyzeSlice(d.init.getOrElse(Vector(Id("null"))), types)
+      val init = d.init match {
+        case Some(_) =>
+          val inner = render(subst(a.toks, env))
+          if (integralDecl(d.sqlType) && a.ty != TInt && a.ty != TStr &&
+            a.ty != TBool)
+            s"CAST(ROUND(($inner), 0) AS ${d.sqlType})"
+          else s"CAST(($inner) AS ${d.sqlType})"
+        case None => s"CAST(NULL AS ${d.sqlType})"
+      }
       env = env + (d.name -> init)
       types = types + (d.name -> d.sqlType)
     }
-    go(block.body.toList, env, types,
-      _ => s"CAST(NULL AS $retType)", None, None)
+    val rootCtx = Ctx(types, None, None, None, None, divGuard = false)
+    // falling off the end: a SETOF body legally ends its result set; a
+    // scalar body raises like exec_stmt_block's control-reached-end
+    // error (the r18 typed-NULL form was silent and wrong-shaped)
+    val k0: K = e =>
+      if (setof) emit(e(AccKey))
+      else hardRaise(
+        s"control reached end of function $fname without RETURN")
+    // the ROOT block's own EXCEPTION clause must still catch errors
+    // from its body — compile it through the SubBlock machinery with
+    // no extra decls (the root decls are already seeded above)
+    if (block.handlers.isEmpty) go(block.body.toList, env, rootCtx, k0)
+    else go(List(SubBlock(Vector.empty, block.handlers, block.body)),
+      env, rootCtx, k0)
   }
 }

@@ -134,6 +134,71 @@ object PlFuncs extends QueryModule {
       |'select cast(floor(price_m * (100 - disc_pct) / 100.0) as bigint)'
       |language sql""".stripMargin)
 
+  /** WHILE loop (r19, exec_stmt_while): digit sum of a bigint. 24
+    * guarded iterations cover ANY positive 64-bit value (19 digits);
+    * the loop body is branch-free so the unroll stays linear text. */
+  private val digitSum = PlPgSql.compile(
+    """create function digit_sum(k bigint) returns bigint as $$
+      |declare s bigint := 0;
+      |begin
+      |  while k > 0 loop
+      |    s := s + k % 10;
+      |    k := k / 10;
+      |  end loop;
+      |  return s;
+      |end;
+      |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 24)
+
+  /** Non-literal FOR bounds (r19, exec_stmt_fori): sum of the last n
+    * digits — the bound is DATA (n), evaluated once at loop entry. */
+  private val tailDigits = PlPgSql.compile(
+    """create function tail_digits(k bigint, n bigint) returns bigint as $$
+      |declare s bigint := 0;
+      |begin
+      |  for i in 1..n loop
+      |    s := s + k % 10;
+      |    k := k / 10;
+      |  end loop;
+      |  return s;
+      |end;
+      |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 4)
+
+  /** SETOF via RETURN NEXT / RETURN QUERY (r19, exec_stmt_return_next,
+    * regress rangefuncs.sql): compiles to ONE ARRAY<STRING> expression;
+    * the lane explodes it (Generator — never a UDF/tuplestore). */
+  private val orderTags = PlPgSql.compile(
+    """create function order_tags(q bigint, m bigint) returns setof string as $$
+      |begin
+      |  return next 'm' || cast(m as string);
+      |  if q % 2 = 0 then
+      |    return next 'even';
+      |  else
+      |    return query values ('odd'), ('o' || cast(q % 3 as string));
+      |  end if;
+      |  return;
+      |end;
+      |$$ language plpgsql""".stripMargin)
+
+  /** EXCEPTION block (r19, pl_exec.c:1685): division_by_zero guarded at
+    * every division in the protected region, RAISE EXCEPTION routed to
+    * its handler with SQLERRM/SQLSTATE bound — all lowered to CASE. */
+  private val safeRate = PlPgSql.compile(
+    """create function safe_rate(num bigint, den bigint) returns string as $$
+      |declare r bigint;
+      |begin
+      |  begin
+      |    r := num / den;
+      |    if r > 5 then
+      |      raise exception 'rate % over limit', r;
+      |    end if;
+      |    return 'ok:' || cast(r as string);
+      |  exception
+      |    when division_by_zero then return 'dz:' || sqlstate;
+      |    when raise_exception then return 'big:' || sqlerrm;
+      |  end;
+      |end;
+      |$$ language plpgsql""".stripMargin)
+
   private def staged(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
     s.sql(stagedSql)
@@ -171,7 +236,11 @@ object PlFuncs extends QueryModule {
     "q_sql_fn_inline" -> ((s, dir) => {
       staged(s, dir).createOrReplaceTempView("pl_staged")
       // the sum is limb-split (lsum128b): disc-priced micros are bounded
-      // |v| <= ~1.1e11 << 2^44, and the long sum would clip 2^63 at ~sf800
+      // |v| <= ~1.1e11 << 2^44, and the long sum would clip 2^63 at ~sf800.
+      // The r18 artifact hash-failed this lane while the values were
+      // tuple-identical — it was the battery's ONE raw-DECIMAL(38,0)
+      // output column, so the compared value now ships as its exact
+      // digit STRING (unambiguous canon at every SF, no 2^63 clip)
       val base = s.sql(
         s"""SELECT l_returnflag,
            |  ${discPriceM.call("price_m", "disc_pct")} AS v
@@ -179,13 +248,57 @@ object PlFuncs extends QueryModule {
       base.groupBy("l_returnflag")
         .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("cnt"),
-          lsum128b(org.apache.spark.sql.functions.col("v")).as("sum_disc_m"))
+          lsum128b(org.apache.spark.sql.functions.col("v"))
+            .cast("string").as("sum_disc_m"))
         .orderBy("l_returnflag")
+    }),
+    "q_plpgsql_while" -> ((s, dir) => {
+      staged(s, dir).createOrReplaceTempView("pl_staged")
+      s.sql(
+        s"""SELECT ${digitSum.call("l_orderkey")} AS ds,
+           |  ${tailDigits.call("l_orderkey", "(l_orderkey % 3) + 1")} AS ts,
+           |  COUNT(*) AS cnt, MIN(l_orderkey) AS min_k
+           |FROM pl_staged GROUP BY ds, ts ORDER BY ds, ts""".stripMargin)
+    }),
+    "q_plpgsql_setof" -> ((s, dir) => {
+      staged(s, dir).createOrReplaceTempView("pl_staged")
+      s.sql(
+        s"""SELECT tag, COUNT(*) AS cnt
+           |FROM (SELECT explode(${orderTags.call("qty", "m")}) AS tag
+           |      FROM pl_staged)
+           |GROUP BY tag ORDER BY tag""".stripMargin)
+    }),
+    "q_plpgsql_exception" -> ((s, dir) => {
+      staged(s, dir).createOrReplaceTempView("pl_staged")
+      s.sql(
+        s"""SELECT ${safeRate.call("disc_pct", "m")} AS cls,
+           |  COUNT(*) AS cnt, SUM(qty) AS sum_qty
+           |FROM pl_staged GROUP BY cls ORDER BY cls""".stripMargin)
+    }),
+    "q_plpgsql_registered" -> ((s, dir) => {
+      staged(s, dir).createOrReplaceTempView("pl_staged")
+      // the REGISTRY path (r19): the same compiled function called BY
+      // NAME through verbatim SQL — FunctionRegistry resolution, then
+      // the template splices per call site (clauses.c inline_function)
+      PlPgSql.register(s, freightClass)
+      s.sql(
+        """SELECT freight_class(qty, price_m, disc_pct) AS fclass,
+          |  COUNT(*) AS cnt, SUM(qty) AS sum_qty
+          |FROM pl_staged GROUP BY fclass ORDER BY fclass""".stripMargin)
     })
   )
 
   // Independent oracles: hand-derived semantics, DuckDB-native idioms
   // (integer division `//`), NOT the compiler's output text.
+
+  /** Closed-form digit sum over all 19 possible bigint digits — the
+    * WHILE loop's `while k > 0` semantics restated: absent digits
+    * contribute 0, so the full-width sum is identical for positive k. */
+  private val digitSumSql: String =
+    (0 until 19)
+      .map(i => s"(l_orderkey // ${BigInt(10).pow(i)}) % 10")
+      .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
     "q_plpgsql_scalar" ->
       s"""WITH pl_staged AS ($stagedSql)
@@ -240,8 +353,68 @@ object PlFuncs extends QueryModule {
     "q_sql_fn_inline" ->
       s"""WITH pl_staged AS ($stagedSql)
          |SELECT l_returnflag, COUNT(*) AS cnt,
-         |  CAST(SUM(CAST(FLOOR(price_m * (100 - disc_pct) / 100.0) AS BIGINT))
-         |    AS DECIMAL(38,0)) AS sum_disc_m
+         |  CAST(CAST(SUM(CAST(FLOOR(price_m * (100 - disc_pct) / 100.0)
+         |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_disc_m
+         |FROM pl_staged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_plpgsql_while" ->
+      // digit_sum restated closed-form (19 digit positions); the
+      // tail_digits FOR-with-data-bound restated as guarded terms over
+      // n = (k % 3) + 1 in 1..3
+      s"""WITH pl_staged AS ($stagedSql),
+         |d AS (SELECT
+         |  $digitSumSql AS ds,
+         |  (l_orderkey % 10)
+         |    + CASE WHEN (l_orderkey % 3) + 1 >= 2
+         |        THEN ((l_orderkey // 10) % 10) ELSE 0 END
+         |    + CASE WHEN (l_orderkey % 3) + 1 >= 3
+         |        THEN ((l_orderkey // 100) % 10) ELSE 0 END AS ts,
+         |  l_orderkey
+         |  FROM pl_staged)
+         |SELECT CAST(ds AS BIGINT) AS ds, CAST(ts AS BIGINT) AS ts,
+         |  COUNT(*) AS cnt, CAST(MIN(l_orderkey) AS BIGINT) AS min_k
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_plpgsql_setof" ->
+      // each row's emitted tags restated as UNION ALL branches
+      s"""WITH pl_staged AS ($stagedSql),
+         |u AS (
+         |  SELECT 'm' || CAST(m AS VARCHAR) AS tag FROM pl_staged
+         |  UNION ALL
+         |  SELECT 'even' FROM pl_staged WHERE qty % 2 = 0
+         |  UNION ALL
+         |  SELECT 'odd' FROM pl_staged WHERE qty % 2 <> 0
+         |  UNION ALL
+         |  SELECT 'o' || CAST(qty % 3 AS VARCHAR) FROM pl_staged
+         |  WHERE qty % 2 <> 0)
+         |SELECT tag, COUNT(*) AS cnt FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_plpgsql_exception" ->
+      // the three control paths restated: den=0 -> the handler's
+      // constant; quotient over the limit -> the %-formatted SQLERRM;
+      // else the ok path (// is DuckDB truncating division, operands
+      // nonnegative here)
+      s"""WITH pl_staged AS ($stagedSql)
+         |SELECT CASE
+         |    WHEN m = 0 THEN 'dz:22012'
+         |    WHEN disc_pct // m > 5
+         |      THEN 'big:rate ' || CAST(disc_pct // m AS VARCHAR) ||
+         |        ' over limit'
+         |    ELSE 'ok:' || CAST(disc_pct // m AS VARCHAR) END AS cls,
+         |  COUNT(*) AS cnt, CAST(SUM(qty) AS BIGINT) AS sum_qty
+         |FROM pl_staged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_plpgsql_registered" ->
+      // same independent derivation as q_plpgsql_scalar — the lane
+      // under test differs only in the CALL PATH (registry vs splice)
+      s"""WITH pl_staged AS ($stagedSql)
+         |SELECT CASE
+         |    WHEN qty <= 0 THEN 'empty'
+         |    WHEN disc_pct >= 6
+         |      AND NOT (price_m * (100 - disc_pct) < 150000000000 * qty)
+         |      THEN 'heavy+disc'
+         |    WHEN price_m * (100 - disc_pct) < 100000000000 * qty
+         |      THEN 'light'
+         |    WHEN price_m * (100 - disc_pct) < 150000000000 * qty
+         |      THEN 'mid'
+         |    ELSE 'heavy' END AS fclass,
+         |  COUNT(*) AS cnt, CAST(SUM(qty) AS BIGINT) AS sum_qty
          |FROM pl_staged GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

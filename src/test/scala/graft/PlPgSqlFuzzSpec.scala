@@ -48,6 +48,11 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
   private case class If2(c: C, t: List[S], e: List[S]) extends S
   private case class For2(v: String, lo: Long, hi: Long, rev: Boolean,
       body: List[S]) extends S
+  /** `cv := k; while cv > 0 loop cv := cv - dec; <body> end loop;` —
+    * the decrement comes FIRST so CONTINUE cannot skip it: termination
+    * is structural (cv strictly decreases, body cannot assign cv). */
+  private case class While2(cv: String, k: Long, dec: Long,
+      body: List[S]) extends S
   private case class ExitW(c: C) extends S
   private case class ContW(c: C) extends S
   private case class Ret2(e: E) extends S
@@ -73,6 +78,9 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
     case For2(v, lo, hi, rev, body) =>
       val r = if (rev) "reverse " else ""
       s"for $v in $r$lo..$hi loop ${body.map(rS).mkString(" ")} end loop;"
+    case While2(cv, k, dec, body) =>
+      s"$cv := $k; while $cv > 0 loop $cv := $cv - $dec; " +
+        s"${body.map(rS).mkString(" ")} end loop;"
     case ExitW(c) => s"exit when ${rC(c)};"
     case ContW(c) => s"continue when ${rC(c)};"
     case Ret2(e) => s"return ${rE(e)};"
@@ -80,6 +88,7 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
   private def renderProgram(body: List[S]): String =
     s"""create function fz(x bigint) returns bigint as $$$$
        |declare a bigint := (x % 97); b bigint := 3; c bigint := (0 - 5);
+       |        w1 bigint := 0; w2 bigint := 0;
        |begin
        |${body.map(rS).mkString("\n")}
        |return (((a + b) + c) % 97);
@@ -101,6 +110,9 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
     case Bin("-", a, b) => eE(a, env) - eE(b, env)
     case Bin("*", a, b) => eE(a, env) * eE(b, env)
     case Bin("%", a, b) => eE(a, env) % eE(b, env)
+    // PG integer '/' truncates toward zero (int8div) — so does Scala
+    // Long division and so must the compiled div rewrite
+    case Bin("/", a, b) => eE(a, env) / eE(b, env)
     case Bin(op, _, _) => sys.error(s"op $op")
   }
   private def eC(c: C, env: Map[String, Long]): Boolean = c match {
@@ -147,6 +159,21 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
             case _ => // loop var scope ends (matches the compiler's pop)
               env = saved.fold(env - v)(old => env + (v -> old)); Fall
           }
+        case While2(cv, kk, dec, body) =>
+          env = env + (cv -> kk)
+          var res: Sig = Fall
+          var exited = false
+          while (!exited && res == Fall && env(cv) > 0) {
+            env = env + (cv -> (env(cv) - dec))
+            val (e2, sig2) = run(body, env)
+            env = e2
+            sig2 match {
+              case Rtn(x) => res = Rtn(x)
+              case Exi => exited = true
+              case Cont | Fall => ()
+            }
+          }
+          res // cv is a declared variable: it KEEPS its value after
       }
       sig match {
         case Fall =>
@@ -158,7 +185,8 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
 
   /** Interpret a full program for one parameter value. */
   private def interpret(body: List[S], x: Long): Long = {
-    val env0 = Map("x" -> x, "a" -> x % 97, "b" -> 3L, "c" -> -5L)
+    val env0 = Map("x" -> x, "a" -> x % 97, "b" -> 3L, "c" -> -5L,
+      "w1" -> 0L, "w2" -> 0L)
     run(body, env0) match {
       case (_, Rtn(v)) => v
       case (env, Fall) => ((env("a") + env("b")) + env("c")) % 97
@@ -182,8 +210,9 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
       } yield Bin(op, a, b)),
       1 -> (for {
         a <- genE(scope, depth - 1)
+        op <- Gen.oneOf("%", "/") // '/' draws the r19 div rewrite
         k <- Gen.chooseNum(2L, 9L)
-      } yield Bin("%", a, Lit(k))))
+      } yield Bin(op, a, Lit(k))))
 
   private def genC(scope: List[String], depth: Int): Gen[C] = {
     val cmp = for {
@@ -204,7 +233,9 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
     * parameter `x` stays pristine so the probes stay distinguishable.
     */
   private def genAsn(scope: List[String]): Gen[S] = for {
-    v <- Gen.oneOf(scope.filterNot(_ == "x"))
+    // x stays pristine (distinguishable probes); w1/w2 are WHILE
+    // counters whose structural termination forbids body writes
+    v <- Gen.oneOf(scope.filterNot(s => s == "x" || s.startsWith("w")))
     e <- genE(scope, 2)
   } yield Asn(v, Bin("%", e, Lit(97)))
 
@@ -239,7 +270,18 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
           rev <- Gen.oneOf(true, false)
           v = s"i${loopDepth + 1}"
           body <- genStmts(v :: scope, loopDepth + 1, budget - 1)
-        } yield For2(v, lo, hi, rev, body): S))
+        } yield For2(v, lo, hi, rev, body): S)) ++
+        // WHILE only outside other loops: nested condition-guarded
+        // unrolls multiply emitted text (the budgets exist for exactly
+        // that, but the fuzzer should mostly draw COMPILABLE programs)
+        (if (loopDepth == 0) Seq(
+          1 -> (for {
+            kk <- Gen.chooseNum(0L, 3L)
+            dec <- Gen.chooseNum(1L, 2L)
+            cv = "w1"
+            body <- genStmts(cv :: scope, loopDepth + 1, budget - 1)
+          } yield While2(cv, kk, dec, body): S))
+        else Nil)
     Gen.frequency(leafs ++ nested: _*)
   }
 
@@ -252,14 +294,28 @@ object PlPgSqlFuzzSpec extends Properties("PlPgSqlFuzz") {
   property("compiled expression equals the direct interpreter") =
     Prop.forAll(genProg) { prog =>
       val src = renderProgram(prog)
-      val fn = PlPgSql.compile(src)
-      val cols = probes.zipWithIndex
-        .map { case (x, i) => s"${fn.call(x.toString)} AS c$i" }
-      val row = spark.sql(s"SELECT ${cols.mkString(", ")}").collect()(0)
-      // a constant-only program folds to an INT column — read numerically
-      val got = probes.indices
-        .map(i => row.get(i).asInstanceOf[Number].longValue())
-      val want = probes.map(x => interpret(prog, x))
-      (got == want) :| s"diverged\nsrc:\n$src\n got $got\nwant $want"
+      // WHILE counters run at most 3 iterations (k<=3, dec>=1,
+      // structurally decreasing), so a 6-iteration unroll always covers
+      val fn =
+        try PlPgSql.compile(src, maxCondLoopUnroll = 6)
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage.contains("maxEmitChars") =>
+            // branch-heavy WHILE bodies can exceed the emit budget —
+            // failing LOUDLY at compile is the designed behavior, not a
+            // divergence
+            null
+        }
+      if (fn == null) Prop.passed
+      else {
+        val cols = probes.zipWithIndex
+          .map { case (x, i) => s"${fn.call(x.toString)} AS c$i" }
+        val row = spark.sql(s"SELECT ${cols.mkString(", ")}").collect()(0)
+        // constant-only programs fold to an INT column — read numerically
+        val got = probes.indices
+          .map(i => row.get(i).asInstanceOf[Number].longValue())
+        val want = probes.map(x => interpret(prog, x))
+        (got == want) :| s"diverged\nsrc:\n$src\n got $got\nwant $want"
+      }
     }
 }

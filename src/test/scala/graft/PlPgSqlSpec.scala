@@ -127,9 +127,15 @@ class PlPgSqlSpec extends AnyFunSuite {
     assert(evalStr(rec.call("5", "7")) == "5,4,3,2,1,7")
   }
 
-  test("recursion beyond maxInlineDepth yields NULL, not wrong data") {
-    // depth 6 supports i<=5; i=9 exhausts the inlined frames
-    assert(evalStr(rec.call("9", "1")) == null)
+  test("recursion beyond maxInlineDepth raises loudly, not silent NULL") {
+    // depth 6 supports i<=5; i=9 exhausts the inlined frames — r18
+    // yielded typed NULL (indistinguishable from a legitimate result);
+    // now the depth-0 frame raises with the function name and budget
+    val e = intercept[Throwable](evalStr(rec.call("9", "1")))
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+    assert(chain.contains("recursion depth 6 exceeded in recursion_test"),
+      chain)
   }
 
   test("nested DECLARE blocks shadow and restore (pl_gram.y block scoping)") {
@@ -148,7 +154,7 @@ class PlPgSqlSpec extends AnyFunSuite {
     assert(evalStr(f.call("1")) == "outer/uninner")
   }
 
-  test("falling off the end returns NULL of the declared type") {
+  test("falling off the end raises like the reference (exec_stmt_block)") {
     val f = PlPgSql.compile(
       """create function noret(x bigint) returns bigint as $$
         |declare y bigint;
@@ -157,7 +163,10 @@ class PlPgSqlSpec extends AnyFunSuite {
         |end;
         |$$ language plpgsql""".stripMargin)
     assert(evalStr(f.call("5")) == "5")
-    assert(evalStr(f.call("-1")) == null)
+    val e = intercept[Throwable](evalStr(f.call("-1")))
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+      .contains("control reached end of function noret without RETURN"))
   }
 
   test("LANGUAGE sql bodies inline (clauses.c inline_function analogue)") {
@@ -208,15 +217,129 @@ class PlPgSqlSpec extends AnyFunSuite {
   private def compileError(sql: String): String =
     intercept[IllegalArgumentException](PlPgSql.compile(sql)).getMessage
 
-  test("WHILE is rejected with a finite-form explanation") {
-    val msg = compileError(
-      """create function w(x bigint) returns bigint as $$
+  // ---- WHILE and non-literal FOR bounds (r19: exec_stmt_while/fori) ----
+
+  test("WHILE compiles to a budgeted guarded unroll (digit sum model)") {
+    val f = PlPgSql.compile(
+      """create function dsum(k bigint) returns bigint as $$
+        |declare s bigint := 0;
         |begin
-        |  while x > 0 loop x := x - 1; end loop;
-        |  return x;
+        |  while k > 0 loop
+        |    s := s + k % 10;
+        |    k := k / 10;
+        |  end loop;
+        |  return s;
         |end;
-        |$$ language plpgsql""".stripMargin)
-    assert(msg.contains("while") && msg.contains("finite"), msg)
+        |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 24)
+    def model(k0: Long): Long = {
+      var k = k0; var s = 0L
+      while (k > 0) { s += k % 10; k /= 10 }
+      s
+    }
+    Seq(0L, 7L, 10L, 123456L, 999999999L, 6001215L, -42L).foreach { k =>
+      assert(evalStr(f.call(k.toString)) == model(k).toString, s"k=$k")
+    }
+  }
+
+  test("WHILE supports EXIT/CONTINUE; NULL condition exits like FALSE") {
+    val f = PlPgSql.compile(
+      """create function wj(k bigint) returns bigint as $$
+        |declare n bigint := 0; d bigint;
+        |begin
+        |  while k > 0 loop
+        |    d := k % 10;
+        |    k := k / 10;
+        |    exit when d = 9;
+        |    continue when d % 2 = 0;
+        |    n := n + 1;
+        |  end loop;
+        |  return n;
+        |end;
+        |$$ language plpgsql""".stripMargin,
+      // EXIT WHEN + CONTINUE WHEN fork the remaining-iterations text per
+      // arm (2^budget) — branching condition-loops need SMALL budgets;
+      // the emit guard catches anything bigger loudly
+      maxCondLoopUnroll = 6)
+    def model(k0: Long): Long = {
+      var k = k0; var n = 0L
+      while (k > 0) {
+        val d = k % 10; k /= 10
+        if (d == 9) return n
+        if (d % 2 != 0) n += 1
+      }
+      n
+    }
+    Seq(0L, 135L, 2468L, 1397L, 55555L).foreach { k =>
+      assert(evalStr(f.call(k.toString)) == model(k).toString, s"k=$k")
+    }
+    val g = PlPgSql.compile(
+      """create function wn(x bigint) returns bigint as $$
+        |declare y bigint;
+        |begin
+        |  while y > 0 loop y := y - 1; end loop;
+        |  return coalesce(y, -1);
+        |end;
+        |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 4)
+    assert(evalStr(g.call("1")) == "-1") // y NULL -> zero iterations
+  }
+
+  test("WHILE past the run-time budget raises loudly, never silently") {
+    val f = PlPgSql.compile(
+      """create function wb(k bigint) returns bigint as $$
+        |begin
+        |  while k > 0 loop k := k - 1; end loop;
+        |  return k;
+        |end;
+        |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 5)
+    assert(evalStr(f.call("4")) == "0")
+    val e = intercept[Throwable](evalStr(f.call("100")))
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+      .contains("maxCondLoopUnroll"))
+  }
+
+  test("non-literal FOR bounds evaluate once at entry; REVERSE works") {
+    val f = PlPgSql.compile(
+      """create function nb(n int) returns int as $$
+        |declare s int := 0;
+        |begin
+        |  for i in 1..n loop s := s + i; end loop;
+        |  return s;
+        |end;
+        |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 12)
+    assert(evalStr(f.call("5")) == "15")
+    assert(evalStr(f.call("0")) == "0")  // hi < lo: zero iterations
+    assert(evalStr(f.call("10")) == "55")
+    // bound captured at ENTRY: the body shrinking n must not shorten
+    // the loop (exec_stmt_fori evaluates bounds once)
+    val g = PlPgSql.compile(
+      """create function nbe(n int) returns int as $$
+        |declare s int := 0;
+        |begin
+        |  for i in 1..n loop
+        |    s := s + 1;
+        |    n := 0;
+        |  end loop;
+        |  return s;
+        |end;
+        |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 8)
+    assert(evalStr(g.call("3")) == "3")
+    val r = PlPgSql.compile(
+      """create function nbr(n int) returns string as $$
+        |declare acc string := '';
+        |begin
+        |  for i in reverse n..1 loop
+        |    acc := acc || cast(i as string);
+        |  end loop;
+        |  return acc;
+        |end;
+        |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 6)
+    assert(evalStr(r.call("3")) == "321")
+    // null bound raises like exec_stmt_fori
+    val e = intercept[Throwable](evalStr(f.call("CAST(NULL AS INT)")))
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+      .contains("cannot be null"))
   }
 
   test("SELECT INTO / DML statements are rejected toward set-wise forms") {
@@ -231,19 +354,11 @@ class PlPgSqlSpec extends AnyFunSuite {
     assert(msg.contains("set-wise"), msg)
   }
 
-  test("OUT parameters, non-literal FOR bounds, undeclared assignment, " +
+  test("OUT parameters, undeclared assignment, " +
     "reserved names and bad arity all fail loudly") {
     assert(compileError(
       "create function o(out j int) returns int as $$ begin return 1; end; " +
         "$$ language plpgsql").contains("OUT"))
-    assert(compileError(
-      """create function nb(n int) returns int as $$
-        |declare s int := 0;
-        |begin
-        |  for i in 1..n loop s := s + i; end loop;
-        |  return s;
-        |end;
-        |$$ language plpgsql""".stripMargin).contains("literal"))
     assert(compileError(
       "create function ua() returns int as $$ begin zz := 1; return zz; " +
         "end; $$ language plpgsql").contains("undeclared"))
@@ -578,5 +693,289 @@ class PlPgSqlSpec extends AnyFunSuite {
       "create function rn2(x int) returns int as $$ begin " +
         "raise notice 'a % b %', x; return x; end; $$ language plpgsql")
     assert(msg.contains("placeholders"), msg)
+  }
+
+  // ---- r19: PG integer `/` in every position; fractional→int rounds ----
+
+  test("integer '/' truncates in compound expressions and conditions " +
+    "(int4div/int8div, not just at the assignment cast)") {
+    // the r18 advisory counterexamples: d := x / 2 * 2 and IF x / 2 = 2
+    val f = PlPgSql.compile(
+      """create function dd(x bigint) returns bigint as $$
+        |declare d bigint;
+        |begin
+        |  d := x / 2 * 2;
+        |  return d;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("5")) == "4")    // PG: (5/2)*2 = 4
+    assert(evalStr(f.call("-5")) == "-4")
+    assert(evalStr(f.call("8")) == "8")
+    val g = PlPgSql.compile(
+      """create function ic(x bigint) returns string as $$
+        |begin
+        |  if x / 2 = 2 then return 'two'; end if;
+        |  return 'other';
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(g.call("5")) == "two")  // PG: 5/2 = 2
+    assert(evalStr(g.call("4")) == "two")
+    assert(evalStr(g.call("6")) == "other")
+    // fractional operands keep fractional division
+    val h = PlPgSql.compile(
+      """create function fd(x bigint) returns double as $$
+        |declare y double;
+        |begin
+        |  y := x / 2.0;
+        |  return y;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(h.call("5")) == "2.5")
+  }
+
+  test("fractional values assigned to integer variables round half away " +
+    "from zero like PG's numeric->int cast") {
+    val f = PlPgSql.compile(
+      """create function rr(x double) returns bigint as $$
+        |declare i bigint;
+        |begin
+        |  i := x;
+        |  return i;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("2.6")) == "3")   // r18 truncated to 2
+    assert(evalStr(f.call("2.4")) == "2")
+    assert(evalStr(f.call("2.5")) == "3")
+    assert(evalStr(f.call("-2.5")) == "-3") // away from zero
+    assert(evalStr(f.call("-2.6")) == "-3")
+  }
+
+  // ---- r19: SETOF via RETURN NEXT / RETURN QUERY (rangefuncs.sql) ----
+
+  test("SETOF: RETURN NEXT accumulates; explode() yields the rows") {
+    val f = PlPgSql.compile(
+      """create function flags(q bigint) returns setof string as $$
+        |begin
+        |  return next 'm' || cast(q % 3 as string);
+        |  if q % 2 = 0 then
+        |    return next 'even';
+        |  end if;
+        |  return query values ('a'), (cast(q % 5 as string));
+        |  return;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(f.isSetof)
+    def model(q: Long): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      b += s"m${q % 3}"
+      if (q % 2 == 0) b += "even"
+      b += "a"
+      b += s"${q % 5}"
+      b.result()
+    }
+    Seq(0L, 1L, 6L, 7L, 12L).foreach { q =>
+      val rows = spark.sql(
+        s"SELECT explode(${f.call(q.toString)}) AS v").collect()
+        .map(_.getString(0)).toSeq
+      assert(rows == model(q), s"q=$q")
+    }
+    // the lowering is a Generator, not a UDF
+    val df = spark.sql(s"SELECT explode(${f.call("7")}) AS v")
+    assert(df.queryExecution.executedPlan.toString.contains("Generate"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("SETOF: RETURN NEXT after RETURN is unreachable; bare RETURN ends " +
+    "the set; fall-off-end is legal") {
+    val f = PlPgSql.compile(
+      """create function upto(n bigint) returns setof bigint as $$
+        |begin
+        |  return next 1;
+        |  if n < 2 then return; end if;
+        |  return next 2;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    def rows(n: Long): Seq[Long] =
+      spark.sql(s"SELECT explode(${f.call(n.toString)}) AS v").collect()
+        .map(_.getLong(0)).toSeq
+    assert(rows(1) == Seq(1L))
+    assert(rows(5) == Seq(1L, 2L))
+  }
+
+  test("SETOF misuse fails loudly: RETURN value in SETOF, RETURN NEXT in " +
+    "scalar, FROM in RETURN QUERY, multi-column VALUES") {
+    assert(compileError(
+      "create function s1() returns setof int as $$ begin return 1; end; " +
+        "$$ language plpgsql").contains("RETURN NEXT"))
+    // scalar function: `return next 1` parses as a returned expression
+    // slice ('next' could be a variable name) — it is not valid SQL, so
+    // it fails loudly at evaluation, never silently
+    val s2 = PlPgSql.compile(
+      "create function s2() returns int as $$ begin return next 1; end; " +
+        "$$ language plpgsql")
+    assert(intercept[Throwable](evalStr(s2.call())) != null)
+    assert(compileError(
+      "create function s3() returns setof int as $$ begin " +
+        "return query select x from t; end; $$ language plpgsql")
+      .contains("FROM"))
+    assert(compileError(
+      "create function s4() returns setof int as $$ begin " +
+        "return query values (1, 2); end; $$ language plpgsql")
+      .contains("single-column"))
+    assert(compileError(
+      "create function s5(x int) returns setof int as " +
+        "'select x' language sql").contains("SETOF"))
+  }
+
+  // ---- r19: EXCEPTION blocks (pl_exec.c:1685, plpgsql.sql:1972) ----
+
+  test("EXCEPTION: division_by_zero is caught; variables keep error-time " +
+    "values; control resumes after the block") {
+    val f = PlPgSql.compile(
+      """create function sdiv(a bigint, b bigint) returns string as $$
+        |declare r bigint; tag string := 'pre';
+        |begin
+        |  begin
+        |    tag := 'in';
+        |    r := a / b;
+        |    tag := 'post';
+        |  exception
+        |    when division_by_zero then
+        |      return 'caught/' || tag;
+        |  end;
+        |  return 'ok:' || cast(r as string) || '/' || tag;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("7", "2")) == "ok:3/post")
+    // at the failing statement tag was already 'in' (error-time values)
+    assert(evalStr(f.call("7", "0")) == "caught/in")
+  }
+
+  test("EXCEPTION: RAISE EXCEPTION is caught by raise_exception and " +
+    "OTHERS; SQLERRM/SQLSTATE are bound; unmatched propagates") {
+    val f = PlPgSql.compile(
+      """create function rx(x bigint) returns string as $$
+        |begin
+        |  begin
+        |    if x < 0 then raise exception 'neg %', x; end if;
+        |    return 'pos';
+        |  exception
+        |    when raise_exception then
+        |      return sqlstate || ':' || sqlerrm;
+        |  end;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("1")) == "pos")
+    assert(evalStr(f.call("-4")) == "P0001:neg -4")
+    // OTHERS catches raise_exception but NOT assert_failure
+    val g = PlPgSql.compile(
+      """create function oa(x bigint) returns string as $$
+        |begin
+        |  begin
+        |    assert x <> 0, 'zero!';
+        |    if x < 0 then raise exception 'neg'; end if;
+        |    return 'pos';
+        |  exception
+        |    when others then return 'other:' || sqlerrm;
+        |  end;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(g.call("2")) == "pos")
+    assert(evalStr(g.call("-2")) == "other:neg")
+    val e = intercept[Throwable](evalStr(g.call("0")))
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ").contains("zero!"))
+  }
+
+  test("EXCEPTION: handler order wins, nested blocks re-catch, bare " +
+    "RAISE re-throws outward") {
+    val f = PlPgSql.compile(
+      """create function nest(x bigint) returns string as $$
+        |begin
+        |  begin
+        |    begin
+        |      if x = 1 then raise exception 'inner'; end if;
+        |      if x = 2 then return cast(10 / (x - 2) as string); end if;
+        |      return 'clean';
+        |    exception
+        |      when division_by_zero then return 'div0';
+        |      when raise_exception then raise;
+        |    end;
+        |  exception
+        |    when others then return 'outer:' || sqlerrm;
+        |  end;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("0")) == "clean")
+    assert(evalStr(f.call("1")) == "outer:inner") // re-thrown, outer catches
+    assert(evalStr(f.call("2")) == "div0")
+    // bare RAISE outside a handler is rejected at compile time
+    assert(compileError(
+      "create function br() returns int as $$ begin raise; end; " +
+        "$$ language plpgsql").contains("exception handler"))
+    // case_not_found from an ELSE-less CASE statement is catchable
+    val c = PlPgSql.compile(
+      """create function cnf(x bigint) returns string as $$
+        |begin
+        |  begin
+        |    case when x > 0 then return 'pos'; end case;
+        |  exception
+        |    when case_not_found then return 'nomatch';
+        |  end;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(c.call("3")) == "pos")
+    assert(evalStr(c.call("-3")) == "nomatch")
+    // unknown condition names are rejected loudly
+    assert(compileError(
+      "create function uc() returns int as $$ begin begin return 1; " +
+        "exception when unique_violation then return 2; end; end; " +
+        "$$ language plpgsql").contains("statically-enumerable"))
+  }
+
+  // ---- r19: compile-size budget and register() determinism guard ----
+
+  test("pathological branch-in-loop nesting hits the emit budget loudly " +
+    "instead of hanging") {
+    val body = (1 to 40).map(_ =>
+      "if a > 0 then a := a - 1; end if;").mkString(" ")
+    val msg = intercept[IllegalArgumentException](PlPgSql.compile(
+      s"""create function boom(a bigint) returns bigint as $$$$
+         |begin
+         |  for i in 1..40 loop
+         |    $body
+         |  end loop;
+         |  return a;
+         |end;
+         |$$$$ language plpgsql""".stripMargin,
+      maxEmitChars = 200000)).getMessage
+    assert(msg.contains("maxEmitChars"), msg)
+  }
+
+  test("register() rejects non-deterministic args for multiply-referenced " +
+    "parameters (PG evaluates arguments once)") {
+    val f = PlPgSql.compile(
+      """create function twice(v bigint) returns bigint as $$
+        |begin
+        |  return v + v;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    PlPgSql.register(spark, f)
+    assert(evalStr("twice(21)") == "42")
+    val e = intercept[Throwable](
+      spark.sql("SELECT twice(CAST(rand() * 10 AS BIGINT))").collect())
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+      .contains("non-deterministic"))
+    // single-reference params accept non-deterministic args
+    val g = PlPgSql.compile(
+      """create function once(v bigint) returns bigint as $$
+        |begin
+        |  return v % 10;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    PlPgSql.register(spark, g)
+    assert(spark.sql("SELECT once(CAST(rand() * 10 AS BIGINT)) AS v")
+      .collect()(0).getLong(0) < 10)
   }
 }
