@@ -129,6 +129,63 @@ object Ingest {
     spark.read.parquet(path)
   }
 
+  /** `ALTER TABLE … EXCHANGE PARTITION` analogue (reference:
+    * `src/backend/commands/tablecmds.c` exchange/attach path; regress
+    * `aoco_projection.sql:456`) — the warehouse operator's bulk-swap
+    * idiom: build and validate a replacement OFFLINE as a standalone
+    * table, then swap it in as one partition of the live table in O(1)
+    * directory renames. The staging dir receives the OLD partition
+    * image (an exchange, not a drop — the reference keeps both tables
+    * valid), untouched partitions are never touched (byte-identical),
+    * and no data moves regardless of partition size — at 100 TB the
+    * operation is three metadata renames.
+    *
+    * Validation (the reference's column-compatibility check): the
+    * staging schema must equal the table schema minus the partition
+    * column (directory-partitioned parquet stores the partition value
+    * in the dir name, not the files).
+    *
+    * Crash discipline: all three renames are checked ([[renameOrDie]])
+    * and the old image survives every window — it is either live, or
+    * aside under a dot-prefixed name Spark's file index hides, or in
+    * the staging dir. Readers never see a TORN partition (files are
+    * immutable and move wholesale with their directory); a query
+    * planned inside the two-rename window can see the partition
+    * briefly absent — the same window as every dir-swap DML here. */
+  def exchangePartition(spark: SparkSession, path: String, partCol: String,
+                        partValue: String, stagingPath: String,
+                        validate: Boolean = true): Unit = {
+    val fs = fsOf(spark, path)
+    val partDir = new Path(path, s"$partCol=$partValue")
+    val staging = new Path(stagingPath)
+    require(fs.exists(partDir),
+      s"partition $partCol=$partValue does not exist at $path (the " +
+        "reference requires an existing partition to exchange)")
+    require(fs.exists(staging), s"staging table $stagingPath does not exist")
+    if (validate) {
+      val tableFields = spark.read.parquet(path).schema.fields
+        .filterNot(_.name == partCol).map(f => (f.name, f.dataType)).toSet
+      val stagingFields = spark.read.parquet(stagingPath).schema.fields
+        .map(f => (f.name, f.dataType)).toSet
+      require(stagingFields == tableFields,
+        s"staging schema $stagingFields does not match the table's " +
+          s"non-partition schema $tableFields (the reference rejects " +
+          "incompatible EXCHANGE PARTITION the same way)")
+    }
+    // dot-prefixed aside dir: hidden from Spark's file listing if a
+    // crash strands it, so a half-done exchange never double-counts
+    val aside = new Path(path, s"._xchg_$partCol=$partValue")
+    fs.delete(aside, true)
+    renameOrDie(fs, partDir, aside)    // old image aside (still on disk)
+    renameOrDie(fs, staging, partDir)  // staged table becomes the partition
+    renameOrDie(fs, aside, staging)    // old image becomes the staging table
+    // pure-rename DDL bypasses Spark's writers, so the session's
+    // FileStatusCache still lists the pre-exchange files — invalidate
+    // both tables (the reference's relcache invalidation on DDL)
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(stagingPath)
+  }
+
   /** UPDATE ... WHERE as read-modify-rewrite: rows matching `where` get
     * `set` applied; everything lands in a new table version. Whole-table
     * rewrite — the fallback for UNPARTITIONED tables; partitioned tables

@@ -512,4 +512,115 @@ class IngestSpec extends AnyFunSuite {
       assert(plan.contains("InMemoryTableScan"), plan)
     } finally warm.unpersist()
   }
+
+  test("EXCHANGE PARTITION swaps one partition with a staging table; " +
+    "untouched partitions byte-identical; old image lands in staging") {
+    val dir = tmp("xchg")
+    val orders = Tables.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.Ingest.ctasPartitioned(spark, orders, dir, "o_year")
+    val before = partFiles(dir)
+    val old1996 = spark.read.parquet(dir)
+      .filter(col("o_year") === 1996).drop("o_year")
+    val old1996Count = old1996.count()
+    assert(old1996Count > 0)
+    // the offline-built replacement: halved 1996 with reshuffled prices
+    val stagingDir = tmp("xchg_staging")
+    val replacement = old1996.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    replacement.write.mode("overwrite").parquet(stagingDir)
+    // expected values captured BEFORE the swap (replacement's lineage
+    // reads the pre-exchange partition files, which the exchange moves)
+    val replCount = replacement.count()
+    val replSum = replacement.agg(sum(col("o_totalprice")))
+      .collect()(0).getDouble(0)
+
+    graft.sources.Ingest.exchangePartition(
+      spark, dir, "o_year", "1996", stagingDir)
+
+    // live table serves the staged data for 1996
+    val now1996 = spark.read.parquet(dir).filter(col("o_year") === 1996)
+    assert(now1996.count() == replCount)
+    assert(now1996.agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+      === replSum)
+    // the OLD partition image is now the staging table (exchange, not drop)
+    assert(spark.read.parquet(stagingDir).count() == old1996Count)
+    // untouched partitions: exactly the same files with the same mtimes
+    val after = partFiles(dir)
+    before.keys.filterNot(_ == "o_year=1996").foreach { p =>
+      assert(after(p) == before(p), s"partition $p was touched")
+    }
+    // schema mismatch rejects loudly before any rename (fresh read —
+    // the pre-exchange lineage's files have moved)
+    val badStaging = tmp("xchg_bad")
+    spark.read.parquet(dir).filter(col("o_year") === 1996).drop("o_year")
+      .withColumn("extra", lit(1))
+      .write.mode("overwrite").parquet(badStaging)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Ingest.exchangePartition(
+        spark, dir, "o_year", "1996", badStaging)
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    assert(spark.read.parquet(dir).filter(col("o_year") === 1996)
+      .count() == replCount) // table unchanged after the rejected attempt
+    // missing partition rejects
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.Ingest.exchangePartition(
+        spark, dir, "o_year", "2099", stagingDir)
+    }
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+  }
+
+  test("EXCHANGE PARTITION under concurrent readers: every successful " +
+    "read sees the old image or the new, never a torn partition") {
+    val dir = tmp("xchg_race")
+    val orders = Tables.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.Ingest.ctasPartitioned(spark, orders, dir, "o_year")
+    val oldCount = spark.read.parquet(dir)
+      .filter(col("o_year") === 1997).count()
+    val stagingDir = tmp("xchg_race_staging")
+    spark.read.parquet(dir).filter(col("o_year") === 1997).drop("o_year")
+      .filter(col("o_orderkey") % 3 === 0)
+      .write.mode("overwrite").parquet(stagingDir)
+    val newCount = spark.read.parquet(stagingDir).count()
+    assert(newCount != oldCount)
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val readerErrs = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // a FRESH plan each time: each read lists the directory anew,
+          // landing before, inside, or after the rename window
+          seen.add(spark.read.parquet(dir)
+            .filter(col("o_year") === 1997).count())
+        } catch {
+          // a read that raced a mid-rename listing may fail to open a
+          // moved file — that read FAILS (acceptable: the window is two
+          // renames); it must never SUCCEED with partial data
+          case _: Throwable => readerErrs.incrementAndGet()
+        }
+      }
+    })
+    reader.start()
+    try {
+      Thread.sleep(150) // let the reader observe the old image
+      graft.sources.Ingest.exchangePartition(
+        spark, dir, "o_year", "1997", stagingDir)
+      Thread.sleep(300) // and the new one
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    // every successful read returned a COMPLETE image: the old count,
+    // the new count, or (inside the window) the partition wholly absent
+    val ok = Set(oldCount, newCount, 0L)
+    assert(seen.asScala.forall(ok), s"torn reads: ${seen.asScala} vs $ok")
+    assert(seen.asScala.contains(oldCount) || seen.asScala.contains(newCount))
+    // steady state: the new image, exactly
+    assert(spark.read.parquet(dir).filter(col("o_year") === 1997)
+      .count() == newCount)
+  }
 }
