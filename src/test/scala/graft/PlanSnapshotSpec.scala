@@ -84,7 +84,12 @@ class PlanSnapshotSpec extends AnyFunSuite {
     // compiled PL/pgSQL (r18): the pinned plan IS the compilation
     // proof — the whole function body appears as one CASE tree fused
     // into the partial-aggregate grouping expression, no UDF node
-    "q_plpgsql_scalar", "q_plpgsql_caseloop")
+    "q_plpgsql_scalar", "q_plpgsql_caseloop",
+    // r19 PL frontier: the WHILE/dyn-FOR guarded unroll stays one fused
+    // expression; SETOF lowers to Generate (explode), never a UDF; the
+    // EXCEPTION block's handler routing is plain CASE in the same
+    // grouping expression
+    "q_plpgsql_while", "q_plpgsql_setof", "q_plpgsql_exception")
 
   snapshotQueries.foreach { name =>
     test(s"plan snapshot: $name") {
