@@ -134,9 +134,15 @@ object PlFuncs extends QueryModule {
       |'select cast(floor(price_m * (100 - disc_pct) / 100.0) as bigint)'
       |language sql""".stripMargin)
 
-  /** WHILE loop (r19, exec_stmt_while): digit sum of a bigint. 24
-    * guarded iterations cover ANY positive 64-bit value (19 digits);
-    * the loop body is branch-free so the unroll stays linear text. */
+  /** WHILE loop (r19, exec_stmt_while): digit sum of a bigint. The
+    * unroll budget is sized to the DATA, not the type: 16 guarded
+    * iterations cover keys to 10^16 (every SF and replica by orders of
+    * magnitude — the sf0.01 x10000 replica tops out at 9 digits), and
+    * past the budget the compiled form RAISES rather than truncating.
+    * Budget sizing is a real codegen constraint, not taste: at 24 the
+    * unrolled expression's generated code crossed the JIT method
+    * budget and Spark dropped the stage out of whole-stage codegen —
+    * caught by CodegenCanarySpec, fixed by sizing to the data. */
   private val digitSum = PlPgSql.compile(
     """create function digit_sum(k bigint) returns bigint as $$
       |declare s bigint := 0;
@@ -147,7 +153,7 @@ object PlFuncs extends QueryModule {
       |  end loop;
       |  return s;
       |end;
-      |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 24)
+      |$$ language plpgsql""".stripMargin, maxCondLoopUnroll = 16)
 
   /** Non-literal FOR bounds (r19, exec_stmt_fori): sum of the last n
     * digits — the bound is DATA (n), evaluated once at loop entry. */
