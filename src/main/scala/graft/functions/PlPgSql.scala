@@ -655,10 +655,49 @@ object PlPgSql {
               s"not supported); found ${t.map(_.sql)}")
         }
         LoopJump(isExit = j == "exit", when)
-      case Some(Id("select")) | Some(Id("perform")) |
+      // SELECT … INTO var — the FROM-less single-expression form is just
+      // an assignment (exec_stmt_execsql's trivial case; pl_exec.c:311),
+      // in both orders PG accepts (`SELECT e INTO v` and the historical
+      // `SELECT INTO v e`); INTO STRICT is a no-op here (a FROM-less
+      // SELECT always yields exactly one row). Anything with FROM keeps
+      // the loud set-wise rejection.
+      case Some(Id("select")) =>
+        next()
+        def intoVar(): String = next() match {
+          case Id(s) if !reserved(s) => s
+          case t => throw new IllegalArgumentException(
+            s"bad SELECT INTO target '${t.sql}'")
+        }
+        def rejectFrom(): Nothing = throw new IllegalArgumentException(
+          "SELECT with FROM is not supported in compiled functions; " +
+            "express data access set-wise (joins) — see " +
+            "sources/Triggers.scala for the trigger-body shapes")
+        if (isId("into")) {
+          next()
+          if (isId("strict")) next()
+          val v = intoVar()
+          val e = exprUntil(Set("from"))
+          if (isId("from")) rejectFrom()
+          Assign(v, e)
+        } else {
+          val e = exprUntil(Set("into", "from"))
+          if (isId("from")) rejectFrom()
+          expectId("into")
+          if (isId("strict")) next()
+          val v = intoVar()
+          peek match {
+            case Some(Id("from")) => rejectFrom()
+            case Some(Op(";")) => next()
+            case t => throw new IllegalArgumentException(
+              s"trailing tokens after SELECT INTO target: ${t.map(_.sql)}")
+          }
+          Assign(v, e)
+        }
+
+      case Some(Id("perform")) |
            Some(Id("insert")) | Some(Id("update")) | Some(Id("delete")) =>
         throw new IllegalArgumentException(
-          "statements touching relations (SELECT INTO / PERFORM / DML) are " +
+          "statements touching relations (PERFORM / DML) are " +
             "not supported in compiled scalar functions; express data " +
             "access set-wise (joins) — see sources/Triggers.scala for the " +
             "trigger-body shapes")

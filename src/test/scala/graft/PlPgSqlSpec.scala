@@ -342,6 +342,29 @@ class PlPgSqlSpec extends AnyFunSuite {
       .contains("cannot be null"))
   }
 
+  test("FROM-less SELECT INTO compiles as assignment, both PG orders") {
+    val f = PlPgSql.compile(
+      """create function si2(x bigint) returns bigint as $$
+        |declare a bigint; b bigint;
+        |begin
+        |  select x * 2 + 1 into a;
+        |  select into strict b a + x;
+        |  return b;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(f.call("10")) == "31")
+    // the assignment path keeps declared-type semantics (int division)
+    val g = PlPgSql.compile(
+      """create function si3(x bigint) returns bigint as $$
+        |declare h bigint;
+        |begin
+        |  select x / 2 into h;
+        |  return h;
+        |end;
+        |$$ language plpgsql""".stripMargin)
+    assert(evalStr(g.call("5")) == "2")
+  }
+
   test("SELECT INTO / DML statements are rejected toward set-wise forms") {
     val msg = compileError(
       """create function si() returns bigint as $$
