@@ -79,6 +79,49 @@ object SigKernels {
     new GenericArrayData(mins)
   }
 
+  /** Every sliding k-word window's (1-based start, md5 digest) in ONE
+    * native pass — the ExactSubstr window stage. Bit-compatible with the
+    * HOF formulation it replaces (`transform(sequence(1, size(w)-k+1),
+    * i -> struct(i, unhex(md5(concat_ws(' ', slice(w, i, k))))))` over
+    * `w = split(text, ' ')`): because `split` cuts on EVERY single
+    * space, the k-word join is byte-identical to the original text span
+    * from the start of word i to the end of word i+k-1 (the Minhash16
+    * zero-copy argument), and `unhex(md5(...))` is the raw 16-byte
+    * digest of exactly those bytes. Documents with < k words yield an
+    * empty array (explode then drops the row, matching the old
+    * `size(w) >= k` pre-filter). The HOF chain evaluated interpreted
+    * per WINDOW — a slice copy, a concat_ws allocation, a hex render
+    * and a re-parse per element (measured 615 s CPU for one x10 map
+    * stage, ~61 µs/window); this kernel pays one digest per window
+    * (~0.3 µs) inside whole-stage codegen. */
+  def md5Windows(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    if (nWords < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < n) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(nWords) = n + 1 // sentinel: "start" of the one-past-last word
+    val md = mdPool.get()
+    val out = new Array[Any](nWords - k + 1)
+    var j = 0
+    while (j <= nWords - k) {
+      val from = starts(j)
+      // end of word j+k-1: the next word's start minus the separator
+      val until = starts(j + k) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](j + 1, md.digest()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simhash48(s: UTF8String): Long = {
     val bytes = s.getBytes
     val n = bytes.length
@@ -148,8 +191,33 @@ case class Simhash48(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** (1-based word start, 16-byte md5) of every sliding k-word window —
+  * see [[SigKernels.md5Windows]] for the bit-compatibility contract. */
+case class Md5Windows(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"window size must be positive, got $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("dg", BinaryType, nullable = false))), containsNull = false)
+  override def prettyName: String = "md5_windows"
+
+  override def nullSafeEval(a: Any): Any =
+    SigKernels.md5Windows(a.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.md5Windows($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SigFns {
-  /** Register `minhash16` / `simhash48` for SQL + expr use. Idempotent. */
+  /** Register `minhash16` / `simhash48` / `md5_windows` for SQL + expr
+    * use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
@@ -158,6 +226,9 @@ object SigFns {
         "minhash16", exprs => Minhash16(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "simhash48", exprs => Simhash48(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "md5_windows", exprs => Md5Windows(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
     }
   }
 }

@@ -823,13 +823,20 @@ object Corpus extends QueryModule {
   private[graft] def substringDedupSpans(docs: DataFrame): DataFrame = {
     {
       val K = 8
-      val base = docs
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val wins = base.filter(size(col("w")) >= K)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(w) - ${K - 1}), " +
-            s"i -> struct(i AS start, " +
-            s"unhex(md5(concat_ws(' ', slice(w, i, $K)))) AS dg))")).as("x"))
+      // window stage: the fused [[graft.functions.Md5Windows]] kernel —
+      // one native pass per document inside whole-stage codegen. The
+      // previous HOF chain (transform + slice + concat_ws + md5-hex +
+      // unhex PER WINDOW) evaluated interpreted per element and was the
+      // suite's single largest CPU stage (615 s executor-CPU for the x10
+      // map stage, ~61 µs/window; the kernel pays one in-place digest,
+      // ~0.3 µs). Bit-equality with the old formula is the kernel's
+      // documented contract (SigFnsSpec proves it corpus-wide), and docs
+      // with < K words emit an empty array, which explode drops exactly
+      // like the old size(w) >= K pre-filter.
+      graft.functions.SigFns.register(docs.sparkSession)
+      val wins = docs
+        .select(col("doc_id"),
+          explode(call_function("md5_windows", col("text"), lit(K))).as("x"))
         .select(col("doc_id"), col("x.start").as("start"),
           col("x.dg").as("dg"))
       val marked = wins
@@ -855,7 +862,7 @@ object Corpus extends QueryModule {
              |    ELSE concat(slice(acc, 1, size(acc) - 1),
              |      array(struct(element_at(acc, -1).s AS s, x AS l)))
              |  END)""".stripMargin))
-      base.select(col("doc_id"))
+      docs.select(col("doc_id"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_windows"), lit(0L)).as("n_windows"),

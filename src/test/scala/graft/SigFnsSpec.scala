@@ -48,6 +48,33 @@ class SigFnsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("md5_windows equals the transform+slice+md5 HOF formula") {
+    graft.functions.SigFns.register(spark)
+    for (k <- Seq(2, 8)) {
+      val docs = corpus
+      val old = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), " +
+            s"i -> struct(i AS start, " +
+            s"unhex(md5(concat_ws(' ', slice(w, i, $k)))) AS dg))")).as("x"))
+        .select(col("doc_id"), col("x.start").as("start"),
+          col("x.dg").as("old_dg"))
+      val nu = docs
+        .select(col("doc_id"),
+          explode(call_function("md5_windows", col("text"), lit(k))).as("x"))
+        .select(col("doc_id"), col("x.start").as("start"),
+          col("x.dg").as("dg"))
+      val joined = old.join(nu, Seq("doc_id", "start"))
+      assert(joined.count() == old.count() && joined.count() == nu.count(),
+        s"k=$k: window sets must agree (incl. the < k-words dropout)")
+      assert(joined.filter(col("old_dg") =!= col("dg")).count() == 0,
+        s"k=$k: digests must be bit-identical")
+      assert(joined.count() > 0)
+    }
+  }
+
   test("simhash48 equals the word-explode bit-sum formula") {
     graft.functions.SigFns.register(spark)
     val docs = corpus
