@@ -604,13 +604,20 @@ object Dedup extends QueryModule {
       // corpus is candidate-sized, not corpus-sized
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      // shingles as 16-byte md5 digests off the fused Md5Windows kernel
+      // (k=3 windows ARE the concat_ws(' ', w[i..i+2]) shingles — the
+      // zero-copy span argument in its scaladoc): the HOF explode this
+      // replaces evaluated interpreted per shingle (~68 µs each — 82 s
+      // executor-CPU at the x10 probe, 60% of the lane); the kernel
+      // digests in place under codegen, and the intersection join and
+      // size counts run over (doc_id, 16-byte dg) instead of shingle
+      // STRINGS — the same md5-injectivity trust the digestGroups
+      // pre-dedup already rests on, so |A∩B|/|A∪B| is unchanged.
       val sh = docs
         .join(broadcast(candDocs), "doc_id")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-          .as("sh"))
+        .select(col("doc_id"),
+          explode(call_function("md5_windows", col("text"), lit(3))).as("x"))
+        .select(col("doc_id"), col("x.dg").as("sh"))
         .distinct()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
@@ -670,12 +677,15 @@ object Dedup extends QueryModule {
         concat(md5(col("source").cast("binary")), md5(col("text").cast("binary")))))
       // < 2 words -> no bigrams (matches oracle's empty range); also keeps
       // sequence() ascending under ANSI mode (see minhash note above).
+      // bigrams as Md5Windows k=2 digests (same fused-kernel +
+      // md5-injectivity rationale as the minhash lane's shingles; the
+      // (source, g) block join and the intersection counts are
+      // digest-equality, bit-equal outcomes to string equality)
+      graft.functions.SigFns.register(s)
       val bg = repsOnly(docs, memRep)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), col("source"), explode(expr(
-          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
-          .as("g"))
+        .select(col("doc_id"), col("source"),
+          explode(call_function("md5_windows", col("text"), lit(2))).as("x"))
+        .select(col("doc_id"), col("source"), col("x.dg").as("g"))
         .distinct()
       val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = bg.as("a").join(bg.as("b"),

@@ -20,7 +20,7 @@ object PlanDump {
     val only = if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
                else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SessionDefaults(SparkSession.builder())
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
