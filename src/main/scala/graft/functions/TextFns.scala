@@ -101,7 +101,25 @@ case class CdcBounds(child: Expression) extends UnaryExpression {
   override def prettyName: String = "cdc_bounds"
 
   /** The per-row kernel (public: codegen calls it via reference obj). */
-  def kernel(s: UTF8String): GenericArrayData = {
+  def kernel(s: UTF8String): GenericArrayData =
+    new GenericArrayData(CdcBounds.bounds(s))
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("cdcBounds", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $refName.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcBounds {
+  /** The boundary scan shared by [[CdcBounds]] and [[CdcChunkDigests]]
+    * (one definition, so the two can't drift): 1-based word indexes i
+    * (4 <= i < #words) where the 4-word rolling hash divides by 8. */
+  def bounds(s: UTF8String): Array[Int] = {
     val str = s.toString
     val M = 1000000007L
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -125,13 +143,139 @@ case class CdcBounds(child: Expression) extends UnaryExpression {
     }
     // final word: may close a window but can never be a boundary (i < n)
     words += 1
-    new GenericArrayData(out.toArray)
+    out.toArray
+  }
+}
+
+/** md5 digests of every content-defined chunk
+  * (`cdc_chunk_digests(text)` -> array<binary>, one 16-byte digest per
+  * chunk, in document order): the digest-only view of the chunk
+  * decomposition `zip_with(concat(array(1), transform(bpos, x -> x+1)),
+  * concat(bpos, array(n)), (s1, e1) -> concat_ws(' ', slice(w, s1,
+  * e1-s1+1)))` with `unhex(md5(...))` per element. Bit-compatible by the
+  * zero-copy span argument ([[graft.functions.SigKernels.md5Windows]]):
+  * `split` cuts on every single space, so the joined word span s..e is
+  * byte-identical to the original text from the start of word s to the
+  * end of word e, and the chunk's md5 digests exactly those bytes. The
+  * HOF assembly evaluated interpreted per chunk AND was re-evaluated by
+  * the explode's inferred size()>0 filter after pushdown (measured 285 s
+  * executor-CPU for the x10 map stage — the suite's largest after the
+  * ExactSubstr fix); this kernel runs the boundary scan once and one
+  * in-place digest per chunk under whole-stage codegen. A document
+  * always yields >= 1 chunk (zero boundaries -> the whole text, the
+  * empty string included), exactly like the HOF form. */
+case class CdcChunkDigests(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "cdc_chunk_digests"
+
+  /** The per-row kernel (public: codegen calls it via reference obj). */
+  def kernel(s: UTF8String): GenericArrayData = {
+    val cuts = CdcBounds.bounds(s)
+    val bytes = s.getBytes
+    val n = bytes.length
+    // byte start of every 1-based word (space = 0x20 never occurs inside
+    // a UTF-8 multibyte sequence, so the byte scan finds exactly the
+    // code-point word boundaries the hash scan used)
+    var nWords = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < n) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(nWords) = n + 1 // sentinel: "start" of the one-past-last word
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](cuts.length + 1)
+    var k = 0
+    var sw = 1 // chunk's first word (1-based)
+    while (k <= cuts.length) {
+      val ew = if (k < cuts.length) cuts(k) else nWords // chunk's last word
+      val from = starts(sw - 1)
+      val until = starts(ew) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      out(k) = md.digest()
+      sw = ew + 1
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 
   override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val refName = ctx.addReferenceObj("cdcBounds", this, getClass.getName)
+    val refName = ctx.addReferenceObj("cdcChunkDigests", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $refName.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Non-overlapping c-word grid chunks with their md5 digests
+  * (`word_grid_chunks(text, c)` -> array<struct<idx:int, chunk:string,
+  * dg:binary>>): the fused form of `posexplode(transform(sequence(0,
+  * (size(w)-1) div c), i -> concat_ws(' ', slice(w, i*c+1, c))))` +
+  * `unhex(md5(chunk))` — idx is the 0-based grid position, chunk the
+  * joined word span (byte-identical to the original text span, the
+  * zero-copy argument), dg its 16-byte digest. The HOF chain evaluated
+  * interpreted per chunk (slice copy + concat_ws + hex md5); this kernel
+  * is one pass per document under whole-stage codegen. A document always
+  * yields >= 1 chunk (empty text included), like sequence(0, 0). */
+case class WordGridChunks(child: Expression, c: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  require(c >= 1, s"chunk size must be positive, got $c")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false),
+    StructField("dg", BinaryType, nullable = false))), containsNull = false)
+  override def prettyName: String = "word_grid_chunks"
+
+  /** The per-row kernel (public: codegen calls it via reference obj). */
+  def kernel(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < n) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(nWords) = n + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nChunks = (nWords - 1) / c + 1
+    val out = new Array[Any](nChunks)
+    var k = 0
+    while (k < nChunks) {
+      val from = starts(k * c)
+      val until = starts(math.min((k + 1) * c, nWords)) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      out(k) = new GenericInternalRow(Array[Any](k,
+        UTF8String.fromBytes(bytes, from, until - from), md.digest()))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("wordGridChunks", this, getClass.getName)
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $refName.kernel($a);")
   }
 
@@ -140,8 +284,8 @@ case class CdcBounds(child: Expression) extends UnaryExpression {
 }
 
 object TextFns {
-  /** Register `rolling_fp` + `cdc_bounds` for SQL + `expr(...)` use.
-    * Idempotent. */
+  /** Register `rolling_fp` + `cdc_bounds` + `cdc_chunk_digests` for SQL
+    * + `expr(...)` use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
@@ -153,6 +297,14 @@ object TextFns {
         org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_bounds"))) {
       reg.createOrReplaceTempFunction(
         "cdc_bounds", exprs => CdcBounds(exprs.head), "built-in")
+    }
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunk_digests"))) {
+      reg.createOrReplaceTempFunction(
+        "cdc_chunk_digests", exprs => CdcChunkDigests(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "word_grid_chunks", exprs => WordGridChunks(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
     }
   }
 }

@@ -708,21 +708,31 @@ object Corpus extends QueryModule {
     // shuffles (digest, doc) pairs only, like d_dedup_chunks. The
     // boundary-position digest hash-checks the exact CUT SET per doc.
     "d_chunk_cdc" -> ((s, dir) => {
-      val chunked = cdcChunkDetail(
-        t(s, dir, "documents").select(col("doc_id"), col("text")))
-      val ck = chunked.select(col("doc_id"),
-        explode(col("chunks")).as("chunk"))
-        .select(col("doc_id"), md5(col("chunk")).as("dg"))
+      // chunk digests come straight off the fused CdcChunkDigests kernel
+      // (one boundary scan + one in-place md5 per chunk, codegen). The
+      // previous shape exploded the assembled chunk STRINGS from
+      // cdcChunkDetail's zip_with/slice HOF — interpreted per chunk, and
+      // the explode's inferred size()>0 filter pushed the whole assembly
+      // into the scan's DataFilters, re-evaluating it per row: 285 s
+      // executor-CPU for the x10 map stage, the suite's largest after
+      // the ExactSubstr fix. Digest-equality dup counting is unchanged
+      // (16-byte binary instead of 32-char hex also halves the corpus
+      // shuffle); TextFnsSpec proves the kernel's digests bit-equal to
+      // md5(chunk-string) corpus-wide.
+      graft.functions.TextFns.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ck = docs.select(col("doc_id"),
+        explode(call_function("cdc_chunk_digests", col("text"))).as("dg"))
       val dup = ck.groupBy(col("dg")).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).select(col("dg"), lit(1).as("isdup"))
       val perDoc = ck.join(dup, Seq("dg"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
              sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup"))
-      chunked
+      docs
         .select(col("doc_id"),
-          md5(concat_ws(",", transform(col("bpos"), _.cast("string"))))
-            .as("bounds_digest"))
+          md5(concat_ws(",", transform(expr("cdc_bounds(text)"),
+            _.cast("string")))).as("bounds_digest"))
         .join(perDoc, Seq("doc_id"))
         .select(col("doc_id"), col("n_chunks"), col("n_dup"),
           expr("(2000000 * n_dup + n_chunks) div (2 * n_chunks)")
@@ -738,12 +748,14 @@ object Corpus extends QueryModule {
     // 100 TB exact-substring dedup shape.
     "d_dedup_chunks" -> ((s, dir) => {
       val C = 16
+      // digest-only consumer of the WordGridChunks kernel (see
+      // d_boilerplate_strip); 16-byte binary digests, same dup counts
+      graft.functions.TextFns.register(s)
       val chunks = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, (size(w) - 1) div $C), " +
-            s"i -> concat_ws(' ', slice(w, i * $C + 1, $C)))")).as("chunk"))
-        .select(col("doc_id"), md5(col("chunk")).as("dg"))
+        .select(col("doc_id"),
+          explode(call_function("word_grid_chunks", col("text"), lit(C)))
+            .as("x"))
+        .select(col("doc_id"), col("x.dg").as("dg"))
       val dup = chunks.groupBy(col("dg")).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).select(col("dg"), lit(1).as("isdup"))
       chunks.join(dup, Seq("dg"), "left")
@@ -768,13 +780,19 @@ object Corpus extends QueryModule {
     // transform, not just a statistic.
     "d_boilerplate_strip" -> ((s, dir) => {
       val C = 8
+      // grid chunks + digests off the fused WordGridChunks kernel (the
+      // posexplode/transform/slice HOF chain evaluated interpreted per
+      // chunk — 26 s executor-CPU at the x10 probe; digests now shuffle
+      // as 16-byte binary instead of hex strings). Reassembly semantics
+      // unchanged: idx/chunk are the same values, TextFnsSpec proves the
+      // kernel bit-equal to the HOF chain.
+      graft.functions.TextFns.register(s)
       val chunks = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, (size(w) - 1) div $C), " +
-            s"i -> concat_ws(' ', slice(w, i * $C + 1, $C)))"))
-          .as(Seq("idx", "chunk")))
-        .withColumn("dg", md5(col("chunk")))
+        .select(col("doc_id"),
+          explode(call_function("word_grid_chunks", col("text"), lit(C)))
+            .as("x"))
+        .select(col("doc_id"), col("x.idx").as("idx"),
+          col("x.chunk").as("chunk"), col("x.dg").as("dg"))
       val hot = chunks.groupBy(col("dg"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1).select(col("dg"), lit(1).as("bp"))

@@ -75,6 +75,57 @@ class TextFnsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString(", "))
   }
 
+  test("cdc_chunk_digests equals md5 over the HOF chunk assembly") {
+    graft.functions.TextFns.register(spark)
+    val sp = spark; import sp.implicits._
+    val edge = Seq("", " ", "a", "a b c d e",
+      "a  b   c d e f", "x y z w x y z w x y z w",
+      (1 to 90).map(i => s"t${i % 7}").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (1000000L + i, t) }.toDF("doc_id", "text")
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val hof = graft.queries.Corpus.cdcChunkDetail(docs)
+      .select(col("doc_id"),
+        expr("transform(chunks, c -> unhex(md5(c)))").as("hof"))
+    val nu = docs.select(col("doc_id"),
+      call_function("cdc_chunk_digests", col("text")).as("native"))
+    val joined = hof.join(nu, "doc_id")
+    assert(joined.filter(col("hof") =!= col("native")).count() == 0)
+    assert(joined.count() == docs.count())
+  }
+
+  test("word_grid_chunks equals the posexplode grid HOF chain") {
+    graft.functions.TextFns.register(spark)
+    val sp = spark; import sp.implicits._
+    val edge = Seq("", " ", "a", "a b c d e",
+      "a  b   c d e f", "x y z w x y z w x y z w",
+      (1 to 90).map(i => s"t${i % 7}").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (1000000L + i, t) }.toDF("doc_id", "text")
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    for (c <- Seq(8, 16)) {
+      val hof = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(w) - 1) div $c), " +
+            s"i -> concat_ws(' ', slice(w, i * $c + 1, $c)))"))
+          .as(Seq("idx", "chunk")))
+        .select(col("doc_id"), col("idx"), col("chunk"),
+          unhex(md5(col("chunk"))).as("old_dg"))
+      val nu = docs
+        .select(col("doc_id"),
+          explode(call_function("word_grid_chunks", col("text"), lit(c)))
+            .as("x"))
+        .select(col("doc_id"), col("x.idx").as("idx"),
+          col("x.chunk").as("nu_chunk"), col("x.dg").as("dg"))
+      val joined = hof.join(nu, Seq("doc_id", "idx"))
+      assert(joined.count() == hof.count() && joined.count() == nu.count(),
+        s"c=$c: chunk sets must agree")
+      assert(joined.filter(col("chunk") =!= col("nu_chunk") ||
+        col("old_dg") =!= col("dg")).count() == 0, s"c=$c")
+    }
+  }
+
   test("rolling_fp participates in whole-stage codegen") {
     graft.functions.TextFns.register(spark)
     val p = Tables.t(spark, sf, "documents")
