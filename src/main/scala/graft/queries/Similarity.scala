@@ -297,18 +297,60 @@ object Similarity extends QueryModule {
       .filter(col("fcell") >= 0)
       .dropDuplicates(Seq("vec_id", "fcell"))
       .withColumn("nrm", expr("vec_norm_sq(v)"))
-    val a = assigned.select(col("fcell"), col("vec_id").as("aid"),
-      col("v").as("av"), col("nrm").as("an"))
-    val b = assigned.select(col("fcell"), col("vec_id").as("bid"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    val drops = a.join(b, Seq("fcell"))
-      .filter(col("aid") < col("bid") &&
-        round(expr("vec_dot(av, bv)") / sqrt(col("an") * col("bn")), 6)
-          >= SemTau)
-      .select(col("bid")).distinct()
-    e.join(drops.withColumnRenamed("bid", "vec_id")
-              .withColumn("is_drop", lit(1)),
-           Seq("vec_id"), "left")
+    // in-cell verification kernel (r19): the previous shape self-joined
+    // `assigned` on fcell — materializing every candidate PAIR as a
+    // joined row carrying BOTH full vectors before the dot product
+    // (67.8 s executor-CPU at the x10 probe, the lane's whole cost).
+    // This is the embeddingLshPairsRaw discipline instead: co-locate
+    // each fine cell, sort its run by vec_id, and scan lower-id
+    // witnesses in a tight in-task loop — same single payload shuffle,
+    // no pair materialization, and a vector is emitted (and its scan
+    // STOPPED) at the FIRST witness, where the join always evaluated
+    // all O(cell^2) pairs. Per-task memory is one cell's vectors —
+    // exactly the key group the sort-merge join buffered. Drop set is
+    // identical: b dropped iff some lower-id a of a shared probed cell
+    // sits at HALF_UP-6dp cosine >= SemTau (guard trick + round6 as in
+    // Dedup.embeddingLshPairsRaw).
+    val sp = s; import sp.implicits._
+    val guard = SemTau - 6e-7
+    val drops = assigned
+      .select(col("fcell"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Long, Array[Double], Double)]
+      .repartition(col("fcell"))
+      .sortWithinPartitions(col("fcell"), col("vec_id"))
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[Long] {
+          private var queue: Iterator[Long] = Iterator.empty
+          private def advance(): Unit =
+            while (!queue.hasNext && in.hasNext) {
+              val cell = in.head._1
+              val buf = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Array[Double], Double)]
+              while (in.hasNext && in.head._1 == cell) {
+                val r = in.next(); buf += ((r._2, r._3, r._4))
+              }
+              queue = (1 until buf.length).iterator.flatMap { j =>
+                val (_, vb, nb) = buf(j)
+                var i = 0
+                var hit = false
+                while (i < j && !hit) {
+                  val (_, va, na) = buf(i)
+                  var d = 0.0; var p = 0
+                  val m = math.min(va.length, vb.length)
+                  while (p < m) { d += va(p) * vb(p); p += 1 }
+                  val raw = d / math.sqrt(na * nb)
+                  if (raw >= guard && Dedup.round6(raw) >= SemTau) hit = true
+                  i += 1
+                }
+                if (hit) Iterator.single(buf(j)._1) else Iterator.empty
+              }
+            }
+          def hasNext: Boolean = { advance(); queue.hasNext }
+          def next(): Long = { advance(); queue.next() }
+        }
+      }.toDF("vec_id").distinct()
+    e.join(drops.withColumn("is_drop", lit(1)), Seq("vec_id"), "left")
   }
 
   /** Per-query probe rows (qid, qv, qcell, qn): top-2 nearest cells per
