@@ -283,6 +283,65 @@ case class WordGridChunks(child: Expression, c: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Longest run of consecutive identical words (`word_max_run(text)` ->
+  * int): the fused form of the posexplode + lag()-window + run-id-cumsum
+  * + two-groupBy chain — a pure per-document function that needed a
+  * corpus-wide (doc_id, pos) sort shuffle in the window formulation; the
+  * kernel is one byte pass comparing adjacent word spans (split-on-
+  * every-space word semantics, empty words compare equal like the
+  * explode did). A document always has >= 1 word, so the result is
+  * >= 1. */
+case class WordMaxRun(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "word_max_run"
+
+  /** The per-row kernel (public: codegen calls it via reference obj). */
+  def kernel(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var best = 1
+    var run = 1
+    var prevFrom = 0
+    var prevUntil = -1 // previous word's [from, until); -1 = none yet
+    var from = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (prevUntil >= 0) {
+          val len = i - from
+          var eq = len == prevUntil - prevFrom
+          var k = 0
+          while (eq && k < len) {
+            if (bytes(from + k) != bytes(prevFrom + k)) eq = false
+            k += 1
+          }
+          run = if (eq) run + 1 else 1
+          if (run > best) best = run
+        }
+        prevFrom = from; prevUntil = i
+        from = i + 1
+      }
+      i += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("wordMaxRun", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $refName.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFns {
   /** Register `rolling_fp` + `cdc_bounds` + `cdc_chunk_digests` for SQL
     * + `expr(...)` use. Idempotent. */
@@ -305,6 +364,8 @@ object TextFns {
       reg.createOrReplaceTempFunction(
         "word_grid_chunks", exprs => WordGridChunks(exprs.head,
           exprs(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
+        "word_max_run", exprs => WordMaxRun(exprs.head), "built-in")
     }
   }
 }

@@ -155,11 +155,15 @@ object Corpus extends QueryModule {
     // (contamination-sized). Reference analogue: none (SQL-side this is
     // the semi-join family, nodeSetOp.c) — additive pipeline operator.
     "d_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      def grams(d: DataFrame) = d.select(col("doc_id"), explode(expr(
-        "CASE WHEN size(w) >= 4 THEN transform(sequence(1, size(w) - 3), " +
-          "i -> array_join(slice(w, i, 4), ' ')) ELSE array() END")).as("g"))
+      // 4-grams as Md5Windows digests (fused kernel + md5-injectivity,
+      // see d_dedup_minhash_lsh): the broadcast semi-join and the
+      // per-doc distinct-hit count key on 16-byte digests instead of
+      // gram strings — same hits, narrower broadcast
+      graft.functions.SigFns.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def grams(d: DataFrame) = d.select(col("doc_id"),
+        explode(call_function("md5_windows", col("text"), lit(4))).as("x"))
+        .select(col("doc_id"), col("x.dg").as("g"))
       val evalGrams = grams(docs.filter(col("doc_id") < 10))
         .select(col("g")).distinct()
       grams(docs.filter(col("doc_id") >= 10))
@@ -665,25 +669,23 @@ object Corpus extends QueryModule {
     }),
 
     "d_gopher_repetition" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // n-grams as Md5Windows digests (same kernel + trust model as
+      // d_decontaminate); max_run is the WordMaxRun kernel — a pure
+      // per-document value the old formulation paid a corpus-wide
+      // (doc_id, pos) sort shuffle + lag window + two groupBys for
+      graft.functions.SigFns.register(s)
+      graft.functions.TextFns.register(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       def gramStats(n: Int): DataFrame = docs
-        .select(col("doc_id"), explode(expr(
-          s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n), " +
-            s"i -> concat_ws(' ', slice(w, i + 1, $n))) " +
-            "ELSE array() END")).as("g"))
+        .select(col("doc_id"),
+          explode(call_function("md5_windows", col("text"), lit(n))).as("x"))
+        .select(col("doc_id"), col("x.dg").as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as(s"n$n"), max(col("c")).as(s"top$n"),
              sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"dup$n"))
-      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val runs = docs
-        .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-        .withColumn("brk",
-          when(col("word") === lag(col("word"), 1).over(wOrd), 0).otherwise(1))
-        .withColumn("run_id", sum(col("brk")).over(wOrd))
-        .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("rl"))
-        .groupBy(col("doc_id")).agg(max(col("rl")).cast("int").as("max_run"))
+      val runs = docs.select(col("doc_id"),
+        call_function("word_max_run", col("text")).as("max_run"))
       gramStats(2).join(gramStats(3), "doc_id").join(runs, "doc_id")
         .select(col("doc_id"),
           expr("(2000000 * top2 + n2) div (2 * n2)").as("top2_u"),

@@ -126,6 +126,31 @@ class TextFnsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_max_run equals the posexplode + lag-window run formula") {
+    graft.functions.TextFns.register(spark)
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edge = Seq("", " ", "  ", "a", "a a", "a a a b b", "a b a b",
+      "x x  x", "w w w w w w")
+      .zipWithIndex.map { case (t, i) => (1000000L + i, t) }.toDF("doc_id", "text")
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val old = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "word")))
+      .withColumn("brk",
+        when(col("word") === lag(col("word"), 1).over(wOrd), 0).otherwise(1))
+      .withColumn("run_id", sum(col("brk")).over(wOrd))
+      .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("rl"))
+      .groupBy(col("doc_id")).agg(max(col("rl")).cast("int").as("old_run"))
+    val nu = docs.select(col("doc_id"),
+      call_function("word_max_run", col("text")).as("run"))
+    val joined = old.join(nu, "doc_id")
+    assert(joined.filter(col("old_run") =!= col("run")).count() == 0)
+    assert(joined.count() == docs.count())
+  }
+
   test("rolling_fp participates in whole-stage codegen") {
     graft.functions.TextFns.register(spark)
     val p = Tables.t(spark, sf, "documents")
