@@ -311,6 +311,13 @@ object Similarity extends QueryModule {
     // identical: b dropped iff some lower-id a of a shared probed cell
     // sits at HALF_UP-6dp cosine >= SemTau (guard trick + round6 as in
     // Dedup.embeddingLshPairsRaw).
+    // Memory posture (trade vs the join, stated): the SMJ's buffered
+    // match group could spill to disk; this buffer cannot — it holds
+    // one fine cell (~4 n^(1/3) vectors by construction; a corpus that
+    // concentrates one cell degrades the OLD shape first, to O(cell^2)
+    // pair rows, where this kernel's early exit keeps work near-linear
+    // on exactly such duplicate-dense cells). SpillPressureSpec keeps
+    // the constrained-profile result-identity assertion for this lane.
     val sp = s; import sp.implicits._
     val guard = SemTau - 6e-7
     val drops = assigned

@@ -36,6 +36,11 @@ object PlanDump {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
+          // SPARK_GRAFT_PLANDUMP_EXEC=1: execute first, so the dump is
+          // the FINAL adaptive plan (isFinalPlan=true) — the only place
+          // AQE runtime rewrites (SMJ->SHJ, coalesced reads) are visible
+          if (sys.env.get("SPARK_GRAFT_PLANDUMP_EXEC").contains("1"))
+            df.collect()
           val txt = df.queryExecution.explainString(FormattedMode)
           val w = new java.io.PrintWriter(s"$outDir/${name}_$suffix.txt", "UTF-8")
           try w.println(txt) finally w.close()

@@ -120,13 +120,23 @@ class SpillPressureSpec extends AnyFunSuite {
     "q_window_running" -> false, "q18_large_volume_cust" -> true,
     "d_dedup_minhash_lsh" -> false)
 
-  /** r13 retrieval/dedup lanes: probe-cell pair joins (SMJ under
-    * broadcast-off), candidate ranking windows, shortlist rerank joins
-    * — driven by the lighter profile (see [[bufLight]]). */
-  private val lightShapes = Seq("d_semdedup_probes", "s_ann_ivfpq_topk",
+  /** r13 retrieval/dedup lanes: candidate ranking windows, shortlist
+    * rerank joins — driven by the lighter profile (see [[bufLight]]). */
+  private val lightShapes = Seq("s_ann_ivfpq_topk",
     "s_ann_mmr_topk", "q_hybrid_rrf")
 
   private val tightShapes = Seq("d_dedup_substring")
+
+  /** Lanes whose r19 kernel rewrites removed every conf-trippable
+    * buffered operator (d_semdedup_probes: the fine-cell pair SMJ —
+    * whose buffered match group was what spilled here — is now an
+    * in-task witness scan; under the tight profile its collect_list
+    * falls back to SortAggregate, which buffers nothing). The
+    * regression that still matters is RESULT IDENTITY under the
+    * constrained profile; the spill-report assertion is dropped for
+    * these, and the per-task memory posture (one fine cell, ~4n^(1/3)
+    * by construction) is documented at the kernel. */
+  private val identityOnlyShapes = Seq("d_semdedup_probes")
 
   (shapes.map { case (n, agg) => (n, if (agg) () => aggPressured
                                      else () => bufPressured) } ++
@@ -139,6 +149,14 @@ class SpillPressureSpec extends AnyFunSuite {
       assert(analyzed.contains("spill="),
         s"no operator reported spill under the constrained profile:\n$analyzed")
       assert(rows(fn(pressured, sf)) == rows(fn(base, sf)),
+        s"$name: constrained result diverged from unconstrained")
+    }
+  }
+
+  identityOnlyShapes.foreach { name =>
+    test(s"$name stays hash-identical under the constrained profile") {
+      val fn = SparkEntry.queries(name)
+      assert(rows(fn(bufTight, sf)) == rows(fn(base, sf)),
         s"$name: constrained result diverged from unconstrained")
     }
   }
