@@ -121,8 +121,14 @@ object Dedup extends QueryModule {
     * instead of being dropped by the null-unsafe equi-join (matches the
     * oracle's PARTITION BY, which groups NULLs together). */
   private[graft] def digestGroups(docs: DataFrame, digest: Column): DataFrame = {
-    val members =
-      docs.select(col("doc_id"), coalesce(digest, lit("\u0000null")).as("dg"))
+    // r19: the key aggregates/shuffles as its 16-byte (32 for
+    // concatenated pairs) BINARY value via unhex instead of the
+    // 32/64-char hex string -- same groups (hex -> bytes is bijective
+    // on md5 output), half the key bytes in the lane's widest exchange
+    // (guide 2.3 "narrower types"). The null sentinel is a 1-byte array
+    // no real digest can collide with (length differs).
+    val members = docs.select(col("doc_id"),
+      coalesce(unhex(digest), lit(Array[Byte](0))).as("dg"))
     val reps = members.groupBy("dg").agg(min("doc_id").as("rep_id"))
     members.join(reps, "dg").select(col("doc_id"), col("rep_id"))
   }
@@ -564,9 +570,10 @@ object Dedup extends QueryModule {
       t(s, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-             countDistinct(md5(col("text").cast("binary"))).as("n_unique"),
+             // unhex: distinct over 16-byte binary, not 32-char hex
+             countDistinct(unhex(md5(col("text").cast("binary")))).as("n_unique"),
              (count(lit(1)) -
-              countDistinct(md5(col("text").cast("binary")))).as("n_dups"))
+              countDistinct(unhex(md5(col("text").cast("binary"))))).as("n_dups"))
         .orderBy(col("source"))
     }),
 
