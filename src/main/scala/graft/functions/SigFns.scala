@@ -39,7 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    trailing spaces) hash md5("") exactly like the explode did.
   */
 object SigKernels {
-  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+  /** Per-thread MD5 instance, shared with the TextFns chunk kernels
+    * (CdcChunkDigests/WordGridChunks previously constructed a fresh
+    * MessageDigest per ROW — an avoidable allocation in exactly the
+    * per-document hot paths the kernels exist to make cheap). */
+  private[functions] val mdPool = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
@@ -227,8 +231,15 @@ object SigFns {
       reg.createOrReplaceTempFunction(
         "simhash48", exprs => Simhash48(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
-        "md5_windows", exprs => Md5Windows(exprs.head,
-          exprs(1).eval().asInstanceOf[Int]), "built-in")
+        "md5_windows", exprs => {
+          // plan-time arity/foldability guard: a non-literal k would
+          // otherwise eval() against no input row with an opaque error
+          require(exprs.length == 2,
+            s"md5_windows(text, k) takes exactly 2 arguments, got ${exprs.length}")
+          require(exprs(1).foldable,
+            "md5_windows: window size k must be a literal")
+          Md5Windows(exprs.head, exprs(1).eval().asInstanceOf[Int])
+        }, "built-in")
     }
   }
 }

@@ -191,7 +191,7 @@ case class CdcChunkDigests(child: Expression) extends UnaryExpression {
     i = 0
     while (i < n) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
     starts(nWords) = n + 1 // sentinel: "start" of the one-past-last word
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SigKernels.mdPool.get()
     val out = new Array[Any](cuts.length + 1)
     var k = 0
     var sw = 1 // chunk's first word (1-based)
@@ -256,7 +256,7 @@ case class WordGridChunks(child: Expression, c: Int) extends UnaryExpression {
     i = 0
     while (i < n) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
     starts(nWords) = n + 1
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SigKernels.mdPool.get()
     val nChunks = (nWords - 1) / c + 1
     val out = new Array[Any](nChunks)
     var k = 0
@@ -342,6 +342,128 @@ case class WordMaxRun(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Ordered chunk reassembly (`chunk_assemble(arr)` -> string) for
+  * `array<struct<idx:int, chunk:string>>`: the fused form of
+  * `concat_ws(' ', transform(array_sort(arr), x -> x.chunk))` — sort by
+  * the struct order (idx, then chunk bytes — array_sort's field-by-field
+  * struct comparator; idx is unique per document so the tie branch is
+  * formal), then join the chunk strings with a single space via the SAME
+  * `UTF8String.concatWs` the builtin uses. The replaced chain evaluated
+  * the sort comparator and the `x -> x.chunk` projection as interpreted
+  * lambdas per element in the FINAL aggregate of d_boilerplate_strip
+  * (r20 LaneProfile: ~1.0 s executor-CPU at the x10 probe, plus the
+  * comparator share of the partial stage); this kernel is one native
+  * pass per group. Null elements do not occur (collect_list never emits
+  * them); an empty array yields the empty string exactly like
+  * concat_ws over no children. */
+case class ChunkAssemble(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == IntegerType && b.dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<int, string>>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "chunk_assemble"
+
+  /** The per-group kernel (public: codegen calls it via reference obj). */
+  def kernel(arr: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = arr.numElements()
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val idxs = new Array[Int](n)
+    val chunks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 2)
+      idxs(i) = r.getInt(0)
+      chunks(i) = r.getUTF8String(1)
+      i += 1
+    }
+    val order = new Array[Integer](n)
+    i = 0
+    while (i < n) { order(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(order, (x: Integer, y: Integer) => {
+      val c = Integer.compare(idxs(x), idxs(y))
+      if (c != 0) c else chunks(x).compareTo(chunks(y))
+    })
+    val sorted = new Array[UTF8String](n)
+    i = 0
+    while (i < n) { sorted(i) = chunks(order(i)); i += 1 }
+    UTF8String.concatWs(ChunkAssemble.Space, sorted: _*)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("chunkAssemble", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $refName.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ChunkAssemble {
+  private val Space = UTF8String.fromString(" ")
+}
+
+/** Intersection cardinality of two ELEMENT-DISTINCT string arrays
+  * (`tok_inter(a, b)` -> int) — the fused form of
+  * `size(array_intersect(a, b))` for inputs that are already distinct
+  * (both q_hybrid_rrf legs pass `array_distinct(split(text, ' '))`
+  * token sets). The builtin chain builds a hash set AND materializes the
+  * intersection array, and its q_hybrid_rrf usage paired it with
+  * `size(array_union(a, b))` (a second set + a second array) per scored
+  * pair — 5.4 s executor-CPU at the x10 probe, the lane's whole cost.
+  * This kernel builds one set over the smaller array and counts
+  * membership of the larger — no output arrays. Distinctness of BOTH
+  * inputs is a correctness precondition (a duplicated element in the
+  * scanned array would double-count); membership equality is UTF8String
+  * binary equality, exactly the builtin's. A null element counts iff
+  * present in both, like array_intersect. */
+case class TokenIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> inputs, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "tok_inter"
+
+  /** The per-pair kernel (public: codegen calls it via reference obj). */
+  def kernel(l: org.apache.spark.sql.catalyst.util.ArrayData,
+             r: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val (small, large) = if (l.numElements() <= r.numElements()) (l, r) else (r, l)
+    val ns = small.numElements()
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    val nl = large.numElements()
+    var c = 0
+    i = 0
+    while (i < nl) { if (set.contains(large.getUTF8String(i))) c += 1; i += 1 }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+           b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("tokenIntersect", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $refName.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextFns {
   /** Register `rolling_fp` + `cdc_bounds` + `cdc_chunk_digests` for SQL
     * + `expr(...)` use. Idempotent. */
@@ -362,10 +484,21 @@ object TextFns {
       reg.createOrReplaceTempFunction(
         "cdc_chunk_digests", exprs => CdcChunkDigests(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
-        "word_grid_chunks", exprs => WordGridChunks(exprs.head,
-          exprs(1).eval().asInstanceOf[Int]), "built-in")
+        "word_grid_chunks", exprs => {
+          // plan-time arity/foldability guard: a non-literal c would
+          // otherwise eval() against no input row with an opaque error
+          require(exprs.length == 2,
+            s"word_grid_chunks(text, c) takes exactly 2 arguments, got ${exprs.length}")
+          require(exprs(1).foldable,
+            "word_grid_chunks: chunk size c must be a literal")
+          WordGridChunks(exprs.head, exprs(1).eval().asInstanceOf[Int])
+        }, "built-in")
       reg.createOrReplaceTempFunction(
         "word_max_run", exprs => WordMaxRun(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "chunk_assemble", exprs => ChunkAssemble(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "tok_inter", exprs => TokenIntersect(exprs.head, exprs(1)), "built-in")
     }
   }
 }

@@ -542,12 +542,22 @@ object Advanced extends QueryModule {
     "q_triangle_count" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = rowCount(s, dir, "documents")
-      val und = docs.select(col("doc_id").as("src"), explode(array(
-          (1 to 3).map(k => (col("doc_id") * 31 + k * 17) % n): _*)).as("dst"))
+      // The canonical edge list feeds FIVE consumers (e1/e2/e3 of the
+      // wedge join, the degree groupBy, the edge count). Unmaterialized,
+      // the planner replants the whole scan+explode+distinct subtree per
+      // consumer (r20 before-plan: five `Scan parquet documents` leaves)
+      // and AQE's exchange reuse only recovered three of them at runtime
+      // (LaneProfile x10: two 32-task subtree stages, 4.3 + 3.1 s
+      // executor-CPU). One checkpoint barrier (the Dedup.matNarrow
+      // device: narrow (a, b) longs only) computes it once — guide §2.4,
+      // same rationale as the minhash/simhash narrow fan-out points.
+      val und = Dedup.matNarrow(
+        docs.select(col("doc_id").as("src"), explode(array(
+            (1 to 3).map(k => (col("doc_id") * 31 + k * 17) % n): _*)).as("dst"))
         .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
                 greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+        .distinct())
       val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
       val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("w"))

@@ -798,12 +798,18 @@ object Corpus extends QueryModule {
       val hot = chunks.groupBy(col("dg"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1).select(col("dg"), lit(1).as("bp"))
+      // reassembly runs the fused ChunkAssemble kernel over the collected
+      // (idx, chunk) structs — the previous array_sort + transform +
+      // concat_ws chain evaluated its comparator and projection lambdas
+      // interpreted per chunk in the final aggregate (the last HOF stage
+      // of the lane after the r19 map-side kernel; bit-equality proven by
+      // TextFnsSpec, incl. the all-removed -> empty-string edge)
       chunks.join(broadcast(hot), Seq("dg"), "left")
         .groupBy(col("doc_id"))
         .agg(
-          expr("concat_ws(' ', transform(array_sort(collect_list(" +
-               "case when bp is null then struct(idx, chunk) end)), " +
-               "x -> x.chunk))").as("clean_text"),
+          expr("chunk_assemble(collect_list(" +
+               "case when bp is null then struct(idx, chunk) end))")
+            .as("clean_text"),
           count(lit(1)).as("n_chunks"),
           sum(coalesce(col("bp"), lit(0))).cast("long").as("n_removed"))
         .orderBy(col("doc_id"))

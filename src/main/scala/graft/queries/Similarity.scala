@@ -741,12 +741,21 @@ object Similarity extends QueryModule {
                 col("nrm").as("qn"))
       val wT = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("jac_u").desc, col("nid"))
+      // jaccard via the fused TokenIntersect kernel: both token arrays
+      // are array_distinct, so |union| = |a| + |b| - |inter| exactly and
+      // the single membership count replaces array_intersect +
+      // array_union (two hash sets + two materialized arrays per scored
+      // pair — 5.4 s executor-CPU at the r20 x10 probe, the lane's whole
+      // cost). The round/div arithmetic is unchanged Spark expressions,
+      // so the rounded micros are bit-identical.
+      graft.functions.TextFns.register(s)
       val txt = docs.join(broadcast(qd), col("doc_id") =!= col("qid"))
         .select(col("qid"), col("doc_id").as("nid"),
-          round(size(array_intersect(col("toks"), col("qtoks")))
-              .cast("double") * 1000000.0 /
-            size(array_union(col("toks"), col("qtoks"))), 0)
-            .cast("long").as("jac_u"))
+          call_function("tok_inter", col("toks"), col("qtoks")).as("ti"),
+          (size(col("toks")) + size(col("qtoks"))).as("sz"))
+        .select(col("qid"), col("nid"),
+          round(col("ti").cast("double") * 1000000.0 /
+            (col("sz") - col("ti")), 0).cast("long").as("jac_u"))
         .withColumn("rt", row_number().over(wT)).filter(col("rt") <= 20)
         .select(col("qid"), col("nid"), col("rt"))
       val wV = org.apache.spark.sql.expressions.Window

@@ -151,6 +151,62 @@ class TextFnsSpec extends AnyFunSuite {
     assert(joined.count() == docs.count())
   }
 
+  test("chunk_assemble equals concat_ws/transform/array_sort bit-for-bit") {
+    graft.functions.TextFns.register(spark)
+    val sp = spark; import sp.implicits._
+    val edge = Seq("", " ", "a", "a b c d e",
+      "a  b   c d e f", "x y z w x y z w x y z w",
+      (1 to 90).map(i => s"t${i % 7}").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (1000000L + i, t) }.toDF("doc_id", "text")
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    // adversarial input order: reverse the grid array so the kernel's
+    // sort is actually exercised (collect_list order is arbitrary);
+    // also strip every 3rd chunk so the reassembly skips elements, and
+    // include the all-stripped empty-array edge
+    val arrs = docs.select(col("doc_id"), expr(
+      "reverse(filter(transform(word_grid_chunks(text, 8), " +
+        "x -> struct(x.idx as idx, x.chunk as chunk)), " +
+        "x -> x.idx % 3 != 1))").as("arr"))
+    val d = arrs.select(col("doc_id"),
+      expr("concat_ws(' ', transform(array_sort(arr), x -> x.chunk))").as("hof"),
+      expr("chunk_assemble(arr)").as("native"))
+    assert(d.filter(col("hof") =!= col("native")).count() == 0)
+    // the empty-array edge (every chunk removed) must yield '' exactly
+    // like concat_ws over no children
+    val empty = spark.sql(
+      "SELECT chunk_assemble(CAST(array() AS " +
+        "ARRAY<STRUCT<idx: INT, chunk: STRING>>)) AS e").collect()
+    assert(empty.length == 1 && empty.head.getString(0) == "")
+  }
+
+  test("tok_inter equals size(array_intersect) on distinct token arrays") {
+    graft.functions.TextFns.register(spark)
+    val toks = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val q = toks.filter(col("doc_id") < 7)
+      .select(col("doc_id").as("qid"), col("toks").as("qtoks"))
+    val d = toks.crossJoin(broadcast(q))
+      .select(
+        size(array_intersect(col("toks"), col("qtoks"))).as("hof"),
+        call_function("tok_inter", col("toks"), col("qtoks")).as("native"))
+    assert(d.filter(col("hof") =!= col("native")).count() == 0)
+    assert(d.count() > 0)
+    // edges: empty sides, the empty-string token, disjoint, identical
+    val sp = spark; import sp.implicits._
+    val cases = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b"), Seq.empty[String]),
+      (Seq(""), Seq("", "x")),
+      (Seq("a", "b", "c"), Seq("d", "e")),
+      (Seq("a", "b", "c"), Seq("c", "a", "b")))
+    val e = cases.toDF("a", "b").select(
+      size(array_intersect(col("a"), col("b"))).as("hof"),
+      call_function("tok_inter", col("a"), col("b")).as("native"))
+    val bad = e.filter(col("hof") =!= col("native")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
   test("rolling_fp participates in whole-stage codegen") {
     graft.functions.TextFns.register(spark)
     val p = Tables.t(spark, sf, "documents")
