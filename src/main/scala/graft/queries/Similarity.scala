@@ -311,15 +311,30 @@ object Similarity extends QueryModule {
     // identical: b dropped iff some lower-id a of a shared probed cell
     // sits at HALF_UP-6dp cosine >= SemTau (guard trick + round6 as in
     // Dedup.embeddingLshPairsRaw).
-    // Memory posture (trade vs the join, stated): the SMJ's buffered
-    // match group could spill to disk; this buffer cannot — it holds
-    // one fine cell (~4 n^(1/3) vectors by construction; a corpus that
-    // concentrates one cell degrades the OLD shape first, to O(cell^2)
-    // pair rows, where this kernel's early exit keeps work near-linear
-    // on exactly such duplicate-dense cells). SpillPressureSpec keeps
-    // the constrained-profile result-identity assertion for this lane.
+    // Memory posture (r20, the cap-with-fallback the r19 trade deferred):
+    // the expected fine cell is ~4 n^(1/3) vectors by construction, and
+    // the in-memory buffer holds AT MOST `spark.graft.semdedup.cellCap`
+    // of them (default 65536 — ~32 MB at dim 64, executor-safe at any
+    // corpus size); a degenerate corpus that concentrates one cell past
+    // the cap overflows to a per-task disk spill (fixed-record pread
+    // file) instead of an unbounded ArrayBuffer, so the pathological
+    // cell costs disk time, not an executor OOM. The witness scan is
+    // unchanged — and on exactly the duplicate-dense corpora that create
+    // jumbo cells, the FIRST-witness early exit resolves almost every
+    // vector against the in-memory prefix, so spill reads stay rare.
+    // SpillPressureSpec pins result identity with the cap forced to 1
+    // (every multi-row cell takes the spill path).
+    //
+    // Zero-norm contract (stated, not data-dependent): a zero-norm
+    // vector makes raw = d / sqrt(0) NaN, and `NaN >= guard` is false in
+    // the JVM — such a pair is NEVER a drop witness here, where the
+    // replaced Spark filter (NaN compares greatest in Spark SQL) would
+    // have dropped it. The fixtures contain no zero vectors (the oracle
+    // is green either way); this comment is the declared semantic.
     val sp = s; import sp.implicits._
     val guard = SemTau - 6e-7
+    val cellCap = math.max(1, s.conf.getOption("spark.graft.semdedup.cellCap")
+      .map(_.toInt).getOrElse(1 << 16))
     val drops = assigned
       .select(col("fcell"), col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Long, Array[Double], Double)]
@@ -327,22 +342,38 @@ object Similarity extends QueryModule {
       .sortWithinPartitions(col("fcell"), col("vec_id"))
       .mapPartitions { it =>
         val in = it.buffered
+        var spill: CellSpill = null
+        def closeSpill(): Unit =
+          if (spill != null) { spill.close(); spill = null }
+        // spill files must not outlive the task even if the iterator is
+        // abandoned mid-cell (limit, task kill)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeSpill()))
         new Iterator[Long] {
           private var queue: Iterator[Long] = Iterator.empty
           private def advance(): Unit =
             while (!queue.hasNext && in.hasNext) {
+              closeSpill() // previous cell's overflow, if any
               val cell = in.head._1
               val buf = scala.collection.mutable.ArrayBuffer
                 .empty[(Long, Array[Double], Double)]
               while (in.hasNext && in.head._1 == cell) {
-                val r = in.next(); buf += ((r._2, r._3, r._4))
+                val r = in.next()
+                if (buf.length < cellCap) buf += ((r._2, r._3, r._4))
+                else {
+                  if (spill == null) spill = new CellSpill
+                  spill.append(r._2, r._3, r._4)
+                }
               }
-              queue = (1 until buf.length).iterator.flatMap { j =>
-                val (_, vb, nb) = buf(j)
+              val total = buf.length + (if (spill == null) 0 else spill.n)
+              def row(i: Int): (Long, Array[Double], Double) =
+                if (i < buf.length) buf(i) else spill.read(i - buf.length)
+              queue = (1 until total).iterator.flatMap { j =>
+                val (idB, vb, nb) = row(j)
                 var i = 0
                 var hit = false
                 while (i < j && !hit) {
-                  val (_, va, na) = buf(i)
+                  val (_, va, na) = row(i)
                   var d = 0.0; var p = 0
                   val m = math.min(va.length, vb.length)
                   while (p < m) { d += va(p) * vb(p); p += 1 }
@@ -350,14 +381,67 @@ object Similarity extends QueryModule {
                   if (raw >= guard && Dedup.round6(raw) >= SemTau) hit = true
                   i += 1
                 }
-                if (hit) Iterator.single(buf(j)._1) else Iterator.empty
+                if (hit) Iterator.single(idB) else Iterator.empty
               }
             }
-          def hasNext: Boolean = { advance(); queue.hasNext }
+          def hasNext: Boolean = {
+            advance()
+            val h = queue.hasNext
+            if (!h) closeSpill()
+            h
+          }
           def next(): Long = { advance(); queue.next() }
         }
       }.toDF("vec_id").distinct()
     e.join(drops.withColumn("is_drop", lit(1)), Seq("vec_id"), "left")
+  }
+
+  /** Per-task overflow store for ONE oversized fine cell (the
+    * semdedupProbesDetail cap fallback): records are appended once while
+    * the cell drains, then read back by index during the witness scan
+    * (positional pread — no mmap size limits, no shared state). Purely
+    * executor-side; the file lives in java.io.tmpdir for the duration of
+    * one cell and is deleted on close (and on task completion via the
+    * listener at the call site). */
+  private final class CellSpill {
+    private val file = java.io.File.createTempFile("graft-cell", ".spill")
+    file.deleteOnExit() // backstop; normal path deletes in close()
+    private val ch = java.nio.channels.FileChannel.open(file.toPath,
+      java.nio.file.StandardOpenOption.READ,
+      java.nio.file.StandardOpenOption.WRITE)
+    private val offs = scala.collection.mutable.ArrayBuffer[Long](0L)
+    private var writePos = 0L
+    var n = 0
+    def append(id: Long, v: Array[Double], nrm: Double): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 8 + 4 + 8 * v.length)
+      bb.putLong(id); bb.putDouble(nrm); bb.putInt(v.length)
+      var i = 0
+      while (i < v.length) { bb.putDouble(v(i)); i += 1 }
+      bb.flip()
+      while (bb.hasRemaining) writePos += ch.write(bb, writePos)
+      offs += writePos
+      n += 1
+    }
+    def read(k: Int): (Long, Array[Double], Double) = {
+      val from = offs(k)
+      val bb = java.nio.ByteBuffer.allocate((offs(k + 1) - from).toInt)
+      var pos = from
+      while (bb.hasRemaining) {
+        val r = ch.read(bb, pos)
+        require(r >= 0, s"unexpected EOF in cell spill $file at $pos")
+        pos += r
+      }
+      bb.flip()
+      val id = bb.getLong; val nrm = bb.getDouble; val m = bb.getInt
+      val v = new Array[Double](m)
+      var i = 0
+      while (i < m) { v(i) = bb.getDouble; i += 1 }
+      (id, v, nrm)
+    }
+    def close(): Unit = {
+      try ch.close() catch { case _: Throwable => }
+      file.delete()
+    }
   }
 
   /** Per-query probe rows (qid, qv, qcell, qn): top-2 nearest cells per

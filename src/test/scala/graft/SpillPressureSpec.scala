@@ -161,6 +161,20 @@ class SpillPressureSpec extends AnyFunSuite {
     }
   }
 
+  test("d_semdedup_probes is result-identical with the cell cap forced " +
+    "to 1 (every multi-row cell takes the disk-spill fallback)") {
+    // the r20 cap-with-fallback: above spark.graft.semdedup.cellCap the
+    // in-task fine-cell buffer overflows to a per-task spill file instead
+    // of growing unbounded. cap=1 drives EVERY witness scan through the
+    // spill reader — the planted-jumbo-cell case, with the whole fixture
+    // as the jumbo corpus.
+    val s = base.newSession()
+    s.conf.set("spark.graft.semdedup.cellCap", "1")
+    val fn = SparkEntry.queries("d_semdedup_probes")
+    assert(rows(fn(s, sf)) == rows(fn(base, sf)),
+      "capped+spilled result diverged from the unconstrained run")
+  }
+
   test("the pressured profile leaves the base session untouched") {
     assert(base.conf.get("spark.sql.windowExec.buffer.spill.threshold",
       "2147483632") == "2147483632")
