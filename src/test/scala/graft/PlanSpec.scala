@@ -389,6 +389,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("static shuffled-hash joins respect the local-hash-map size bound " +
+    "(the SessionDefaults preferSortMergeJoin=false safety boundary)") {
+    // The engine defaults flip preferSortMergeJoin off (SessionDefaults),
+    // which lets the STATIC planner choose ShuffledHashJoinExec — whose
+    // in-memory build map, unlike sort-merge, has no graceful spill. The
+    // planner's own guard is canBuildLocalHashMap: build-side ESTIMATE <
+    // autoBroadcastJoinThreshold * shuffle.partitions. This pins both
+    // sides of that boundary on one join (orders >< customer, estimates
+    // from parquet file sizes: customer ~6.9 KB, orders ~36.6 KB at
+    // sf0.001), so a regression that plans an over-threshold build side
+    // as static SHJ fails here. The estimate-risk that remains (a
+    // misestimated build side under the bound) is documented in
+    // SCALING.md; the AQE rewrite path (measured sizes) is the
+    // size-safe half, evidenced by the r19 executed-plan dumps.
+    import org.apache.spark.sql.functions.col
+    def planWith(threshold: Int): String = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      s.conf.set("spark.sql.adaptive.enabled", "false") // static decision only
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      Tables.t(s, sf, "orders").join(Tables.t(s, sf, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+    }
+    // bound = 512 * 8 partitions = 4 KB < customer: must stay sort-merge
+    val over = planWith(512)
+    assert(over.contains("SortMergeJoin") && !over.contains("ShuffledHashJoin"),
+      s"over-threshold build side must plan SMJ statically:\n$over")
+    // bound = 2048 * 8 = 16 KB > customer (and customer is 3x under
+    // orders): the planner may and does build the local hash map
+    val under = planWith(2048)
+    assert(under.contains("ShuffledHashJoin"),
+      s"under-threshold build side should plan SHJ with preferSMJ off:\n$under")
+  }
+
   test("content-defined chunking runs the boundary kernel inside codegen") {
     val chunked = graft.queries.Corpus.cdcChunkDetail(
       Tables.t(spark, sf, "documents").select(
